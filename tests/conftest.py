@@ -1,0 +1,30 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from coffea_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="coffea-spark-tests", cpus=8, driver_memory="8g")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def nano(spark):
+    from coffea_spark.testing import events_nano_df
+
+    df = events_nano_df(spark, n_events=1000, seed=42)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="session")
+def nano_rows():
+    from coffea_spark.testing import make_events_nano
+
+    return make_events_nano(1000, seed=42)

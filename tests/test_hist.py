@@ -1,0 +1,57 @@
+"""Histogram operator vs numpy.histogram."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from coffea_spark.hist import Hist1D, bucket_edges, hist1d, hist2d
+
+
+def test_hist1d_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(50, 20, 5000)
+    w = rng.uniform(0.5, 1.5, 5000)
+    df = spark.createDataFrame(
+        [{"x": float(a), "w": float(b)} for a, b in zip(x, w)], "x double, w double"
+    )
+    h = Hist1D.from_df(hist1d(df, "x", 40, 0.0, 100.0, weight="w"), 40, 0.0, 100.0)
+    expected, _ = np.histogram(x, bins=40, range=(0.0, 100.0), weights=w)
+    # right edge: numpy includes x == hi in the last bin; we overflow it.
+    # Compare on strictly-in-range values.
+    inrange = (x >= 0) & (x < 100)
+    expected, _ = np.histogram(x[inrange], bins=40, range=(0.0, 100.0), weights=w[inrange])
+    assert np.allclose(h.values, expected)
+    # flow conservation: total sumw == sum of weights
+    assert np.isclose(h.sumw.sum(), w.sum())
+
+
+def test_hist1d_null_skipped(spark):
+    df = spark.createDataFrame(
+        [{"x": 1.0}, {"x": None}, {"x": 2.0}], "x double"
+    )
+    h = hist1d(df, "x", 4, 0.0, 4.0).collect()
+    total = sum(r["n"] for r in h if r["bin"] is not None)
+    assert total == 2
+
+
+def test_bucket_edges_variable(spark):
+    edges = [0.0, 1.0, 5.0, 10.0]
+    vals = [-1.0, 0.0, 0.5, 1.0, 4.9, 5.0, 9.99, 10.0, 50.0]
+    df = spark.createDataFrame([{"x": v} for v in vals], "x double")
+    got = [r.b for r in df.select(bucket_edges(F.col("x"), edges).alias("b")).collect()]
+    want = [-1, 0, 0, 1, 1, 2, 2, 3, 3]
+    assert got == want
+
+
+def test_hist2d(spark):
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 10, 2000)
+    y = rng.uniform(0, 10, 2000)
+    df = spark.createDataFrame(
+        [{"x": float(a), "y": float(b)} for a, b in zip(x, y)], "x double, y double"
+    )
+    rows = hist2d(df, "x", "y", 5, 0, 10, 5, 0, 10, flow=False).collect()
+    expected, _, _ = np.histogram2d(x, y, bins=(5, 5), range=((0, 10), (0, 10)))
+    got = np.zeros((5, 5))
+    for r in rows:
+        got[r["xbin"], r["ybin"]] = r["sumw"]
+    assert np.allclose(got, expected)

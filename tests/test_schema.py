@@ -1,0 +1,68 @@
+"""Schema zipping: flat branches -> array<struct> collections and back.
+
+Reference behavior mirrored: NanoAODSchema._build_collections
+(nanoevents/schemas/nanoaod.py:255-408) and zip_forms (schemas/base.py:24-80).
+"""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from coffea_spark.schema import (
+    collection_fields,
+    infer_collection_groups,
+    unzip_collection,
+    zip_collections,
+)
+from coffea_spark.testing import events_flat_df, events_nano_df
+
+
+def test_infer_groups(spark):
+    flat = events_flat_df(spark, n_events=50)
+    groups = infer_collection_groups(flat)
+    assert "Muon" in groups and "Jet" in groups and "MET" in groups
+    assert "Muon_pt" in groups["Muon"]
+    # singletons are not grouped
+    assert "run" not in groups
+
+
+def test_zip_jagged_roundtrip(spark):
+    flat = events_flat_df(spark, n_events=100)
+    zipped = zip_collections(flat)
+    # jagged collection became array<struct>
+    mt = zipped.schema["Muon"].dataType
+    assert isinstance(mt, T.ArrayType) and isinstance(mt.elementType, T.StructType)
+    assert set(collection_fields(zipped, "Muon")) >= {"pt", "eta", "phi", "mass", "charge"}
+    # simple collection became struct
+    assert isinstance(zipped.schema["MET"].dataType, T.StructType)
+    # count columns dropped, singleton passthrough kept
+    assert "nMuon" not in zipped.columns and "run" in zipped.columns
+    # counts are preserved: size(Muon) == original nMuon
+    joined = zipped.select("event", F.size("Muon").alias("sz")).join(
+        flat.select("event", "nMuon"), "event"
+    )
+    assert joined.filter(F.col("sz") != F.col("nMuon")).count() == 0
+    # values preserved
+    a = zipped.select("event", F.col("Muon.pt").alias("pts")).orderBy("event").collect()
+    b = flat.select("event", F.col("Muon_pt").alias("pts")).orderBy("event").collect()
+    for ra, rb in zip(a, b):
+        assert list(ra.pts or []) == list(rb.pts or [])
+
+
+def test_zip_matches_native(spark):
+    """Zipping the flat layout reproduces the natively-nested fixture."""
+    native = events_nano_df(spark, n_events=50)
+    zipped = zip_collections(events_flat_df(spark, n_events=50))
+    na = native.select("event", F.col("Muon.pt").alias("p")).orderBy("event").collect()
+    zb = zipped.select("event", F.col("Muon.pt").alias("p")).orderBy("event").collect()
+    for ra, rb in zip(na, zb):
+        assert list(ra.p or []) == list(rb.p or [])
+
+
+def test_unzip(spark):
+    native = events_nano_df(spark, n_events=50)
+    flat = unzip_collection(native, "Muon")
+    assert "Muon_pt" in flat.columns and "nMuon" in flat.columns
+    assert "Muon" not in flat.columns
+    row = flat.select(F.sum(F.col("nMuon")).alias("s")).collect()[0]
+    row2 = native.select(F.sum(F.size("Muon")).alias("s")).collect()[0]
+    assert row.s == row2.s

@@ -1,0 +1,95 @@
+"""Kinematics DSL vs numpy oracle (reference semantics:
+nanoevents/methods/vector.py)."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from coffea_spark import vector as vec
+
+
+def _np_vec(rng, n):
+    return {
+        "pt": rng.exponential(20.0, n) + 1.0,
+        "eta": rng.uniform(-3, 3, n),
+        "phi": rng.uniform(-math.pi, math.pi, n),
+        "mass": rng.exponential(2.0, n),
+    }
+
+
+def _df_from(spark, a, b):
+    rows = [
+        {
+            "a": {k: float(a[k][i]) for k in a},
+            "b": {k: float(b[k][i]) for k in b},
+        }
+        for i in range(len(a["pt"]))
+    ]
+    return spark.createDataFrame(rows, "a struct<pt:double,eta:double,phi:double,mass:double>, b struct<pt:double,eta:double,phi:double,mass:double>")
+
+
+def test_kinematics_against_numpy(spark):
+    rng = np.random.default_rng(7)
+    n = 500
+    a, b = _np_vec(rng, n), _np_vec(rng, n)
+    df = _df_from(spark, a, b)
+    out = df.select(
+        vec.px(F.col("a")).alias("px"),
+        vec.py(F.col("a")).alias("py"),
+        vec.pz(F.col("a")).alias("pz"),
+        vec.energy(F.col("a")).alias("e"),
+        vec.delta_phi(F.col("a"), F.col("b")).alias("dphi"),
+        vec.delta_r(F.col("a"), F.col("b")).alias("dr"),
+        vec.invariant_mass(F.col("a"), F.col("b")).alias("m"),
+        vec.theta(F.col("a")).alias("theta"),
+    ).toPandas()
+
+    npx = a["pt"] * np.cos(a["phi"])
+    npy = a["pt"] * np.sin(a["phi"])
+    npz = a["pt"] * np.sinh(a["eta"])
+    ne = np.sqrt(a["mass"] ** 2 + a["pt"] ** 2 * np.cosh(a["eta"]) ** 2)
+    ndphi = (a["phi"] - b["phi"] + math.pi) % (2 * math.pi) - math.pi
+    ndr = np.hypot(a["eta"] - b["eta"], ndphi)
+
+    bx = b["pt"] * np.cos(b["phi"])
+    by = b["pt"] * np.sin(b["phi"])
+    bz = b["pt"] * np.sinh(b["eta"])
+    be = np.sqrt(b["mass"] ** 2 + b["pt"] ** 2 * np.cosh(b["eta"]) ** 2)
+    m2 = (ne + be) ** 2 - (npx + bx) ** 2 - (npy + by) ** 2 - (npz + bz) ** 2
+    nm = np.sqrt(np.clip(m2, 0, None))
+
+    assert np.allclose(out["px"], npx)
+    assert np.allclose(out["py"], npy)
+    assert np.allclose(out["pz"], npz)
+    assert np.allclose(out["e"], ne)
+    assert np.allclose(out["dphi"], ndphi)
+    assert np.allclose(out["dr"], ndr)
+    assert np.allclose(out["m"], nm, rtol=1e-9, atol=1e-6)
+    assert np.allclose(out["theta"], 2 * np.arctan(np.exp(-a["eta"])))
+
+
+def test_add_consistency(spark):
+    """add(a,b).mass == invariant_mass(a,b); sum_vectors over [a,b] too."""
+    rng = np.random.default_rng(11)
+    a, b = _np_vec(rng, 200), _np_vec(rng, 200)
+    df = _df_from(spark, a, b)
+    out = df.select(
+        vec.add(F.col("a"), F.col("b"))["mass"].alias("m_add"),
+        vec.invariant_mass(F.col("a"), F.col("b")).alias("m_pair"),
+        vec.sum_vectors(F.array("a", "b"))["mass"].alias("m_sum"),
+        vec.sum_vectors(F.array("a", "b"))["pt"].alias("pt_sum"),
+        vec.add(F.col("a"), F.col("b"))["pt"].alias("pt_add"),
+    ).toPandas()
+    assert np.allclose(out["m_add"], out["m_pair"], rtol=1e-9, atol=1e-9)
+    assert np.allclose(out["m_sum"], out["m_pair"], rtol=1e-9, atol=1e-9)
+    assert np.allclose(out["pt_sum"], out["pt_add"], rtol=1e-9, atol=1e-9)
+
+
+def test_bit_helpers(spark):
+    df = spark.range(16).select(F.col("id").cast("int").alias("v"))
+    got = df.select("v", vec.has_bit(F.col("v"), 1).alias("b1"),
+                    vec.has_flags(F.col("v"), 0, 2).alias("f02")).collect()
+    for r in got:
+        assert r.b1 == bool(r.v & 2)
+        assert r.f02 == ((r.v & 5) == 5)
