@@ -1,0 +1,182 @@
+"""Within-event join patterns — all shuffle-free higher-order array ops.
+
+The reference has no generic relational join; its five join-like patterns
+are all within one event (SURVEY.md §2.4). Rows = events here, so every
+one of these compiles to per-row array expressions: at 100 TB these cost
+zero shuffle — the plan is scan -> project, embarrassingly parallel.
+
+- cross-reference FK gather  (reference: _apply_global_index,
+  nanoevents/methods/base.py:313-346; index build schemas/nanoaod.py:291-311)
+- pair/cartesian metric table (reference: metric_table,
+  nanoevents/methods/vector.py:479-517)
+- nearest-neighbour match     (reference: nearest, methods/vector.py:519-561)
+- n-choose-k combinations     (reference: ak.combinations usage, e.g.
+  processor/test_items/NanoEventsProcessor.py:62-70)
+
+Index convention: the data carries 0-based local indices with -1 (or
+out-of-range) meaning "no match" (reference masks them null,
+transforms.py:129-142). Spark's element_at is 1-based — the +1 lives in
+ONE place (``gather_local``) to keep off-by-ones out of user code.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from coffea_spark import vector as vec
+
+
+def gather_local(target: Column, idx) -> Column:
+    """Element of ``target`` at 0-based local index ``idx``; NULL when idx
+    is -1 / out of range (reference null semantics, transforms.py:129-142)."""
+    return F.when(
+        (idx >= 0) & (idx < F.size(target)), F.element_at(target, idx + F.lit(1))
+    )
+
+
+def matched(source: Column, idx_field: str, target: Column) -> Column:
+    """Cross-reference FK join: for each object in ``source``, the object
+    of ``target`` (same event) pointed at by its ``idx_field``.
+
+    Returns array aligned with ``source`` whose elements are target
+    structs or NULL. E.g. ``matched(Jet, "muonIdx1", Muon)``.
+    Reference surface: Muon.matched_jet etc., methods/nanoaod.py:113-723.
+    """
+    return F.transform(source, lambda x: gather_local(target, x[idx_field]))
+
+
+def matched_via(source: Column, idx_fields: list[str], target: Column) -> Column:
+    """Fixed-k nested FK join (e.g. Jet.muonIdx1/muonIdx2 -> matched_muons):
+    per source object, the list of non-null matches (reference: nestedindex
+    zip transforms.py:434-475 + gather)."""
+    return F.transform(
+        source,
+        lambda x: F.filter(
+            F.array(*[gather_local(target, x[f]) for f in idx_fields]),
+            lambda m: m.isNotNull(),
+        ),
+    )
+
+
+def metric_table(
+    a: Column,
+    b: Column,
+    metric: Callable[[Column, Column], Column] = vec.delta_r,
+) -> Column:
+    """All-pairs metric between two collections of the same event:
+    array (len a) of array (len b) of metric values. Reference:
+    methods/vector.py:371-379 _metric_table_core (ak.cartesian nested)."""
+    return F.transform(a, lambda x: F.transform(b, lambda y: metric(x, y)))
+
+
+def nearest(
+    a: Column,
+    b: Column,
+    metric: Callable[[Column, Column], Column] = vec.delta_r,
+    threshold: float | None = None,
+    return_metric: bool = False,
+) -> Column:
+    """For each object in ``a``, the object in ``b`` (same event)
+    minimizing ``metric``; NULL when ``b`` is empty or the best metric
+    exceeds ``threshold``. Reference: methods/vector.py:382-394
+    _nearest_core (argmin over pair axis + threshold mask).
+
+    With ``return_metric`` the result elements are
+    struct<metric:double, obj:...> instead of bare objects.
+    Implementation: per a-element, min over struct(metric, b-object) —
+    array_min compares lexicographically so it picks the smallest metric;
+    a single pass over b per a-element, still all within-row.
+    """
+    def best(x):
+        pairs = F.transform(b, lambda y: F.struct(metric(x, y).alias("metric"), y.alias("obj")))
+        m = F.array_min(pairs)
+        if threshold is not None:
+            m = F.when(m["metric"] < F.lit(threshold), m)
+        return m if return_metric else m["obj"]
+
+    return F.transform(a, best)
+
+
+def combinations(collection: Column, n: int = 2, fields: list[str] | None = None) -> Column:
+    """Distinct n-choose-k combinations (k=2 or 3) of objects within an
+    event, preserving order (i<j[<k]): array of struct<f0,f1[,f2]>.
+    Reference: ak.combinations, exercised by the dimuon pipeline
+    (processor/test_items/NanoEventsProcessor.py:62-70).
+
+    Flat HOF composition — no explode, no shuffle: for each element i,
+    pair it with the tail slice, then flatten.
+    """
+    if fields is None:
+        fields = [f"f{i}" for i in range(n)]
+    if n == 2:
+        pairs = F.transform(
+            collection,
+            lambda x, i: F.transform(
+                F.slice(collection, i + F.lit(2), F.greatest(F.size(collection) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias(fields[0]), y.alias(fields[1])),
+            ),
+        )
+        return F.flatten(pairs)
+    if n == 3:
+        triples = F.transform(
+            collection,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(collection, i + F.lit(2), F.greatest(F.size(collection) - i - 1, F.lit(0))),
+                    lambda y, j: F.transform(
+                        F.slice(
+                            collection,
+                            i + j + F.lit(3),
+                            F.greatest(F.size(collection) - i - j - 2, F.lit(0)),
+                        ),
+                        lambda z: F.struct(
+                            x.alias(fields[0]), y.alias(fields[1]), z.alias(fields[2])
+                        ),
+                    ),
+                )
+            ),
+        )
+        return F.flatten(triples)
+    raise NotImplementedError("combinations supports n=2 or n=3")
+
+
+def argcombinations(collection: Column, n: int = 2) -> Column:
+    """Index form of :func:`combinations`: struct<i0,i1> of 0-based local
+    indices."""
+    idx = F.transform(collection, lambda x, i: i)
+    return combinations(idx, n, fields=[f"i{k}" for k in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# exploded-view equivalents (the scale path for very large inner lists)
+# ---------------------------------------------------------------------------
+
+def explode_collection(df, collection: str, event_id: str = "event", keep: list[str] | None = None):
+    """Relational (exploded) view of a collection: one row per object with
+    (event_id, local index, object struct). The HOF forms above are
+    preferred — this exists for operators whose inner-list cardinality is
+    too large for per-row processing (SURVEY.md §4 note on a
+    cardinality-based rewrite)."""
+    cols = [F.col(event_id)] + [F.col(k) for k in (keep or [])]
+    return df.select(*cols, F.posexplode(collection).alias("idx", "obj"))
+
+
+def pairs_exploded(df, collection: str, event_id: str = "event"):
+    """Self-join form of combinations(n=2) on the exploded view: equi-join
+    on event id with i<j. Broadcast is wrong here (same table); Catalyst
+    plans a sort-merge join on event_id — used only when inner lists are
+    huge."""
+    e = explode_collection(df, collection, event_id)
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col(f"a.{event_id}") == F.col(f"b.{event_id}")) & (F.col("a.idx") < F.col("b.idx")),
+    ).select(
+        F.col(f"a.{event_id}").alias(event_id),
+        F.col("a.obj").alias("f0"),
+        F.col("b.obj").alias("f1"),
+    )

@@ -1,0 +1,170 @@
+"""Within-event joins, combinatorics, genealogy vs python oracle.
+
+Mirrors the reference invariant tests (tests/test_nanoevents.py:12-63
+genroundtrips/crossref) on the F1 fixture.
+"""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from coffea_spark import vector as vec
+from coffea_spark.genealogy import (
+    children_idx,
+    distinct_children_deep_idx,
+    distinct_parent_idx,
+    parent_idx,
+)
+from coffea_spark.joins import (
+    combinations,
+    argcombinations,
+    matched,
+    matched_via,
+    metric_table,
+    nearest,
+    pairs_exploded,
+)
+
+
+def test_matched_gather(spark, nano, nano_rows):
+    got = nano.select(
+        "event", matched(F.col("Muon"), "jetIdx", F.col("Jet"))["pt"].alias("jpt")
+    ).orderBy("event").collect()
+    for row, ref in zip(got, nano_rows):
+        want = [
+            ref["Jet"][m["jetIdx"]]["pt"] if 0 <= m["jetIdx"] < len(ref["Jet"]) else None
+            for m in ref["Muon"]
+        ]
+        assert list(row.jpt or []) == want
+
+
+def test_matched_via(spark, nano, nano_rows):
+    got = nano.select(
+        "event",
+        F.transform(
+            matched_via(F.col("Jet"), ["muonIdx1", "muonIdx2"], F.col("Muon")),
+            lambda ms: F.size(ms),
+        ).alias("nm"),
+    ).orderBy("event").collect()
+    for row, ref in zip(got, nano_rows):
+        want = [
+            sum(
+                1
+                for f in ("muonIdx1", "muonIdx2")
+                if 0 <= j[f] < len(ref["Muon"])
+            )
+            for j in ref["Jet"]
+        ]
+        assert list(row.nm or []) == want
+
+
+def test_combinations_counts_and_pairs(spark, nano, nano_rows):
+    got = nano.select(
+        "event",
+        F.size(combinations(F.col("Muon"), 2)).alias("n2"),
+        F.size(combinations(F.col("Muon"), 3)).alias("n3"),
+        argcombinations(F.col("Muon"), 2).alias("idx"),
+    ).orderBy("event").collect()
+    for row, ref in zip(got, nano_rows):
+        n = len(ref["Muon"])
+        assert row.n2 == n * (n - 1) // 2
+        assert row.n3 == n * (n - 1) * (n - 2) // 6
+        want = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        assert [(p["i0"], p["i1"]) for p in (row.idx or [])] == want
+
+
+def test_pairs_exploded_matches_hof(spark, nano):
+    hof = nano.select(F.explode(combinations(F.col("Muon"), 2)).alias("p")).count()
+    rel = pairs_exploded(nano, "Muon").count()
+    assert hof == rel
+
+
+def test_metric_table_and_nearest(spark, nano, nano_rows):
+    got = nano.select(
+        "event",
+        metric_table(F.col("Muon"), F.col("Jet")).alias("mt"),
+        nearest(F.col("Muon"), F.col("Jet"), return_metric=True).alias("nst"),
+        nearest(F.col("Muon"), F.col("Jet"), threshold=0.5)["pt"].alias("thr_pt"),
+    ).orderBy("event").collect()
+
+    def dphi(a, b):
+        return (a - b + math.pi) % (2 * math.pi) - math.pi
+
+    for row, ref in zip(got, nano_rows):
+        mus, jets = ref["Muon"], ref["Jet"]
+        want = [
+            [math.hypot(m["eta"] - j["eta"], dphi(m["phi"], j["phi"])) for j in jets]
+            for m in mus
+        ]
+        got_mt = [list(r) for r in (row.mt or [])]
+        assert np.allclose(got_mt, want) if want and want[0] else got_mt == want
+        # nearest = argmin of each metric row
+        for k, m in enumerate(mus):
+            if not jets:
+                assert row.nst[k] is None
+                continue
+            best = int(np.argmin(want[k]))
+            assert np.isclose(row.nst[k]["metric"], want[k][best])
+            assert np.isclose(row.nst[k]["obj"]["pt"], jets[best]["pt"])
+            # threshold form
+            if want[k][best] < 0.5:
+                assert np.isclose(row.thr_pt[k], jets[best]["pt"])
+            else:
+                assert row.thr_pt[k] is None
+
+
+def test_children_parent_roundtrip(spark, nano):
+    """children(i) all point back to i; parent of root is NULL.
+    Reference invariant: tests/test_nanoevents.py genroundtrips."""
+    df = nano.select(
+        "event",
+        F.col("GenPart").alias("gp"),
+        children_idx(F.col("GenPart")).alias("kids"),
+        parent_idx(F.col("GenPart")).alias("par"),
+    )
+    bad = df.select(
+        F.exists(
+            F.transform(
+                F.col("kids"),
+                lambda ks, i: F.exists(
+                    ks, lambda j: F.element_at(F.col("gp"), j + 1)["genPartIdxMother"] != i
+                ),
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).filter(F.col("bad")).count()
+    assert bad == 0
+
+
+def test_distinct_parent_pdg_differs(spark, nano, nano_rows):
+    got = nano.select("event", distinct_parent_idx(F.col("GenPart")).alias("dp")).orderBy(
+        "event"
+    ).collect()
+    n_checked = 0
+    for row, ref in zip(got, nano_rows):
+        parts = ref["GenPart"]
+        for k, dpi in enumerate(list(row.dp or [])):
+            if dpi is not None:
+                # invariant: distinctParent.pdgId != pdgId
+                assert parts[dpi]["pdgId"] != parts[k]["pdgId"]
+                n_checked += 1
+            else:
+                # walk by hand: chain ends at root or loops
+                m = parts[k]["genPartIdxMother"]
+                while 0 <= m < len(parts) and parts[m]["pdgId"] == parts[k]["pdgId"]:
+                    m = parts[m]["genPartIdxMother"]
+                assert not (0 <= m < len(parts))
+    assert n_checked > 100  # fixture must actually exercise the op
+
+
+def test_distinct_children_deep(spark, nano, nano_rows):
+    got = nano.select(
+        "event", distinct_children_deep_idx(F.col("GenPart")).alias("dcd")
+    ).orderBy("event").collect()
+    for row, ref in zip(got, nano_rows):
+        parts = ref["GenPart"]
+        for i, kids in enumerate(list(row.dcd or [])):
+            for c in kids:
+                # every distinct deep child has a different pdgId
+                assert parts[c]["pdgId"] != parts[i]["pdgId"]

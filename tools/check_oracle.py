@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate: run every registry
+query on Spark AND its DuckDB oracle at sf0.01; compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, colnames):
+    """Sort columns by name, then rows; stringify with float rounding."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(f"{v:.9g}")
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from coffea_spark.queries import REGISTRY
+    from coffea_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", cpus=8, driver_memory="8g")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        sdf = q.fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if q.oracle is None:
+            print(f"{name:24s} rows-only: {len(srows)} rows")
+            continue
+        ores = con.execute(q.oracle)
+        orows = ores.fetchall()
+        ocols = [d[0] for d in ores.description]
+        status = []
+        if sorted(scols) != sorted(ocols):
+            status.append(f"SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            status.append(f"ROWS spark={len(srows)} oracle={len(orows)}")
+        if not status:
+            cs, co = canon(srows, scols), canon(orows, ocols)
+            if cs != co:
+                ndiff = sum(1 for a, b in zip(cs, co) if a != b)
+                status.append(f"VALUES {ndiff}/{len(cs)} rows differ")
+                for a, b in list(zip(cs, co))[:200]:
+                    if a != b:
+                        status.append(f"  spark={a}")
+                        status.append(f"  duck ={b}")
+                        break
+        if status:
+            failures.append(name)
+            print(f"{name:24s} FAIL  " + " | ".join(status))
+        else:
+            print(f"{name:24s} OK    ({len(srows)} rows)")
+
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
