@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design (the 100 TB path):
+- exact dedup: one hash-partitioned shuffle on the content fingerprint.
+- n-gram Jaccard: relational shingle inverted index (doc, shingle) —
+  self-join on shingle within a blocking key; shuffle keys are shingles,
+  never full documents.
+- MinHash+LSH: signatures are per-row column math (no shuffle); banding
+  explodes to (band, band_hash) and groups — candidate generation touches
+  only O(#docs x #bands) tiny rows. Pairs are verified with exact Jaccard.
+- SimHash: 64-bit fingerprint computed with pure column expressions
+  (aggregate over token hashes); near-dup = same fingerprint or small
+  Hamming distance within LSH buckets of fingerprint chunks.
+- embedding-cosine: blocked pairwise cosine (block key = caller-provided
+  coarse key, e.g. an IVF/LSH bucket) — never all-pairs global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coffea_spark.llmdata.text import char_ngrams, fingerprint_md5, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text", by: list[str] | None = None) -> DataFrame:
+    """Per group: total docs vs distinct normalized fingerprints."""
+    g = df.groupBy(*(by or []))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint_md5(F.col(text_col))).alias("n_unique"),
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each fingerprint group: one
+    shuffle on the fingerprint, min-reduce, semi-join back."""
+    fp = df.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 5,
+                  block_cols: list[str] | None = None) -> DataFrame:
+    """Inverted index (block..., id, shingle) of distinct char n-grams."""
+    cols = [F.col(c) for c in (block_cols or [])] + [F.col(id_col)]
+    return df.select(*cols, F.explode(char_ngrams(F.col(text_col), n)).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within blocks: returns
+    (id_a, id_b, inter, size_a, size_b, jaccard) for id_a < id_b.
+
+    Shuffle pattern: index self-join on (block, shingle) — the classic
+    similarity-join; skew on hot shingles is handled by AQE skew-join.
+    """
+    block_cols = block_cols or []
+    idx = shingle_index(df, id_col, text_col, n, block_cols)
+    sizes = idx.groupBy(*block_cols, id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.shingle") == F.col("b.shingle")
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, join_cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures as (id, sig: array<bigint>): h_i = min over
+    shingles of xxhash64(shingle, i).
+
+    Computed on the EXPLODED shingle view with one 64-way min aggregation,
+    not as nested array expressions: an array-expression formulation
+    re-inlines the whole shingle transform into every downstream consumer
+    (O(n_hashes^2) expression blowup that stalls codegen); the aggregate
+    is both an optimizer barrier and the scale-correct shuffle shape
+    (small (id, shingle) rows, map-side partial min)."""
+    sh = df.select(F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("_sh"))
+    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}") for i in range(n_hashes)]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"))
+    )
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
+    """Band hashes: array<bigint> of length ``bands``; band j hashes
+    signature[j*rows : (j+1)*rows]."""
+    return F.array(
+        *[
+            F.xxhash64(F.concat_ws("_", *[F.element_at(signature, j * rows + r + 1) for r in range(rows)]))
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding: docs sharing any band
+    hash. Returns (id_a, id_b, n_shared_bands). Shuffle touches only
+    (band, hash, id) rows."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, n_hashes).select(
+        F.col(id_col), lsh_band_hashes(F.col("sig"), bands, rows).alias("bh")
+    )
+    exploded = sig.select(id_col, F.posexplode("bh").alias("band", "h"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard: returns pairs
+    with jaccard >= threshold. The verify join re-derives shingle sets
+    only for candidate ids (semi-join pushes the filter to the scan).
+    Pass a precomputed ``candidates`` DataFrame to share the LSH pass."""
+    cands = candidates
+    if cands is None:
+        cands = minhash_lsh_candidates(df, id_col, text_col, n, n_hashes, bands)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    narrowed = df.join(cand_ids, id_col, "left_semi")
+    exact = jaccard_pairs(narrowed, id_col, text_col, n)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "n_shared_bands")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash fingerprint, entirely in column expressions:
+    per token t, h = xxhash64(t); bit b contributes +1 if set else -1;
+    fingerprint bit b = 1 iff the sum over tokens > 0.
+
+    aggregate() carries an array of 64 counters; the final reduce packs
+    them into one bigint. No UDF, no shuffle."""
+    toks = tokens(text_col)
+    zero = F.array_repeat(F.lit(0), 64)
+    # shiftright/shiftleft take Python-int shift amounts, so the 64 bit
+    # positions are unrolled here (python loop -> one flat expression),
+    # not driven by a lambda index column.
+    counts = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)).cast("int") for b in range(64)]
+            ),
+            lambda c, bit: c + (bit * 2 - 1),
+        ),
+    )
+    # pack sign bits against a literal weight array; `counts` is consumed
+    # exactly once (no expression duplication)
+    weights = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    packed = F.aggregate(
+        F.zip_with(counts, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs grouped by exact SimHash fingerprint (bucket size > 1 =>
+    near-dup cluster candidates)."""
+    return (
+        df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.collect_list(id_col).alias("ids"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold within blocks. Block with a coarse
+    quantizer (e.g. similarity.hyperplane_bucket) at scale; a full
+    cross-join is refused."""
+    from coffea_spark.llmdata.similarity import cosine
+
+    if block_col is None:
+        raise ValueError(
+            "embedding_dup_pairs requires a blocking column at scale; "
+            "derive one with similarity.hyperplane_bucket(...)"
+        )
+    a = df.select(F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, [block_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(block_col, "id_a", "id_b", "cosine")
+    )

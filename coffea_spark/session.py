@@ -62,6 +62,35 @@ def get_spark(
     return spark
 
 
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``coffea_spark`` importable on executor Python workers.
+
+    The package is used from a repo checkout (not pip-installed), so
+    cloudpickled UDF closures reference a module workers can't import
+    unless the driver's checkout happens to be their cwd. Shipping a zip
+    via ``addPyFile`` works regardless of who created the SparkSession
+    (the test driver runs queries in its own session, from its own cwd)."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkgdir = pathlib.Path(__file__).resolve().parent
+    zpath = pathlib.Path(tempfile.gettempdir()) / f"coffea_spark_pkg_{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkgdir.rglob("*.py")):
+            if "__pycache__" in p.parts:
+                continue
+            z.write(p, f"coffea_spark/{p.relative_to(pkgdir)}")
+    spark.sparkContext.addPyFile(str(zpath))
+    _PYFILES_SENT.add(key)
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the named parquet tables from a scale-factor directory.
 

@@ -1,0 +1,109 @@
+"""Structured Streaming forms of the engine's aggregations.
+
+The reference is batch-only (SURVEY.md §2.10): its "streaming" is
+incremental chunk accumulation with monoid merges
+(processor/executor.py:339-519). Spark gives the real thing: the same
+histogram / cutflow / weight aggregations run over micro-batches with
+watermarked event-time windows, or accumulate via foreachBatch with the
+same driver-side monoid — so one pipeline definition serves batch and
+streaming.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coffea_spark.hist import bucket
+
+
+def windowed_hist(
+    stream: DataFrame,
+    value: Column | str,
+    nbins: int,
+    lo: float,
+    hi: float,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    weight: Column | None = None,
+) -> DataFrame:
+    """Per event-time window histogram: watermark bounds state, late rows
+    beyond it are dropped (exactly-once per window once the watermark
+    passes). Output: (window, bin, sumw, n) in append mode."""
+    value = F.col(value) if isinstance(value, str) else value
+    w = F.lit(1.0) if weight is None else weight
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), bucket(value, lo, hi, nbins).alias("bin"))
+        .agg(F.sum(w).alias("sumw"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def windowed_cutflow(
+    stream: DataFrame,
+    cuts: dict[str, Column],
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cutflow counts per event-time window — the streaming spelling of
+    PackedSelection.cutflow (one conditional-agg pass per window)."""
+    aggs = [F.count(F.lit(1)).alias("initial")]
+    cumulative = F.lit(True)
+    for name, c in cuts.items():
+        c = F.coalesce(c.cast("boolean"), F.lit(False))
+        cumulative = cumulative & c
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"onecut_{name}"))
+        aggs.append(F.sum(F.when(cumulative, 1).otherwise(0)).alias(f"cutflow_{name}"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(*aggs)
+    )
+
+
+def sessionized(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (inactivity gap) — the streaming equivalent of the
+    batch lag-based sessionization in queries.q_sessionize."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def run_foreach_batch(
+    stream: DataFrame,
+    pipeline: Callable[[DataFrame], dict],
+    merge: Callable[[dict, dict], dict],
+    trigger: str | None = None,
+) -> tuple:
+    """Accumulate arbitrary batch-pipeline outputs over micro-batches with
+    a user monoid — the reference's executor accumulation pattern
+    (processor/accumulator.py) on Spark's exactly-once batches.
+
+    Returns (query, results_holder); ``results_holder["value"]`` carries
+    the running merge. Call ``query.processAllAvailable()`` for a bounded
+    source, then ``query.stop()``."""
+    holder: dict = {"value": None}
+
+    def on_batch(bdf: DataFrame, epoch_id: int) -> None:
+        out = pipeline(bdf)
+        holder["value"] = out if holder["value"] is None else merge(holder["value"], out)
+
+    writer = stream.writeStream.foreachBatch(on_batch).outputMode("update")
+    if trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start(), holder

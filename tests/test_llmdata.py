@@ -1,0 +1,145 @@
+"""LLM-data operators: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from coffea_spark.llmdata import dedup, similarity, text
+from coffea_spark.llmdata.multimodal import (
+    fake_image_decoder,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def _docs(spark):
+    rows = [
+        {"doc_id": 0, "lang": "en", "source": "s0", "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "lang": "en", "source": "s0", "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 2, "lang": "en", "source": "s0", "text": "completely different words here nothing shared"},
+        {"doc_id": 3, "lang": "en", "source": "s0", "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 4, "lang": "de", "source": "s1", "text": "der schnelle braune fuchs springt"},
+        {"doc_id": 5, "lang": "en", "source": "s0", "text": "ab"},  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    stats = {r["lang"]: (r["n_docs"], r["n_unique"]) for r in
+             dedup.exact_dup_stats(df, "text", by=["lang"]).collect()}
+    assert stats["en"] == (5, 4)  # doc 3 duplicates doc 0
+    kept = dedup.drop_exact_duplicates(df, "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 1, 2, 4, 5]
+
+
+def test_char_ngrams_and_short_text(spark):
+    df = _docs(spark)
+    got = {r.doc_id: r.g for r in df.select("doc_id", text.char_ngrams(F.col("text"), 5).alias("g")).collect()}
+    assert got[5] == []  # len 2 < 5 -> empty, not sequence(1,0) garbage
+    t = "the quick brown fox jumps over the lazy dog"
+    expected = sorted(set(t[i:i + 5] for i in range(len(t) - 4)))
+    assert sorted(got[0]) == expected
+
+
+def test_jaccard_pairs(spark):
+    df = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.jaccard_pairs(df, block_cols=["lang", "source"]).collect()}
+    # exact duplicate pair -> jaccard 1.0
+    assert np.isclose(pairs[(0, 3)], 1.0)
+    # near-dup (dog vs cat) high but < 1
+    assert 0.7 < pairs[(0, 1)] < 1.0
+    # cross-block pairs absent
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_minhash_lsh_finds_dupes(spark):
+    df = _docs(spark)
+    dupes = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.minhash_dedup(df, threshold=0.5).collect()}
+    assert (0, 3) in dupes and np.isclose(dupes[(0, 3)], 1.0)
+    assert (0, 1) in dupes
+    assert (0, 2) not in dupes
+
+
+def test_simhash(spark):
+    df = _docs(spark)
+    sh = {r.doc_id: r.s for r in df.select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()}
+    assert sh[0] == sh[3]  # identical text -> identical fingerprint
+    # near-dup texts: small hamming distance; unrelated: larger
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+
+
+def test_cosine_and_topk(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": [float(x) for x in vecs[i]]} for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs[0].astype(float)
+    got = similarity.topk_cosine(df, list(q), k=5).collect()
+    v = vecs.astype(float)
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    want = np.argsort(-np.round(cos, 6))[:5]
+    assert [r.vec_id for r in got] == list(want)
+    assert np.allclose([r.cosine for r in got], np.round(cos[want], 6), atol=1e-6)
+
+
+def test_ann_recall(spark):
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    # plant near-duplicates of vec 0
+    for j in (1, 2, 3):
+        vecs[j] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    rows = [{"vec_id": i, "embedding": [float(x) for x in vecs[i]]} for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.ann_topk(df, [float(x) for x in vecs[0]], k=4, n_planes=10, max_hamming=1)
+    ids = {r.vec_id for r in got.collect()}
+    # near-identical vectors share the bucket -> found
+    assert {0, 1, 2, 3} <= ids
+
+
+def test_lang_and_quality(spark):
+    df = _docs(spark)
+    out = df.select(
+        text.token_count(F.col("text")).alias("tc"),
+        text.lang_id(F.col("text")).alias("lid"),
+        text.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0].tc == 9
+    assert all(r.lid in text.LANG_MARKERS for r in out)
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_multimodal_plumbing(spark):
+    payload = bytes(range(256)) * 4  # 1024 bytes -> 32x32 fake image
+    rows = [{"id": i, "image": {"data": payload, "format": "raw8", "width": 0, "height": 0}}
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "id long, image struct<data:binary,format:string,width:int,height:int>"
+    )
+    feats = image_features(df, "image", decoder=fake_image_decoder).collect()
+    assert len(feats) == 5
+    assert feats[0].img_width == 32 and feats[0].img_height == 32
+    assert np.isclose(feats[0].img_mean, np.frombuffer(payload[:1024], dtype=np.uint8).mean())
+
+    resized = resize_images(df, 8, "image", decoder=fake_image_decoder).collect()
+    assert resized[0].image.width == 8 and len(resized[0].image.data) == 64
+
+    vids = spark.createDataFrame(
+        [{"id": 0, "video": bytes(640)}], "id long, video binary"
+    )
+    frames = sample_frames(vids, every_n=2, video_col="video", frame_bytes=64).collect()
+    assert [f.frame_no for f in frames] == [0, 2, 4, 6, 8]
+    assert all(len(f.frame) == 64 for f in frames)
+
+
+def test_real_decoder_raises(spark):
+    from coffea_spark.llmdata.multimodal import real_image_decoder
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        real_image_decoder(b"abc")

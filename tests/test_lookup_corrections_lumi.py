@@ -1,0 +1,156 @@
+"""Lookup tools, JEC/JER corrections, MET propagation, btag, lumi tools
+vs numpy oracles (reference patterns: tests/test_lookup_tools.py,
+tests/test_jetmet_tools.py, tests/test_lumi_tools.py)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from coffea_spark.corrections import (
+    BTagScaleFactor,
+    CorrectedJetsFactory,
+    FactorizedJetCorrector,
+    content_randn,
+    corrected_polar_met,
+)
+from coffea_spark.lookup import DenseLookup, FormulaLookup
+from coffea_spark.lumi import LumiData, LumiList, LumiMask
+from coffea_spark.testing import dummy_jagged_eta_pt, jagged_eta_pt_df
+
+
+def test_dense_lookup_2d(spark):
+    """FIXTURES.md F3 sf_2d: clamp-to-edge 2D lookup, summed weights vs
+    numpy (reference test_lookup_tools pattern)."""
+    rng = np.random.default_rng(42)
+    eta_bins = np.array([-3.0, -1.5, 0.0, 1.5, 3.0])
+    pt_bins = np.array([0.0, 20.0, 40.0, 60.0, 100.0, np.inf])
+    values = rng.uniform(0.8, 1.2, (4, 5))
+    lk = DenseLookup(values, [eta_bins, pt_bins])
+
+    counts, eta, pt = dummy_jagged_eta_pt()
+    df = jagged_eta_pt_df(spark)
+    flat = df.select(F.explode(F.arrays_zip(F.col("eta"), F.col("pt"))).alias("z")).select(
+        F.col("z.eta").alias("eta"), F.col("z.pt").alias("pt")
+    )
+    got = flat.select(lk(F.col("eta"), F.col("pt")).alias("sf")).agg(F.sum("sf")).collect()[0][0]
+
+    ei = np.clip(np.searchsorted(eta_bins, eta, side="right") - 1, 0, 3)
+    pi = np.clip(np.searchsorted(pt_bins, pt, side="right") - 1, 0, 4)
+    want = values[ei, pi].sum()
+    assert np.isclose(got, want)
+
+
+def test_dense_lookup_clamps(spark):
+    lk = DenseLookup(np.array([1.0, 2.0, 3.0]), [np.array([0.0, 1.0, 2.0, 3.0])])
+    df = spark.createDataFrame([{"x": -5.0}, {"x": 0.5}, {"x": 2.5}, {"x": 99.0}])
+    got = [r.v for r in df.select(lk(F.col("x")).alias("v")).collect()]
+    assert got == [1.0, 1.0, 3.0, 3.0]
+
+
+def test_formula_lookup(spark):
+    fl = FormulaLookup(["2.0*x + 1.0", "sqrt(x)"], np.array([0.0, 10.0, 100.0]))
+    df = spark.createDataFrame([{"c": 5.0, "x": 3.0}, {"c": 50.0, "x": 16.0}])
+    got = [r.v for r in df.select(fl(F.col("c"), F.col("x")).alias("v")).collect()]
+    assert np.allclose(got, [7.0, 4.0])
+
+
+def test_jec_chain(spark):
+    """Chained multiplicative levels: level 2 sees level-1-corrected pt."""
+    l1 = lambda eta, pt: F.lit(1.1)
+    l2 = lambda eta, pt: 1.0 + pt / 1000.0  # depends on corrected pt
+    corr = FactorizedJetCorrector([l1, l2])
+    df = spark.createDataFrame([{"eta": 0.0, "pt_raw": 100.0}])
+    got = df.select(corr.get_correction(F.col("eta"), F.col("pt_raw")).alias("c")).collect()[0].c
+    # manual: c1=1.1, pt1=110 -> c2=1.11 -> total=1.1*1.11
+    assert np.isclose(got, 1.1 * (1.0 + 110.0 / 1000.0))
+
+
+def test_corrected_jets_factory(spark, nano):
+    corrector = FactorizedJetCorrector([lambda eta, pt: F.lit(1.05)])
+    fac = CorrectedJetsFactory(corrector, junc=0.02)
+    out = nano.select("event", fac.build(F.col("Jet")).alias("Jet"))
+    row = out.filter(F.size("Jet") > 0).select(F.col("Jet")[0].alias("j")).first().j
+    pt_raw = row.pt_orig * (1 - row.rawFactor)
+    assert np.isclose(row.pt_raw, pt_raw)
+    assert np.isclose(row.pt, pt_raw * 1.05)
+    assert np.isclose(row.JES_up_pt, row.pt * 1.02)
+    assert np.isclose(row.JES_down_pt, row.pt * 0.98)
+    assert np.isclose(row.mass, row.mass_orig * (1 - row.rawFactor) * 1.05)
+
+
+def test_content_randn_deterministic(spark):
+    df = spark.createDataFrame([{"a": 1.5}, {"a": 2.5}, {"a": 1.5}])
+    got = [r.v for r in df.select(content_randn(F.col("a")).alias("v")).collect()]
+    assert got[0] == got[2]  # same content -> same draw
+    assert got[0] != got[1]
+    # distribution sanity on many draws
+    big = spark.range(20000).select(content_randn(F.col("id")).alias("v"))
+    stats = big.agg(F.avg("v").alias("m"), F.stddev("v").alias("s")).collect()[0]
+    assert abs(stats.m) < 0.05 and abs(stats.s - 1.0) < 0.05
+
+
+def test_met_propagation(spark, nano):
+    corrector = FactorizedJetCorrector([lambda eta, pt: F.lit(1.1)])
+    fac = CorrectedJetsFactory(corrector, junc=None)
+    df = nano.select("event", "MET", fac.build(F.col("Jet")).alias("Jet"))
+    out = df.select(
+        "event", "MET",
+        corrected_polar_met(F.col("MET.pt"), F.col("MET.phi"), F.col("Jet")).alias("new_met"),
+        F.col("Jet.pt").alias("pts"), F.col("Jet.pt_orig").alias("pts0"), F.col("Jet.phi").alias("phis"),
+    ).first()
+    dx = sum((p - p0) * np.cos(ph) for p, p0, ph in zip(out.pts, out.pts0, out.phis))
+    dy = sum((p - p0) * np.sin(ph) for p, p0, ph in zip(out.pts, out.pts0, out.phis))
+    mx = out.MET.pt * np.cos(out.MET.phi) - dx
+    my = out.MET.pt * np.sin(out.MET.phi) - dy
+    assert np.isclose(out.new_met.pt, np.hypot(mx, my))
+    assert np.isclose(out.new_met.phi, np.arctan2(my, mx))
+
+
+def test_btag_sf(spark):
+    rows = [
+        {"flavor": 5, "eta_min": 0.0, "eta_max": 2.5, "pt_min": 20.0, "pt_max": 1000.0,
+         "formula": "0.9 + 0.001*x"},
+        {"flavor": 0, "eta_min": 0.0, "eta_max": 2.5, "pt_min": 20.0, "pt_max": 1000.0,
+         "formula": "1.1"},
+    ]
+    sf = BTagScaleFactor(rows)
+    df = spark.createDataFrame(
+        [{"fl": 5, "eta": 1.0, "pt": 100.0}, {"fl": 0, "eta": 2.0, "pt": 50.0},
+         {"fl": 4, "eta": 1.0, "pt": 50.0}]
+    )
+    got = [r.v for r in df.select(sf.eval(F.col("fl"), F.col("eta"), F.col("pt")).alias("v")).collect()]
+    assert np.isclose(got[0], 0.9 + 0.1)
+    assert np.isclose(got[1], 1.1)
+    assert got[2] is None  # flavor 4 not covered
+
+
+def test_lumimask(spark, nano, nano_rows):
+    """FIXTURES.md F4: golden ranges covering part of (run, lumi) space;
+    literal-exists and broadcast-join variants agree with python oracle."""
+    golden = {1: [[1, 20], [30, 40]], 2: [[5, 25]]}
+    mask = LumiMask(golden)
+
+    def ok(r):
+        return any(lo <= r["luminosityBlock"] <= hi for lo, hi in golden.get(r["run"], []))
+
+    want = sum(1 for r in nano_rows if ok(r))
+    got_exists = mask.apply(nano).count()
+    got_join = mask.apply_join(nano).count()
+    assert got_exists == want == got_join
+
+
+def test_lumidata_and_lumilist(spark, nano, nano_rows):
+    pairs = sorted({(r["run"], r["luminosityBlock"]) for r in nano_rows})
+    rng = np.random.default_rng(7)
+    table = [
+        {"run": int(r), "lumi": int(l), "intlumi": float(rng.uniform(0.1, 1.0))}
+        for r, l in pairs
+    ]
+    ld = LumiData.from_rows(spark, table)
+    got = ld.get_lumi(nano)
+    want = sum(t["intlumi"] for t in table)  # every pair present
+    assert np.isclose(got, want)
+
+    ll = LumiList.from_events(nano)
+    assert ll.count() == len(pairs)
+    merged = ll + ll
+    assert merged.count() == len(pairs)

@@ -1,0 +1,167 @@
+"""Structured Streaming aggregations, batch ML inference, runner facade."""
+
+import os
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from coffea_spark.accumulator import accumulate, add
+from coffea_spark.hist import Hist1D, hist1d
+from coffea_spark.mltools import BatchInferencer
+from coffea_spark.runner import run
+from coffea_spark.streaming import (
+    run_foreach_batch,
+    sessionized,
+    windowed_cutflow,
+    windowed_hist,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Bounded file-stream source: events written as parquet."""
+    d = str(tmp_path_factory.mktemp("stream"))
+    rows = []
+    base = 1700000000
+    rng = np.random.default_rng(3)
+    for i in range(2000):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": base + i * 30,  # one event / 30s
+                "user_id": int(rng.integers(0, 20)),
+                "value": float(rng.uniform(0, 100)),
+            }
+        )
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("ts"))
+    df.write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, d):
+    schema = spark.read.parquet(d).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def test_windowed_hist_matches_batch(spark, stream_dir):
+    stream = _read_stream(spark, stream_dir)
+    agg = windowed_hist(stream, "value", 10, 0.0, 100.0, window="10 minutes")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wh").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select sum(n) as n from wh").collect()[0].n or 0
+    # append mode emits only watermark-closed windows; the final window(s)
+    # stay open with a bounded source. Compare against batch on the same
+    # closed-window set.
+    windows = [r.window for r in spark.sql("select distinct window from wh").collect()]
+    batch = spark.read.parquet(stream_dir)
+    want = 0
+    for w in windows:
+        want += batch.filter((F.col("ts") >= w.start) & (F.col("ts") < w.end)).count()
+    assert got == want and got > 0
+
+
+def test_windowed_cutflow(spark, stream_dir):
+    stream = _read_stream(spark, stream_dir)
+    agg = windowed_cutflow(
+        stream,
+        {"big": F.col("value") > 50, "even_user": F.col("user_id") % 2 == 0},
+        window="30 minutes",
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wc").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from wc").collect()
+    assert rows
+    for r in rows:
+        assert r.cutflow_big <= r.initial
+        assert r.cutflow_even_user <= r.cutflow_big  # cumulative monotone
+
+
+def test_sessionized_stream(spark, stream_dir):
+    stream = _read_stream(spark, stream_dir)
+    agg = sessionized(stream, key="user_id", gap="5 minutes")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("ss").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ss").collect()
+    assert rows and all(r.n_events >= 1 for r in rows)
+
+
+def test_foreach_batch_accumulate(spark, stream_dir):
+    stream = _read_stream(spark, stream_dir)
+
+    def pipeline(bdf):
+        h = hist1d(bdf, "value", 10, 0.0, 100.0)
+        return {"hist": Hist1D.from_df(h, 10, 0.0, 100.0), "n": bdf.count()}
+
+    q, holder = run_foreach_batch(stream, pipeline, add)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = holder["value"]
+    assert out["n"] == 2000
+    assert out["hist"].sumw.sum() == 2000
+
+
+def test_batch_inferencer(spark):
+    """Worker-side lazy model load + Arrow batch marshalling with a numpy
+    'model' (reference mechanism, ml_tools/helper.py:10-386)."""
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal(8)
+
+    inf = BatchInferencer(
+        "linreg-test",
+        loader=lambda: w,  # "model" = weight vector
+        predict=lambda model, X, b: X @ model + b,
+    )
+    rows = [
+        {"x": [float(v) for v in rng.standard_normal(8)], "b": float(i)} for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "x array<double>, b double")
+    got = df.select(inf(F.col("x"), F.col("b")).alias("y")).toPandas()["y"].to_numpy()
+    X = np.stack([r["x"] for r in rows])
+    want = X @ w + np.arange(100)
+    assert np.allclose(got, want)
+
+
+def test_framework_wrappers_gated(spark):
+    from coffea_spark.mltools import torch_wrapper, triton_wrapper, xgboost_wrapper
+
+    for fn in (lambda: torch_wrapper("/nope"), lambda: xgboost_wrapper("/nope"),
+               lambda: triton_wrapper("http://x", "m")):
+        with pytest.raises(ImportError):
+            fn()
+
+
+def test_runner_merges_datasets(spark, tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(100).select(F.col("id").cast("double").alias("v")).write.parquet(d1)
+    spark.range(50).select((F.col("id") + 10).cast("double").alias("v")).write.parquet(d2)
+
+    def pipeline(df):
+        return {
+            "n": df.count(),
+            "hist": Hist1D.from_df(hist1d(df, "v", 10, 0.0, 200.0), 10, 0.0, 200.0),
+        }
+
+    out = run(spark, {"dsA": d1, "dsB": d2}, pipeline)
+    assert out["dsA"]["n"] == 100 and out["dsB"]["n"] == 50
+    assert out["__total__"]["n"] == 150
+    assert out["__total__"]["hist"].sumw.sum() == 150
+
+
+def test_accumulator_semantics():
+    a = {"x": 1, "s": {1, 2}, "l": [1], "nested": {"y": 2.0}}
+    b = {"x": 2, "s": {2, 3}, "l": [2], "nested": {"y": 3.0}, "new": 7}
+    m = accumulate([a, b])
+    assert m == {"x": 3, "s": {1, 2, 3}, "l": [1, 2], "nested": {"y": 5.0}, "new": 7}
