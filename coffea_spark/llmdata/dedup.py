@@ -144,12 +144,16 @@ def minhash_lsh_candidates(
     n: int = 5,
     n_hashes: int = 64,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: docs sharing any band
     hash. Returns (id_a, id_b, n_shared_bands). Shuffle touches only
     (band, hash, id) rows."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, n_hashes).select(
+    base = signatures
+    if base is None:
+        base = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    sig = base.select(
         F.col(id_col), lsh_band_hashes(F.col("sig"), bands, rows).alias("bh")
     )
     exploded = sig.select(id_col, F.posexplode("bh").alias("band", "h"))
@@ -176,23 +180,65 @@ def minhash_dedup(
     n_hashes: int = 64,
     bands: int = 16,
     candidates: DataFrame | None = None,
+    broadcast_docs: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard: returns pairs
-    with jaccard >= threshold. The verify join re-derives shingle sets
-    only for candidate ids (semi-join pushes the filter to the scan).
+    with jaccard >= threshold. Verification joins each candidate pair to
+    the two per-doc shingle SETS and intersects them directly
+    (O(|candidates| x |shingle set|)) — NOT via a shingle inverted-index
+    self-join, which is quadratic in the document frequency of hot
+    shingles (common 5-grams appear in nearly every natural-language
+    doc, so an unblocked index self-join blows up at scale).
     Pass a precomputed ``candidates`` DataFrame to share the LSH pass."""
     cands = candidates
     if cands is None:
         cands = minhash_lsh_candidates(df, id_col, text_col, n, n_hashes, bands)
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+
+    # Stage 1 — cheap estimate: fraction of agreeing signature components
+    # (the unbiased MinHash Jaccard estimator, std ~ sqrt(s(1-s)/n_hashes)).
+    # Banding at low thresholds admits many false candidates; 64 long
+    # compares per pair against a broadcast signature table kills them
+    # before the expensive exact intersect. Margin = 3 sigma at s=0.5.
+    # broadcast_docs=True suits corpora whose signature/shingle tables fit
+    # an executor (the SF regime here); at full 100 TB scale pass False and
+    # these become shuffle joins on the id key (AQE still broadcasts
+    # per-query when the dim side turns out small at runtime).
+    hint = F.broadcast if broadcast_docs else (lambda d: d)
+    sig = signatures
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    ga = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_ga"))
+    gb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_gb"))
+    est = F.aggregate(
+        F.zip_with(F.col("_ga"), F.col("_gb"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    ) / F.lit(float(n_hashes))
+    margin = 3.0 * (0.25 / n_hashes) ** 0.5
+    pre = (
+        cands.join(hint(ga), "id_a")
+        .join(hint(gb), "id_b")
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= threshold - margin)
+        .select("id_a", "id_b", "n_shared_bands")
     )
-    narrowed = df.join(cand_ids, id_col, "left_semi")
-    exact = jaccard_pairs(narrowed, id_col, text_col, n)
+
+    # Stage 2 — exact n-gram Jaccard on the survivors only, via per-doc
+    # shingle SETS and array_intersect (O(|survivors| x |set|)) — NOT a
+    # shingle inverted-index self-join, which is quadratic in the
+    # document frequency of hot shingles at scale.
+    sets = df.select(
+        F.col(id_col), F.array_distinct(char_ngrams(F.col(text_col), n)).alias("_set")
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        pre.join(hint(sa), "id_a")
+        .join(hint(sb), "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", "n_shared_bands")
     )

@@ -959,13 +959,20 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pipeline: LSH candidates then exact-Jaccard
     verification. Not SQL-expressible (xxhash64 family) -> rows-only
     check; output is a single deterministic summary row."""
-    from coffea_spark.llmdata.dedup import minhash_dedup, minhash_lsh_candidates
+    from coffea_spark.llmdata.dedup import (
+        minhash_dedup,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, "doc_id", "text", 5, 64, 16).cache()
+    sig = minhash_signatures(docs, "doc_id", "text", 5, 64).cache()
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", 5, 64, 16, signatures=sig
+    ).cache()
     dupes = minhash_dedup(
         docs, "doc_id", "text", threshold=0.5, n=5, n_hashes=64, bands=16,
-        candidates=cands,
+        candidates=cands, signatures=sig,
     )
     c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     d = dupes.agg(
