@@ -76,13 +76,21 @@ class LumiData:
     def from_rows(cls, spark, rows):
         return cls(spark.createDataFrame(rows, "run long, lumi long, intlumi double"))
 
-    def get_lumi(self, events: DataFrame, run: str = "run", lumi: str = "luminosityBlock") -> float:
+    def get_lumi_df(self, events: DataFrame, run: str = "run", lumi: str = "luminosityBlock") -> DataFrame:
+        """Lazy form of get_lumi: one row (n_pairs, total_lumi). The
+        distinct is the only shuffle (small key space); the lumi table is
+        broadcast (golden tables are ~1e5 rows at most)."""
         pairs = events.select(
             F.col(run).alias("run"), F.col(lumi).alias("lumi")
         ).distinct()
         joined = pairs.join(F.broadcast(self.table), ["run", "lumi"])
-        row = joined.agg(F.sum("intlumi").alias("s")).collect()[0]
-        return row["s"] or 0.0
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_pairs"), F.sum("intlumi").alias("total_lumi")
+        )
+
+    def get_lumi(self, events: DataFrame, run: str = "run", lumi: str = "luminosityBlock") -> float:
+        row = self.get_lumi_df(events, run, lumi).collect()[0]
+        return row["total_lumi"] or 0.0
 
 
 class LumiList:

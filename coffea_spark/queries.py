@@ -395,19 +395,24 @@ def q_combinations(spark, sf_dir):
     pair counts and a symmetric pair metric, all shuffle-free HOFs."""
     orders = _order_items(spark, sf_dir)
     pairs = combinations(F.col("items"), 2)
-    diff_supp = F.size(
-        F.filter(pairs, lambda p: p["f0"]["l_suppkey"] != p["f1"]["l_suppkey"])
+    # ONE aggregate pass over the pair array: putting size/filter/aggregate
+    # in three sibling expressions re-evaluates the whole combinations
+    # construction per consumer (Catalyst does not CSE across projections)
+    acc0 = F.struct(
+        F.lit(0).alias("np"), F.lit(0).alias("nd"), F.lit(0.0).alias("pg")
     )
-    price_gap = F.aggregate(
-        pairs, F.lit(0.0),
-        lambda a, p: a + F.abs(p["f0"]["l_extendedprice"] - p["f1"]["l_extendedprice"]),
-    )
-    return orders.select(
-        F.size(pairs).alias("np"), diff_supp.alias("nd"), price_gap.alias("pg")
-    ).agg(
-        F.sum("np").alias("n_pairs"),
-        F.sum("nd").alias("n_diff_supp_pairs"),
-        F.round(F.sum("pg"), 2).alias("sum_price_gap"),
+
+    def step(a, p):
+        return F.struct(
+            (a["np"] + 1).alias("np"),
+            (a["nd"] + (p["f0"]["l_suppkey"] != p["f1"]["l_suppkey"]).cast("int")).alias("nd"),
+            (a["pg"] + F.abs(p["f0"]["l_extendedprice"] - p["f1"]["l_extendedprice"])).alias("pg"),
+        )
+
+    return orders.select(F.aggregate(pairs, acc0, step).alias("s")).agg(
+        F.sum("s.np").alias("n_pairs"),
+        F.sum("s.nd").alias("n_diff_supp_pairs"),
+        F.round(F.sum("s.pg"), 2).alias("sum_price_gap"),
     )
 
 
@@ -433,15 +438,20 @@ def q_nearest(spark, sf_dir):
     per item, the minimum |price difference| to any other item of the
     same order; event-level mean. Pure HOFs — no self-join, no shuffle."""
     orders = _order_items(spark, sf_dir)
-    # positional identity, not l_linenumber (the synthetic data has
-    # duplicate linenumbers within an order)
-    idxd = F.transform(F.col("items"), lambda x, i: F.struct(x.alias("it"), i.alias("i")))
+    # 1-D nearest-neighbour: the closest other price is ADJACENT in the
+    # sorted price array, so sort once and take min(left gap, right gap)
+    # per position — O(n log n) per event instead of the naive O(n^2)
+    # all-pairs scan (which also re-evaluates the index-struct array per
+    # outer element). The aggregated multiset of min-gaps is identical.
+    ps = F.array_sort(F.transform("items", lambda x: x["l_extendedprice"]))
+    sz = F.size(ps)
+    inf = F.lit(float("inf"))
     best = F.transform(
-        idxd,
-        lambda a: F.array_min(
-            F.transform(
-                F.filter(idxd, lambda b: b["i"] != a["i"]),
-                lambda b: F.abs(b["it"]["l_extendedprice"] - a["it"]["l_extendedprice"]),
+        ps,
+        lambda x, i: F.when(sz < 2, F.lit(None).cast("double")).otherwise(
+            F.least(
+                F.when(i > 0, x - F.element_at(ps, i)).otherwise(inf),
+                F.when(i < sz - 1, F.element_at(ps, i + F.lit(2)) - x).otherwise(inf),
             )
         ),
     )
@@ -1075,6 +1085,407 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# lookup / corrections / lumi / genealogy / weights / ML / streaming
+# ---------------------------------------------------------------------------
+
+def q_dense_lookup(spark, sf_dir):
+    """2-D binned correction lookup (reference dense_lookup,
+    lookup_tools/dense_lookup.py:8-60): per-lineitem scale factor from a
+    (quantity, discount) table, applied and re-aggregated. The table is a
+    literal array gather — fully codegen'd, zero shuffle beyond the final
+    agg. Oracle replicates searchsorted-right bin edges as CASE chains
+    with THE SAME literals (no floor-division, which can disagree with
+    edge comparisons in float)."""
+    import numpy as np
+
+    from coffea_spark.lookup import DenseLookup
+
+    qedges = np.array([1.0, 11.0, 21.0, 31.0, 41.0, 51.0])
+    dedges = np.array([0.0, 0.02, 0.04, 0.06, 0.08, 0.11])
+    iq, idx = np.meshgrid(np.arange(5), np.arange(5), indexing="ij")
+    values = (0.9 + 0.02 * iq) + 0.01 * idx
+    lut = DenseLookup(values, [qedges, dedges])
+
+    li = _t(spark, sf_dir, "lineitem")
+    sf = lut(F.col("l_quantity"), F.col("l_discount"))
+    return (
+        li.withColumn("_sf", sf)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("_sf")), 2).alias("sum_corrected"),
+            F.round(F.avg("_sf"), 6).alias("avg_sf"),
+        )
+    )
+
+
+SQL_DENSE_LOOKUP = """
+WITH b AS (
+  SELECT l_returnflag, l_extendedprice,
+         (0.9 + 0.02 * (CASE WHEN l_quantity >= 41 THEN 4
+                             WHEN l_quantity >= 31 THEN 3
+                             WHEN l_quantity >= 21 THEN 2
+                             WHEN l_quantity >= 11 THEN 1
+                             ELSE 0 END))
+         + 0.01 * (CASE WHEN l_discount >= 0.08 THEN 4
+                        WHEN l_discount >= 0.06 THEN 3
+                        WHEN l_discount >= 0.04 THEN 2
+                        WHEN l_discount >= 0.02 THEN 1
+                        ELSE 0 END) AS sf
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_extendedprice * sf), 2) AS sum_corrected,
+       round(avg(sf), 6) AS avg_sf
+FROM b GROUP BY 1
+"""
+
+
+def q_formula_jec(spark, sf_dir):
+    """Chained multiplicative correction levels (reference
+    FactorizedJetCorrector, jetmet_tools/FactorizedJetCorrector.py:51-240):
+    level 2 sees the pt corrected by level 1. Formulas use only
+    IEEE-correctly-rounded ops (sqrt, /, *, +) so the oracle is
+    bit-identical."""
+    from coffea_spark.corrections import FactorizedJetCorrector
+    from coffea_spark.lookup import FormulaLookup
+
+    import numpy as np
+
+    l1 = FormulaLookup(
+        ["1.0 + 100.0/sqrt(x)", "1.0 + 50.0/sqrt(x)"], np.array([0.0, 0.05, 0.11])
+    )
+    l2 = FormulaLookup(
+        ["0.95 + 1.0/sqrt(x)", "1.05 - 1.0/sqrt(x)"], np.array([0.0, 0.05, 0.11])
+    )
+    corr = FactorizedJetCorrector([l1, l2])
+
+    li = _t(spark, sf_dir, "lineitem")
+    eta, pt = F.col("l_discount"), F.col("l_extendedprice")
+    subs = corr.get_sub_corrections(eta, pt)
+    return (
+        li.select(
+            (pt * corr.get_correction(eta, pt)).alias("_cp"),
+            subs[0].alias("_c1"),
+            subs[1].alias("_c2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_cp"), 2).alias("sum_corrected_pt"),
+            F.round(F.avg("_c1"), 6).alias("avg_c1"),
+            F.round(F.avg("_c2"), 6).alias("avg_c2"),
+        )
+    )
+
+
+SQL_FORMULA_JEC = """
+WITH c AS (
+  SELECT l_extendedprice AS pt, l_discount AS d,
+         CASE WHEN l_discount >= 0.05 THEN 1.0 + 50.0/sqrt(l_extendedprice)
+              ELSE 1.0 + 100.0/sqrt(l_extendedprice) END AS c1
+  FROM lineitem
+), c2t AS (
+  SELECT pt, c1,
+         CASE WHEN d >= 0.05 THEN 1.05 - 1.0/sqrt(pt * c1)
+              ELSE 0.95 + 1.0/sqrt(pt * c1) END AS c2
+  FROM c
+)
+SELECT count(*) AS n,
+       round(sum(pt * (c1 * c2)), 2) AS sum_corrected_pt,
+       round(avg(c1), 6) AS avg_c1,
+       round(avg(c2), 6) AS avg_c2
+FROM c2t
+"""
+
+
+GOLDEN_RANGES = {3: [[10, 40]], 5: [[0, 25], [60, 90]], 11: [[5, 95]], 16: [[100, 149]]}
+
+
+def q_lumi_mask(spark, sf_dir):
+    """Golden-JSON interval semi-join (reference LumiMask,
+    lumi_tools/lumi_tools.py:188-270): events kept when (run, lumi) falls
+    in an accepted range. Exercises BOTH spellings — the literal-array
+    exists() mask and the broadcast range semi-join — and proves they
+    agree in one output row."""
+    from coffea_spark.lumi import LumiMask
+
+    mask = LumiMask(GOLDEN_RANGES)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("run", F.col("event_id") % 17)
+        .withColumn("lumi", F.col("user_id"))
+    )
+    kept = ev.filter(mask.mask(F.col("run"), F.col("lumi")))
+    kept_join = mask.apply_join(ev, run="run", lumi="lumi")
+    a = kept.agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    b = kept_join.agg(F.count(F.lit(1)).alias("n_pass_join"))
+    return a.crossJoin(b)
+
+
+SQL_LUMI_MASK = """
+WITH kept AS (
+  SELECT value FROM (
+    SELECT value, event_id % 17 AS run, user_id AS lumi FROM events
+  ) WHERE (run = 3 AND lumi BETWEEN 10 AND 40)
+     OR (run = 5 AND (lumi BETWEEN 0 AND 25 OR lumi BETWEEN 60 AND 90))
+     OR (run = 11 AND lumi BETWEEN 5 AND 95)
+     OR (run = 16 AND lumi BETWEEN 100 AND 149)
+)
+SELECT count(*) AS n_pass, round(sum(value), 2) AS sum_value,
+       count(*) AS n_pass_join
+FROM kept
+"""
+
+
+def q_lumi_sum(spark, sf_dir):
+    """Luminosity accounting (reference LumiData.get_lumi,
+    lumi_tools/lumi_tools.py:100-186): sum intlumi over the DISTINCT
+    (run, lumi) pairs present in the events. The lumi table is generated
+    distributed (spark.range — no driver-side rows) and broadcast into
+    the join; the distinct is the only data shuffle."""
+    from coffea_spark.lumi import LumiData
+
+    table = (
+        spark.range(17 * 150)
+        .select(
+            (F.col("id") / 150).cast("long").alias("run"),
+            (F.col("id") % 150).alias("lumi"),
+            (F.col("id").cast("double") * 0.001).alias("intlumi"),
+        )
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("run", F.col("event_id") % 17)
+        .withColumn("lumi", F.col("user_id"))
+    )
+    return LumiData(table).get_lumi_df(ev, run="run", lumi="lumi").select(
+        "n_pairs", F.round(F.col("total_lumi"), 6).alias("total_lumi")
+    )
+
+
+SQL_LUMI_SUM = """
+SELECT count(*) AS n_pairs,
+       round(sum(CAST(run * 150 + lumi AS DOUBLE) * 0.001), 6) AS total_lumi
+FROM (SELECT DISTINCT event_id % 17 AS run, user_id AS lumi FROM events)
+"""
+
+
+def q_genealogy_walk(spark, sf_dir):
+    """Parent/children pointer-chase within events (reference GenParticle
+    genealogy: transforms.py:182-299, methods/nanoaod.py:113-202).
+    Particles = items of an order in a synthetic binary tree
+    (mother(i) = floor((i-1)/2)), pdg = suppkey % 7. children is a pure
+    HOF inversion; distinctParent is the Arrow-batched pandas-UDF walk.
+    The oracle replays the walk with a recursive CTE."""
+    from coffea_spark.genealogy import MOTHER, children, distinct_parent
+
+    orders = _order_items(spark, sf_dir)
+    parts = F.transform(
+        "items",
+        lambda x, i: F.struct(
+            (x["l_suppkey"] % 7).cast("int").alias("pdgId"),
+            F.when(i == 0, F.lit(-1))
+            .otherwise(F.floor((i - 1) / 2))
+            .cast("int")
+            .alias(MOTHER),
+        ),
+    )
+    gp = orders.select(parts.alias("gp"))
+    kids = children(F.col("gp"))
+    sum_child_pdg = F.aggregate(
+        F.flatten(kids), F.lit(0).cast("long"), lambda a, c: a + c["pdgId"]
+    )
+    n_children = F.aggregate(kids, F.lit(0), lambda a, k: a + F.size(k))
+    dp = distinct_parent(F.col("gp"))
+    n_dp = F.size(F.filter(dp, lambda p: p.isNotNull()))
+    sum_dp_pdg = F.aggregate(
+        F.filter(dp, lambda p: p.isNotNull()),
+        F.lit(0).cast("long"),
+        lambda a, p: a + p["pdgId"],
+    )
+    n_roots = F.size(F.filter(F.col("gp"), lambda p: p[MOTHER] < 0))
+    return gp.select(
+        F.size("gp").alias("np"),
+        n_roots.alias("nr"),
+        n_children.alias("nc"),
+        sum_child_pdg.alias("scp"),
+        n_dp.alias("ndp"),
+        sum_dp_pdg.alias("sdp"),
+    ).agg(
+        F.sum("np").alias("n_particles"),
+        F.sum("nr").alias("n_roots"),
+        F.sum("nc").alias("n_children"),
+        F.sum("scp").alias("sum_child_pdg"),
+        F.sum("ndp").alias("n_distinct_parent"),
+        F.sum("sdp").alias("sum_dp_pdg"),
+    )
+
+
+SQL_GENEALOGY = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT l_orderkey AS ok, rn, CAST(l_suppkey % 7 AS INT) AS pdg,
+         CASE WHEN rn = 0 THEN -1 ELSE CAST(floor((rn - 1) / 2) AS INT) END AS mom
+  FROM (
+    SELECT l_orderkey, l_suppkey,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_quantity,
+                                       l_extendedprice, l_discount, l_suppkey) - 1 AS rn
+    FROM lineitem
+  )
+),
+walk AS (
+  SELECT a.ok, a.rn AS start_rn, a.pdg AS pdg0, a.mom AS cur FROM p a
+  UNION ALL
+  SELECT w.ok, w.start_rn, w.pdg0, b.mom
+  FROM walk w JOIN p b ON b.ok = w.ok AND b.rn = w.cur
+  WHERE w.cur >= 0 AND b.pdg = w.pdg0
+),
+dp AS (
+  SELECT w.ok, w.start_rn, w.cur,
+         (SELECT b.pdg FROM p b WHERE b.ok = w.ok AND b.rn = w.cur) AS dp_pdg
+  FROM walk w
+  WHERE w.cur < 0
+     OR EXISTS (SELECT 1 FROM p b
+                WHERE b.ok = w.ok AND b.rn = w.cur AND b.pdg <> w.pdg0)
+)
+SELECT
+  (SELECT count(*) FROM p) AS n_particles,
+  (SELECT count(*) FROM p WHERE mom < 0) AS n_roots,
+  (SELECT count(*) FROM p WHERE mom >= 0) AS n_children,
+  (SELECT sum(a.pdg) FROM p a JOIN p b ON a.ok = b.ok AND a.mom = b.rn) AS sum_child_pdg,
+  (SELECT count(*) FROM dp WHERE cur >= 0) AS n_distinct_parent,
+  (SELECT sum(dp_pdg) FROM dp WHERE cur >= 0) AS sum_dp_pdg
+"""
+
+
+def q_weights_variations(spark, sf_dir):
+    """Weights with up/down modifiers and partial products (reference
+    Weights, analysis_tools.py:195-441): one conditional-agg pass yields
+    nominal, varied, and partial sums."""
+    w = Weights()
+    d, q = F.col("l_discount"), F.col("l_quantity")
+    w.add("disc", 1.0 + d, weightUp=1.0 + 1.5 * d, weightDown=1.0 + 0.5 * d)
+    w.add("qty", q / 25.0)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(w.weight()), 2).alias("sumw"),
+        F.round(F.sum(w.weight("discUp")), 2).alias("sumw_up"),
+        F.round(F.sum(w.weight("discDown")), 2).alias("sumw_down"),
+        F.round(F.sum(w.partial_weight(include=["qty"])), 2).alias("sumw_qty"),
+    )
+
+
+SQL_WEIGHTS_VARIATIONS = """
+SELECT count(*) AS n,
+       round(sum((1.0 + l_discount) * (l_quantity / 25.0)), 2) AS sumw,
+       round(sum(((1.0 + l_discount) * (l_quantity / 25.0))
+                 * ((1.0 + 1.5 * l_discount) / (1.0 + l_discount))), 2) AS sumw_up,
+       round(sum(((1.0 + l_discount) * (l_quantity / 25.0))
+                 * ((1.0 + 0.5 * l_discount) / (1.0 + l_discount))), 2) AS sumw_down,
+       round(sum(l_quantity / 25.0), 2) AS sumw_qty
+FROM lineitem
+"""
+
+
+def q_ml_score(spark, sf_dir):
+    """Batch ML inference through the engine's wrapper (reference
+    ml_tools/helper.py:10-386): per-executor-cached model, Arrow-batched
+    pandas UDF, array column stacked to a 2-D batch. The 'model' is a
+    deterministic linear+sigmoid head so DuckDB can replay it."""
+    import numpy as np
+
+    from coffea_spark.mltools import BatchInferencer
+
+    def loader():
+        wvec = (np.arange(64) % 7 - 3.0) / 10.0
+        return wvec, 0.05
+
+    def predict(model, X):
+        wvec, b = model
+        return 1.0 / (1.0 + np.exp(-(X @ wvec + b)))
+
+    scorer = BatchInferencer("linear-sigmoid", loader, predict)
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "label", scorer(F.col("embedding").cast("array<double>")).alias("score")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
+SQL_ML_SCORE = """
+SELECT label, count(*) AS n,
+       round(avg(score), 6) AS avg_score,
+       round(max(score), 6) AS max_score
+FROM (
+  SELECT label,
+         1.0 / (1.0 + exp(-(list_sum(
+           list_transform(embedding::DOUBLE[],
+                          (x, i) -> x * (CAST((i - 1) % 7 AS DOUBLE) - 3.0) / 10.0)
+         ) + 0.05))) AS score
+  FROM embeddings
+)
+GROUP BY 1
+"""
+
+
+def q_stream_windowed_hist(spark, sf_dir):
+    """Structured Streaming spelling of the histogram aggregation
+    (engine extension; the reference is batch-only, SURVEY.md §2.10):
+    file micro-batches -> event-time 1-hour windows -> bucketed weighted
+    hist, complete-mode memory sink. Same bucket/window semantics as the
+    batch oracle, so the driver can hash-compare a STREAMING result."""
+    from coffea_spark.streaming import windowed_hist
+
+    # schema must be declared up front for readStream; reuse the batch
+    # reader's (events.parquet stores ns timestamps -> read as long)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory/glob, not a bare file path
+    raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_hist(
+        stream, F.col("value"), nbins=25, lo=0.0, hi=500.0,
+        ts_col="ts", window="1 hour", watermark="2 hours",
+        weight=F.col("value"),
+    )
+    qname = "stream_hist_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window.start").cast("long").alias("wstart"),
+        "bin",
+        "n",
+        F.round(F.col("sumw"), 2).alias("sumw"),
+    )
+
+
+SQL_STREAM_HIST = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+       CASE WHEN value < 0 THEN -1
+            WHEN value >= 500 THEN 25
+            ELSE CAST(floor((value - 0.0) / 20.0) AS BIGINT) END AS bin,
+       count(*) AS n, round(sum(value), 2) AS sumw
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1118,4 +1529,12 @@ REGISTRY: dict[str, Query] = {
     "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
     "ann_topk": Query(q_ann_topk, None),
     "multimodal_features": Query(q_multimodal_features, None),
+    "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
+    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
+    "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
+    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
+    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
+    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
+    "ml_score": Query(q_ml_score, SQL_ML_SCORE),
+    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
 }
