@@ -1485,6 +1485,265 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_xref_roundtrip(spark, sf_dir):
+    """Cross-reference FK joins + nearest (reference 'Q3' invariant,
+    tests/test_nanoevents.py:54-63: Jet.matched_muons.matched_jet.pt ==
+    Jet.pt). Items split into two within-event collections with
+    deterministic FK indices; gathers are array HOFs — no join, no
+    shuffle beyond the one collect_list. The oracle replays the FKs
+    relationally (explode + equi-join on (order, idx))."""
+    from coffea_spark.joins import matched, nearest
+
+    orders = _order_items(spark, sf_dir)
+    items = F.col("items")
+    jets_raw = F.filter(items, lambda x: x["l_quantity"] > 25)
+    muons_raw = F.filter(items, lambda x: x["l_quantity"] <= 25)
+    nmu, njet = F.size(muons_raw), F.size(jets_raw)
+    jets = F.transform(
+        jets_raw,
+        lambda x, i: F.struct(
+            x["l_extendedprice"].alias("price"),
+            F.when(nmu > 0, i % nmu).otherwise(-1).alias("muonIdx"),
+        ),
+    )
+    muons = F.transform(
+        muons_raw,
+        lambda y, j: F.struct(
+            y["l_extendedprice"].alias("price"),
+            F.when(njet > 0, j % njet).otherwise(-1).alias("jetIdx"),
+        ),
+    )
+    m1 = matched(jets, "muonIdx", muons)          # jet -> muon
+    m2 = matched(m1, "jetIdx", jets)              # jet -> muon -> jet
+    rt_ok = F.size(
+        F.filter(
+            F.zip_with(jets, m2, lambda a, b: b.isNotNull() & (b["price"] == a["price"])),
+            lambda ok: ok,
+        )
+    )
+    near = nearest(
+        jets, muons,
+        metric=lambda a, b: F.abs(a["price"] - b["price"]),
+        threshold=5000.0, return_metric=True,
+    )
+    near_hits = F.filter(near, lambda p: p.isNotNull())
+    return orders.select(
+        F.size(jets).alias("nj"),
+        F.size(F.filter(m1, lambda m: m.isNotNull())).alias("nm"),
+        F.aggregate(
+            F.filter(m1, lambda m: m.isNotNull()),
+            F.lit(0.0), lambda a, m: a + m["price"],
+        ).alias("smp"),
+        rt_ok.alias("nrt"),
+        F.size(near_hits).alias("nn"),
+        F.aggregate(near_hits, F.lit(0.0), lambda a, p: a + p["metric"]).alias("sng"),
+    ).agg(
+        F.sum("nj").alias("n_jets"),
+        F.sum("nm").alias("n_matched"),
+        F.round(F.sum("smp"), 2).alias("sum_matched_price"),
+        F.sum("nrt").alias("n_roundtrip_ok"),
+        F.sum("nn").alias("n_near"),
+        F.round(F.sum("sng"), 2).alias("sum_near_gap"),
+    )
+
+
+SQL_XREF = """
+WITH s AS MATERIALIZED (
+  SELECT l_orderkey AS ok, l_quantity AS qty, l_extendedprice AS price,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity,
+                                     l_extendedprice, l_discount, l_suppkey) AS rn
+  FROM lineitem
+),
+jets AS MATERIALIZED (
+  SELECT ok, price, row_number() OVER (PARTITION BY ok ORDER BY rn) - 1 AS ji
+  FROM s WHERE qty > 25
+),
+muons AS MATERIALIZED (
+  SELECT ok, price, row_number() OVER (PARTITION BY ok ORDER BY rn) - 1 AS mi
+  FROM s WHERE qty <= 25
+),
+nj AS (SELECT ok, count(*) AS cj FROM jets GROUP BY ok),
+nm AS (SELECT ok, count(*) AS cm FROM muons GROUP BY ok),
+m1 AS (
+  SELECT j.ok, j.ji, j.price AS jprice, m.price AS mprice,
+         CASE WHEN COALESCE(t.cj, 0) > 0 THEN m.mi % t.cj ELSE -1 END AS mjidx
+  FROM jets j
+  LEFT JOIN nm ON nm.ok = j.ok
+  LEFT JOIN muons m
+    ON m.ok = j.ok AND COALESCE(nm.cm, 0) > 0 AND m.mi = j.ji % nm.cm
+  LEFT JOIN nj t ON t.ok = j.ok
+),
+m2 AS (
+  SELECT m1.*, r.price AS rtprice
+  FROM m1 LEFT JOIN jets r ON r.ok = m1.ok AND r.ji = m1.mjidx AND m1.mprice IS NOT NULL
+),
+near AS (
+  SELECT j.ok, j.ji, min(abs(j.price - m.price)) AS g
+  FROM jets j JOIN muons m ON m.ok = j.ok
+  GROUP BY j.ok, j.ji
+)
+SELECT
+  (SELECT count(*) FROM jets) AS n_jets,
+  (SELECT count(*) FROM m1 WHERE mprice IS NOT NULL) AS n_matched,
+  (SELECT round(sum(mprice), 2) FROM m1 WHERE mprice IS NOT NULL) AS sum_matched_price,
+  (SELECT count(*) FROM m2 WHERE rtprice = jprice) AS n_roundtrip_ok,
+  (SELECT count(*) FROM near WHERE g < 5000.0) AS n_near,
+  (SELECT round(sum(g), 2) FROM near WHERE g < 5000.0) AS sum_near_gap
+"""
+
+
+def q_corrected_met(spark, sf_dir):
+    """MET propagation (reference corrected_polar_met,
+    jetmet_tools/CorrectedMETFactory.py:7-20): subtract every jet's
+    correction delta from the event MET 2-vector — one aggregate HOF per
+    event, zero extra shuffle."""
+    from coffea_spark.corrections import corrected_polar_met
+
+    orders = _order_items(spark, sf_dir)
+    jets = F.transform(
+        "items",
+        lambda x: F.struct(
+            (x["l_extendedprice"] / 1000.0).alias("pt_old"),
+            ((x["l_extendedprice"] / 1000.0) * (1.0 + x["l_discount"])).alias("pt_new"),
+            (((x["l_suppkey"] % 628) / 100.0) - 3.14).alias("phi"),
+        ),
+    )
+    met_pt = 10.0 + (F.col("l_orderkey") % 50).cast("double")
+    met_phi = ((F.col("l_orderkey") % 628) / 100.0) - 3.14
+    met = corrected_polar_met(met_pt, met_phi, jets, "pt_old", "pt_new")
+    return orders.select(met.alias("met")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("met.pt"), 2).alias("sum_met_pt"),
+        F.round(F.avg("met.phi"), 6).alias("avg_met_phi"),
+    )
+
+
+SQL_CORRECTED_MET = """
+WITH d AS (
+  SELECT l_orderkey AS ok,
+         sum(((l_extendedprice / 1000.0) * (1.0 + l_discount)
+              - (l_extendedprice / 1000.0))
+             * cos(((l_suppkey % 628) / 100.0) - 3.14)) AS dx,
+         sum(((l_extendedprice / 1000.0) * (1.0 + l_discount)
+              - (l_extendedprice / 1000.0))
+             * sin(((l_suppkey % 628) / 100.0) - 3.14)) AS dy
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT (10.0 + CAST(ok % 50 AS DOUBLE)) * cos(((ok % 628) / 100.0) - 3.14) - dx AS mx,
+         (10.0 + CAST(ok % 50 AS DOUBLE)) * sin(((ok % 628) / 100.0) - 3.14) - dy AS my
+  FROM d
+)
+SELECT count(*) AS n_orders,
+       round(sum(sqrt(mx * mx + my * my)), 2) AS sum_met_pt,
+       round(avg(atan2(my, mx)), 6) AS avg_met_phi
+FROM m
+"""
+
+
+BTAG_ROWS = [
+    {"flavor": 0, "eta_min": 0.0, "eta_max": 1.5, "pt_min": 0.0, "pt_max": 50.0,
+     "formula": "0.9 + 0.01*sqrt(x)"},
+    {"flavor": 0, "eta_min": 1.5, "eta_max": 3.5, "pt_min": 0.0, "pt_max": 50.0,
+     "formula": "0.85 + 0.02*sqrt(x)"},
+    {"flavor": 0, "eta_min": 0.0, "eta_max": 3.5, "pt_min": 50.0, "pt_max": 1000000.0,
+     "formula": "0.97"},
+    {"flavor": 1, "eta_min": 0.0, "eta_max": 3.5, "pt_min": 0.0, "pt_max": 1000000.0,
+     "formula": "1.1 - 0.001*x"},
+    {"flavor": 2, "eta_min": 0.0, "eta_max": 3.5, "pt_min": 0.0, "pt_max": 1000000.0,
+     "formula": "1.0 + 2.0/sqrt(x)"},
+]
+
+
+def _sql_btag() -> str:
+    cases = []
+    for r in BTAG_ROWS:
+        f = r["formula"].replace("x", "pt")
+        cases.append(
+            f"WHEN flavor = {r['flavor']} AND abseta >= {r['eta_min']} "
+            f"AND abseta < {r['eta_max']} AND pt >= {r['pt_min']} "
+            f"AND pt < {r['pt_max']} THEN ({f})"
+        )
+    chain = "\n              ".join(cases)
+    return f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CASE {chain} END AS sf
+  FROM (
+    SELECT l_returnflag, CAST(l_linenumber % 3 AS INT) AS flavor,
+           l_discount * 30.0 AS abseta, l_extendedprice / 1000.0 AS pt
+    FROM lineitem
+  )
+)
+SELECT l_returnflag, count(*) AS n, round(sum(sf), 2) AS sum_sf,
+       round(avg(sf), 6) AS avg_sf
+FROM b GROUP BY 1
+"""
+
+
+def q_btag_sf(spark, sf_dir):
+    """Piecewise per-(flavor, |eta|, pt) scale-factor formulas (reference
+    BTagScaleFactor, btag_tools/btagscalefactor.py:7-243): a WHEN chain
+    of native expressions — formulas use only correctly-rounded ops so
+    the oracle is bit-identical."""
+    from coffea_spark.corrections import BTagScaleFactor
+
+    sf = BTagScaleFactor(BTAG_ROWS)
+    li = _t(spark, sf_dir, "lineitem")
+    val = sf.eval(
+        (F.col("l_linenumber") % 3).cast("int"),
+        F.col("l_discount") * 30.0,
+        F.col("l_extendedprice") / 1000.0,
+    )
+    return li.select("l_returnflag", val.alias("_sf")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("_sf"), 2).alias("sum_sf"),
+        F.round(F.avg("_sf"), 6).alias("avg_sf"),
+    )
+
+
+def q_jer_smear(spark, sf_dir):
+    """Full corrected-jets build with JES uncertainty + JER stochastic
+    smearing (reference CorrectedJetsFactory.build,
+    jetmet_tools/CorrectedJetsFactory.py:205-500). The smear draws a
+    content-seeded deterministic gaussian (xxhash64 Box-Muller — the
+    reference seeds from data bits too), which no SQL oracle reproduces
+    -> rows-only; the output row is still deterministic."""
+    from coffea_spark.corrections import CorrectedJetsFactory, FactorizedJetCorrector
+
+    corr = FactorizedJetCorrector([lambda eta, pt: F.lit(1.05)])
+    factory = CorrectedJetsFactory(
+        corr, junc=0.02, jer=True,
+        resolution=lambda eta, pt: F.lit(0.05) + F.abs(eta) * 0.01,
+        resolution_sf=lambda eta: (F.lit(1.1), F.lit(1.2), F.lit(1.0)),
+    )
+    orders = _order_items(spark, sf_dir)
+    jets = F.transform(
+        "items",
+        lambda x: F.struct(
+            (x["l_extendedprice"] / 1000.0).alias("pt"),
+            (x["l_quantity"] / 10.0).alias("mass"),
+            ((x["l_discount"] * 60.0) - 3.0).alias("eta"),
+            (((x["l_suppkey"] % 628) / 100.0) - 3.14).alias("phi"),
+            F.lit(0.1).alias("rawFactor"),
+        ),
+    )
+    built = factory.build(jets)
+    return orders.select(built.alias("j")).select(
+        F.explode("j").alias("jet")
+    ).agg(
+        F.count(F.lit(1)).alias("n_jets"),
+        F.round(F.sum("jet.pt_jec"), 2).alias("sum_pt_jec"),
+        F.round(F.sum("jet.pt"), 2).alias("sum_pt_smeared"),
+        F.round(F.sum("jet.JES_up_pt"), 2).alias("sum_jes_up"),
+        F.round(F.sum("jet.JER_up_pt"), 2).alias("sum_jer_up"),
+        F.round(
+            F.sum(F.col("jet.pt") / F.col("jet.pt_jec")) / F.count(F.lit(1)), 6
+        ).alias("avg_smear"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1537,4 +1796,8 @@ REGISTRY: dict[str, Query] = {
     "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
     "ml_score": Query(q_ml_score, SQL_ML_SCORE),
     "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
+    "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
+    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
+    "btag_sf": Query(q_btag_sf, _sql_btag()),
+    "jer_smear": Query(q_jer_smear, None),
 }

@@ -21,7 +21,23 @@ NEW_ORACLE_QUERIES = [
     "weights_variations",
     "ml_score",
     "stream_windowed_hist",
+    "xref_roundtrip",
+    "corrected_met",
+    "btag_sf",
 ]
+
+
+def test_jer_smear_deterministic(spark):
+    """jer_smear has no SQL oracle (content-seeded RNG); assert it is
+    deterministic and the smear direction ordering holds."""
+    from coffea_spark.queries import REGISTRY
+
+    a = REGISTRY["jer_smear"].fn(spark, SF_DIR).collect()[0]
+    b = REGISTRY["jer_smear"].fn(spark, SF_DIR).collect()[0]
+    assert a == b
+    assert a.n_jets > 0
+    assert a.sum_jes_up > a.sum_pt_jec  # +2% JES
+    assert a.avg_smear > 0
 
 
 def _canon(rows, colnames):
