@@ -1744,6 +1744,51 @@ def q_jer_smear(spark, sf_dir):
     )
 
 
+def q_systematics(spark, sf_dir):
+    """Systematic-variation namespace (reference Systematic /
+    UpDownSystematic, methods/base.py:54-259): a variation is just extra
+    columns under the ``systematics`` struct, flowing through downstream
+    expressions (here: re-binned histogram counts) in the SAME single
+    agg pass as the nominal."""
+    from coffea_spark.systematics import add_systematic, variation
+
+    li = _t(spark, sf_dir, "lineitem")
+    li = add_systematic(
+        li, "price_scale", "UpDownSystematic", "l_extendedprice",
+        lambda c, d: c * (1.0 + 0.02 * d),
+    )
+    nom = F.col("l_extendedprice")
+    up = variation(li, "price_scale", "up")
+    dn = variation(li, "price_scale", "down")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(nom), 2).alias("sum_nom"),
+        F.round(F.sum(up), 2).alias("sum_up"),
+        F.round(F.sum(dn), 2).alias("sum_down"),
+        F.sum(
+            (bucket(up, 0.0, 80000.0, 40) != bucket(nom, 0.0, 80000.0, 40)).cast("int")
+        ).alias("n_migrated"),
+    )
+
+
+SQL_SYSTEMATICS = """
+SELECT count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_nom,
+       round(sum(l_extendedprice * 1.02), 2) AS sum_up,
+       round(sum(l_extendedprice * 0.98), 2) AS sum_down,
+       sum(CASE WHEN
+             (CASE WHEN l_extendedprice * 1.02 < 0 THEN -1
+                   WHEN l_extendedprice * 1.02 >= 80000 THEN 40
+                   ELSE CAST(floor(l_extendedprice * 1.02 / 2000.0) AS BIGINT) END)
+             <>
+             (CASE WHEN l_extendedprice < 0 THEN -1
+                   WHEN l_extendedprice >= 80000 THEN 40
+                   ELSE CAST(floor(l_extendedprice / 2000.0) AS BIGINT) END)
+           THEN 1 ELSE 0 END) AS n_migrated
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1800,4 +1845,5 @@ REGISTRY: dict[str, Query] = {
     "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
     "btag_sf": Query(q_btag_sf, _sql_btag()),
     "jer_smear": Query(q_jer_smear, None),
+    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
 }

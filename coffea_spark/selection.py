@@ -178,6 +178,22 @@ class Cutflow:
             out.append(row)
         return out
 
+    def to_npz(self, path: str) -> None:
+        """Export counts as npz (reference CutflowToNpz,
+        analysis_tools.py:768-919; we export the counts, not per-event
+        masks — masks at 100 TB belong in parquet via df.write)."""
+        import numpy as np
+
+        arrays = {
+            "labels": np.array(["initial"] + self.names),
+            "nevonecut": np.array([self.initial] + self.nevonecut),
+            "nevcutflow": np.array([self.initial] + self.nevcutflow),
+        }
+        if self.wevonecut is not None:
+            arrays["wevonecut"] = np.array([self.initial_w] + self.wevonecut)
+            arrays["wevcutflow"] = np.array([self.initial_w] + self.wevcutflow)
+        np.savez(path, **arrays)
+
 
 @dataclass
 class NminusOne:
@@ -190,3 +206,14 @@ class NminusOne:
 
     def result(self):
         return self.names, [self.initial] + self.nev + [self.nev_all]
+
+    def to_npz(self, path: str) -> None:
+        """Export counts as npz (reference NminusOneToNpz,
+        analysis_tools.py:649-766)."""
+        import numpy as np
+
+        np.savez(
+            path,
+            labels=np.array(["initial"] + [f"N - {n}" for n in self.names] + ["N"]),
+            nev=np.array([self.initial] + self.nev + [self.nev_all]),
+        )

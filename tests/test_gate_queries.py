@@ -24,6 +24,7 @@ NEW_ORACLE_QUERIES = [
     "xref_roundtrip",
     "corrected_met",
     "btag_sf",
+    "systematics_updown",
 ]
 
 
