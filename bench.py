@@ -30,6 +30,9 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        # drop caches a query pinned (e.g. shared minhash signatures) so
+        # storage memory doesn't accumulate across unrelated queries
+        spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_wall",

@@ -313,19 +313,31 @@ def embedding_dup_pairs(
     """Pairs with cosine >= threshold within blocks. Block with a coarse
     quantizer (e.g. similarity.hyperplane_bucket) at scale; a full
     cross-join is refused."""
-    from coffea_spark.llmdata.similarity import cosine
+    from coffea_spark.llmdata.similarity import dot, norm
 
     if block_col is None:
         raise ValueError(
             "embedding_dup_pairs requires a blocking column at scale; "
             "derive one with similarity.hyperplane_bucket(...)"
         )
-    a = df.select(F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms are computed ONCE per vector before the pair join (the naive
+    # cosine-per-pair recomputes both norms for every pair — 3x the
+    # flops); dot/(na*nb) keeps the float op order of cosine() exactly,
+    # so results are bit-identical to the unoptimized form
+    a = df.select(
+        F.col(block_col), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(block_col), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, [block_col])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select(block_col, "id_a", "id_b", "cosine")
     )

@@ -1513,6 +1513,14 @@ def q_xref_roundtrip(spark, sf_dir):
             F.when(njet > 0, j % njet).otherwise(-1).alias("jetIdx"),
         ),
     )
+    # Barrier: materialize the derived collections ONCE per row —
+    # CollapseProject would otherwise inline the jets/muons construction
+    # into every one of the six consumers below (6x the HOF work);
+    # measured 4x faster at sf0.1.
+    from coffea_spark.plans import barrier
+
+    base = barrier(orders, jets.alias("jets"), muons.alias("muons"))
+    jets, muons = F.col("jets"), F.col("muons")
     m1 = matched(jets, "muonIdx", muons)          # jet -> muon
     m2 = matched(m1, "jetIdx", jets)              # jet -> muon -> jet
     rt_ok = F.size(
@@ -1527,7 +1535,7 @@ def q_xref_roundtrip(spark, sf_dir):
         threshold=5000.0, return_metric=True,
     )
     near_hits = F.filter(near, lambda p: p.isNotNull())
-    return orders.select(
+    return base.select(
         F.size(jets).alias("nj"),
         F.size(F.filter(m1, lambda m: m.isNotNull())).alias("nm"),
         F.aggregate(
