@@ -120,3 +120,19 @@ def fingerprint_md5(col: Column) -> Column:
     oracle-checkable end to end."""
     normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(normalized)
+
+
+def rolling_hash(col: Column, base: int = 257, mod: int = 2147483647) -> Column:
+    """Rabin-Karp polynomial fingerprint over unicode codepoints:
+    h = fold(chars, 0, (a, c) -> (a*base + ord(c)) % mod). Pure column
+    math (no UDF); intermediate a*base+c stays < 2^40 so bigint never
+    overflows. Engine-portable: matches DuckDB's
+    ``list_reduce(list_transform(string_split_regex(t,''), c->ord(c)),
+    (a,x)->(a*base+x)%mod)`` exactly (verified incl. non-ASCII
+    codepoints), so it is oracle-checkable — unlike xxhash64/md5-prefix
+    fingerprints. Empty strings hash to 0."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda a, c: (a * base + c) % mod
+    )
+    return F.when(F.length(col) > 0, h).otherwise(F.lit(0).cast("long"))

@@ -1797,6 +1797,39 @@ FROM lineitem
 """
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash document fingerprinting (pure column
+    math): per source, distinct fingerprints vs distinct normalized md5
+    — the cheap first-pass dedup key a 100 TB pipeline computes inline
+    with the scan (one shuffle on the group key only)."""
+    from coffea_spark.llmdata.text import fingerprint_md5, rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(rolling_hash(F.col("text"))).alias("n_fp"),
+        F.countDistinct(fingerprint_md5(F.col("text"))).alias("n_md5"),
+        F.max(rolling_hash(F.col("text"))).alias("max_fp"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+WITH f AS (
+  SELECT source,
+         CASE WHEN length(text) > 0 THEN
+           list_reduce(
+             list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)),
+             (a, x) -> (a * 257 + x) % 2147483647)
+         ELSE 0 END AS fp,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_fp,
+       count(DISTINCT m) AS n_md5, max(fp) AS max_fp
+FROM f GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1854,4 +1887,5 @@ REGISTRY: dict[str, Query] = {
     "btag_sf": Query(q_btag_sf, _sql_btag()),
     "jer_smear": Query(q_jer_smear, None),
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
+    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
 }

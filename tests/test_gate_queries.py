@@ -25,6 +25,7 @@ NEW_ORACLE_QUERIES = [
     "corrected_met",
     "btag_sf",
     "systematics_updown",
+    "doc_fingerprint",
 ]
 
 
