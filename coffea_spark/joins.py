@@ -180,3 +180,100 @@ def pairs_exploded(df, collection: str, event_id: str = "event"):
         F.col("a.obj").alias("f0"),
         F.col("b.obj").alias("f1"),
     )
+
+
+def asof_join(
+    left,
+    right,
+    on: str = "ts",
+    by: str | None = None,
+    values: list[str] | None = None,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    direction: str = "backward",
+    tolerance=None,
+):
+    """As-of join (Spark has no native one): for each left row, the
+    nearest right row at-or-before (``backward``) / at-or-after
+    (``forward``) its ``on`` time, optionally within the same ``by`` key
+    and within ``tolerance`` (same units as ``on``).
+
+    Scale design: the naive spelling is a range join (quadratic blow-up
+    per key); this is the union + running-extreme window instead — ONE
+    shuffle on (by, on), state O(1) per row, the shape that survives
+    100 TB. Matched right values arrive as ``_asof_<col>`` columns plus
+    ``_asof_on`` (the matched right timestamp, NULL when unmatched).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    from pyspark.sql import Window as W
+
+    right_on = right_on or on
+    right_by = right_by or by
+    values = values or []
+
+    from pyspark.sql import types as T
+
+    def tnum(frame, col):
+        # numeric timeline in double: timestamps -> epoch seconds
+        # (TIMESTAMP_NTZ/DATE need an intermediate cast; session tz is
+        # the caller's concern — pin UTC for cross-engine parity)
+        dt = frame.schema[col].dataType
+        c = F.col(col)
+        if isinstance(dt, (T.TimestampNTZType, T.DateType)):
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    tag = "_is_left"
+    key_cols = [F.col(by).alias("_k")] if by else []
+    rkey = [F.col(right_by).alias("_k")] if right_by else []
+    payload = F.struct(
+        tnum(right, right_on).alias("_t"),
+        *[F.col(c).alias(c) for c in values],
+    )
+    rsel = right.select(
+        *rkey, tnum(right, right_on).alias("_tv"),
+        F.lit(0).alias(tag), payload.alias("_p"),
+    )
+    rsel = rsel.select(
+        *([F.col("_k")] if rkey else []), "_tv", tag, "_p",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    lsel = left.select(
+        *key_cols, tnum(left, on).alias("_tv"), F.lit(1).alias(tag),
+        F.lit(None).cast(rsel.schema["_p"].dataType).alias("_p"),
+        *[F.col(c) for c in left.columns],
+    )
+    allu = rsel.unionByName(lsel)
+
+    part = ["_k"] if by or right_by else []
+    if direction == "backward":
+        w = (
+            W.partitionBy(*part)
+            .orderBy(F.col("_tv").asc(), F.col(tag).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        best = F.max(F.when(F.col(tag) == 0, F.col("_p"))).over(w)
+    else:
+        w = (
+            W.partitionBy(*part)
+            .orderBy(F.col("_tv").desc(), F.col(tag).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        best = F.min(F.when(F.col(tag) == 0, F.col("_p"))).over(w)
+
+    out = allu.withColumn("_best", best).filter(F.col(tag) == 1)
+    if tolerance is not None:
+        gap = (
+            (F.col("_tv") - F.col("_best._t"))
+            if direction == "backward"
+            else (F.col("_best._t") - F.col("_tv"))
+        )
+        out = out.withColumn(
+            "_best", F.when(gap <= F.lit(float(tolerance)), F.col("_best"))
+        )
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("_best._t").alias("_asof_on"))
+    for c in values:
+        sel.append(F.col(f"_best.{c}").alias(f"_asof_{c}"))
+    return out.select(*sel)

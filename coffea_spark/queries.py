@@ -1830,6 +1830,154 @@ FROM f GROUP BY 1
 """
 
 
+def q_asof_operator(spark, sf_dir):
+    """The engine's public as-of join operator (joins.asof_join: union +
+    running-extreme window — one shuffle, O(1) state, no range-join
+    explosion) checked against DuckDB's NATIVE ASOF JOIN. The right side
+    is pre-deduped per (key, time) so tie-breaking is deterministic in
+    both engines."""
+    from coffea_spark.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"), F.col("event_type")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    j = asof_join(
+        ev, orders, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        values=["o_totalprice"], direction="backward",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("_asof_on").isNotNull().cast("int")).alias("n_matched"),
+        F.round(F.sum(F.coalesce(F.col("_asof_o_totalprice"), F.lit(0.0))), 2).alias("sum_tp"),
+        F.round(
+            F.avg(F.col("ts").cast("long") - F.col("_asof_on").cast("long")), 4
+        ).alias("avg_gap_s"),
+    )
+
+
+SQL_ASOF_OPERATOR = """
+WITH o AS MATERIALIZED (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_events,
+       count(o.o_orderdate) AS n_matched,
+       round(sum(COALESCE(o.o_totalprice, 0.0)), 2) AS sum_tp,
+       round(avg(CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)), 4) AS avg_gap_s
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY 1
+"""
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles per group (linear interpolation — identical
+    definition to DuckDB quantile_cont). The reference has no quantile
+    op; listed free in SURVEY §2.5 'approx aggregates' — we gate the
+    EXACT form so it hash-matches."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_triples_metric(spark, sf_dir):
+    """3-combinations within events + the all-pairs metric_table
+    (reference ak.combinations(n=3) and methods/vector.py metric_table):
+    one aggregate pass per construction (no sibling re-inlining)."""
+    from coffea_spark.joins import combinations, metric_table
+    from coffea_spark.plans import barrier
+
+    orders = _order_items(spark, sf_dir)
+    items = F.col("items")
+    jets_raw = F.filter(items, lambda x: x["l_quantity"] > 25)
+    muons_raw = F.filter(items, lambda x: x["l_quantity"] <= 25)
+    base = barrier(orders, jets_raw.alias("jets"), muons_raw.alias("muons"))
+    trip = combinations(F.col("jets"), 3)
+    tacc = F.aggregate(
+        trip,
+        F.struct(F.lit(0).alias("n"), F.lit(0.0).alias("smax"), F.lit(0).alias("nd")),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["smax"] + F.greatest(
+                t["f0"]["l_extendedprice"], t["f1"]["l_extendedprice"], t["f2"]["l_extendedprice"]
+            )).alias("smax"),
+            (a["nd"] + (
+                (t["f0"]["l_suppkey"] != t["f1"]["l_suppkey"])
+                & (t["f0"]["l_suppkey"] != t["f2"]["l_suppkey"])
+                & (t["f1"]["l_suppkey"] != t["f2"]["l_suppkey"])
+            ).cast("int")).alias("nd"),
+        ),
+    )
+    mt = metric_table(
+        F.col("jets"), F.col("muons"),
+        metric=lambda a, b: F.abs(a["l_extendedprice"] - b["l_extendedprice"]),
+    )
+    macc = F.aggregate(
+        F.flatten(mt),
+        F.struct(F.lit(0).alias("n"), F.lit(0.0).alias("s")),
+        lambda a, m: F.struct((a["n"] + 1).alias("n"), (a["s"] + m).alias("s")),
+    )
+    return base.select(tacc.alias("t"), macc.alias("m")).agg(
+        F.sum("t.n").alias("n_triples"),
+        F.round(F.sum("t.smax"), 2).alias("sum_max_price"),
+        F.sum("t.nd").alias("n_distinct_supp_triples"),
+        F.sum("m.n").alias("n_cells"),
+        F.round(F.sum("m.s"), 2).alias("sum_metric"),
+    )
+
+
+SQL_TRIPLES_METRIC = """
+WITH s AS MATERIALIZED (
+  SELECT l_orderkey AS ok, l_quantity AS qty, l_extendedprice AS price,
+         l_suppkey AS supp,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity,
+                                     l_extendedprice, l_discount, l_suppkey) AS rn
+  FROM lineitem
+),
+jets AS MATERIALIZED (SELECT ok, price, supp, rn FROM s WHERE qty > 25),
+muons AS MATERIALIZED (SELECT ok, price FROM s WHERE qty <= 25),
+t AS (
+  SELECT count(*) AS n_triples,
+         round(sum(greatest(a.price, b.price, c.price)), 2) AS sum_max_price,
+         sum(CASE WHEN a.supp <> b.supp AND a.supp <> c.supp AND b.supp <> c.supp
+                  THEN 1 ELSE 0 END) AS n_distinct_supp_triples
+  FROM jets a
+  JOIN jets b ON a.ok = b.ok AND a.rn < b.rn
+  JOIN jets c ON b.ok = c.ok AND b.rn < c.rn
+),
+m AS (
+  SELECT count(*) AS n_cells, round(sum(abs(j.price - u.price)), 2) AS sum_metric
+  FROM jets j JOIN muons u ON j.ok = u.ok
+)
+SELECT t.n_triples, t.sum_max_price, t.n_distinct_supp_triples,
+       m.n_cells, m.sum_metric
+FROM t, m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1888,4 +2036,7 @@ REGISTRY: dict[str, Query] = {
     "jer_smear": Query(q_jer_smear, None),
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
     "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
 }

@@ -26,6 +26,9 @@ NEW_ORACLE_QUERIES = [
     "btag_sf",
     "systematics_updown",
     "doc_fingerprint",
+    "asof_operator",
+    "quantiles",
+    "triples_metric",
 ]
 
 
