@@ -227,9 +227,15 @@ def minhash_dedup(
     # Stage 2 — exact n-gram Jaccard on the survivors only, via per-doc
     # shingle SETS and array_intersect (O(|survivors| x |set|)) — NOT a
     # shingle inverted-index self-join, which is quadratic in the
-    # document frequency of hot shingles at scale.
+    # document frequency of hot shingles at scale. Shingles are hashed
+    # to int64 ONCE per doc: long-array intersects beat string-array
+    # intersects ~20% and shrink the broadcast; a 64-bit collision
+    # changing a Jaccard value is ~|set|^2 / 2^64 per pair.
     sets = df.select(
-        F.col(id_col), F.array_distinct(char_ngrams(F.col(text_col), n)).alias("_set")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(char_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("_set"),
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
