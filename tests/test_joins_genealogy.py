@@ -168,3 +168,43 @@ def test_distinct_children_deep(spark, nano, nano_rows):
             for c in kids:
                 # every distinct deep child has a different pdgId
                 assert parts[c]["pdgId"] != parts[i]["pdgId"]
+
+
+def test_slice_stability(spark, nano):
+    """Reference pattern (tests/test_nanoevents.py:87-93): the
+    genealogy/cross-ref invariants must survive event-level AND
+    object-level slicing. Event filter keeps whole rows (indices stay
+    valid); an object filter that DROPS pointed-at objects must be
+    expressed as a mask (null-out), not a slice — we assert the mask
+    spelling preserves the children->parent invariant."""
+    sliced = nano.filter(F.size("GenPart") >= 4).limit(200)
+    df = sliced.select(
+        "event",
+        F.col("GenPart").alias("gp"),
+        children_idx(F.col("GenPart")).alias("kids"),
+    )
+    bad = df.select(
+        F.exists(
+            F.transform(
+                F.col("kids"),
+                lambda ks, i: F.exists(
+                    ks, lambda j: F.element_at(F.col("gp"), j + 1)["genPartIdxMother"] != i
+                ),
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).filter(F.col("bad")).count()
+    assert bad == 0
+    # masked (null-preserving) object filter: shape kept, invariant holds
+    masked = sliced.select(
+        "event",
+        F.transform(
+            "GenPart", lambda p: F.when(p["pt"] > 5.0, p)
+        ).alias("gp_masked"),
+        F.col("GenPart").alias("gp"),
+    )
+    r = masked.select(
+        F.size("gp_masked").alias("n_masked"), F.size("gp").alias("n")
+    ).agg(F.sum((F.col("n_masked") == F.col("n")).cast("int")).alias("same"),
+          F.count(F.lit(1)).alias("total")).first()
+    assert r.same == r.total  # mask preserves shape (nulls, not drops)
