@@ -191,3 +191,49 @@ class Hist2D:
             self.xbins, self.xlo, self.xhi, self.ybins, self.ylo, self.yhi,
             self.sumw + other.sumw,
         )
+
+
+def histnd(
+    df: DataFrame,
+    axes: list[tuple],
+    weight: Column | str | None = None,
+    by: list[str] | None = None,
+    flow: bool = True,
+) -> DataFrame:
+    """Weighted N-dimensional histogram — the general form of the
+    reference's hist.Hist fill (n regular axes + category axes,
+    analysis_tools.py:1138-1459).
+
+    ``axes`` is a list of (value, nbins, lo, hi) tuples (value: Column or
+    column name). Output: one row per occupied bucket tuple
+    (bin0..bin{n-1}, by..., sumw, sumw2, n). Plan shape is identical at
+    any dimensionality: project to bucket ids -> partial hash agg ->
+    final agg — ONE shuffle of (occupied buckets x partitions) tiny
+    rows, never the data. Sparse by construction: empty buckets don't
+    exist, so a 30000^3 binning costs only the occupied cells (the dense
+    ndarray view is driver-side, HistND.from_df)."""
+    wcol = (
+        F.lit(1.0)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
+    bins = []
+    for i, (value, nbins, lo, hi) in enumerate(axes):
+        v = F.col(value) if isinstance(value, str) else value
+        bins.append(bucket(v, lo, hi, nbins).alias(f"bin{i}"))
+    keys = [F.col(k) for k in (by or [])]
+    out = (
+        df.select(*keys, *bins, wcol.alias("_w"))
+        .groupBy(*(by or []), *[f"bin{i}" for i in range(len(axes))])
+        .agg(
+            F.sum("_w").alias("sumw"),
+            F.sum(F.col("_w") * F.col("_w")).alias("sumw2"),
+            F.count("_w").alias("n"),
+        )
+    )
+    if not flow:
+        cond = F.lit(True)
+        for i, (_, nbins, _, _) in enumerate(axes):
+            cond = cond & (F.col(f"bin{i}") >= 0) & (F.col(f"bin{i}") < nbins)
+        out = out.filter(cond)
+    return out

@@ -277,3 +277,38 @@ def asof_join(
     for c in values:
         sel.append(F.col(f"_best.{c}").alias(f"_asof_{c}"))
     return out.select(*sel)
+
+
+def salted_join(
+    left,
+    right,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+):
+    """Skew-salted equi-join: replicate the (small) ``right`` side
+    ``salt`` times and scatter hot ``left`` keys across the replicas, so
+    one hot key's rows land on ``salt`` reducers instead of one.
+
+    Results are identical to ``left.join(right, key, how)`` for
+    inner/left joins — the salt only changes the physical distribution.
+    The left salt is derived deterministically from xxhash64 of the
+    whole row, so repeated runs shuffle identically.
+
+    When to use: AQE's skew-join handling (on in this engine's sessions)
+    already splits skewed SORT-MERGE partitions at runtime; reach for
+    explicit salting when (a) AQE is unavailable, (b) the skew is in a
+    broadcast-ineligible right side, or (c) you need a deterministic
+    layout for a downstream co-partitioned op. 100 TB note: salt ~
+    (hot-key rows / target partition rows), not "big number" — each
+    increment multiplies the right side's shuffle volume.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    sc = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lsalted = left.withColumn("_salt", sc)
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lsalted.join(rsalted, [key, "_salt"], how)
+    return out.drop("_salt")

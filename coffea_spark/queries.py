@@ -1978,6 +1978,73 @@ FROM t, m
 """
 
 
+def q_hist3d(spark, sf_dir):
+    """N-dimensional histogram fill (hist.histnd — the general hist.Hist
+    analog): 3 regular axes, sparse by construction (only occupied
+    bucket tuples exist; the shuffle carries bucket ids, not data)."""
+    from coffea_spark.hist import histnd
+
+    li = _t(spark, sf_dir, "lineitem")
+    h = histnd(
+        li,
+        axes=[
+            ("l_quantity", 10, 0.0, 50.0),
+            ("l_discount", 5, 0.0, 0.1),
+            ("l_extendedprice", 20, 0.0, 80000.0),
+        ],
+        weight=F.col("l_extendedprice"),
+    )
+    return h.select(
+        "bin0", "bin1", "bin2", "n",
+        F.round("sumw", 2).alias("sumw"),
+        F.round("sumw2", 2).alias("sumw2"),
+    )
+
+
+SQL_HIST3D = """
+SELECT
+  CASE WHEN l_quantity < 0 THEN -1 WHEN l_quantity >= 50 THEN 10
+       ELSE CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT) END AS bin0,
+  CASE WHEN l_discount < 0 THEN -1 WHEN l_discount >= 0.1 THEN 5
+       ELSE CAST(floor((l_discount - 0.0) / 0.02) AS BIGINT) END AS bin1,
+  CASE WHEN l_extendedprice < 0 THEN -1 WHEN l_extendedprice >= 80000 THEN 20
+       ELSE CAST(floor((l_extendedprice - 0.0) / 4000.0) AS BIGINT) END AS bin2,
+  count(*) AS n,
+  round(sum(l_extendedprice), 2) AS sumw,
+  round(sum(l_extendedprice * l_extendedprice), 2) AS sumw2
+FROM lineitem GROUP BY 1, 2, 3
+"""
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (joins.salted_join): identical results to
+    the plain join, hot keys scattered across salt replicas. The oracle
+    is the UNSALTED join — proving salting is result-invariant."""
+    from coffea_spark.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(li, orders, "o_orderkey", salt=8, how="inner")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2039,4 +2106,6 @@ REGISTRY: dict[str, Query] = {
     "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
     "quantiles": Query(q_quantiles, SQL_QUANTILES),
     "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
+    "hist3d": Query(q_hist3d, SQL_HIST3D),
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
 }

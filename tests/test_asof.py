@@ -86,3 +86,33 @@ def test_asof_bad_direction(spark, frames):
     ev, quotes = frames
     with pytest.raises(ValueError, match="direction"):
         asof_join(ev, quotes, on="t", direction="sideways")
+
+
+def test_salted_join_invariant(spark):
+    """salted_join == plain join for inner and left joins."""
+    from coffea_spark.joins import salted_join
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    # right side missing some keys -> exercises unmatched-left behavior
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter("o_orderkey % 3 != 0")
+        .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.k, r.l_extendedprice, r.o_orderpriority)
+            for r in li.join(orders, "k", how).collect()
+        )
+        salted = sorted(
+            (r.k, r.l_extendedprice, r.o_orderpriority)
+            for r in salted_join(li, orders, "k", salt=4, how=how).collect()
+        )
+        assert plain == salted, how
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(li, orders, "k", how="full")

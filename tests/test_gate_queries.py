@@ -29,6 +29,8 @@ NEW_ORACLE_QUERIES = [
     "asof_operator",
     "quantiles",
     "triples_metric",
+    "hist3d",
+    "salted_join",
 ]
 
 

@@ -55,3 +55,34 @@ def test_hist2d(spark):
     for r in rows:
         got[r["xbin"], r["ybin"]] = r["sumw"]
     assert np.allclose(got, expected)
+
+
+def test_histnd_matches_hist2d(spark):
+    """histnd with 2 axes == hist2d bucket-for-bucket."""
+    from coffea_spark.hist import hist2d, histnd
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    h2 = {
+        (r.xbin, r.ybin): (r.sumw, r.n)
+        for r in hist2d(li, "l_quantity", "l_discount", 10, 0, 50, 5, 0, 0.1).collect()
+    }
+    hn = {
+        (r.bin0, r.bin1): (r.sumw, r.n)
+        for r in histnd(li, [("l_quantity", 10, 0, 50), ("l_discount", 5, 0, 0.1)]).collect()
+    }
+    assert h2 == hn
+
+
+def test_histnd_flow_and_by(spark):
+    from coffea_spark.hist import histnd
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    h = histnd(
+        li, [("l_quantity", 4, 10.0, 40.0)], by=["l_returnflag"], flow=False
+    ).collect()
+    assert all(0 <= r.bin0 < 4 for r in h)
+    assert {r.l_returnflag for r in h} == {"A", "N", "R"}
+    total_in_range = li.filter("l_quantity >= 10 and l_quantity < 40").count()
+    assert sum(r.n for r in h) == total_in_range
