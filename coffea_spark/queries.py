@@ -2045,6 +2045,162 @@ GROUP BY 1
 """
 
 
+def q_deep_children(spark, sf_dir):
+    """distinctChildrenDeep (reference kernel transforms.py:302-431):
+    transitive children reached through same-pdg chains, emitted at the
+    first pdg change — the irregular recursion runs as an Arrow-batched
+    pandas UDF per event; the oracle replays it with a recursive CTE."""
+    from coffea_spark.genealogy import MOTHER, distinct_children_deep_idx
+
+    orders = _order_items(spark, sf_dir)
+    parts = F.transform(
+        "items",
+        lambda x, i: F.struct(
+            (x["l_suppkey"] % 7).cast("int").alias("pdgId"),
+            F.when(i == 0, F.lit(-1))
+            .otherwise(F.floor((i - 1) / 2))
+            .cast("int")
+            .alias(MOTHER),
+        ),
+    )
+    gp = orders.select(parts.alias("gp"))
+    deep = distinct_children_deep_idx(F.col("gp"))
+    n_pairs = F.aggregate(deep, F.lit(0), lambda a, ks: a + F.size(ks))
+    sum_pdg = F.aggregate(
+        F.flatten(deep),
+        F.lit(0).cast("long"),
+        lambda a, j: a + F.element_at(F.col("gp"), j + 1)["pdgId"],
+    )
+    n_nonempty = F.size(F.filter(deep, lambda ks: F.size(ks) > 0))
+    return gp.select(
+        n_pairs.alias("np"), sum_pdg.alias("sp"), n_nonempty.alias("ne")
+    ).agg(
+        F.sum("np").alias("n_deep_pairs"),
+        F.sum("sp").alias("sum_deep_pdg"),
+        F.sum("ne").alias("n_parents_with_deep"),
+    )
+
+
+SQL_DEEP_CHILDREN = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT l_orderkey AS ok, rn, CAST(l_suppkey % 7 AS INT) AS pdg,
+         CASE WHEN rn = 0 THEN -1 ELSE CAST(floor((rn - 1) / 2) AS INT) END AS mom
+  FROM (
+    SELECT l_orderkey, l_suppkey,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_quantity,
+                                       l_extendedprice, l_discount, l_suppkey) - 1 AS rn
+    FROM lineitem
+  )
+),
+walk AS (
+  SELECT a.ok, a.rn AS start_rn, a.pdg AS pdg0, a.rn AS cur FROM p a
+  UNION ALL
+  SELECT w.ok, w.start_rn, w.pdg0, c.rn
+  FROM walk w JOIN p c ON c.ok = w.ok AND c.mom = w.cur AND c.pdg = w.pdg0
+),
+emitted AS (
+  SELECT w.ok, w.start_rn, c.rn AS child_rn, c.pdg
+  FROM walk w JOIN p c ON c.ok = w.ok AND c.mom = w.cur AND c.pdg <> w.pdg0
+)
+SELECT
+  (SELECT count(*) FROM emitted) AS n_deep_pairs,
+  (SELECT sum(pdg) FROM emitted) AS sum_deep_pdg,
+  (SELECT count(DISTINCT (ok, start_rn)) FROM emitted) AS n_parents_with_deep
+"""
+
+
+def q_stream_cutflow(spark, sf_dir):
+    """Streaming cutflow (streaming.windowed_cutflow): the
+    PackedSelection conditional-agg pass over event-time windows,
+    complete-mode memory sink — oracle-checked like the batch form."""
+    from coffea_spark.streaming import windowed_cutflow
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_cutflow(
+        stream,
+        {"mid": F.col("value") > 50.0, "high": F.col("value") > 200.0},
+        ts_col="ts", window="6 hours", watermark="12 hours",
+    )
+    qname = "stream_cutflow_gate"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window.start").cast("long").alias("wstart"),
+        "initial", "onecut_mid", "cutflow_mid", "onecut_high", "cutflow_high",
+    )
+
+
+SQL_STREAM_CUTFLOW = """
+SELECT CAST(epoch(to_timestamp(floor(epoch(ts) / 21600) * 21600)) AS BIGINT) AS wstart,
+       count(*) AS initial,
+       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS onecut_mid,
+       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS cutflow_mid,
+       sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS onecut_high,
+       sum(CASE WHEN value > 50.0 AND value > 200.0 THEN 1 ELSE 0 END) AS cutflow_high
+FROM events GROUP BY 1
+"""
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Streaming session windows (streaming.sessionized,
+    F.session_window 30-min gap) — checked against the relational
+    lag-based island oracle with EXACT (fractional-second) gap
+    comparison; a session closes when the next event is >= gap after
+    the last (session_window end is exclusive)."""
+    from coffea_spark.streaming import sessionized
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = sessionized(stream, key="user_id", ts_col="ts", gap="30 minutes",
+                      watermark="1 hour")
+    qname = "stream_sessions_gate"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("session_window.start").cast("long").alias("sstart"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800.0
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sstart,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2108,4 +2264,7 @@ REGISTRY: dict[str, Query] = {
     "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
     "hist3d": Query(q_hist3d, SQL_HIST3D),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
+    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
+    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
 }

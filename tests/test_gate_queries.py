@@ -31,6 +31,9 @@ NEW_ORACLE_QUERIES = [
     "triples_metric",
     "hist3d",
     "salted_join",
+    "deep_children",
+    "stream_cutflow",
+    "stream_sessions",
 ]
 
 
