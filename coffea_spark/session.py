@@ -53,14 +53,15 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        # 512m JIT code cache: a long session compiles hundreds of large
+        # 1g JIT code cache: a long session compiles hundreds of large
         # whole-stage-codegen classes; when the default 240m cache fills,
         # the JVM stops JIT-compiling and expression-heavy queries run
-        # interpreted (measured 3-5x slowdowns late in a 50-query bench)
+        # interpreted (measured 3-5x slowdowns late in a 50-query bench;
+        # 512m still showed occasional late-query outliers at 55 queries)
         .config(
             "spark.driver.extraJavaOptions",
             "-Dio.netty.tryReflectionSetAccessible=true "
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
     )
     for k, v in (extra_conf or {}).items():
