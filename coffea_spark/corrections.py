@@ -163,10 +163,16 @@ class CorrectedJetsFactory:
 def corrected_polar_met(
     met_pt: Column, met_phi: Column, jets: Column,
     pt_old_field: str = "pt_orig", pt_new_field: str = "pt",
+    unclust_dx: Column | None = None, unclust_dy: Column | None = None,
 ) -> Column:
     """Propagate jet corrections into MET (reference corrected_polar_met,
     CorrectedMETFactory.py:7-20): subtract the vector delta of every
-    jet's (new - old) pt from the MET 2-vector. One aggregate HOF."""
+    jet's (new - old) pt from the MET 2-vector. One aggregate HOF.
+
+    With ``unclust_dx/dy`` (the MetUnclustEnUpDelta vector) the result
+    also carries the ±unclustered-energy variations
+    (reference CorrectedMETFactory.build:66-212):
+    ``pt_unclust_up/phi_unclust_up`` and ``..._down``."""
     zero = F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("y"))
     delta = F.aggregate(
         jets,
@@ -178,9 +184,19 @@ def corrected_polar_met(
     )
     mx = met_pt * F.cos(met_phi) - delta["x"]
     my = met_pt * F.sin(met_phi) - delta["y"]
-    return F.struct(
+    fields = [
         F.sqrt(mx * mx + my * my).alias("pt"), F.atan2(my, mx).alias("phi")
-    )
+    ]
+    if unclust_dx is not None and unclust_dy is not None:
+        ux, uy = mx + unclust_dx, my + unclust_dy
+        dx2, dy2 = mx - unclust_dx, my - unclust_dy
+        fields += [
+            F.sqrt(ux * ux + uy * uy).alias("pt_unclust_up"),
+            F.atan2(uy, ux).alias("phi_unclust_up"),
+            F.sqrt(dx2 * dx2 + dy2 * dy2).alias("pt_unclust_down"),
+            F.atan2(dy2, dx2).alias("phi_unclust_down"),
+        ]
+    return F.struct(*fields)
 
 
 class BTagScaleFactor:

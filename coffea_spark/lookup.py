@@ -177,3 +177,40 @@ def _substitute(formula: str, x: Column) -> Column:
         raise ValueError(f"unsupported syntax: {ast.dump(node)}")
 
     return build(ast.parse(formula.replace("^", "**"), mode="eval"))
+
+
+def extractor(path: str):
+    """Load correction tables from a JSON file into lookup objects
+    (reference: lookup_tools.extractor + json_converters — json-only
+    here, the format the reference's converters normalize into).
+
+    Schema: {"corrections": [
+      {"name": ..., "type": "dense",   "bins": [edges...] | [[e0..],[e1..]],
+       "values": nested-list},
+      {"name": ..., "type": "formula", "bins": [edges...],
+       "formulas": ["1.0 + 2.0/sqrt(x)", ...]}
+    ]}
+    Returns {name: DenseLookup | FormulaLookup}.
+    """
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    out = {}
+    for c in doc.get("corrections", []):
+        name, kind = c["name"], c["type"]
+        if name in out:
+            raise ValueError(f"duplicate correction name {name!r}")
+        if kind == "dense":
+            bins = c["bins"]
+            if bins and not isinstance(bins[0], (list, tuple)):
+                bins = [bins]
+            out[name] = DenseLookup(
+                np.asarray(c["values"], dtype=float),
+                [np.asarray(b, dtype=float) for b in bins],
+            )
+        elif kind == "formula":
+            out[name] = FormulaLookup(list(c["formulas"]), np.asarray(c["bins"], dtype=float))
+        else:
+            raise ValueError(f"unknown correction type {kind!r} for {name!r}")
+    return out

@@ -154,3 +154,74 @@ def test_lumidata_and_lumilist(spark, nano, nano_rows):
     assert ll.count() == len(pairs)
     merged = ll + ll
     assert merged.count() == len(pairs)
+
+
+def test_json_extractor(spark, tmp_path):
+    """reference extractor pattern: corrections loaded from JSON apply
+    identically to directly-constructed lookups."""
+    import json
+
+    from coffea_spark.lookup import extractor
+
+    doc = {
+        "corrections": [
+            {"name": "sf2d", "type": "dense",
+             "bins": [[0.0, 1.0, 2.0], [0.0, 10.0, 20.0, 30.0]],
+             "values": [[1.1, 1.2, 1.3], [0.9, 0.8, 0.7]]},
+            {"name": "jec", "type": "formula", "bins": [0.0, 1.0, 2.0],
+             "formulas": ["1.0 + 1.0/sqrt(x)", "2.0 - 0.5*x"]},
+        ]
+    }
+    p = tmp_path / "corr.json"
+    p.write_text(json.dumps(doc))
+    lk = extractor(str(p))
+    assert set(lk) == {"sf2d", "jec"}
+    df = spark.createDataFrame(
+        [(0.5, 15.0), (1.5, 25.0), (5.0, -3.0)], "eta double, pt double"
+    )
+    r = df.select(
+        lk["sf2d"](F.col("eta"), F.col("pt")).alias("sf"),
+        lk["jec"](F.col("eta"), F.col("pt")).alias("c"),
+    ).collect()
+    # row 3 clamps: eta=5.0 -> last eta bin, pt=-3.0 -> first pt bin
+    assert [x.sf for x in r] == [1.2, 0.7, 0.9]
+    assert abs(r[0].c - (1.0 + 1.0 / 15.0**0.5)) < 1e-12
+    assert abs(r[1].c - (2.0 - 0.5 * 25.0)) < 1e-12
+    # error paths
+    import pytest
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"corrections": [{"name": "x", "type": "nope"}]}))
+    with pytest.raises(ValueError, match="unknown correction type"):
+        extractor(str(bad))
+    dup = tmp_path / "dup.json"
+    dup.write_text(json.dumps({"corrections": [
+        {"name": "x", "type": "formula", "bins": [0, 1], "formulas": ["x"]},
+        {"name": "x", "type": "formula", "bins": [0, 1], "formulas": ["x"]},
+    ]}))
+    with pytest.raises(ValueError, match="duplicate"):
+        extractor(str(dup))
+
+
+def test_met_unclustered_variations(spark):
+    """MET unclustered-energy up/down: |met ± u| with phi consistent."""
+    import math
+
+    from coffea_spark.corrections import corrected_polar_met
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        F.array(
+            F.struct(F.lit(10.0).alias("pt_orig"), F.lit(12.0).alias("pt"),
+                     F.lit(0.0).alias("phi"))
+        ).alias("jets")
+    )
+    met = corrected_polar_met(
+        F.lit(50.0), F.lit(0.0), F.col("jets"),
+        unclust_dx=F.lit(3.0), unclust_dy=F.lit(4.0),
+    )
+    r = df.select(met.alias("m")).collect()[0].m
+    # met_x = 50 - 2 = 48, met_y = 0
+    assert abs(r["pt"] - 48.0) < 1e-12
+    assert abs(r["pt_unclust_up"] - math.hypot(51.0, 4.0)) < 1e-12
+    assert abs(r["pt_unclust_down"] - math.hypot(45.0, -4.0)) < 1e-12
+    assert abs(r["phi_unclust_up"] - math.atan2(4.0, 51.0)) < 1e-12
