@@ -2201,6 +2201,96 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q_masked_filter(spark, sf_dir):
+    """Null-preserving object mask (reference ak.mask: keep the array
+    shape, null out failures — SURVEY §2.3): prove shape preservation
+    and that downstream reductions skip nulls exactly like the oracle's
+    CASE WHEN."""
+    orders = _order_items(spark, sf_dir)
+    masked = F.transform(
+        "items", lambda x: F.when(x["l_quantity"] > 25.0, x)
+    )
+    return orders.select(
+        F.size("items").alias("sz"),
+        F.size(masked).alias("msz"),
+        F.size(F.filter(masked, lambda x: x.isNotNull())).alias("kept"),
+        F.aggregate(
+            F.filter(masked, lambda x: x.isNotNull()),
+            F.lit(0.0),
+            lambda a, x: a + x["l_extendedprice"],
+        ).alias("sump"),
+    ).agg(
+        F.sum((F.col("sz") == F.col("msz")).cast("int")).alias("n_shape_kept"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("kept").alias("n_passing"),
+        F.round(F.sum("sump"), 2).alias("sum_passing_price"),
+    )
+
+
+SQL_MASKED_FILTER = """
+SELECT count(DISTINCT l_orderkey) AS n_shape_kept,
+       count(DISTINCT l_orderkey) AS n_orders,
+       sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS n_passing,
+       round(sum(CASE WHEN l_quantity > 25.0 THEN l_extendedprice END), 2)
+         AS sum_passing_price
+FROM lineitem
+"""
+
+
+def q_range_gather(spark, sf_dir):
+    """Begin/end range-based relation resolution (reference EDM4HEP
+    begin_end_mapping, transforms.py:647-998): each object carries a
+    [begin, end) index range into a flat per-event collection;
+    F.sequence + element_at gather — native HOFs, no UDF, no shuffle."""
+    orders = _order_items(spark, sf_dir)
+    items = F.col("items")
+    n = F.size(items)
+    # synthetic ranges: object k covers items [k, min(k+2, n))
+    ranged = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda k: F.struct(
+            k.alias("begin"), F.least(k + 2, n).alias("end")
+        ),
+    )
+    gathered = F.transform(
+        ranged,
+        lambda r: F.transform(
+            F.sequence(r["begin"], r["end"] - 1),
+            lambda i: F.element_at(items, i + 1)["l_extendedprice"],
+        ),
+    )
+    return orders.select(
+        F.aggregate(
+            F.flatten(gathered), F.lit(0.0), lambda a, p: a + p
+        ).alias("sp"),
+        F.aggregate(
+            gathered, F.lit(0), lambda a, g: a + F.size(g)
+        ).alias("ng"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("ng").alias("n_gathered"),
+        F.round(F.sum("sp"), 2).alias("sum_gathered_price"),
+    )
+
+
+SQL_RANGE_GATHER = """
+-- object k of an order covers item positions [k, min(k+2, n)):
+-- every item is gathered once for itself and once by the previous
+-- object (if any) => multiplicity 2 except position 0 (once).
+WITH s AS MATERIALIZED (
+  SELECT l_orderkey AS ok, l_extendedprice AS price,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity,
+                                     l_extendedprice, l_discount, l_suppkey) - 1 AS rn
+  FROM lineitem
+)
+SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
+       (SELECT sum(CASE WHEN rn = 0 THEN 1 ELSE 2 END) FROM s) AS n_gathered,
+       (SELECT round(sum(price * (CASE WHEN rn = 0 THEN 1 ELSE 2 END)), 2) FROM s)
+         AS sum_gathered_price
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2267,4 +2357,6 @@ REGISTRY: dict[str, Query] = {
     "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
+    "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
+    "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
 }

@@ -34,6 +34,8 @@ NEW_ORACLE_QUERIES = [
     "deep_children",
     "stream_cutflow",
     "stream_sessions",
+    "masked_filter",
+    "range_gather",
 ]
 
 
