@@ -26,13 +26,19 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
-    for name, q in REGISTRY.items():
+    for i, (name, q) in enumerate(REGISTRY.items()):
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
         # drop caches a query pinned (e.g. shared minhash signatures) so
         # storage memory doesn't accumulate across unrelated queries
         spark.catalog.clearCache()
+        if (i + 1) % 10 == 0:
+            # broadcast/shuffle state is only reclaimed by the
+            # ContextCleaner on driver GC, which a large heap rarely
+            # triggers on its own — nudge it so dozens of accumulated
+            # broadcasts don't degrade later queries
+            spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "total_query_wall",
