@@ -143,3 +143,76 @@ def knn_join_blocked(
         .filter(F.col("rank") <= k)
         .select(F.col("_lid").alias(id_left), F.col("_rid").alias(id_right), "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the trained coarse quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer (k-means centroids) with Spark ML.
+    Returns (n_lists, dim) float64 centroids. At 100 TB: train on a
+    sample (`df.sample(...)`) — centroid quality converges long before
+    the full corpus is seen."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||")
+    model = km.fit(feats)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """List id = argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v.c) — pure
+    column math against literal centroid arrays (no UDF, no shuffle).
+
+    The argmin is array_min over (distance, id) structs — NOT a chained
+    when/otherwise fold, which references the running best twice per
+    level and doubles the expression tree each centroid (2^n_lists
+    nodes stalls the analyzer)."""
+    entries = F.array(
+        *[
+            F.struct(
+                (F.lit(float(centroids[i] @ centroids[i])) - 2.0 * dot(vec, _lit_vec(centroids[i]))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i in range(centroids.shape[0])
+        ]
+    )
+    return F.array_min(entries)["i"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` lists whose centroids are
+    nearest the query, exact cosine inside them. The list-id filter is
+    column math, so Catalyst pushes the candidate restriction into the
+    scan stage; recall is tuned by n_probe, cost ~ n_probe/n_lists of
+    brute force. Assumes list ids were precomputed OR computes them
+    inline (precompute + partitionBy(list_id) at scale)."""
+    q = np.asarray(query, dtype=float)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    lid = ivf_assign(F.col(vec_col), centroids)
+    sim = F.round(cosine(F.col(vec_col), _lit_vec(query)), 6)
+    return (
+        df.withColumn("_list", lid)
+        .filter(F.col("_list").isin(probe))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

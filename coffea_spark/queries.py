@@ -2291,6 +2291,20 @@ SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF similarity search (trained coarse quantizer — the other
+    100 TB ANN path besides hyperplane LSH): Spark-ML k-means centroids,
+    list assignment as pure column math, n_probe nearest lists searched
+    exactly. Rows-only: k-means is iterative (not SQL-expressible), but
+    the output is deterministic for the fixed seed."""
+    from coffea_spark.llmdata.similarity import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_lists=16, seed=42)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(emb, query, cents, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2359,4 +2373,5 @@ REGISTRY: dict[str, Query] = {
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
     "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
+    "ivf_topk": Query(q_ivf_topk, None),
 }

@@ -143,3 +143,33 @@ def test_real_decoder_raises(spark):
 
     with pytest.raises(NotImplementedError):
         real_image_decoder(b"abc")
+
+
+def test_ivf_topk_recall(spark):
+    """IVF: assignments partition the corpus; full-probe search == brute
+    force exactly; low-probe search keeps high recall at a fraction of
+    the candidates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from coffea_spark.llmdata.similarity import (
+        ivf_assign, ivf_topk, ivf_train, topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb, n_lists=4, seed=42, max_iter=5)
+    assert cents.shape[0] == 4
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+    # partition property: every vector gets exactly one list in [0, 8)
+    lists = emb.select(ivf_assign(F.col("embedding"), cents).alias("l")).collect()
+    assert all(0 <= r.l < 4 for r in lists)
+
+    brute = [(r.vec_id, r.cosine) for r in topk_cosine(emb, query, k=10).collect()]
+    full = [(r.vec_id, r.cosine)
+            for r in ivf_topk(emb, query, cents, k=10, n_probe=4).collect()]
+    assert brute == full  # probing every list == exact
+
+    part = [r.vec_id for r in ivf_topk(emb, query, cents, k=10, n_probe=1).collect()]
+    recall = len(set(part) & {v for v, _ in brute}) / 10.0
+    assert recall >= 0.3, recall  # deterministic given fixed seed/data
