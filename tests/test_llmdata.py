@@ -173,3 +173,22 @@ def test_ivf_topk_recall(spark):
     part = [r.vec_id for r in ivf_topk(emb, query, cents, k=10, n_probe=1).collect()]
     recall = len(set(part) & {v for v, _ in brute}) / 10.0
     assert recall >= 0.3, recall  # deterministic given fixed seed/data
+
+
+def test_simhash_exploded_equals_column_form(spark):
+    """simhash_exploded (shuffle-shaped) and simhash64 (per-row column
+    fold) must produce identical fingerprints, incl. empty docs -> 0."""
+    from pyspark.sql import functions as F
+
+    from coffea_spark.llmdata.dedup import simhash64, simhash_exploded
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, "one token")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    col_form = {r.doc_id: r.h for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("h")).collect()}
+    expl_form = {r.doc_id: r.simhash for r in simhash_exploded(docs).collect()}
+    assert col_form == expl_form
