@@ -283,12 +283,12 @@ def q_cutflow(spark, sf_dir):
 
 SQL_CUTFLOW = """
 SELECT count(*) AS initial,
-       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS onecut_big_qty,
-       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS cutflow_big_qty,
-       sum(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END) AS onecut_low_disc,
-       sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS cutflow_low_disc,
-       sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS onecut_returned,
-       sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS cutflow_returned
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS onecut_big_qty,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS cutflow_big_qty,
+       CAST(sum(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS onecut_low_disc,
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS cutflow_low_disc,
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS onecut_returned,
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cutflow_returned
 FROM lineitem
 """
 
@@ -309,10 +309,10 @@ def q_nminusone(spark, sf_dir):
 
 SQL_NMINUSONE = """
 SELECT count(*) AS initial,
-       sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS nminusone_big_qty,
-       sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS nminusone_low_disc,
-       sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS nminusone_returned,
-       sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS all_cuts
+       CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nminusone_big_qty,
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nminusone_low_disc,
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS nminusone_returned,
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS all_cuts
 FROM lineitem
 """
 
@@ -353,7 +353,7 @@ def q_jagged_filter(spark, sf_dir):
 SQL_JAGGED_FILTER = """
 SELECT n_big, count(*) AS n_orders
 FROM (
-  SELECT l_orderkey, sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big
+  SELECT l_orderkey, CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
   FROM lineitem GROUP BY l_orderkey
 ) GROUP BY n_big
 """
@@ -426,7 +426,7 @@ WITH li AS MATERIALIZED (
   FROM lineitem
 )
 SELECT count(*) AS n_pairs,
-       sum(CASE WHEN a.l_suppkey <> b.l_suppkey THEN 1 ELSE 0 END) AS n_diff_supp_pairs,
+       CAST(sum(CASE WHEN a.l_suppkey <> b.l_suppkey THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_supp_pairs,
        round(sum(abs(a.l_extendedprice - b.l_extendedprice)), 2) AS sum_price_gap
 FROM li a JOIN li b
   ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
@@ -520,7 +520,7 @@ def q_sessionize(spark, sf_dir):
 
 
 SQL_SESSIONIZE = """
-SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          -- floor(epoch(..)) mirrors Spark's timestamp.cast(long) truncation
@@ -630,7 +630,7 @@ WITH u AS (
   FROM u
 )
 SELECT event_type, count(*) AS n_events,
-       sum(CASE WHEN last_order IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+       CAST(sum(CASE WHEN last_order IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
        -- floor, not CAST: duckdb CAST(double->bigint) ROUNDS, while Spark's
        -- timestamp.cast(long) truncates sub-second parts
        round(avg(CAST(floor(epoch(t)) AS BIGINT) - CAST(floor(epoch(last_order)) AS BIGINT)), 4) AS avg_gap_s
@@ -718,7 +718,7 @@ def q_running_window(spark, sf_dir):
 
 SQL_RUNNING_WINDOW = """
 SELECT l_suppkey, round(max(tot), 2) AS total_qty,
-       sum(CASE WHEN run * 2 <= tot THEN 1 ELSE 0 END) AS n_first_half
+       CAST(sum(CASE WHEN run * 2 <= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_first_half
 FROM (
   SELECT l_suppkey,
          sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -954,7 +954,7 @@ WITH tok AS MATERIALIZED (
   GROUP BY 1, 2
 )
 SELECT count(*) AS n_pairs,
-       sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS n_dupes,
+       CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
        round(avg(j), 6) AS avg_jaccard
 FROM (
   SELECT ninter / (sa.sz + sb.sz - ninter) AS j
@@ -1355,9 +1355,9 @@ SELECT
   (SELECT count(*) FROM p) AS n_particles,
   (SELECT count(*) FROM p WHERE mom < 0) AS n_roots,
   (SELECT count(*) FROM p WHERE mom >= 0) AS n_children,
-  (SELECT sum(a.pdg) FROM p a JOIN p b ON a.ok = b.ok AND a.mom = b.rn) AS sum_child_pdg,
+  (SELECT CAST(sum(a.pdg) AS BIGINT) FROM p a JOIN p b ON a.ok = b.ok AND a.mom = b.rn) AS sum_child_pdg,
   (SELECT count(*) FROM dp WHERE cur >= 0) AS n_distinct_parent,
-  (SELECT sum(dp_pdg) FROM dp WHERE cur >= 0) AS sum_dp_pdg
+  (SELECT CAST(sum(dp_pdg) AS BIGINT) FROM dp WHERE cur >= 0) AS sum_dp_pdg
 """
 
 
@@ -1784,7 +1784,7 @@ SELECT count(*) AS n,
        round(sum(l_extendedprice), 2) AS sum_nom,
        round(sum(l_extendedprice * 1.02), 2) AS sum_up,
        round(sum(l_extendedprice * 0.98), 2) AS sum_down,
-       sum(CASE WHEN
+       CAST(sum(CASE WHEN
              (CASE WHEN l_extendedprice * 1.02 < 0 THEN -1
                    WHEN l_extendedprice * 1.02 >= 80000 THEN 40
                    ELSE CAST(floor(l_extendedprice * 1.02 / 2000.0) AS BIGINT) END)
@@ -1792,7 +1792,7 @@ SELECT count(*) AS n,
              (CASE WHEN l_extendedprice < 0 THEN -1
                    WHEN l_extendedprice >= 80000 THEN 40
                    ELSE CAST(floor(l_extendedprice / 2000.0) AS BIGINT) END)
-           THEN 1 ELSE 0 END) AS n_migrated
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_migrated
 FROM lineitem
 """
 
@@ -1962,8 +1962,8 @@ muons AS MATERIALIZED (SELECT ok, price FROM s WHERE qty <= 25),
 t AS (
   SELECT count(*) AS n_triples,
          round(sum(greatest(a.price, b.price, c.price)), 2) AS sum_max_price,
-         sum(CASE WHEN a.supp <> b.supp AND a.supp <> c.supp AND b.supp <> c.supp
-                  THEN 1 ELSE 0 END) AS n_distinct_supp_triples
+         CAST(sum(CASE WHEN a.supp <> b.supp AND a.supp <> c.supp AND b.supp <> c.supp
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_supp_triples
   FROM jets a
   JOIN jets b ON a.ok = b.ok AND a.rn < b.rn
   JOIN jets c ON b.ok = c.ok AND b.rn < c.rn
@@ -2105,7 +2105,7 @@ emitted AS (
 )
 SELECT
   (SELECT count(*) FROM emitted) AS n_deep_pairs,
-  (SELECT sum(pdg) FROM emitted) AS sum_deep_pdg,
+  (SELECT CAST(sum(pdg) AS BIGINT) FROM emitted) AS sum_deep_pdg,
   (SELECT count(DISTINCT (ok, start_rn)) FROM emitted) AS n_parents_with_deep
 """
 
@@ -2142,10 +2142,10 @@ def q_stream_cutflow(spark, sf_dir):
 SQL_STREAM_CUTFLOW = """
 SELECT CAST(epoch(to_timestamp(floor(epoch(ts) / 21600) * 21600)) AS BIGINT) AS wstart,
        count(*) AS initial,
-       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS onecut_mid,
-       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS cutflow_mid,
-       sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS onecut_high,
-       sum(CASE WHEN value > 50.0 AND value > 200.0 THEN 1 ELSE 0 END) AS cutflow_high
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS onecut_mid,
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS cutflow_mid,
+       CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS onecut_high,
+       CAST(sum(CASE WHEN value > 50.0 AND value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS cutflow_high
 FROM events GROUP BY 1
 """
 
@@ -2230,7 +2230,7 @@ def q_masked_filter(spark, sf_dir):
 SQL_MASKED_FILTER = """
 SELECT count(DISTINCT l_orderkey) AS n_shape_kept,
        count(DISTINCT l_orderkey) AS n_orders,
-       sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS n_passing,
+       CAST(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_passing,
        round(sum(CASE WHEN l_quantity > 25.0 THEN l_extendedprice END), 2)
          AS sum_passing_price
 FROM lineitem
@@ -2285,7 +2285,7 @@ WITH s AS MATERIALIZED (
   FROM lineitem
 )
 SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
-       (SELECT sum(CASE WHEN rn = 0 THEN 1 ELSE 2 END) FROM s) AS n_gathered,
+       (SELECT CAST(sum(CASE WHEN rn = 0 THEN 1 ELSE 2 END) AS BIGINT) FROM s) AS n_gathered,
        (SELECT round(sum(price * (CASE WHEN rn = 0 THEN 1 ELSE 2 END)), 2) FROM s)
          AS sum_gathered_price
 """

@@ -68,7 +68,25 @@ def main():
         ores = con.execute(q.oracle)
         orows = ores.fetchall()
         ocols = [d[0] for d in ores.description]
+        # DuckDB types untyped integer aggregates as HUGEINT (int128);
+        # the driver's typed value-hash sees int128 != Spark int64 even
+        # when values agree (round-1 lesson: 11 spurious hash fails).
+        # duckdb's DB-API description maps HUGEINT/DECIMAL to type_code
+        # 'NUMBER' same as BIGINT, so re-DESCRIBE the query for SQL types.
+        otypes = {
+            r[0]: r[1]
+            for r in con.execute(f"DESCRIBE {q.oracle}").fetchall()
+        }
         status = []
+        bad_types = [
+            f"{c}:{t}" for c, t in otypes.items()
+            if "HUGEINT" in t or "DECIMAL" in t
+        ]
+        if bad_types:
+            status.append(
+                "ORACLE-TYPE " + ",".join(bad_types)
+                + " (wrap in CAST(... AS BIGINT/DOUBLE))"
+            )
         if sorted(scols) != sorted(ocols):
             status.append(f"SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
