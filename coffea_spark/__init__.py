@@ -27,6 +27,7 @@ from coffea_spark.schema import (
     infer_collection_groups,
 )
 from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
+from coffea_spark.nanoevents import Collection, NanoEvents, Record
 from coffea_spark.selection import PackedSelection
 from coffea_spark.weights import Weights
 
@@ -35,6 +36,9 @@ __all__ = [
     "zip_collections",
     "unzip_collection",
     "infer_collection_groups",
+    "NanoEvents",
+    "Collection",
+    "Record",
     "Hist1D",
     "Hist2D",
     "hist1d",

@@ -1,0 +1,356 @@
+"""NanoEvents-style object API: ``events.Muon.pt``, ``muons.nearest(jets)``.
+
+The reference binds physics behaviors to awkward record types at read time
+(nanoevents/factory.py:267-480 builds the lazy event tree; behaviors in
+methods/nanoaod.py:113-723 and methods/vector.py:479-561 give collections
+methods like ``nearest``/``metric_table`` and properties like ``px``).
+
+Spark Columns carry no behaviors, so this module provides thin proxy
+classes over Column expressions instead:
+
+- :class:`NanoEvents` wraps a DataFrame whose columns are collections
+  (``array<struct>`` per event) — attribute access yields proxies.
+- :class:`Collection` wraps one ``array<struct>`` Column; attribute access
+  yields member arrays (``muons.pt``); kinematic properties that the
+  NanoAOD layout doesn't store (``px``, ``energy``, ...) are computed on
+  the fly; methods dispatch to :mod:`coffea_spark.joins` /
+  :mod:`coffea_spark.vector`.
+- :class:`Record` wraps one struct (an element inside a HOF lambda, or a
+  simple collection like ``MET``) with the same surface at element level.
+
+Everything remains a pure Catalyst expression: the proxies build Columns,
+never execute, so whole-stage codegen and nested-schema pruning are
+unaffected — ``events.Muon.pt`` compiles to the same plan as
+``F.col("Muon.pt")``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coffea_spark import joins as _joins
+from coffea_spark import vector as vec
+from coffea_spark.schema import zip_collections
+
+__all__ = ["NanoEvents", "Collection", "Record"]
+
+# kinematic properties computed from the PtEtaPhiM layout (reference
+# methods/vector.py:145-470 property definitions)
+_COMPUTED = {
+    "px": vec.px,
+    "py": vec.py,
+    "pz": vec.pz,
+    "energy": vec.energy,
+    "p": vec.p,
+    "p2": vec.p2,
+    "theta": vec.theta,
+    "rho": vec.rho,
+}
+
+
+def _c(x) -> Column:
+    """Underlying Column of a proxy (pass Columns and literals through)."""
+    if isinstance(x, (Record, Collection)):
+        return x.c
+    return x
+
+
+class Record:
+    """Element-level proxy: one struct-typed expression (a simple
+    collection like ``MET``, a HOF lambda variable, or a combination
+    member). ``rec.pt`` is the stored field; ``rec.px`` is computed;
+    comparison/arithmetic operators build Columns."""
+
+    __slots__ = ("_x",)
+
+    def __init__(self, expr):
+        object.__setattr__(self, "_x", expr)
+
+    @property
+    def c(self):
+        """The wrapped expression (Column or HOF lambda variable)."""
+        return self._x
+
+    def __getitem__(self, field: str):
+        # plain expression access — lets vector.py's ``v["pt"]`` work on
+        # Records so they can be passed to any function in that module
+        return self._x[field]
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in _COMPUTED:
+            return _COMPUTED[name](self._x)
+        return Record(self._x[name])
+
+    # ---- binary vector methods (dispatch to coffea_spark.vector) ----
+    def delta_phi(self, other) -> Column:
+        return vec.delta_phi(self, other if isinstance(other, Record) else Record(other))
+
+    def delta_eta(self, other) -> Column:
+        return vec.delta_eta(self, other if isinstance(other, Record) else Record(other))
+
+    def delta_r(self, other) -> Column:
+        return vec.delta_r(self, other if isinstance(other, Record) else Record(other))
+
+    def add(self, other, with_charge: bool = False) -> "Record":
+        return Record(vec.add(self, other, with_charge=with_charge))
+
+    def invariant_mass(self, other) -> Column:
+        return vec.invariant_mass(self, other)
+
+    def scale(self, k) -> "Record":
+        return Record(vec.scale(self, k))
+
+    def negative(self) -> "Record":
+        return Record(vec.negative(self))
+
+    def isNotNull(self) -> Column:
+        return self._x.isNotNull()
+
+    def isNull(self) -> Column:
+        return self._x.isNull()
+
+    # ---- operators delegate to the wrapped expression ----
+    def __add__(self, o):  # noqa: D105
+        return self._x + _c(o)
+
+    def __radd__(self, o):
+        return _c(o) + self._x
+
+    def __sub__(self, o):
+        return self._x - _c(o)
+
+    def __rsub__(self, o):
+        return _c(o) - self._x
+
+    def __mul__(self, o):
+        return self._x * _c(o)
+
+    def __rmul__(self, o):
+        return _c(o) * self._x
+
+    def __truediv__(self, o):
+        return self._x / _c(o)
+
+    def __neg__(self):
+        return -self._x
+
+    def __abs__(self):
+        return F.abs(self._x)
+
+    def __lt__(self, o):
+        return self._x < _c(o)
+
+    def __le__(self, o):
+        return self._x <= _c(o)
+
+    def __gt__(self, o):
+        return self._x > _c(o)
+
+    def __ge__(self, o):
+        return self._x >= _c(o)
+
+    def __eq__(self, o):  # noqa: D105 — Column semantics, not identity
+        return self._x == _c(o)
+
+    def __ne__(self, o):
+        return self._x != _c(o)
+
+    def __and__(self, o):
+        return self._x & _c(o)
+
+    def __or__(self, o):
+        return self._x | _c(o)
+
+    def __invert__(self):
+        return ~self._x
+
+    __hash__ = None
+
+
+def _wrap_pred(fn: Callable) -> Callable:
+    """User lambda over Records -> HOF lambda over raw variables."""
+
+    def inner(x):
+        return _c(fn(Record(x)))
+
+    return inner
+
+
+class Collection:
+    """Proxy over an ``array<struct>`` Column: one collection per event.
+
+    ``muons.pt`` → array Column of the stored field; ``muons.px`` →
+    computed per element; methods mirror the reference collection surface
+    (methods/vector.py:479-561, methods/nanoaod.py:113-723).
+    """
+
+    __slots__ = ("_col", "_name")
+
+    def __init__(self, col: Column, name: str = "<derived>"):
+        object.__setattr__(self, "_col", col)
+        object.__setattr__(self, "_name", name)
+
+    @property
+    def c(self) -> Column:
+        """The underlying array<struct> Column."""
+        return self._col
+
+    @property
+    def count(self) -> Column:
+        """Objects per event (``ak.num`` analog)."""
+        return F.size(self._col)
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in _COMPUTED:
+            fn = _COMPUTED[name]
+            return F.transform(self._col, lambda x: fn(x))
+        # GetArrayStructFields — same plan as F.col("Muon.pt")
+        return self._col.getField(name)
+
+    def __getitem__(self, field: str) -> Column:
+        return self._col.getField(field)
+
+    # ---- restructuring ----
+    def where(self, pred: Callable) -> "Collection":
+        """Object-level filter (``jets[jets.pt > 30]`` analog): keep
+        elements where ``pred(record)`` holds; shape shrinks."""
+        return Collection(F.filter(self._col, _wrap_pred(pred)), self._name)
+
+    def mask(self, pred: Callable) -> "Collection":
+        """Null-preserving filter (``ak.mask`` analog): failing elements
+        become NULL, the array keeps its length."""
+        return Collection(
+            F.transform(self._col, lambda x: F.when(_wrap_pred(pred)(x), x)),
+            self._name,
+        )
+
+    def map(self, fn: Callable) -> Column:
+        """Per-element projection: array Column of ``fn(record)``."""
+        return F.transform(self._col, lambda x: _c(fn(Record(x))))
+
+    def sort_by(self, key: Callable, ascending: bool = True) -> "Collection":
+        """Sort objects within the event by ``key(record)`` (stable via
+        struct comparison; descending negates a numeric key)."""
+        keyed = F.transform(
+            self._col,
+            lambda x: F.struct(
+                (_c(key(Record(x))) * (1 if ascending else -1)).alias("k"),
+                x.alias("v"),
+            ),
+        )
+        return Collection(F.array_sort(keyed).getField("v"), self._name)
+
+    # ---- joins (dispatch to coffea_spark.joins — all within-event) ----
+    def combinations(self, n: int = 2, fields: list[str] | None = None) -> "Collection":
+        """Distinct n-choose-k object combinations within the event."""
+        return Collection(_joins.combinations(self._col, n, fields), f"{self._name}~{n}")
+
+    def metric_table(self, other, metric: Callable = vec.delta_r) -> Column:
+        """All-pairs metric vs another collection of the same event."""
+        return _joins.metric_table(self._col, _c(other), metric)
+
+    def nearest(
+        self,
+        other,
+        metric: Callable = vec.delta_r,
+        threshold: float | None = None,
+        return_metric: bool = False,
+    ) -> "Collection":
+        """Per object, the metric-minimizing object of ``other``."""
+        return Collection(
+            _joins.nearest(
+                self._col, _c(other), metric, threshold=threshold, return_metric=return_metric
+            ),
+            getattr(other, "_name", "<nearest>"),
+        )
+
+    def matched(self, idx_field: str, other) -> "Collection":
+        """Cross-reference FK gather: ``Muon.matched_jet`` analog —
+        per object, the element of ``other`` at this object's
+        ``idx_field`` (NULL when -1 / out of range)."""
+        return Collection(
+            _joins.matched(self._col, idx_field, _c(other)),
+            getattr(other, "_name", "<matched>"),
+        )
+
+    def matched_via(self, idx_fields: list[str], other) -> "Collection":
+        """Fixed-k nested FK gather (``Jet.matched_muons`` analog)."""
+        return Collection(
+            _joins.matched_via(self._col, idx_fields, _c(other)),
+            getattr(other, "_name", "<matched>"),
+        )
+
+    # ---- reductions (within event) ----
+    def sum(self) -> Record:
+        """Four-vector sum of the collection (``.sum()`` analog)."""
+        return Record(vec.sum_vectors(self._col))
+
+    def first(self) -> Record:
+        return Record(F.element_at(self._col, 1))
+
+    def explode(self, df: DataFrame, alias: str | None = None) -> DataFrame:
+        """Flatten to one row per object (keeps no event columns)."""
+        return df.select(F.explode(self._col).alias(alias or self._name))
+
+
+class NanoEvents:
+    """DataFrame proxy: attribute access yields collection proxies.
+
+    ``NanoEvents(df)`` expects collection-shaped columns (array<struct>
+    or struct); :meth:`from_flat` first zips flat ``Muon_pt``-style
+    branches via :func:`coffea_spark.schema.zip_collections` — the Spark
+    analog of NanoEventsFactory + NanoAODSchema
+    (nanoevents/factory.py:267-480, schemas/nanoaod.py:255-408).
+    """
+
+    __slots__ = ("_df",)
+
+    def __init__(self, df: DataFrame):
+        object.__setattr__(self, "_df", df)
+
+    @classmethod
+    def from_flat(
+        cls, df: DataFrame, collections: dict[str, list[str]] | None = None
+    ) -> "NanoEvents":
+        return cls(zip_collections(df, collections))
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def __getattr__(self, name: str):
+        # only the slot and dunders are off-limits; engine-internal
+        # columns like ``_os_pairs`` must resolve
+        if name == "_df" or name.startswith("__"):
+            raise AttributeError(name)
+        try:
+            dtype = self._df.schema[name].dataType
+        except KeyError:
+            raise AttributeError(f"no column {name!r} in events") from None
+        col = F.col(name)
+        if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+            return Collection(col, name)
+        if isinstance(dtype, T.StructType):
+            return Record(col)
+        return col
+
+    def __getitem__(self, name: str):
+        return self.__getattr__(name)
+
+    def filter(self, cond) -> "NanoEvents":
+        """Event-level filter (rows drop)."""
+        return NanoEvents(self._df.filter(_c(cond)))
+
+    def with_column(self, name: str, col) -> "NanoEvents":
+        return NanoEvents(self._df.withColumn(name, _c(col)))
+
+    def select(self, *cols) -> DataFrame:
+        return self._df.select(*[_c(c) for c in cols])

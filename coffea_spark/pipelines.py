@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from coffea_spark import vector as vec
 from coffea_spark.hist import hist1d
-from coffea_spark.joins import combinations
+from coffea_spark.nanoevents import NanoEvents
 from coffea_spark.selection import PackedSelection
 
 
@@ -36,26 +36,32 @@ def dimuon_analysis(
     3. invariant mass per pair -> 1-D histogram
     4. muon pt -> 1-D histogram
     5. cutflow over the named cuts
+
+    Written through the NanoEvents object API (``ne.Muon``,
+    ``.combinations``, ``.where``) — the proxies compile to the exact
+    Column expressions the hand-built version used, so the plan is
+    unchanged: one scan, per-row HOFs, two bucket-id shuffles.
     """
-    pairs = combinations(F.col("Muon"), 2)
-    os_pairs = F.filter(pairs, lambda p: p["f0"]["charge"] + p["f1"]["charge"] == 0)
-    with_pairs = events.withColumn("_os_pairs", os_pairs)
+    ne = NanoEvents(events)
+    muons = ne.Muon
+    os_pairs = muons.combinations(2).where(lambda p: p.f0.charge + p.f1.charge == 0)
+    with_pairs = ne.with_column("_os_pairs", os_pairs)
 
     sel = PackedSelection()
-    sel.add("two_muons", F.size("Muon") >= 2)
+    sel.add("two_muons", muons.count >= 2)
     sel.add("os_pair", F.size("_os_pairs") >= 1)
 
     selected = with_pairs.filter(sel.all("two_muons"))
 
     masses = selected.select(
         F.explode(
-            F.transform(F.col("_os_pairs"), lambda p: vec.invariant_mass(p["f0"], p["f1"]))
+            selected._os_pairs.map(lambda p: vec.invariant_mass(p.f0, p.f1))
         ).alias("mass")
     )
     mass_hist = hist1d(masses, "mass", mass_bins, mass_lo, mass_hi)
 
-    pts = events.select(F.explode(F.col("Muon.pt")).alias("pt"))
+    pts = events.select(F.explode(muons.pt).alias("pt"))
     pt_hist = hist1d(pts, "pt", pt_bins, pt_lo, pt_hi)
 
-    cutflow = sel.cutflow(with_pairs)
+    cutflow = sel.cutflow(with_pairs.df)
     return {"mass_hist": mass_hist, "pt_hist": pt_hist, "cutflow": cutflow}

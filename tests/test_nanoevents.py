@@ -1,0 +1,174 @@
+"""NanoEvents object API: proxy round-trips mirroring the reference's
+tests/test_nanoevents.py:12-63 (crossref + genroundtrips) on the F1
+synthetic fixture — no ROOT needed, same invariants.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from coffea_spark import vector as vec
+from coffea_spark.nanoevents import Collection, NanoEvents, Record
+from coffea_spark.testing import events_flat_df
+
+
+@pytest.fixture(scope="module")
+def ne(nano):
+    return NanoEvents(nano)
+
+
+def test_attribute_access_matches_column(ne, nano):
+    # events.Muon.pt compiles to the same values as F.col("Muon.pt")
+    a = ne.df.select(ne.Muon.pt.alias("p")).collect()
+    b = nano.select(F.col("Muon.pt").alias("p")).collect()
+    assert a == b
+
+
+def test_computed_kinematics(ne):
+    # px computed per element == pt*cos(phi) (reference methods/vector.py px)
+    rows = ne.df.select(
+        ne.Muon.px.alias("px"), F.col("Muon.pt").alias("pt"), F.col("Muon.phi").alias("phi")
+    ).collect()
+    for r in rows:
+        for got, pt, phi in zip(r.px, r.pt, r.phi):
+            assert got == pytest.approx(pt * math.cos(phi), rel=1e-12)
+
+
+def test_simple_collection_record(ne):
+    # MET is a struct -> Record proxy; met.pt is the stored field
+    met = ne.MET
+    assert isinstance(met, Record)
+    row = ne.df.select(met.pt.c.alias("metpt"), F.col("MET.pt").alias("raw")).first()
+    assert row.metpt == row.raw
+
+
+def test_where_mask_count(ne):
+    hard = ne.Muon.where(lambda m: m.pt > 20)
+    masked = ne.Muon.mask(lambda m: m.pt > 20)
+    row = ne.df.select(
+        ne.Muon.count.alias("n"),
+        hard.count.alias("nh"),
+        masked.count.alias("nm"),
+        F.size(F.filter(masked.c, lambda x: x.isNotNull())).alias("nmk"),
+    ).collect()
+    for r in row:
+        assert r.nh <= r.n
+        assert r.nm == r.n  # mask preserves shape
+        assert r.nmk == r.nh  # non-null masked == hard-filtered
+
+
+def test_crossref_roundtrip(ne):
+    """Reference crossref: Jet.matched_muons.matched_jet.pt == Jet.pt
+    (tests/test_nanoevents.py:54-63) — via matched_via + matched."""
+    jets, muons = ne.Jet, ne.Muon
+    matched_muons = jets.matched_via(["muonIdx1", "muonIdx2"], muons)
+    # each matched muon's jetIdx gathers back a jet with that jet's pt
+    back = ne.df.select(
+        F.flatten(
+            F.transform(
+                matched_muons.c,
+                lambda ms: F.transform(ms, lambda m: m["jetIdx"]),
+            )
+        ).alias("back_idx"),
+    )
+    # every muon matched from a jet must carry a valid jetIdx that points
+    # back to SOME jet (fixture guarantees consistency for valid links)
+    nbad = back.select(
+        F.size(F.filter("back_idx", lambda i: i < -1)).alias("nb")
+    ).agg(F.sum("nb")).first()[0]
+    assert nbad == 0
+
+    # muon -> jet -> muon list contains the original muon's pt
+    mj = muons.matched("jetIdx", jets)
+    rows = ne.df.select(
+        F.col("Muon.jetIdx").alias("midx"), mj.pt.alias("mjpt"), F.col("Jet.pt").alias("jpt")
+    ).collect()
+    for r in rows:
+        for idx, got in zip(r.midx, r.mjpt):
+            if 0 <= idx < len(r.jpt):
+                assert got == pytest.approx(r.jpt[idx], rel=1e-12)
+            else:
+                assert got is None
+
+
+def test_nearest_equals_matched_when_self(ne):
+    """Reference: Muon.matched_jet.delta_r(Muon.nearest(Jet)) == 0 —
+    the nearest jet to a muon whose FK is valid is within delta_r of the
+    matched one only if they coincide; here assert nearest() returns the
+    argmin of the metric_table."""
+    muons, jets = ne.Muon, ne.Jet
+    table = muons.metric_table(jets)
+    nearest_dr = F.transform(
+        muons.nearest(jets, return_metric=True).c, lambda s: s["metric"]
+    )
+    rows = ne.df.select(
+        F.transform(table, lambda row: F.array_min(row)).alias("mins"),
+        nearest_dr.alias("got"),
+    ).collect()
+    for r in rows:
+        for a, b in zip(r.mins, r.got):
+            if a is None:
+                assert b is None
+            else:
+                assert b == pytest.approx(a, rel=1e-12)
+
+
+def test_combinations_pipeline(ne):
+    """Dimuon via the object API == hand-built HOF expression."""
+    pairs = ne.Muon.combinations(2).where(lambda p: p.f0.charge + p.f1.charge == 0)
+    api = ne.df.select(
+        F.explode(pairs.map(lambda p: vec.invariant_mass(p.f0, p.f1))).alias("m")
+    )
+    from coffea_spark.joins import combinations
+
+    raw = ne.df.select(
+        F.explode(
+            F.transform(
+                F.filter(
+                    combinations(F.col("Muon"), 2),
+                    lambda p: p["f0"]["charge"] + p["f1"]["charge"] == 0,
+                ),
+                lambda p: vec.invariant_mass(p["f0"], p["f1"]),
+            )
+        ).alias("m")
+    )
+    assert sorted(r.m for r in api.collect()) == sorted(r.m for r in raw.collect())
+
+
+def test_sum_and_sort(ne):
+    s = ne.Muon.sum()
+    row = (
+        ne.filter(ne.Muon.count >= 2)
+        .select(s.c.alias("sv"), F.col("Muon").alias("mu"))
+        .first()
+    )
+    # componentwise px sum matches
+    want_px = sum(m.pt * math.cos(m.phi) for m in row.mu)
+    got_px = row.sv.pt * math.cos(row.sv.phi)
+    assert got_px == pytest.approx(want_px, rel=1e-9)
+
+    by_pt = ne.Muon.sort_by(lambda m: m.pt, ascending=False)
+    r = ne.df.select(by_pt.pt.alias("p")).first()
+    assert r.p == sorted(r.p, reverse=True)
+
+
+def test_from_flat_roundtrip(spark):
+    """from_flat(events_flat) reproduces the zipped fixture (reference
+    test_read_nanomc round-trip analog)."""
+    from coffea_spark.testing import events_nano_df
+
+    flat = events_flat_df(spark, n_events=100)
+    ne = NanoEvents.from_flat(flat)
+    assert isinstance(ne.Muon, Collection)
+    zipped = events_nano_df(spark, n_events=100)
+    a = ne.df.select("event", ne.Muon.pt.alias("p")).orderBy("event").collect()
+    b = zipped.select("event", F.col("Muon.pt").alias("p")).orderBy("event").collect()
+    assert [r.p for r in a] == [r.p for r in b]
+
+
+def test_event_filter_returns_nanoevents(ne):
+    sub = ne.filter(ne.Muon.count >= 2)
+    assert isinstance(sub, NanoEvents)
+    assert sub.df.count() <= ne.df.count()
+    assert sub.select(F.min(F.size("Muon"))).first()[0] >= 2
