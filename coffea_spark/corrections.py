@@ -107,11 +107,16 @@ class CorrectedJetsFactory:
     def __init__(
         self,
         corrector: FactorizedJetCorrector,
-        junc: float | None = 0.02,
+        junc=0.02,
         jer: bool = False,
         resolution=None,
         resolution_sf=None,
     ):
+        """``junc`` is either a scalar relative uncertainty, or a binned
+        table callable ``junc(eta, pt) -> struct<up, down>`` (e.g. a
+        :class:`coffea_spark.correction_files.JuncTable` parsed from a
+        ``*.junc.txt`` file — the reference's eta/pt-binned
+        JetCorrectionUncertainty, jetmet_tools/JetCorrectionUncertainty.py:54)."""
         self.corrector = corrector
         self.junc = junc
         self.jer = jer
@@ -138,9 +143,15 @@ class CorrectedJetsFactory:
                 .withField("mass", mass_jec)
             )
             if self.junc is not None:
+                if callable(self.junc):
+                    u = self.junc(j["eta"], pt_jec)
+                    up_f, down_f = pt_jec * u["up"], pt_jec * u["down"]
+                else:
+                    up_f = pt_jec * (1.0 + self.junc)
+                    down_f = pt_jec * (1.0 - self.junc)
                 out = (
-                    out.withField("JES_up_pt", pt_jec * (1.0 + self.junc))
-                    .withField("JES_down_pt", pt_jec * (1.0 - self.junc))
+                    out.withField("JES_up_pt", up_f)
+                    .withField("JES_down_pt", down_f)
                 )
             if self.jer and self.resolution is not None:
                 reso = self.resolution(j["eta"], pt_jec)

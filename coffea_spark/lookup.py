@@ -140,12 +140,20 @@ _FUNCS = {
 }
 
 
-def _substitute(formula: str, x: Column) -> Column:
-    """Tiny recursive-descent evaluator for arithmetic formulas over one
-    variable ``x`` — produces a pure Column tree (TFormula-lite; the
-    reference parses ROOT TFormula strings the same way,
-    lookup_tools/jme_standard_function.py)."""
+def _substitute(formula: str, x: Column | None = None, variables: dict[str, Column] | None = None) -> Column:
+    """Tiny recursive-descent evaluator for arithmetic formulas —
+    produces a pure Column tree (TFormula-lite; the reference parses ROOT
+    TFormula strings the same way, lookup_tools/jme_standard_function.py).
+
+    ``x`` names the single formula variable (FormulaLookup's contract);
+    ``variables`` maps additional names (``y``, ``p0``...) to Columns for
+    the multi-variable JME formulas in correction_files.py.
+    """
     import ast
+
+    env: dict[str, Column] = dict(variables or {})
+    if x is not None:
+        env["x"] = x
 
     def build(node):
         if isinstance(node, ast.Expression):
@@ -166,8 +174,8 @@ def _substitute(formula: str, x: Column) -> Column:
         if isinstance(node, ast.Constant):
             return F.lit(float(node.value))
         if isinstance(node, ast.Name):
-            if node.id == "x":
-                return x
+            if node.id in env:
+                return env[node.id]
             raise ValueError(f"unknown variable {node.id}")
         if isinstance(node, ast.Call):
             fname = node.func.id
@@ -180,11 +188,17 @@ def _substitute(formula: str, x: Column) -> Column:
 
 
 def extractor(path: str):
-    """Load correction tables from a JSON file into lookup objects
-    (reference: lookup_tools.extractor + json_converters — json-only
-    here, the format the reference's converters normalize into).
+    """Load correction tables into lookup objects, dispatching on the
+    file extension (reference: lookup_tools.extractor:153-189 dispatches
+    the same way on `.json` / `.csv` / `.txt` inputs).
 
-    Schema: {"corrections": [
+    - ``*.btag.csv[.gz]`` / ``*.csv[.gz]`` -> {name: BTagSFTable}
+    - ``*.jec.txt[.gz]``                  -> {name: JECTable}
+    - ``*.junc.txt[.gz]``                 -> {component: JuncTable}
+    - ``*.jersf.txt[.gz]``                -> {name: JERSFTable}
+    - ``*.json``: the normalized form below.
+
+    JSON schema: {"corrections": [
       {"name": ..., "type": "dense",   "bins": [edges...] | [[e0..],[e1..]],
        "values": nested-list},
       {"name": ..., "type": "formula", "bins": [edges...],
@@ -193,6 +207,29 @@ def extractor(path: str):
     Returns {name: DenseLookup | FormulaLookup}.
     """
     import json
+
+    base = path.rsplit("/", 1)[-1]
+    if base.endswith(".gz"):
+        base = base[:-3]
+    if base.endswith(".csv"):
+        from coffea_spark.correction_files import read_btag_csv
+
+        t = read_btag_csv(path)
+        return {base.split(".")[0]: t}
+    if base.endswith(".junc.txt"):
+        from coffea_spark.correction_files import read_junc_txt
+
+        return read_junc_txt(path)
+    if base.endswith(".jersf.txt"):
+        from coffea_spark.correction_files import read_jersf_txt
+
+        t = read_jersf_txt(path)
+        return {t.name: t}
+    if base.endswith(".txt"):
+        from coffea_spark.correction_files import read_jec_txt
+
+        t = read_jec_txt(path)
+        return {t.name: t}
 
     with open(path) as f:
         doc = json.load(f)

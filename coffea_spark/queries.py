@@ -2291,6 +2291,127 @@ SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
 """
 
 
+def q_btag_csv(spark, sf_dir):
+    """BTag scale factors parsed from the CSV correction-file format
+    (reference btag_tools/btagscalefactor.py:52-86 readcsv + extractor
+    dispatch): the packaged demo table compiles into a WHEN chain over
+    (flavor, eta, pt) with per-row formulas at clamped pt — pure scan-
+    stage column math, no UDF, no shuffle beyond the final aggregate."""
+    from coffea_spark.correction_files import read_btag_csv
+
+    table = read_btag_csv(os.path.join(os.path.dirname(__file__), "data", "demo.btag.csv"))
+    li = _t(spark, sf_dir, "lineitem")
+    flav = (
+        F.when(F.col("l_linenumber") % 3 == 0, 5)
+        .when(F.col("l_linenumber") % 3 == 1, 4)
+        .otherwise(0)
+    )
+    abseta = F.abs(F.col("l_discount") * 60.0 - 3.0)
+    pt = F.col("l_extendedprice") / 1000.0
+    sf = table.sf(flav, abseta, pt, working_point="medium")
+    sf_up = table.sf(flav, abseta, pt, working_point="medium", systematic="up")
+    return (
+        li.select(flav.alias("flav"), sf.alias("sf"), sf_up.alias("sf_up"))
+        .groupBy("flav")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("sf").alias("n_matched"),
+            F.round(F.sum("sf"), 4).alias("sum_sf"),
+            F.round(F.sum("sf_up"), 4).alias("sum_sf_up"),
+        )
+    )
+
+
+SQL_BTAG_CSV = """
+WITH j AS (
+  SELECT CASE WHEN l_linenumber % 3 = 0 THEN 5
+              WHEN l_linenumber % 3 = 1 THEN 4 ELSE 0 END AS flav,
+         abs(l_discount * 60.0 - 3.0) AS abseta,
+         l_extendedprice / 1000.0 AS pt
+  FROM lineitem
+), s AS (
+  SELECT flav,
+    CASE WHEN abseta >= -2.4 AND abseta < 2.4 AND pt >= 20 AND pt < 1000 THEN
+      CASE WHEN flav = 5 THEN 0.9*((1.0+(0.03*least(greatest(pt,20.0),1000.0)))/(1.0+(0.04*least(greatest(pt,20.0),1000.0))))
+           WHEN flav = 4 THEN 0.85+0.001*least(greatest(pt,20.0),1000.0)
+           ELSE 1.05-0.0002*least(greatest(pt,20.0),1000.0) END
+    END AS sf,
+    CASE WHEN flav = 5 AND abseta >= -2.4 AND abseta < 2.4 AND pt >= 20 AND pt < 1000
+         THEN 0.95*((1.0+(0.03*least(greatest(pt,20.0),1000.0)))/(1.0+(0.04*least(greatest(pt,20.0),1000.0))))
+    END AS sf_up
+  FROM j
+)
+SELECT flav, count(*) AS n, count(sf) AS n_matched,
+       round(sum(sf), 4) AS sum_sf, round(sum(sf_up), 4) AS sum_sf_up
+FROM s GROUP BY flav
+"""
+
+
+def q_jes_uncertainty(spark, sf_dir):
+    """Eta/pt-binned JES uncertainty from the junc txt format (reference
+    jetmet_tools/JetCorrectionUncertainty.py:54 + txt converter
+    txt_converters.py:350-441): eta-bin select + pt knot linear
+    interpolation, all literal-array column math in the scan stage."""
+    from coffea_spark.correction_files import read_junc_txt
+
+    (table,) = read_junc_txt(
+        os.path.join(os.path.dirname(__file__), "data", "demo.junc.txt")
+    ).values()
+    li = _t(spark, sf_dir, "lineitem")
+    eta = F.col("l_discount") * 40.0 - 2.0
+    pt = F.col("l_extendedprice") / 1000.0
+    u = table(eta, pt)
+    return li.select(
+        u["up"].alias("up"), u["down"].alias("down"), pt.alias("pt")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("up"), 6).alias("avg_up"),
+        F.round(F.avg("down"), 6).alias("avg_down"),
+        F.round(F.sum(F.col("pt") * F.col("up")), 2).alias("sum_pt_up"),
+        F.round(F.sum(F.col("pt") * F.col("down")), 2).alias("sum_pt_down"),
+    )
+
+
+# the oracle mirrors JuncTable exactly: eta-bin select (edges -2,0,2),
+# pt clamp to the knot range [10, 1000], knot-interval select, linear
+# interpolation v0 + t*(v1-v0) — same float op order as the Spark side
+SQL_JES_UNCERTAINTY = """
+WITH j AS (
+  SELECT l_discount * 40.0 - 2.0 AS eta,
+         l_extendedprice / 1000.0 AS pt
+  FROM lineitem
+), b AS (
+  SELECT CASE WHEN eta < 0.0 THEN 0 ELSE 1 END AS eb,
+         least(greatest(pt, 10.0), 1000.0) AS ptc, pt
+  FROM j
+), k AS (
+  SELECT eb, pt, ptc,
+         CASE WHEN ptc < 100.0 THEN 0 ELSE 1 END AS ki,
+         CASE WHEN ptc < 100.0 THEN 10.0 ELSE 100.0 END AS k0,
+         CASE WHEN ptc < 100.0 THEN 100.0 ELSE 1000.0 END AS k1
+  FROM b
+), v AS (
+  SELECT pt,
+         (ptc - k0) / (k1 - k0) AS t,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.04 WHEN eb = 0 AND ki = 1 THEN 0.02
+              WHEN eb = 1 AND ki = 0 THEN 0.05 ELSE 0.03 END AS u0,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.02 WHEN eb = 0 AND ki = 1 THEN 0.01
+              WHEN eb = 1 AND ki = 0 THEN 0.03 ELSE 0.02 END AS u1,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.05 WHEN eb = 0 AND ki = 1 THEN 0.03
+              WHEN eb = 1 AND ki = 0 THEN 0.06 ELSE 0.02 END AS d0,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.03 WHEN eb = 0 AND ki = 1 THEN 0.02
+              WHEN eb = 1 AND ki = 0 THEN 0.02 ELSE 0.01 END AS d1
+  FROM k
+)
+SELECT count(*) AS n,
+       round(avg(1.0 + (u0 + t * (u1 - u0))), 6) AS avg_up,
+       round(avg(1.0 - (d0 + t * (d1 - d0))), 6) AS avg_down,
+       round(sum(pt * (1.0 + (u0 + t * (u1 - u0)))), 2) AS sum_pt_up,
+       round(sum(pt * (1.0 - (d0 + t * (d1 - d0)))), 2) AS sum_pt_down
+FROM v
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF similarity search (trained coarse quantizer — the other
     100 TB ANN path besides hyperplane LSH): Spark-ML k-means centroids,
@@ -2374,4 +2495,6 @@ REGISTRY: dict[str, Query] = {
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
     "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
     "ivf_topk": Query(q_ivf_topk, None),
+    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
+    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
 }

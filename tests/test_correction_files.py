@@ -1,0 +1,245 @@
+"""Correction-file readers vs an independent numpy evaluation.
+
+Real CMS-format sample files from the reference's test suite are parsed
+when present (format parity with lookup_tools/txt_converters.py +
+btag_tools/btagscalefactor.py); synthetic inline files cover the parser
+unconditionally. The Spark column-expression evaluation is compared
+against a straight numpy reimplementation sharing only the parsed table.
+"""
+
+import gzip
+import math
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from coffea_spark.correction_files import (
+    read_btag_csv,
+    read_jec_txt,
+    read_jersf_txt,
+    read_junc_txt,
+)
+from coffea_spark.lookup import extractor
+
+SAMPLES = "/root/reference/tests/samples"
+
+_NP_ENV = {
+    "greatest": np.maximum,
+    "least": np.minimum,
+    "log": np.log,
+    "log10": np.log10,
+    "exp": np.exp,
+    "sqrt": np.sqrt,
+    "abs": np.abs,
+    "pow": np.power,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "atan": np.arctan,
+}
+
+
+def _np_jec(table, eta, pt):
+    """Independent numpy evaluation of a parsed JECTable."""
+    out = np.empty_like(np.asarray(eta, dtype=float))
+    for j, (e, p) in enumerate(zip(eta, pt)):
+        i = np.clip(np.searchsorted(table.edges, e, side="right") - 1,
+                    0, len(table.edges) - 2)
+        if table.sub is None:
+            row = i
+        else:
+            flat, offs, cnts, roffs = table.sub
+            se = flat[int(offs[i]): int(offs[i]) + int(cnts[i])]
+            si = np.clip(np.searchsorted(se, p, side="right") - 1, 0, int(cnts[i]) - 2)
+            row = int(roffs[i]) + si
+        env = dict(_NP_ENV)
+        for k in range(table.params.shape[0]):
+            env[f"p{k}"] = table.params[k][row]
+        ev = {"JetPt": p, "JetEta": e}
+        for vi, v in enumerate(table.eval_vars):
+            x = np.clip(ev[v], table.clamp_lo[vi][row], table.clamp_hi[vi][row])
+            env["xyztws"[vi]] = x
+        out[j] = eval(table.formula, {"__builtins__": {}}, env)
+    return out
+
+
+def _np_junc(table, eta, pt):
+    ups, downs = [], []
+    for e, p in zip(eta, pt):
+        i = np.clip(np.searchsorted(table.edges, e, side="right") - 1,
+                    0, len(table.edges) - 2)
+        pc = np.clip(p, table.knots[0], table.knots[-1])
+        k = np.clip(np.searchsorted(table.knots, pc, side="right") - 1,
+                    0, len(table.knots) - 2)
+        t = (pc - table.knots[k]) / (table.knots[k + 1] - table.knots[k])
+        ups.append(1.0 + table.ups[i][k] + t * (table.ups[i][k + 1] - table.ups[i][k]))
+        downs.append(1.0 - (table.downs[i][k] + t * (table.downs[i][k + 1] - table.downs[i][k])))
+    return np.array(ups), np.array(downs)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(7)
+    eta = rng.uniform(-5.3, 5.3, 60)
+    pt = np.exp(rng.uniform(np.log(5.0), np.log(4000.0), 60))
+    df = spark.createDataFrame(
+        [(float(e), float(p)) for e, p in zip(eta, pt)], "eta double, pt double"
+    )
+    return df, eta, pt
+
+
+# ---------------------------------------------------------------------------
+# synthetic files (always run)
+# ---------------------------------------------------------------------------
+
+JEC_1D = """{1 JetEta 1 JetPt max(0.5,[0]+[1]*log10(x)) Correction Demo}
+-2.0 0.0 4 10.0 1000.0 1.10 -0.02
+ 0.0 2.0 4 10.0 2000.0 0.95  0.03
+"""
+
+JUNC = """{1 JetEta 1 JetPt "" Correction Uncertainty}
+-2.0 0.0 9 10.0 0.05 0.04 100.0 0.03 0.02 1000.0 0.02 0.01
+ 0.0 2.0 9 10.0 0.06 0.05 100.0 0.02 0.03 1000.0 0.01 0.02
+"""
+
+BTAG_CSV = """CSVv2;OperatingPoint, measurementType, sysType, jetFlavor, etaMin, etaMax, ptMin, ptMax, discrMin, discrMax, formula
+1, comb, central, 0, -2.4, 2.4, 20, 1000, 0, 1, "0.9*((1.+(0.03*x))/(1.+(0.04*x)))"
+1, comb, central, 1, -2.4, 2.4, 20, 1000, 0, 1, "0.85+0.001*x"
+1, incl, central, 2, -2.4, 2.4, 20, 1000, 0, 1, "1.05-0.0002*x"
+1, comb, up, 0, -2.4, 2.4, 20, 1000, 0, 1, "0.95*((1.+(0.03*x))/(1.+(0.04*x)))"
+"""
+
+
+def test_jec_1d_synthetic(spark, points, tmp_path):
+    p = tmp_path / "Demo.jec.txt"
+    p.write_text(JEC_1D)
+    table = read_jec_txt(str(p))
+    df, eta, pt = points
+    got = np.array([r.v for r in df.select(table(F.col("eta"), F.col("pt")).alias("v")).collect()])
+    want = _np_jec(table, eta, pt)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_junc_synthetic(spark, points, tmp_path):
+    p = tmp_path / "Demo.junc.txt"
+    p.write_text(JUNC)
+    table = extractor(str(p))["Demo"]
+    df, eta, pt = points
+    rows = df.select(table(F.col("eta"), F.col("pt")).alias("u")).collect()
+    got_up = np.array([r.u.up for r in rows])
+    got_dn = np.array([r.u.down for r in rows])
+    want_up, want_dn = _np_junc(table, eta, pt)
+    np.testing.assert_allclose(got_up, want_up, rtol=1e-12)
+    np.testing.assert_allclose(got_dn, want_dn, rtol=1e-12)
+    # interpolation sanity: inside the table, up is between its knot values
+    assert (got_up >= 1.0).all() and (got_dn <= 1.0).all()
+
+
+def test_btag_csv_synthetic(spark, points, tmp_path):
+    p = tmp_path / "demo.btag.csv"
+    p.write_text(BTAG_CSV)
+    table = read_btag_csv(str(p))
+    assert table.discriminator == "CSVv2"
+    df, eta, pt = points
+    df = df.withColumn("flav", F.lit(5))  # all b jets
+    out = df.select(
+        "pt", "eta",
+        table.sf(F.col("flav"), F.abs("eta"), F.col("pt")).alias("sf"),
+        table.sf(F.col("flav"), F.abs("eta"), F.col("pt"), systematic="up").alias("sf_up"),
+    ).collect()
+    for r in out:
+        x = min(max(r.pt, 20.0), 1000.0)
+        if 20 <= r.pt < 1000 and abs(r.eta) < 2.4:
+            want = 0.9 * ((1.0 + 0.03 * x) / (1.0 + 0.04 * x))
+            assert r.sf == pytest.approx(want, rel=1e-12)
+            assert r.sf_up == pytest.approx(want / 0.9 * 0.95, rel=1e-12)
+        else:
+            assert r.sf is None  # outside the (pt, eta) rows -> no match
+
+    # light jets use the incl method
+    light = df.withColumn("flav", F.lit(0))
+    r0 = light.select(table.sf(F.col("flav"), F.abs("eta"), F.lit(100.0)).alias("s")).first()
+    assert r0.s == pytest.approx(1.05 - 0.0002 * 100.0, rel=1e-12)
+
+
+def test_btag_ul_format_rejected(tmp_path):
+    p = tmp_path / "ul.btag.csv"
+    p.write_text(
+        "deepJet;OperatingPoint, measurementType, sysType, jetFlavor, etaMin, etaMax, ptMin, ptMax, discrMin, discrMax, formula\n"
+        'M, comb, central, 0, -2.4, 2.4, 20, 1000, 0, 1, "1.0"\n'
+    )
+    with pytest.raises(ValueError, match="UL"):
+        read_btag_csv(str(p))
+
+
+# ---------------------------------------------------------------------------
+# real reference sample files (format parity; skipped when absent)
+# ---------------------------------------------------------------------------
+
+needs_samples = pytest.mark.skipif(
+    not os.path.isdir(SAMPLES), reason="reference samples not available"
+)
+
+
+@needs_samples
+def test_jec_2d_real_file(spark, points):
+    table = read_jec_txt(f"{SAMPLES}/Fall17_17Nov2017_V32_MC_L2Relative_AK4PFPuppi.jec.txt")
+    assert table.signature == ["JetEta", "JetPt"]
+    df, eta, pt = points
+    got = np.array([r.v for r in df.select(table(F.col("eta"), F.col("pt")).alias("v")).collect()])
+    want = _np_jec(table, eta, pt)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    assert np.isfinite(got).all() and (got > 0).all()
+
+
+@needs_samples
+def test_junc_real_file(spark, points):
+    tables = read_junc_txt(f"{SAMPLES}/Fall17_17Nov2017_V32_MC_Uncertainty_AK4PFPuppi.junc.txt")
+    (table,) = tables.values()
+    df, eta, pt = points
+    rows = df.select(table(F.col("eta"), F.col("pt")).alias("u")).collect()
+    got_up = np.array([r.u.up for r in rows])
+    got_dn = np.array([r.u.down for r in rows])
+    want_up, want_dn = _np_junc(table, eta, pt)
+    np.testing.assert_allclose(got_up, want_up, rtol=1e-9)
+    np.testing.assert_allclose(got_dn, want_dn, rtol=1e-9)
+
+
+@needs_samples
+def test_junc_multi_component(spark):
+    tables = read_junc_txt(
+        f"{SAMPLES}/Regrouped_Fall17_17Nov2017_V32_MC_UncertaintySources_AK4PFchs.junc.txt"
+    )
+    assert {"FlavorQCD", "RelativeBal", "Absolute"} <= set(tables)
+
+
+@needs_samples
+def test_jersf_real_file(spark):
+    table = read_jersf_txt(f"{SAMPLES}/Autumn18_V7b_DATA_SF_AK4PF.jersf.txt")
+    assert len(table.edges) == 2
+    np.testing.assert_allclose(table.central, [1.0])
+
+
+@needs_samples
+def test_btag_real_file(spark):
+    table = read_btag_csv(f"{SAMPLES}/DeepCSV_102XSF_V1.btag.csv.gz")
+    assert table.discriminator == "DeepCSV"
+    assert len(table.rows) > 1000
+    # evaluate medium-wp central b-jet SF at a plausible point
+    sdf = spark.createDataFrame([(5, 1.0, 60.0)], "flav int, abseta double, pt double")
+    r = sdf.select(
+        table.sf(F.col("flav"), F.col("abseta"), F.col("pt"),
+                 working_point="medium", methods="comb,comb,incl").alias("s")
+    ).first()
+    assert r.s is not None and 0.5 < r.s < 1.5
+
+
+def test_extractor_dispatch(tmp_path):
+    (tmp_path / "a.jec.txt").write_text(JEC_1D)
+    (tmp_path / "b.junc.txt").write_text(JUNC)
+    (tmp_path / "c.btag.csv").write_text(BTAG_CSV)
+    assert "a" in extractor(str(tmp_path / "a.jec.txt"))
+    assert "b" in extractor(str(tmp_path / "b.junc.txt"))
+    assert "c" in extractor(str(tmp_path / "c.btag.csv"))
