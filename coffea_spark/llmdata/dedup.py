@@ -80,20 +80,169 @@ def jaccard_pairs(
     )
     for c in block_cols:
         join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # carry the block through the pair key and the size joins: the same
+    # id under two block values must NOT merge intersections or fan out
+    # against the wrong block's size
+    blk = [F.col(f"a.{c}").alias(c) for c in block_cols]
     inter = (
         a.join(b, join_cond)
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .groupBy(*blk, F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    sa = sizes.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa, [*block_cols, "id_a"])
+        .join(sb, [*block_cols, "id_b"])
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
         )
+    )
+
+
+def jaccard_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Threshold n-gram Jaccard similarity join (PPJoin-style prefix
+    filtering): EXACTLY the pairs with ``jaccard >= threshold``, without
+    the all-pairs hot-shingle blowup of :func:`jaccard_pairs`.
+
+    Why this scales where the plain inverted-index self-join doesn't:
+    the self-join emits one row per SHARED shingle per pair, so a
+    shingle appearing in d documents contributes d^2 rows — common
+     5-grams make the join quadratic in hot-shingle document frequency.
+    Prefix filtering (Chaudhuri/Ganti/Kaushik SSJoin, Xiao et al.
+    PPJoin) joins only each document's PREFIX: with shingles sorted by
+    a global order, two sets with Jaccard >= t must share a shingle
+    among their first ``|s| - ceil(t*|s|) + 1`` elements, so candidates
+    found on prefix shingles are complete. Ordering the shingles by
+    ASCENDING document frequency puts hot shingles at the END of every
+    sorted set — they drop out of the prefixes, and the join volume
+    collapses to the rare-shingle tail. Verification is exact:
+    candidates join back to the full per-doc shingle arrays and
+    ``array_intersect`` computes the true intersection.
+
+    Shuffle profile (all linear in corpus size): df count (map-side
+    combinable), df join back, per-doc prefix window, prefix self-join,
+    two verify joins. No step is quadratic in document frequency.
+
+    The shingle-set table is persisted for the duration of the plan:
+    four consumers (df count, prefix ranking, both verify sides) would
+    otherwise each re-run the n-gram extraction, the single most
+    expensive per-row step. Call ``spark.catalog.clearCache()`` (or
+    unpersist) when done with the result.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    block_cols = block_cols or []
+    bcols = [F.col(c) for c in block_cols]
+
+    sets = (
+        df.select(
+            *bcols,
+            F.col(id_col),
+            F.array_distinct(char_ngrams(F.col(text_col), n)).alias("_sh"),
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .persist()
+    )
+
+    tok = sets.select(*block_cols, id_col, "_sz", F.explode("_sh").alias("shingle"))
+    dfreq = tok.groupBy(*block_cols, "shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # re-assemble each doc's shingles sorted by (df, shingle) and keep
+    # the prefix of length |s| - ceil(t*|s|) + 1, with each prefix
+    # token's 1-based POSITION in the doc's full sorted order (feeds the
+    # positional filter). A hash aggregate + per-group array_sort beats
+    # a sort-based row_number window over the full token table.
+    prefix = (
+        tok.join(dfreq, [*block_cols, "shingle"])
+        .groupBy(*block_cols, id_col)
+        .agg(
+            F.collect_list(F.struct("_df", "shingle")).alias("_lst"),
+            F.first("_sz").alias("_sz"),
+        )
+        .select(
+            *block_cols,
+            id_col,
+            "_sz",
+            F.posexplode(
+                F.slice(
+                    F.array_sort("_lst"),
+                    F.lit(1),
+                    (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1).cast("int"),
+                )
+            ).alias("_p0", "_e"),
+        )
+        .select(
+            *block_cols, id_col, "_sz",
+            (F.col("_p0") + 1).alias("_pos"),
+            F.col("_e.shingle").alias("shingle"),
+        )
+        .persist()
+    )
+    # persisted AND eagerly materialized: the self-join and verify
+    # consume these subtrees from multiple branches, several of them
+    # broadcast builds that Spark launches CONCURRENTLY — against a cold
+    # cache each build re-runs the whole explode -> df-count -> rank
+    # pipeline (verified in the physical plan / run timings: 2-4x the
+    # work, 30 s vs 12 s at sf0.1). Two tiny count() jobs up front fill
+    # the caches once; every later branch is a cache read.
+    sets.count()
+    prefix.count()
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.shingle") == F.col("b.shingle")
+    )
+    # length filter: J(A,B) >= t forces t*|A| <= |B| and t*|B| <= |A|
+    cond = cond & (F.col("a._sz") >= F.lit(threshold) * F.col("b._sz"))
+    cond = cond & (F.col("b._sz") >= F.lit(threshold) * F.col("a._sz"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # positional filter (PPJoin): at the FIRST common prefix token (the
+    # match maximizing this bound) overlap <= 1 + min(|A|-posA, |B|-posB);
+    # J >= t needs overlap >= t/(1+t) * (|A|+|B|). Cuts candidates from
+    # O(pairs sharing any rare shingle) to near the true positives, so
+    # the exact array_intersect verify touches almost nothing.
+    ubound = F.lit(1) + F.least(
+        F.col("a._sz") - F.col("a._pos"), F.col("b._sz") - F.col("b._pos")
+    )
+    need = (F.lit(threshold) / (1.0 + threshold)) * (F.col("a._sz") + F.col("b._sz"))
+    cand = (
+        a.join(b, cond)
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.max(ubound).alias("_ub"), F.first(need).alias("_need"))
+        .filter(F.col("_ub") >= F.col("_need"))
+        .drop("_ub", "_need")
+    )
+
+    sa = sets.select(*block_cols, F.col(id_col).alias("id_a"),
+                     F.col("_sh").alias("_sh_a"), F.col("_sz").alias("size_a"))
+    sb = sets.select(*block_cols, F.col(id_col).alias("id_b"),
+                     F.col("_sh").alias("_sh_b"), F.col("_sz").alias("size_b"))
+    verified = (
+        cand.join(sa, [*block_cols, "id_a"])
+        .join(sb, [*block_cols, "id_b"])
+        .withColumn("inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        *block_cols, "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
     )
 
 
@@ -305,11 +454,16 @@ def simhash_exploded(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     template instead of a giant per-row expression."""
     # explode_outer + null-guarded hash keeps zero-token docs (they
     # fingerprint to 0, matching simhash64's all-zero-counter result;
-    # a bare xxhash64(NULL) would contribute the seed hash instead)
+    # a bare xxhash64(NULL) would contribute the seed hash instead).
+    # NULL text is tracked separately: simhash64 propagates NULL for
+    # NULL input, so the exploded form must too (not bucket-0).
     toks = df.select(
-        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_null"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_t"),
     ).select(
         F.col(id_col),
+        "_null",
         F.when(F.col("_t").isNotNull(), F.xxhash64("_t")).alias("_h"),
     )
     aggs = [
@@ -318,12 +472,14 @@ def simhash_exploded(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         ).alias(f"_b{b}")
         for b in range(64)
     ]
-    per_doc = toks.groupBy(id_col).agg(*aggs)
+    per_doc = toks.groupBy(id_col).agg(F.max("_null").alias("_null"), *aggs)
     packed = F.lit(0).cast("long")
     for b in range(64):
         w = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
         packed = packed + F.when(F.col(f"_b{b}") > 0, w).otherwise(F.lit(0).cast("long"))
-    return per_doc.select(F.col(id_col), packed.alias("simhash"))
+    return per_doc.select(
+        F.col(id_col), F.when(~F.col("_null"), packed).alias("simhash")
+    )
 
 
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

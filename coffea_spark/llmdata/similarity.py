@@ -15,9 +15,11 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -155,18 +157,50 @@ def ivf_train(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    max_sample: int = 65536,
 ) -> np.ndarray:
-    """Train the IVF coarse quantizer (k-means centroids) with Spark ML.
-    Returns (n_lists, dim) float64 centroids. At 100 TB: train on a
-    sample (`df.sample(...)`) — centroid quality converges long before
-    the full corpus is seen."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Train the IVF coarse quantizer: Lloyd's k-means on a BOUNDED
+    driver-side sample. Returns (n_lists, dim) float64 centroids.
 
-    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||")
-    model = km.fit(feats)
-    return np.array([np.asarray(c) for c in model.clusterCenters()])
+    A coarse quantizer needs ~O(100) points per list, not the corpus —
+    the standard IVF recipe trains in memory on a sample and only the
+    assignment pass touches every row. So the 100 TB cost profile is:
+    one bounded sample collect (max_sample rows), millisecond training,
+    then one distributed column-math assignment (ivf_assign_table).
+    Iterative Spark ML jobs for 16 centroids would pay multi-second
+    scheduling overhead per iteration for no quality gain.
+
+    Deterministic: the sample is sorted before seeded init, so the
+    result is independent of partitioning / row order."""
+    sample = np.asarray(
+        [r[0] for r in df.select(F.col(vec_col).cast("array<double>")).limit(max_sample).collect()],
+        dtype=float,
+    )
+    if sample.shape[0] < n_lists:
+        raise ValueError(f"need >= {n_lists} vectors to train, got {sample.shape[0]}")
+    sample = sample[np.lexsort(sample.T[::-1])]  # order-independence
+    rng = np.random.default_rng(seed)
+    # k-means++ init
+    cents = [sample[rng.integers(sample.shape[0])]]
+    for _ in range(1, n_lists):
+        d2 = np.min(
+            ((sample[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(sample[rng.choice(sample.shape[0], p=p)])
+    cents = np.asarray(cents, dtype=float)
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for i in range(n_lists):
+            m = lab == i
+            # empty cluster -> re-seed at the farthest point (deterministic)
+            new[i] = sample[m].mean(axis=0) if m.any() else sample[d2.min(axis=1).argmax()]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
 
 
 def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
@@ -189,6 +223,80 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     return F.array_min(entries)["i"]
 
 
+def ivf_assign_batched(vec_col: str, centroids: np.ndarray) -> Column:
+    """List assignment as an Arrow-batched pandas UDF: per batch one
+    ``argmin(|c|^2 - 2 X C^T)`` matmul. For dense linear algebra over
+    many centroids this beats the literal-array column-math form
+    (:func:`ivf_assign`) — the HOF expression is O(n_lists x dim) codegen
+    per row while the matmul is one vectorized BLAS call per Arrow
+    batch; same float64 arithmetic, same argmin tie-break (first
+    minimum). Centroids ride the closure (KBs)."""
+    c = np.ascontiguousarray(centroids, dtype=float)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=float) for v in vs])
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        d = c2[None, :] - 2.0 * (x @ c.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign(vec_col)
+
+
+def ivf_assign_table(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+    batched: bool = True,
+) -> DataFrame:
+    """Materializable list assignment: the precompute step of the IVF
+    index. Assign ONCE (cache, or better: write), then serve every query
+    from the assigned table — k-means inference must not hide inside
+    each lookup. See :func:`ivf_write_index` for the persisted form.
+    ``batched=True`` uses the Arrow matmul path (the at-scale default);
+    False keeps the pure column-math expression."""
+    lid = (
+        ivf_assign_batched(vec_col, centroids)
+        if batched
+        else ivf_assign(F.col(vec_col), centroids)
+    )
+    return df.withColumn(list_col, lid)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+) -> None:
+    """Persist the IVF index: parquet partitioned by list id (so a
+    probe's ``_list IN (...)`` filter becomes PARTITION PRUNING — probed
+    lists are the only files read, the 100 TB serving shape) plus the
+    centroids as a JSON sidecar."""
+    import json
+    import os
+
+    ivf_assign_table(df, centroids, vec_col, list_col).write.partitionBy(
+        list_col
+    ).mode("overwrite").parquet(os.path.join(path, "lists"))
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+
+
+def ivf_read_index(spark, path: str):
+    """Load a persisted IVF index -> (assigned DataFrame, centroids)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=float)
+    return spark.read.parquet(os.path.join(path, "lists")), centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -197,21 +305,26 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    list_col: str = "_list",
 ) -> DataFrame:
     """IVF search: probe the ``n_probe`` lists whose centroids are
-    nearest the query, exact cosine inside them. The list-id filter is
-    column math, so Catalyst pushes the candidate restriction into the
-    scan stage; recall is tuned by n_probe, cost ~ n_probe/n_lists of
-    brute force. Assumes list ids were precomputed OR computes them
-    inline (precompute + partitionBy(list_id) at scale)."""
+    nearest the query, exact cosine inside them.
+
+    When ``df`` already carries ``list_col`` (from
+    :func:`ivf_assign_table` / :func:`ivf_read_index`) the filter uses
+    it directly — against a partitioned index that is partition pruning,
+    against a cached assignment it skips re-running the quantizer.
+    Otherwise assignment is computed inline (sample/one-off use only;
+    the filter is still scan-stage column math). Recall is tuned by
+    n_probe; cost ~ n_probe/n_lists of brute force."""
     q = np.asarray(query, dtype=float)
     d2 = ((centroids - q) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2)[:n_probe]]
-    lid = ivf_assign(F.col(vec_col), centroids)
+    if list_col not in df.columns:
+        df = ivf_assign_table(df, centroids, vec_col, list_col)
     sim = F.round(cosine(F.col(vec_col), _lit_vec(query)), 6)
     return (
-        df.withColumn("_list", lid)
-        .filter(F.col("_list").isin(probe))
+        df.filter(F.col(list_col).isin(probe))
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

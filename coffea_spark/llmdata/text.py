@@ -79,13 +79,11 @@ def lang_scores(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Predicted language = argmax marker score, ties broken by lang name
-    (array_max on struct<score,lang> compares lexicographically — but we
-    want the FIRST lang on ties, so compare on (score, reversed-rank)).
-    Deterministic, oracle-expressible."""
+    """Predicted language = argmax marker score; ties break to the
+    lexicographically LAST language name (array_max over
+    struct<score,lang> compares (score, lang) in order). Deterministic,
+    oracle-expressible."""
     scored = lang_scores(col)
-    # max by (score, lang) — deterministic: highest score, then last lang
-    # alphabetically. Encoded in one array_max over the struct ordering.
     return F.array_max(scored)["lang"]
 
 

@@ -924,17 +924,22 @@ FROM s GROUP BY 1
 
 
 def q_jaccard_dupes(spark, sf_dir):
-    """Exact char-5-gram Jaccard similarity join, blocked by
-    (lang, source): inverted shingle index self-join (the scalable
-    similarity-join shape — shuffle keys are shingles)."""
-    from coffea_spark.llmdata.dedup import jaccard_pairs
+    """Threshold char-5-gram Jaccard similarity join (jaccard >= 0.5),
+    blocked by (lang, source), via PPJoin-style prefix filtering with
+    exact array_intersect verification (llmdata/dedup.py jaccard_join).
+    The oracle computes the naive all-pairs join and filters — the
+    prefix filter provably returns the identical qualifying set, so the
+    results hash-match while the Spark plan never goes quadratic in
+    hot-shingle document frequency."""
+    from coffea_spark.llmdata.dedup import jaccard_join
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", 5, block_cols=["lang", "source"])
+    pairs = jaccard_join(docs, 0.5, "doc_id", "text", 5, block_cols=["lang", "source"])
     return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias("n_dupes"),
+        F.count(F.lit(1)).alias("n_dupes"),
         F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        F.count_distinct(F.col("id_a")).alias("n_src_docs"),
     )
 
 
@@ -952,16 +957,17 @@ WITH tok AS MATERIALIZED (
     ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT count(*) AS n_pairs,
-       CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
-       round(avg(j), 6) AS avg_jaccard
-FROM (
-  SELECT ninter / (sa.sz + sb.sz - ninter) AS j
+), pairs AS (
+  SELECT id_a, ninter / (sa.sz + sb.sz - ninter) AS j
   FROM inter
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
 )
+SELECT count(*) AS n_dupes,
+       round(avg(j), 6) AS avg_jaccard,
+       round(max(j), 6) AS max_jaccard,
+       count(DISTINCT id_a) AS n_src_docs
+FROM pairs WHERE j >= 0.5
 """
 
 
@@ -2414,16 +2420,26 @@ FROM v
 
 def q_ivf_topk(spark, sf_dir):
     """IVF similarity search (trained coarse quantizer — the other
-    100 TB ANN path besides hyperplane LSH): Spark-ML k-means centroids,
-    list assignment as pure column math, n_probe nearest lists searched
-    exactly. Rows-only: k-means is iterative (not SQL-expressible), but
-    the output is deterministic for the fixed seed."""
-    from coffea_spark.llmdata.similarity import ivf_topk, ivf_train
+    100 TB ANN path besides hyperplane LSH), exercising the PRECOMPUTE
+    serving shape: train the quantizer ONCE on a sample, assign the
+    corpus ONCE (cached; at scale: ivf_write_index partitions by list id
+    so probes become partition pruning), then serve two query vectors
+    from the assigned table without re-running the quantizer. Rows-only:
+    k-means is iterative (not SQL-expressible), but the output is
+    deterministic for the fixed seed."""
+    from coffea_spark.llmdata.similarity import ivf_assign_table, ivf_topk, ivf_train
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, n_lists=16, seed=42)
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    return ivf_topk(emb, query, cents, k=10, n_probe=4)
+    cents = ivf_train(emb.sample(0.25, seed=1), n_lists=16, seed=42)
+    assigned = ivf_assign_table(emb, cents).persist()
+    assigned.count()  # materialize the one-time assignment
+    q0, q1 = (
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(0, 1)).orderBy("vec_id").collect()
+    )
+    r0 = ivf_topk(assigned, q0, cents, k=5, n_probe=4).withColumn("qid", F.lit(0))
+    r1 = ivf_topk(assigned, q1, cents, k=5, n_probe=4).withColumn("qid", F.lit(1))
+    return r0.unionAll(r1)
 
 
 # ---------------------------------------------------------------------------

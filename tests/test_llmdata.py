@@ -55,6 +55,35 @@ def test_jaccard_pairs(spark):
     assert all(a != 4 and b != 4 for a, b in pairs)
 
 
+def test_jaccard_join_prefix_filter_exact(spark):
+    """PPJoin prefix filtering returns EXACTLY the naive join's
+    qualifying pairs — on the fixture and on real documents parquet."""
+    df = _docs(spark)
+    for t in (0.3, 0.5, 0.8):
+        naive = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs(df, block_cols=["lang", "source"]).collect()
+            if r.jaccard >= t
+        }
+        pp = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_join(df, t, block_cols=["lang", "source"]).collect()
+        }
+        assert pp == naive, f"t={t}"
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    naive = {
+        (r.id_a, r.id_b) for r in
+        dedup.jaccard_pairs(docs, "doc_id", "text", 5, ["lang", "source"]).collect()
+        if r.jaccard >= 0.5
+    }
+    pp = {
+        (r.id_a, r.id_b) for r in
+        dedup.jaccard_join(docs, 0.5, "doc_id", "text", 5, ["lang", "source"]).collect()
+    }
+    assert pp == naive
+
+
 def test_minhash_lsh_finds_dupes(spark):
     df = _docs(spark)
     dupes = {(r.id_a, r.id_b): r.jaccard for r in
@@ -175,16 +204,49 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, recall  # deterministic given fixed seed/data
 
 
+def test_ivf_precompute_and_persisted_index(spark, tmp_path):
+    """The precompute path serves identical results: pre-assigned table
+    (no quantizer re-run) and the partitioned on-disk index both match
+    inline assignment; the index read prunes to the probed lists."""
+    from pyspark.sql import functions as F
+
+    from coffea_spark.llmdata.similarity import (
+        ivf_assign_table, ivf_read_index, ivf_topk, ivf_train, ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb.sample(0.5, seed=1), n_lists=4, seed=42, max_iter=5)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+    inline = [(r.vec_id, r.cosine) for r in ivf_topk(emb, query, cents, k=8, n_probe=2).collect()]
+
+    assigned = ivf_assign_table(emb, cents)
+    pre = [(r.vec_id, r.cosine) for r in ivf_topk(assigned, query, cents, k=8, n_probe=2).collect()]
+    assert pre == inline
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, cents, path)
+    loaded, cents2 = ivf_read_index(spark, path)
+    assert (cents2 == cents).all()
+    disk = [(r.vec_id, r.cosine) for r in ivf_topk(loaded, query, cents2, k=8, n_probe=2).collect()]
+    assert disk == inline
+    # partition pruning: the probed filter reads only matching list dirs
+    import os
+
+    assert any(d.startswith("_list=") for d in os.listdir(os.path.join(path, "lists")))
+
+
 def test_simhash_exploded_equals_column_form(spark):
     """simhash_exploded (shuffle-shaped) and simhash64 (per-row column
-    fold) must produce identical fingerprints, incl. empty docs -> 0."""
+    fold) must produce identical fingerprints, incl. empty docs -> 0 and
+    NULL docs -> NULL (not bucket 0)."""
     from pyspark.sql import functions as F
 
     from coffea_spark.llmdata.dedup import simhash64, simhash_exploded
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
     extra = spark.createDataFrame(
-        [(100001, ""), (100002, "   "), (100003, "one token")],
+        [(100001, ""), (100002, "   "), (100003, "one token"), (100004, None)],
         "doc_id long, text string",
     )
     docs = docs.select("doc_id", "text").unionByName(extra)
