@@ -1887,7 +1887,10 @@ def q_quantiles(spark, sf_dir):
     """Exact percentiles per group (linear interpolation — identical
     definition to DuckDB quantile_cont). The reference has no quantile
     op; listed free in SURVEY §2.5 'approx aggregates' — we gate the
-    EXACT form so it hash-matches."""
+    EXACT form so it hash-matches. The exact form sorts each group's
+    full data: it is the ORACLE/SAMPLE path. The 100 TB path is
+    q_quantiles_approx below (sketch-based, mergeable, bounded
+    memory)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1906,6 +1909,25 @@ SELECT l_returnflag, count(*) AS n,
        round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
 FROM lineitem GROUP BY 1
 """
+
+
+def q_quantiles_approx(spark, sf_dir):
+    """Sketch-based percentiles per group (percentile_approx — the
+    Greenwald-Khanna sketch Spark merges map-side): bounded memory per
+    group regardless of group size, the quantile path that survives
+    100 TB where the exact sort-per-group does not. Values are
+    approximate by construction (accuracy 10000 -> ~0.01% rank error)
+    so the driver records rows+schema only; determinism within Spark is
+    exercised by the self-consistency bounds in the test suite."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.25), acc), 6).alias("p25"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), acc), 6).alias("p50"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.75), acc), 6).alias("p75"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.99), acc), 6).alias("p99"),
+    )
 
 
 def q_triples_metric(spark, sf_dir):
@@ -2025,7 +2047,13 @@ FROM lineitem GROUP BY 1, 2, 3
 def q_salted_join(spark, sf_dir):
     """Skew-salted equi-join (joins.salted_join): identical results to
     the plain join, hot keys scattered across salt replicas. The oracle
-    is the UNSALTED join — proving salting is result-invariant."""
+    is the UNSALTED join — proving salting is result-invariant.
+
+    The right side carries a SHUFFLE_HASH hint: without it Spark
+    broadcasts the replicated dimension and no reducer skew exists to
+    mitigate — the salted exchange must actually appear in the audited
+    plan for this gate to exercise the operator (the salt column joins
+    the shuffle key, scattering any hot o_orderkey across 8 reducers)."""
     from coffea_spark.joins import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -2033,7 +2061,7 @@ def q_salted_join(spark, sf_dir):
     )
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
-    )
+    ).hint("shuffle_hash")
     j = salted_join(li, orders, "o_orderkey", salt=8, how="inner")
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2297,6 +2325,95 @@ SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
 """
 
 
+def q_rochester_pileup(spark, sf_dir):
+    """Rochester muon momentum scale (kScaleDT / kSpreadMC) and pileup
+    reweighting as named ops (reference rochester_lookup.py:88-171,
+    json_converters.py:105-121): binned ratio/scale lookups applied to
+    muon-shaped lineitem columns — literal-table column math in the scan
+    stage, one aggregate shuffle total."""
+    from coffea_spark.muon_corrections import PileupWeight, RochesterCorrection
+
+    roc = RochesterCorrection.from_tables(
+        eta_edges=[-3.0, 0.0, 3.0],
+        phi_edges=[-3.2, 0.0, 3.2],
+        M_mc=[[0.99, 1.01], [1.02, 0.98]],
+        M_data=[[1.01, 1.02], [1.03, 1.04]],
+        A_mc=[[0.0005, -0.0005], [0.0015, -0.0015]],
+        A_data=[[0.001, -0.001], [0.002, -0.002]],
+        res_eta_edges=[0.0, 1.5, 3.0],
+        k_res_mc=[1.0, 1.1],
+        k_res_data=[1.05, 1.2],
+    )
+    # exact binary ratios: data/mc sums are powers of two
+    pu = PileupWeight([2, 4, 8, 2], [4, 4, 4, 4], [0.0, 5.0, 10.0, 15.0, 20.0])
+
+    li = _t(spark, sf_dir, "lineitem")
+    charge = F.when(F.col("l_linenumber") % 2 == 0, 1).otherwise(-1)
+    pt = F.col("l_extendedprice") / 2000.0
+    eta = F.col("l_discount") * 60.0 - 3.0
+    phi = F.col("l_tax") * 80.0 - 3.2
+    genpt = (F.col("l_extendedprice") / 2000.0) * (1.0 + F.col("l_discount"))
+    kdt = roc.k_scale_dt(charge, pt, eta, phi)
+    kspread = roc.k_spread_mc(charge, pt, eta, phi, genpt)
+    w = pu(F.col("l_suppkey") % 20)
+    return li.select(
+        kdt.alias("kdt"), kspread.alias("ks"), w.alias("w"), pt.alias("pt")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("kdt"), 6).alias("avg_kdt"),
+        F.round(F.sum(F.col("pt") * F.col("kdt")), 2).alias("sum_pt_dt"),
+        F.round(F.avg("ks"), 6).alias("avg_kspread"),
+        F.round(F.sum("w"), 4).alias("sum_pu_w"),
+    )
+
+
+# mirrors DenseLookup bin selection (clamped edges) + the reference's
+# kScaleDT / kSpreadMC arithmetic in identical float op order
+SQL_ROCHESTER_PILEUP = """
+WITH m AS (
+  SELECT CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END AS q,
+         l_extendedprice / 2000.0 AS pt,
+         l_discount * 60.0 - 3.0 AS eta,
+         l_tax * 80.0 - 3.2 AS phi,
+         (l_extendedprice / 2000.0) * (1.0 + l_discount) AS genpt,
+         l_suppkey % 20 AS nti
+  FROM lineitem
+), t AS (
+  SELECT q, pt, genpt, nti,
+    CASE WHEN eta < 0.0 THEN CASE WHEN phi < 0.0 THEN 1.01 ELSE 1.02 END
+         ELSE CASE WHEN phi < 0.0 THEN 1.03 ELSE 1.04 END END AS m_dt,
+    CASE WHEN eta < 0.0 THEN CASE WHEN phi < 0.0 THEN 0.001 ELSE -0.001 END
+         ELSE CASE WHEN phi < 0.0 THEN 0.002 ELSE -0.002 END END AS a_dt,
+    CASE WHEN eta < 0.0 THEN CASE WHEN phi < 0.0 THEN 0.99 ELSE 1.01 END
+         ELSE CASE WHEN phi < 0.0 THEN 1.02 ELSE 0.98 END END AS m_mc,
+    CASE WHEN eta < 0.0 THEN CASE WHEN phi < 0.0 THEN 0.0005 ELSE -0.0005 END
+         ELSE CASE WHEN phi < 0.0 THEN 0.0015 ELSE -0.0015 END END AS a_mc,
+    CASE WHEN abs(eta) < 1.5 THEN 1.05 ELSE 1.2 END AS kres_dt,
+    CASE WHEN abs(eta) < 1.5 THEN 1.0 ELSE 1.1 END AS kres_mc
+  FROM m
+), k AS (
+  SELECT pt, nti,
+         1.0 / (m_dt + q * a_dt * pt) AS kdt,
+         1.0 / (m_mc + q * a_mc * pt) AS kmc,
+         genpt, kres_dt, kres_mc
+  FROM t
+), s AS (
+  SELECT pt, nti, kdt,
+         kmc * ((genpt / (kmc * pt)) /
+                (1.0 + (genpt / (kmc * pt) - 1.0) * kres_dt / kres_mc)) AS ks
+  FROM k
+)
+SELECT count(*) AS n,
+       round(avg(kdt), 6) AS avg_kdt,
+       round(sum(pt * kdt), 2) AS sum_pt_dt,
+       round(avg(ks), 6) AS avg_kspread,
+       round(CAST(sum(CASE WHEN nti < 5 THEN 0.5 WHEN nti < 10 THEN 1.0
+                           WHEN nti < 15 THEN 2.0 ELSE 0.5 END) AS DOUBLE), 4)
+         AS sum_pu_w
+FROM s
+"""
+
+
 def q_btag_csv(spark, sf_dir):
     """BTag scale factors parsed from the CSV correction-file format
     (reference btag_tools/btagscalefactor.py:52-86 readcsv + extractor
@@ -2513,4 +2630,6 @@ REGISTRY: dict[str, Query] = {
     "ivf_topk": Query(q_ivf_topk, None),
     "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
+    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
+    "quantiles_approx": Query(q_quantiles_approx, None),
 }
