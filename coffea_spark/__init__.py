@@ -25,6 +25,9 @@ from coffea_spark.schema import (
     zip_collections,
     unzip_collection,
     infer_collection_groups,
+    NanoAODSchemaSpec,
+    PFNanoAODSchema,
+    ScoutingNanoAODSchema,
 )
 from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
 from coffea_spark.nanoevents import Collection, NanoEvents, Record
@@ -39,6 +42,9 @@ __all__ = [
     "NanoEvents",
     "Collection",
     "Record",
+    "NanoAODSchemaSpec",
+    "PFNanoAODSchema",
+    "ScoutingNanoAODSchema",
     "Hist1D",
     "Hist2D",
     "hist1d",

@@ -190,11 +190,12 @@ class Collection:
     (methods/vector.py:479-561, methods/nanoaod.py:113-723).
     """
 
-    __slots__ = ("_col", "_name")
+    __slots__ = ("_col", "_name", "_events")
 
-    def __init__(self, col: Column, name: str = "<derived>"):
+    def __init__(self, col: Column, name: str = "<derived>", events=None):
         object.__setattr__(self, "_col", col)
         object.__setattr__(self, "_name", name)
+        object.__setattr__(self, "_events", events)
 
     @property
     def c(self) -> Column:
@@ -212,8 +213,33 @@ class Collection:
         if name in _COMPUTED:
             fn = _COMPUTED[name]
             return F.transform(self._col, lambda x: fn(x))
+        xref = self._resolve_xref(name)
+        if xref is not None:
+            return xref
         # GetArrayStructFields — same plan as F.col("Muon.pt")
         return self._col.getField(name)
+
+    def _resolve_xref(self, name: str):
+        """Schema-declared gathers: ``matched_jet`` (FK index) and
+        ``matched_muons`` (nested Idx1/Idx2) from the events' schema
+        spec (reference mixin properties, methods/nanoaod.py:113-723)."""
+        ev = self._events
+        spec = getattr(ev, "_schema", None) if ev is not None else None
+        if spec is None:
+            return None
+        nested = spec.nested_references.get(self._name, {})
+        if name in nested:
+            target, idx_fields = nested[name]
+            return self.matched_via(idx_fields, ev[target])
+        if name.startswith("matched_"):
+            want = name[len("matched_"):]
+            for idx_col, target in spec.cross_references.items():
+                coll, field = idx_col.split("_", 1)
+                if coll == self._name and target.lower() == want:
+                    return self.matched(field, ev[target])
+        if name == "parent" and f"{self._name}_genPartIdxMother" in spec.cross_references:
+            return self.matched("genPartIdxMother", ev[self._name])
+        return None
 
     def __getitem__(self, field: str) -> Column:
         return self._col.getField(field)
@@ -222,7 +248,7 @@ class Collection:
     def where(self, pred: Callable) -> "Collection":
         """Object-level filter (``jets[jets.pt > 30]`` analog): keep
         elements where ``pred(record)`` holds; shape shrinks."""
-        return Collection(F.filter(self._col, _wrap_pred(pred)), self._name)
+        return Collection(F.filter(self._col, _wrap_pred(pred)), self._name, self._events)
 
     def mask(self, pred: Callable) -> "Collection":
         """Null-preserving filter (``ak.mask`` analog): failing elements
@@ -230,6 +256,7 @@ class Collection:
         return Collection(
             F.transform(self._col, lambda x: F.when(_wrap_pred(pred)(x), x)),
             self._name,
+            self._events,
         )
 
     def map(self, fn: Callable) -> Column:
@@ -311,15 +338,25 @@ class NanoEvents:
     (nanoevents/factory.py:267-480, schemas/nanoaod.py:255-408).
     """
 
-    __slots__ = ("_df",)
+    __slots__ = ("_df", "_schema")
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, schema=None):
         object.__setattr__(self, "_df", df)
+        object.__setattr__(self, "_schema", schema)
 
     @classmethod
     def from_flat(
-        cls, df: DataFrame, collections: dict[str, list[str]] | None = None
+        cls,
+        df: DataFrame,
+        collections: dict[str, list[str]] | None = None,
+        schema=None,
     ) -> "NanoEvents":
+        """Zip flat branches; with ``schema`` (a
+        :class:`coffea_spark.schema.NanoAODSchemaSpec` or variant) apply
+        its column synthesis first and carry its cross-reference
+        metadata (enables ``events.Muon.matched_jet`` etc.)."""
+        if schema is not None:
+            return cls(schema.apply(df, collections), schema)
         return cls(zip_collections(df, collections))
 
     @property
@@ -337,7 +374,7 @@ class NanoEvents:
             raise AttributeError(f"no column {name!r} in events") from None
         col = F.col(name)
         if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
-            return Collection(col, name)
+            return Collection(col, name, events=self)
         if isinstance(dtype, T.StructType):
             return Record(col)
         return col
@@ -347,10 +384,10 @@ class NanoEvents:
 
     def filter(self, cond) -> "NanoEvents":
         """Event-level filter (rows drop)."""
-        return NanoEvents(self._df.filter(_c(cond)))
+        return NanoEvents(self._df.filter(_c(cond)), self._schema)
 
     def with_column(self, name: str, col) -> "NanoEvents":
-        return NanoEvents(self._df.withColumn(name, _c(col)))
+        return NanoEvents(self._df.withColumn(name, _c(col)), self._schema)
 
     def select(self, *cols) -> DataFrame:
         return self._df.select(*[_c(c) for c in cols])

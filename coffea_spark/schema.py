@@ -121,6 +121,160 @@ def unzip_collection(df: DataFrame, name: str, drop: bool = True) -> DataFrame:
     return df.select(*keep, *flat)
 
 
+# ---------------------------------------------------------------------------
+# schema variants: derived-column synthesis + cross-reference metadata
+# ---------------------------------------------------------------------------
+
+class NanoAODSchemaSpec:
+    """Declarative NanoAOD schema: synthesized columns and
+    cross-reference metadata, applied before zipping (reference:
+    schemas/nanoaod.py — full_like_items :169-190, rename/alias
+    :191-200, cross_references/nested index build :291-311).
+
+    Spark differences: there is no offsets bookkeeping, so "full_like
+    from offsets" is a constant-valued ``transform`` over a sibling
+    array, and the reference's GLOBAL index build (local2global) is
+    unnecessary — collections live inside the event row, local indices
+    gather directly (joins.gather_local). ``cross_references`` and
+    ``nested_references`` therefore stay metadata: the NanoEvents proxy
+    uses them to expose ``muons.matched_jet`` / ``jets.matched_muons``.
+    """
+
+    #: {absent_column: constant} -> synthesized with the collection's shape
+    full_like_items: dict[str, float] = {
+        "Photon_mass": 0.0,
+        "Photon_charge": 0.0,
+        "Jet_charge": 0.0,
+        "FatJet_charge": 0.0,
+    }
+    #: {present_name: canonical_name} renames (regressed energy etc.)
+    rename_items: dict[str, str] = {
+        "Electron_regrEnergy": "Electron_energy",
+        "Photon_regrEnergy": "Photon_energy",
+    }
+    #: {canonical_name: source_name} duplicated under a second name
+    alias_items: dict[str, str] = {
+        "CorrT1METJet_pt": "CorrT1METJet_rawPt",
+        "CorrT1METJet_mass": "CorrT1METJet_rawMass",
+    }
+    #: {index_column: target_collection} FK gathers (Muon.matched_jet, ...)
+    cross_references: dict[str, str] = {
+        "Muon_jetIdx": "Jet",
+        "Muon_genPartIdx": "GenPart",
+        "Electron_jetIdx": "Jet",
+        "Electron_genPartIdx": "GenPart",
+        "Electron_photonIdx": "Photon",
+        "Photon_electronIdx": "Electron",
+        "Photon_jetIdx": "Jet",
+        "Jet_genJetIdx": "GenJet",
+        "GenPart_genPartIdxMother": "GenPart",
+    }
+    #: {source_collection: {attr: (target, [index_fields...])}} 1->k FKs
+    nested_references: dict[str, dict[str, tuple[str, list[str]]]] = {
+        "Jet": {
+            "matched_muons": ("Muon", ["muonIdx1", "muonIdx2"]),
+            "matched_electrons": ("Electron", ["electronIdx1", "electronIdx2"]),
+        },
+    }
+    #: {collection: behavior} — which computed-property family applies
+    mixins: dict[str, str] = {
+        "Muon": "PtEtaPhiMCandidate",
+        "Electron": "PtEtaPhiMCandidate",
+        "Photon": "PtEtaPhiMCandidate",
+        "Jet": "PtEtaPhiMLorentzVector",
+        "FatJet": "PtEtaPhiMLorentzVector",
+        "GenPart": "PtEtaPhiMCandidate",
+        "GenJet": "PtEtaPhiMLorentzVector",
+        "MET": "MissingET",
+    }
+
+    @classmethod
+    def synthesize(cls, df: DataFrame) -> DataFrame:
+        """Apply rename/alias/constant-fill at the flat-branch level."""
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for src, dst in cls.rename_items.items():
+            if src in fields and dst not in fields:
+                df = df.withColumnRenamed(src, dst)
+                fields[dst] = fields.pop(src)
+        for dst, src in cls.alias_items.items():
+            if src in fields and dst not in fields:
+                df = df.withColumn(dst, F.col(src))
+                fields[dst] = fields[src]
+        for name, const in cls.full_like_items.items():
+            if name in fields:
+                continue
+            coll = name.split("_", 1)[0]
+            sibling = next(
+                (c for c in fields if c.startswith(coll + "_")), None
+            )
+            if sibling is None:
+                continue
+            if isinstance(fields[sibling], T.ArrayType):
+                filled = F.transform(F.col(sibling), lambda _: F.lit(const))
+            else:
+                filled = F.lit(const)
+            df = df.withColumn(name, filled)
+            fields[name] = df.schema[name].dataType
+        return df
+
+    @classmethod
+    def apply(cls, df: DataFrame, collections: dict[str, list[str]] | None = None,
+              drop_counts: bool = True) -> DataFrame:
+        """synthesize + zip: flat branches -> collection columns."""
+        return zip_collections(cls.synthesize(df), collections, drop_counts)
+
+
+class PFNanoAODSchema(NanoAODSchemaSpec):
+    """PFNano variant: PF candidates + secondary vertices with their
+    jet/candidate cross-links (reference schemas/nanoaod.py:467-508)."""
+
+    mixins = {
+        **NanoAODSchemaSpec.mixins,
+        "PFCands": "PFCand",
+        "GenCands": "PFCand",
+        "JetPFCands": "AssociatedPFCand",
+        "JetSVs": "AssociatedSV",
+    }
+    cross_references = {
+        **NanoAODSchemaSpec.cross_references,
+        "JetPFCands_jetIdx": "Jet",
+        "JetPFCands_pFCandsIdx": "PFCands",
+        "JetSVs_jetIdx": "Jet",
+        "JetSVs_sVIdx": "SV",
+        "FatJetPFCands_jetIdx": "FatJet",
+        "FatJetPFCands_pFCandsIdx": "PFCands",
+    }
+
+
+class ScoutingNanoAODSchema(NanoAODSchemaSpec):
+    """Scouting variant: scouting objects mapped onto the standard
+    behaviors, with their constant fills and MET aliases (reference
+    schemas/nanoaod.py:511-557)."""
+
+    mixins = {
+        **NanoAODSchemaSpec.mixins,
+        "ScoutingJet": "PtEtaPhiMLorentzVector",
+        "ScoutingFatJet": "PtEtaPhiMLorentzVector",
+        "ScoutingMET": "MissingET",
+        "ScoutingElectron": "PtEtaPhiMCandidate",
+        "ScoutingPhoton": "PtEtaPhiMCandidate",
+        "ScoutingMuonNoVtx": "PtEtaPhiMCandidate",
+        "ScoutingMuonVtx": "PtEtaPhiMCandidate",
+    }
+    full_like_items = {
+        **NanoAODSchemaSpec.full_like_items,
+        "ScoutingJet_charge": 0.0,
+        "ScoutingFatJet_charge": 0.0,
+        "ScoutingPhoton_m": 0.0,
+        "ScoutingPhoton_charge": 0.0,
+    }
+    alias_items = {
+        **NanoAODSchemaSpec.alias_items,
+        "MET_pt": "MET_fiducialGenPt",
+        "MET_phi": "MET_fiducialGenPhi",
+    }
+
+
 def collection_fields(df: DataFrame, name: str) -> list[str]:
     """Field names of an array<struct> collection column."""
     dtype = df.schema[name].dataType

@@ -172,3 +172,75 @@ def test_event_filter_returns_nanoevents(ne):
     assert isinstance(sub, NanoEvents)
     assert sub.df.count() <= ne.df.count()
     assert sub.select(F.min(F.size("Muon"))).first()[0] >= 2
+
+
+def test_schema_synthesis_and_variants(spark):
+    """Derived-column synthesis (constant fills, renames, aliases) and
+    variant specs (reference schemas/nanoaod.py:169-200, 467-557)."""
+    from coffea_spark.schema import NanoAODSchemaSpec, ScoutingNanoAODSchema
+
+    flat = events_flat_df(spark, n_events=50)
+    # drop any existing Photon columns, inject a regressed-energy column
+    flat = flat.withColumn("Photon_pt", F.col("Jet_pt")).withColumn(
+        "Electron_regrEnergy", F.transform("Electron_pt", lambda x: x * 2.0)
+    )
+    out = NanoAODSchemaSpec.synthesize(flat)
+    cols = set(out.columns)
+    # constant fill synthesized with the collection's jagged shape
+    assert {"Photon_mass", "Photon_charge", "Jet_charge"} <= cols
+    r = out.select("Photon_pt", "Photon_mass", "Jet_pt", "Jet_charge").first()
+    assert len(r.Photon_mass) == len(r.Photon_pt)
+    assert all(v == 0.0 for v in r.Photon_mass)
+    assert len(r.Jet_charge) == len(r.Jet_pt)
+    # rename applied
+    assert "Electron_energy" in cols and "Electron_regrEnergy" not in cols
+
+    # variant dicts extend the base spec
+    assert "ScoutingJet_charge" in ScoutingNanoAODSchema.full_like_items
+    assert ScoutingNanoAODSchema.alias_items["MET_pt"] == "MET_fiducialGenPt"
+    assert "Photon_mass" in ScoutingNanoAODSchema.full_like_items  # inherited
+
+
+def test_schema_xref_attributes(spark):
+    """events.Muon.matched_jet / events.Jet.matched_muons resolve via
+    the schema's cross-reference metadata (reference crossref surface,
+    tests/test_nanoevents.py:54-63)."""
+    from coffea_spark.schema import NanoAODSchemaSpec
+    from coffea_spark.testing import events_nano_df
+
+    ne = NanoEvents(events_nano_df(spark, n_events=200), schema=NanoAODSchemaSpec)
+    mj = ne.Muon.matched_jet
+    assert isinstance(mj, Collection)
+    rows = ne.df.select(
+        F.col("Muon.jetIdx").alias("idx"), mj.pt.alias("mjpt"), F.col("Jet.pt").alias("jpt")
+    ).collect()
+    for r in rows:
+        for i, got in zip(r.idx, r.mjpt):
+            want = r.jpt[i] if 0 <= i < len(r.jpt) else None
+            assert got == want
+
+    jm = ne.Jet.matched_muons
+    assert isinstance(jm, Collection)
+    n = ne.df.select(F.explode(jm.c).alias("ms")).count()
+    assert n > 0
+
+    # GenPart.parent walks the mother index within the same collection
+    par = ne.GenPart.parent
+    rows = ne.df.select(
+        F.col("GenPart.genPartIdxMother").alias("mi"), par.pdgId.alias("ppdg"),
+        F.col("GenPart.pdgId").alias("pdg"),
+    ).first()
+    for i, got in zip(rows.mi, rows.ppdg):
+        want = rows.pdg[i] if 0 <= i < len(rows.pdg) else None
+        assert got == want
+
+    # without a schema, matched_* does not resolve (falls through to field
+    # access which fails at analysis; attribute building itself is lazy)
+    ne2 = NanoEvents(events_nano_df(spark, n_events=5))
+    col = ne2.Muon.matched_jet  # plain field access column, unresolved
+    import pyspark
+    try:
+        ne2.df.select(col.c if isinstance(col, Collection) else col).collect()
+        raise AssertionError("expected analysis failure without schema")
+    except pyspark.errors.exceptions.base.AnalysisException:
+        pass
