@@ -2325,6 +2325,60 @@ SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
 """
 
 
+def q_plot_vars(spark, sf_dir):
+    """plot_vars report builder (reference Cutflow/NminusOne.plot_vars,
+    analysis_tools.py:1267-1459): per-variable histograms at every
+    cumulative selection stage, in ONE scan + one bucket-id shuffle
+    (the reference refills per stage). Weighted and unweighted fills."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _lineitem_selection(li)
+    out = sel.plot_vars(
+        li,
+        vars={
+            "qty": (F.col("l_quantity"), 20, 0.0, 50.0),
+            "price": (F.col("l_extendedprice"), 20, 0.0, 80000.0),
+        },
+        weight=F.lit(1.0) + F.col("l_discount"),
+    )
+    rounded = [
+        F.round(c, 4).alias(c) for c in ("initial_w", "w_big_qty", "w_low_disc", "w_returned")
+    ]
+    return out.select(
+        "var", "bin", "initial", "n_big_qty", "n_low_disc", "n_returned", *rounded
+    )
+
+
+SQL_PLOT_VARS = """
+WITH b AS (
+  SELECT l_quantity, l_extendedprice, 1.0 + l_discount AS w,
+         l_quantity > 25 AS c1, l_discount < 0.05 AS c2, l_returnflag = 'N' AS c3
+  FROM lineitem
+), e AS (
+  SELECT 'qty' AS var,
+         CASE WHEN l_quantity < 0.0 THEN -1 WHEN l_quantity >= 50.0 THEN 20
+              ELSE CAST(floor((l_quantity - 0.0) / 2.5) AS BIGINT) END AS bin,
+         w, c1, c2, c3
+  FROM b
+  UNION ALL
+  SELECT 'price',
+         CASE WHEN l_extendedprice < 0.0 THEN -1 WHEN l_extendedprice >= 80000.0 THEN 20
+              ELSE CAST(floor((l_extendedprice - 0.0) / 4000.0) AS BIGINT) END,
+         w, c1, c2, c3
+  FROM b
+)
+SELECT var, bin,
+       count(*) AS initial,
+       CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_qty,
+       CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_disc,
+       CAST(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       round(sum(w), 4) AS initial_w,
+       round(sum(CASE WHEN c1 THEN w ELSE 0.0 END), 4) AS w_big_qty,
+       round(sum(CASE WHEN c1 AND c2 THEN w ELSE 0.0 END), 4) AS w_low_disc,
+       round(sum(CASE WHEN c1 AND c2 AND c3 THEN w ELSE 0.0 END), 4) AS w_returned
+FROM e GROUP BY var, bin
+"""
+
+
 def q_rochester_pileup(spark, sf_dir):
     """Rochester muon momentum scale (kScaleDT / kSpreadMC) and pileup
     reweighting as named ops (reference rochester_lookup.py:88-171,
@@ -2632,4 +2686,5 @@ REGISTRY: dict[str, Query] = {
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "quantiles_approx": Query(q_quantiles_approx, None),
+    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
 }

@@ -126,6 +126,67 @@ class PackedSelection:
             initial_w=row["initial_w"] if weight is not None else None,
         )
 
+    def plot_vars(
+        self,
+        df: DataFrame,
+        vars: dict[str, tuple[Column, int, float, float]],
+        names: list[str] | None = None,
+        weight: Column | None = None,
+    ) -> DataFrame:
+        """Per-variable histograms at every cumulative selection stage
+        (reference NminusOne/Cutflow.plot_vars, analysis_tools.py:
+        1267-1459): the packaged "distribution after each cut" report.
+
+        ``vars`` maps name -> (column, nbins, lo, hi). Returns a wide
+        DataFrame ``(var, bin, initial[, initial_w], n_<cut>...
+        [, w_<cut>...])`` — one row per (variable, bucket), one count
+        column per cumulative stage.
+
+        Plan shape (the reason this is NOT reference-style per-stage
+        refills): each input row emits one (var, bucket) pair per
+        variable (a single ``explode`` of a literal-built array), every
+        stage is a conditional partial sum — ONE scan of the data and
+        one shuffle of at most ``sum(nbins)+2`` rows per variable,
+        regardless of input size or stage count. The reference fills
+        len(stages) histograms per variable in separate passes.
+        """
+        from coffea_spark.hist import bucket
+
+        names = list(names) if names else self.names
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(vname).alias("var"),
+                    bucket(col, lo, hi, nbins).alias("bin"),
+                )
+                for vname, (col, nbins, lo, hi) in vars.items()
+            ]
+        )
+        base_cols = [F.explode(entries).alias("_e")] + [
+            self._cuts[n].alias(f"_c_{n}") for n in names
+        ]
+        if weight is not None:
+            base_cols.append(weight.alias("_w"))
+        flat = (
+            df.select(*base_cols)
+            .select(F.col("_e.var").alias("var"), F.col("_e.bin").alias("bin"), "*")
+            .drop("_e")
+            .filter(F.col("bin").isNotNull())  # null values fill nothing
+        )
+
+        aggs = [F.count(F.lit(1)).alias("initial")]
+        if weight is not None:
+            aggs.append(F.sum("_w").alias("initial_w"))
+        cumulative = F.lit(True)
+        for n in names:
+            cumulative = cumulative & F.col(f"_c_{n}")
+            aggs.append(F.sum(F.when(cumulative, 1).otherwise(0)).alias(f"n_{n}"))
+            if weight is not None:
+                aggs.append(
+                    F.sum(F.when(cumulative, F.col("_w")).otherwise(0.0)).alias(f"w_{n}")
+                )
+        return flat.groupBy("var", "bin").agg(*aggs)
+
     def nminusone(self, df: DataFrame, *names: str) -> "NminusOne":
         """Counts passing all-but-one cut, per cut, plus all cuts — one
         conditional-aggregation pass (reference: analysis_tools.py
@@ -178,6 +239,32 @@ class Cutflow:
             out.append(row)
         return out
 
+    def yieldhist(self, weighted: bool | None = None, scale: float | None = None):
+        """Packaged yield report (reference Cutflow.yieldhist,
+        analysis_tools.py:1719-1817): returns
+        ``(labels, onecut_yields, cutflow_yields)`` with labels
+        ``["initial", <cut>, ...]``. The reference wraps these in a
+        hist.Hist with an Integer axis; the arrays ARE that histogram's
+        bin contents (hist is not a dependency here). ``weighted`` picks
+        the weighted fills when the cutflow carried a weight; ``scale``
+        multiplies yields."""
+        do_weighted = (self.wevonecut is not None) if weighted is None else weighted
+        if do_weighted and self.wevonecut is None:
+            raise ValueError("cutflow was built without a weight")
+        labels = ["initial"] + list(self.names)
+        if do_weighted:
+            one = [self.initial_w] + list(self.wevonecut)
+            cum = [self.initial_w] + list(self.wevcutflow)
+        else:
+            one = [self.initial] + list(self.nevonecut)
+            cum = [self.initial] + list(self.nevcutflow)
+        if scale is not None:
+            if not isinstance(scale, (int, float)):
+                raise ValueError("scale must be a number")
+            one = [v * scale for v in one]
+            cum = [v * scale for v in cum]
+        return labels, one, cum
+
     def to_npz(self, path: str) -> None:
         """Export counts as npz (reference CutflowToNpz,
         analysis_tools.py:768-919; we export the counts, not per-event
@@ -206,6 +293,17 @@ class NminusOne:
 
     def result(self):
         return self.names, [self.initial] + self.nev + [self.nev_all]
+
+    def yieldhist(self, scale: float | None = None):
+        """Packaged N-1 yield report (reference NminusOne.yieldhist,
+        analysis_tools.py:1138-1266): ``(labels, yields)`` with labels
+        ``["initial", "N - <cut>", ..., "N"]`` — the contents of the
+        reference's Integer-axis hist."""
+        labels = ["initial"] + [f"N - {n}" for n in self.names] + ["N"]
+        nev = [self.initial] + list(self.nev) + [self.nev_all]
+        if scale is not None:
+            nev = [v * scale for v in nev]
+        return labels, nev
 
     def to_npz(self, path: str) -> None:
         """Export counts as npz (reference NminusOneToNpz,

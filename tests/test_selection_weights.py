@@ -101,3 +101,55 @@ def test_weights_shift_mode(spark):
     got = df.select(weights.weight("sUp").alias("up"), weights.weight("sDown").alias("dn")).toPandas()
     assert np.allclose(got["up"], w + 0.1)
     assert np.allclose(got["dn"], w - 0.1)
+
+
+def test_yieldhist_reports(spark, nano):
+    """yieldhist packaged reports (reference analysis_tools.py:1138-1266,
+    1719-1817): labels + yields consistent with result()."""
+    sel = PackedSelection()
+    sel.add("two_muons", F.size("Muon") >= 2)
+    sel.add("has_jet", F.size("Jet") >= 1)
+
+    cf = sel.cutflow(nano, weight=F.col("genWeight"))
+    labels, one, cum = cf.yieldhist()  # defaults to weighted (has weight)
+    assert labels == ["initial", "two_muons", "has_jet"]
+    assert one[0] == cf.initial_w
+    labels_u, one_u, cum_u = cf.yieldhist(weighted=False)
+    assert one_u == [cf.initial] + cf.nevonecut
+    assert all(a >= b for a, b in zip(cum_u, cum_u[1:]))  # monotone
+    _, one_s, _ = cf.yieldhist(weighted=False, scale=2.0)
+    assert one_s == [2 * v for v in one_u]
+
+    n1 = sel.nminusone(nano)
+    lab, nev = n1.yieldhist()
+    assert lab == ["initial", "N - two_muons", "N - has_jet", "N"]
+    assert nev == [n1.initial] + n1.nev + [n1.nev_all]
+
+
+def test_plot_vars_single_pass(spark, nano):
+    """plot_vars long report vs independently computed histograms: the
+    stage-0 column equals hist1d of the variable; each stage column is
+    hist1d over the cumulatively-filtered frame."""
+    from coffea_spark.hist import hist1d
+
+    sel = PackedSelection()
+    sel.add("two_muons", F.size("Muon") >= 2)
+    sel.add("met20", F.col("MET.pt") < 20.0)
+
+    out = sel.plot_vars(
+        nano, vars={"met": (F.col("MET.pt"), 10, 0.0, 40.0)}
+    ).filter(F.col("var") == "met")
+    got = {r.bin: (r.initial, r.n_two_muons, r.n_met20) for r in out.collect()}
+
+    h0 = {r.bin: r.n for r in hist1d(nano, F.col("MET.pt"), 10, 0.0, 40.0).collect()}
+    stage1 = nano.filter(F.size("Muon") >= 2)
+    h1 = {r.bin: r.n for r in hist1d(stage1, F.col("MET.pt"), 10, 0.0, 40.0).collect()}
+    stage2 = stage1.filter(F.col("MET.pt") < 20.0)
+    h2 = {r.bin: r.n for r in hist1d(stage2, F.col("MET.pt"), 10, 0.0, 40.0).collect()}
+
+    for b, (n0, n1, n2) in got.items():
+        assert n0 == h0.get(b, 0)
+        assert n1 == h1.get(b, 0)
+        assert n2 == h2.get(b, 0)
+    # totals conserved (flow bins kept)
+    assert sum(v[0] for v in got.values()) == nano.count()
