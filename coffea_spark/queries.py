@@ -1758,6 +1758,87 @@ def q_jer_smear(spark, sf_dir):
     )
 
 
+def q_corrected_jets_det(spark, sf_dir):
+    """The deterministic half of the corrected-jets build, hash-matched:
+    JEC chain + eta/pt-binned JES uncertainty from the junc-txt table,
+    NO stochastic smear — so every output column is oracle-portable.
+    Complements q_jer_smear (rows-only because of the content-seeded
+    gaussian): together they give the reference CorrectedJetsFactory
+    surface (jetmet_tools/CorrectedJetsFactory.py:205-500) a full gate."""
+    from coffea_spark.correction_files import read_junc_txt
+    from coffea_spark.corrections import CorrectedJetsFactory, FactorizedJetCorrector
+
+    (junc,) = read_junc_txt(
+        os.path.join(os.path.dirname(__file__), "data", "demo.junc.txt")
+    ).values()
+    factory = CorrectedJetsFactory(
+        FactorizedJetCorrector([lambda eta, pt: F.lit(1.05)]), junc=junc
+    )
+    orders = _order_items(spark, sf_dir)
+    jets = F.transform(
+        "items",
+        lambda x: F.struct(
+            (x["l_extendedprice"] / 1000.0).alias("pt"),
+            (x["l_quantity"] / 10.0).alias("mass"),
+            ((x["l_discount"] * 60.0) - 3.0).alias("eta"),
+            F.lit(0.0).alias("phi"),
+            F.lit(0.1).alias("rawFactor"),
+        ),
+    )
+    built = factory.build(jets)
+    return orders.select(built.alias("j")).select(F.explode("j").alias("jet")).agg(
+        F.count(F.lit(1)).alias("n_jets"),
+        F.round(F.sum("jet.pt_raw"), 2).alias("sum_pt_raw"),
+        F.round(F.sum("jet.pt_jec"), 2).alias("sum_pt_jec"),
+        F.round(F.sum("jet.JES_up_pt"), 2).alias("sum_jes_up"),
+        F.round(F.sum("jet.JES_down_pt"), 2).alias("sum_jes_down"),
+    )
+
+
+# mirrors the factory arithmetic + JuncTable interpolation at pt_jec
+SQL_CORRECTED_JETS_DET = """
+WITH j AS (
+  SELECT l_extendedprice / 1000.0 AS pt,
+         l_discount * 60.0 - 3.0 AS eta
+  FROM lineitem
+), c AS (
+  SELECT eta, pt,
+         (pt * (1.0 - 0.1)) AS pt_raw,
+         (pt * (1.0 - 0.1)) * 1.05 AS pt_jec
+  FROM j
+), b AS (
+  SELECT pt_raw, pt_jec,
+         CASE WHEN eta < 0.0 THEN 0 ELSE 1 END AS eb,
+         least(greatest(pt_jec, 10.0), 1000.0) AS ptc
+  FROM c
+), k AS (
+  SELECT pt_raw, pt_jec, eb, ptc,
+         CASE WHEN ptc < 100.0 THEN 0 ELSE 1 END AS ki,
+         CASE WHEN ptc < 100.0 THEN 10.0 ELSE 100.0 END AS k0,
+         CASE WHEN ptc < 100.0 THEN 100.0 ELSE 1000.0 END AS k1
+  FROM b
+), v AS (
+  SELECT pt_raw, pt_jec,
+         (ptc - k0) / (k1 - k0) AS t,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.04 WHEN eb = 0 AND ki = 1 THEN 0.02
+              WHEN eb = 1 AND ki = 0 THEN 0.05 ELSE 0.03 END AS u0,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.02 WHEN eb = 0 AND ki = 1 THEN 0.01
+              WHEN eb = 1 AND ki = 0 THEN 0.03 ELSE 0.02 END AS u1,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.05 WHEN eb = 0 AND ki = 1 THEN 0.03
+              WHEN eb = 1 AND ki = 0 THEN 0.06 ELSE 0.02 END AS d0,
+         CASE WHEN eb = 0 AND ki = 0 THEN 0.03 WHEN eb = 0 AND ki = 1 THEN 0.02
+              WHEN eb = 1 AND ki = 0 THEN 0.02 ELSE 0.01 END AS d1
+  FROM k
+)
+SELECT count(*) AS n_jets,
+       round(sum(pt_raw), 2) AS sum_pt_raw,
+       round(sum(pt_jec), 2) AS sum_pt_jec,
+       round(sum(pt_jec * (1.0 + (u0 + t * (u1 - u0)))), 2) AS sum_jes_up,
+       round(sum(pt_jec * (1.0 - (d0 + t * (d1 - d0)))), 2) AS sum_jes_down
+FROM v
+"""
+
+
 def q_systematics(spark, sf_dir):
     """Systematic-variation namespace (reference Systematic /
     UpDownSystematic, methods/base.py:54-259): a variation is just extra
@@ -2687,4 +2768,5 @@ REGISTRY: dict[str, Query] = {
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
+    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
 }
