@@ -816,6 +816,132 @@ FROM masses GROUP BY 1
 """
 
 
+def q_boost_cosstar(spark, sf_dir):
+    """Rest-frame decay angle through the Lorentz-boost surface
+    (vector.boostvec/negative3/boost_cartesian; reference
+    methods/vector.py:461-478 pvec/boostvec delegating to the vector
+    package's boost_beta3): opposite-charge pseudo-muon pairs -> boost the
+    pair's leading member into the pair rest frame -> cos(theta*) against
+    the lab-frame pair momentum -> 20-bin histogram. Binned output keeps
+    the hash robust to last-ulp float noise (Spark cosh vs exp-spelling).
+
+    Scale: same shape as dimuon_mass — one groupBy shuffle to build
+    events, then per-row HOFs; histogram shuffles bucket ids only."""
+    from coffea_spark import vector as vec
+
+    li = _t(spark, sf_dir, "lineitem")
+    mu = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            (F.col("l_quantity") + 1.0).alias("pt"),
+            ((F.col("l_discount") - 0.05) * 40.0).alias("eta"),
+            (F.col("l_tax") * 78.0 - 3.12).alias("phi"),
+            F.lit(0.105658).alias("mass"),
+            F.when(F.col("l_linenumber") % 2 == 0, 1).otherwise(-1).alias("charge"),
+            F.col("l_quantity").alias("q"),
+            F.col("l_extendedprice").alias("ep"),
+            F.col("l_discount").alias("dc"),
+            F.col("l_tax").alias("tx"),
+        ).alias("m"),
+    )
+    events = mu.groupBy("l_orderkey").agg(F.array_sort(F.collect_list("m")).alias("Muon"))
+    pairs = combinations(F.col("Muon"), 2)
+    # identical-kinematics pairs (same pt,eta,phi — possible on the
+    # synthetic grid) have zero relative momentum: cos(theta*) is 0/0,
+    # noise-dominated and engine-dependent. The exact-equality filter is
+    # deterministic (both engines derive the doubles identically).
+    os_pairs = F.filter(
+        pairs,
+        lambda p: ((p["f0"]["charge"] + p["f1"]["charge"]) == 0)
+        & (
+            (p["f0"]["pt"] != p["f1"]["pt"])
+            | (p["f0"]["eta"] != p["f1"]["eta"])
+            | (p["f0"]["phi"] != p["f1"]["phi"])
+        ),
+    )
+
+    def cosstar(pr):
+        a, b = pr["f0"], pr["f1"]
+        plab = F.struct(
+            (vec.px(a) + vec.px(b)).alias("x"),
+            (vec.py(a) + vec.py(b)).alias("y"),
+            (vec.pz(a) + vec.pz(b)).alias("z"),
+        )
+        etot = vec.energy(a) + vec.energy(b)
+        beta = F.struct(
+            (-plab["x"] / etot).alias("x"),
+            (-plab["y"] / etot).alias("y"),
+            (-plab["z"] / etot).alias("z"),
+        )
+        arf = vec.boost_cartesian(a, beta)
+        num = arf["x"] * plab["x"] + arf["y"] * plab["y"] + arf["z"] * plab["z"]
+        den = F.sqrt(arf["x"] * arf["x"] + arf["y"] * arf["y"] + arf["z"] * arf["z"]) * F.sqrt(
+            vec.dot3(plab, plab)
+        )
+        return num / den
+
+    cos = events.select(F.explode(F.transform(os_pairs, cosstar)).alias("cos"))
+    # 21 bins over [-1.05, 1.05]: the symmetry-forced exact values (0, +-1
+    # from collinear / mirror pairs in the synthetic grid) sit at bin
+    # CENTERS, so cross-engine ulp noise cannot move them across an edge.
+    return hist1d(cos, "cos", 21, -1.05, 1.05).select("bin", "n")
+
+
+# mirrors the boost algebra with exp-spelled hyperbolics (memory: DuckDB
+# has no cosh/sinh); binning makes the hash ulp-tolerant
+SQL_BOOST_COSSTAR = """
+WITH mu AS MATERIALIZED (
+  SELECT l_orderkey,
+         l_quantity + 1.0 AS pt,
+         (l_discount - 0.05) * 40.0 AS eta,
+         l_tax * 78.0 - 3.12 AS phi,
+         0.105658 AS mass,
+         CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END AS charge,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity + 1.0, (l_discount - 0.05) * 40.0,
+                    l_tax * 78.0 - 3.12, CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END,
+                    l_quantity, l_extendedprice, l_discount, l_tax) AS rn
+  FROM lineitem
+), cart AS (
+  SELECT l_orderkey, rn, charge, pt, eta, phi,
+         pt * cos(phi) AS x, pt * sin(phi) AS y,
+         pt * ((exp(eta) - exp(-eta)) / 2.0) AS z,
+         sqrt(mass*mass + pt*pt * ((exp(eta)+exp(-eta))/2.0) * ((exp(eta)+exp(-eta))/2.0)) AS e
+  FROM mu
+), pairs AS (
+  SELECT a.x AS x1, a.y AS y1, a.z AS z1, a.e AS e1,
+         a.x + b.x AS px, a.y + b.y AS py, a.z + b.z AS pz, a.e + b.e AS ee
+  FROM cart a JOIN cart b
+    ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+   AND a.charge + b.charge = 0
+   AND NOT (a.pt = b.pt AND a.eta = b.eta AND a.phi = b.phi)
+), boosted AS (
+  SELECT px, py, pz,
+         x1 + k * bx AS rx, y1 + k * by AS ry, z1 + k * bz AS rz
+  FROM (
+    SELECT *,
+           g * g / (g + 1.0) * (bx*x1 + by*y1 + bz*z1) + g * e1 AS k
+    FROM (
+      SELECT *, 1.0 / sqrt(1.0 - (bx*bx + by*by + bz*bz)) AS g
+      FROM (
+        SELECT *, -px/ee AS bx, -py/ee AS by, -pz/ee AS bz FROM pairs
+      )
+    )
+  )
+), cosv AS (
+  SELECT (rx*px + ry*py + rz*pz)
+         / (sqrt(rx*rx + ry*ry + rz*rz) * sqrt(px*px + py*py + pz*pz)) AS c
+  FROM boosted
+)
+SELECT CASE WHEN c < -1.05 THEN -1
+            WHEN c >= 1.05 THEN 21
+            ELSE CAST(floor((c - (-1.05)) / 0.1) AS BIGINT) END AS bin,
+       count(*) AS n
+FROM cosv GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data pipeline: dedup / similarity / text analysis / multimodal
 # ---------------------------------------------------------------------------
@@ -2769,4 +2895,5 @@ REGISTRY: dict[str, Query] = {
     "quantiles_approx": Query(q_quantiles_approx, None),
     "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
+    "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
 }

@@ -85,8 +85,16 @@ def pt_from_cartesian(px_c: Column, py_c: Column) -> Column:
 
 
 def eta_from_cartesian(px_c: Column, py_c: Column, pz_c: Column) -> Column:
+    """asinh(pz/pt); at pt == 0 (possible after a rest-frame boost) the
+    vector-package convention is sign(pz) * inf, 0.0 for the null vector —
+    the CASE guard also keeps ANSI mode from raising DIVIDE_BY_ZERO."""
     pt_c = pt_from_cartesian(px_c, py_c)
-    return F.asinh(pz_c / pt_c)
+    return (
+        F.when(pt_c != 0.0, F.asinh(pz_c / pt_c))
+        .when(pz_c > 0.0, F.lit(float("inf")))
+        .when(pz_c < 0.0, F.lit(float("-inf")))
+        .otherwise(F.lit(0.0))
+    )
 
 
 def phi_from_cartesian(px_c: Column, py_c: Column) -> Column:
@@ -214,6 +222,100 @@ def sum_vectors(collection: Column) -> Column:
         eta_from_cartesian(acc["px"], acc["py"], acc["pz"]).alias("eta"),
         phi_from_cartesian(acc["px"], acc["py"]).alias("phi"),
         mass_from_cartesian(acc["px"], acc["py"], acc["pz"], acc["energy"]).alias("mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# three-vector geometry + Lorentz boosts
+# (reference: methods/vector.py:145-370 TwoVector/ThreeVector mixins,
+#  :461-478 pvec/boostvec; boost algebra follows the scikit-hep ``vector``
+#  package's boost_beta3 transform, which the reference delegates to)
+# ---------------------------------------------------------------------------
+
+def pvec(v) -> Column:
+    """Momentum 3-vector struct<x,y,z> of a PtEtaPhiM vector
+    (reference vector.py:461-468 pvec)."""
+    return F.struct(px(v).alias("x"), py(v).alias("y"), pz(v).alias("z"))
+
+
+def boostvec(v) -> Column:
+    """beta3 = pvec / energy — the velocity 3-vector usable for boosting
+    (reference vector.py:470-478 boostvec / to_beta3)."""
+    e = energy(v)
+    return F.struct(
+        (px(v) / e).alias("x"), (py(v) / e).alias("y"), (pz(v) / e).alias("z")
+    )
+
+
+def dot3(a, b) -> Column:
+    """3-vector dot product over struct<x,y,z>."""
+    return a["x"] * b["x"] + a["y"] * b["y"] + a["z"] * b["z"]
+
+
+def cross3(a, b) -> Column:
+    """3-vector cross product, struct<x,y,z> (reference ThreeVector.cross)."""
+    return F.struct(
+        (a["y"] * b["z"] - a["z"] * b["y"]).alias("x"),
+        (a["z"] * b["x"] - a["x"] * b["z"]).alias("y"),
+        (a["x"] * b["y"] - a["y"] * b["x"]).alias("z"),
+    )
+
+
+def r3(v3) -> Column:
+    """Magnitude of a struct<x,y,z> 3-vector (reference ThreeVector.r)."""
+    return F.sqrt(dot3(v3, v3))
+
+
+def unit3(v3) -> Column:
+    """Unit 3-vector (reference vector.py:319-322 unit)."""
+    n = r3(v3)
+    return F.struct(
+        (v3["x"] / n).alias("x"), (v3["y"] / n).alias("y"), (v3["z"] / n).alias("z")
+    )
+
+
+def negative3(v3) -> Column:
+    """Componentwise negation of a struct<x,y,z> 3-vector."""
+    return F.struct(
+        (-v3["x"]).alias("x"), (-v3["y"]).alias("y"), (-v3["z"]).alias("z")
+    )
+
+
+def boost(v, beta) -> Column:
+    """Active Lorentz boost of a PtEtaPhiM vector by velocity 3-vector
+    ``beta`` (struct<x,y,z>), returned as struct<pt,eta,phi,mass>.
+
+    p' = p + ((gamma-1)/b2 * (beta.p) + gamma*E) * beta
+    E' = gamma * (E + beta.p)
+
+    (gamma-1)/b2 is evaluated as gamma^2/(gamma+1), which is finite at
+    beta -> 0 (identity boost) instead of 0/0. Boosting into a system's
+    rest frame is ``boost(v, negative3(boostvec(system)))`` — the same
+    convention as the reference's ``v.boost(-system.boostvec)``.
+    """
+    c = boost_cartesian(v, beta)
+    return F.struct(
+        pt_from_cartesian(c["x"], c["y"]).alias("pt"),
+        eta_from_cartesian(c["x"], c["y"], c["z"]).alias("eta"),
+        phi_from_cartesian(c["x"], c["y"]).alias("phi"),
+        mass_from_cartesian(c["x"], c["y"], c["z"], c["t"]).alias("mass"),
+    )
+
+
+def boost_cartesian(v, beta) -> Column:
+    """The same active boost, returned as cartesian struct<x,y,z,t>
+    without the PtEtaPhiM roundtrip — cheaper when downstream math stays
+    cartesian (decay angles, thrust axes)."""
+    b2 = dot3(beta, beta)
+    gamma = 1.0 / F.sqrt(1.0 - b2)
+    x, y, z, e = px(v), py(v), pz(v), energy(v)
+    bp = beta["x"] * x + beta["y"] * y + beta["z"] * z
+    k = gamma * gamma / (gamma + 1.0) * bp + gamma * e
+    return F.struct(
+        (x + k * beta["x"]).alias("x"),
+        (y + k * beta["y"]).alias("y"),
+        (z + k * beta["z"]).alias("z"),
+        (gamma * (e + bp)).alias("t"),
     )
 
 

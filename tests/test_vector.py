@@ -93,3 +93,78 @@ def test_bit_helpers(spark):
     for r in got:
         assert r.b1 == bool(r.v & 2)
         assert r.f02 == ((r.v & 5) == 5)
+
+
+def test_boost_rest_frame(spark):
+    """Boosting a vector by -its own boostvec lands in its rest frame:
+    momentum ~0, energy ~mass, mass preserved (reference vector.py
+    boostvec contract + vector package boost_beta3)."""
+    rng = np.random.default_rng(11)
+    a, b = _np_vec(rng, 200), _np_vec(rng, 200)
+    df = _df_from(spark, a, b)
+    rows = df.select(
+        vec.boost_cartesian(F.col("a"), vec.negative3(vec.boostvec(F.col("a")))).alias("rf"),
+        vec.boost(F.col("a"), vec.negative3(vec.boostvec(F.col("a")))).alias("rfv"),
+        F.col("a.mass").alias("m"),
+        vec.energy(F.col("a")).alias("e"),
+    ).collect()
+    for r in rows:
+        p = math.sqrt(r.rf.x ** 2 + r.rf.y ** 2 + r.rf.z ** 2)
+        assert p < 1e-6 * r.e, (p, r.e)
+        assert abs(r.rf.t - r.m) < 1e-6 * r.e
+        assert abs(r.rfv.mass - r.m) < 1e-6 * r.e  # boost preserves mass
+
+
+def test_boost_zero_identity_and_roundtrip(spark):
+    """Zero-beta boost is the identity; boost(+beta) then boost(-beta)
+    round-trips (gamma^2/(gamma+1) form is finite at beta=0)."""
+    rng = np.random.default_rng(13)
+    a, b = _np_vec(rng, 100), _np_vec(rng, 100)
+    df = _df_from(spark, a, b)
+    zero = F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("y"), F.lit(0.0).alias("z"))
+    beta = vec.negative3(vec.boostvec(F.col("b")))
+    rows = df.select(
+        "a",
+        vec.boost(F.col("a"), zero).alias("id"),
+        vec.boost_cartesian(
+            F.struct(
+                F.col("a.pt").alias("pt"),
+                F.col("a.eta").alias("eta"),
+                F.col("a.phi").alias("phi"),
+                F.col("a.mass").alias("mass"),
+            ),
+            beta,
+        ).alias("fwd"),
+        vec.to_cartesian(F.col("a")).alias("lab"),
+        vec.energy(F.col("a")).alias("e"),
+    ).collect()
+    for r in rows:
+        for f in ("pt", "eta", "phi", "mass"):
+            assert abs(r.id[f] - r.a[f]) < 1e-9 * max(1.0, abs(r.a[f])), f
+        # fwd boosted energy is still >= mass (timelike preserved)
+        assert r.fwd.t >= r.a.mass - 1e-9
+
+
+def test_three_vector_algebra(spark):
+    """dot/cross/unit/r3 identities: |u|=1, cross orthogonal to both
+    inputs, |a x b|^2 + (a.b)^2 = |a|^2 |b|^2 (Lagrange)."""
+    rng = np.random.default_rng(17)
+    a, b = _np_vec(rng, 200), _np_vec(rng, 200)
+    df = _df_from(spark, a, b)
+    va, vb = vec.pvec(F.col("a")), vec.pvec(F.col("b"))
+    rows = df.select(
+        vec.r3(vec.unit3(va)).alias("unit_norm"),
+        vec.dot3(vec.cross3(va, vb), va).alias("orth_a"),
+        vec.dot3(vec.cross3(va, vb), vb).alias("orth_b"),
+        (
+            vec.dot3(vec.cross3(va, vb), vec.cross3(va, vb))
+            + vec.dot3(va, vb) * vec.dot3(va, vb)
+            - vec.dot3(va, va) * vec.dot3(vb, vb)
+        ).alias("lagrange"),
+        (vec.dot3(va, va) * vec.dot3(vb, vb)).alias("scale"),
+    ).collect()
+    for r in rows:
+        assert abs(r.unit_norm - 1.0) < 1e-12
+        assert abs(r.orth_a) < 1e-6 * max(1.0, r.scale)
+        assert abs(r.orth_b) < 1e-6 * max(1.0, r.scale)
+        assert abs(r.lagrange) < 1e-6 * max(1.0, r.scale)
