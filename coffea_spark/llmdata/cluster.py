@@ -1,0 +1,117 @@
+"""Connected components over an edge DataFrame — duplicate-cluster
+construction for dedup pipelines.
+
+Pair generators (exact fingerprints, MinHash-LSH verify, Jaccard join,
+embedding near-dup — llmdata/dedup.py) emit *edges*; deduplication
+policy ("keep one doc per duplicate CLUSTER") needs the transitive
+closure of those edges. That closure is connected components.
+
+Scale design: the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014): each round is two groupBy-min passes + a distinct —
+a constant number of shuffles per round — and the number of rounds is
+O(log n) (pointer-doubling, not per-hop label propagation, so a
+1M-long chain converges in ~20 rounds, not 1M). Every intermediate is
+an (u, v) edge table keyed by node id: shuffles carry two longs per
+edge regardless of document size. ``localCheckpoint`` cuts lineage per
+round so the plan does not grow with iterations.
+
+The reference has no graph operator (it is a columnar HEP engine);
+this extends the engine for LLM-data curation where cluster-level
+dedup (e.g. keep-best-of-cluster) is standard practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u")).alias("m")
+    return (
+        sym.join(nbr_min, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small, connect all small neighbors (and u
+    itself) to the minimum."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    nbr_min = o.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = o.join(nbr_min, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_to_min = nbr_min.select(F.col("u"), F.col("m").alias("v"))
+    return to_min.union(self_to_min).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    Returns DataFrame (node: long, component: long) covering every node
+    that appears in ``edges``. Isolated nodes (no edges) are the
+    caller's to union in — a pair generator never emits them.
+
+    Convergence is detected with a one-row checksum aggregate
+    (count + sum of a 64-bit edge hash) instead of a full set compare:
+    one tiny job per round. ``max_iter`` bounds the loop; 25 doubling
+    rounds covers components of ~2^25 hops, far beyond any real
+    duplicate cluster.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free (edges are distinct)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e = e2
+        if sig == prev:
+            break
+        prev = sig
+    # stars: every non-root u points at its root v; roots appear only as v
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return labels.union(roots).distinct()
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Assign every document its duplicate-cluster id (min doc id of the
+    component; singletons are their own cluster). The standard keep-one
+    policy is then ``filter(col(id_col) == col("cluster"))``."""
+    comp = connected_components(edges, src=src, dst=dst)
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .drop("node")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col(id_col).cast("long")))
+        .drop("component")
+    )

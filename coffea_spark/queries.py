@@ -828,6 +828,7 @@ def q_boost_cosstar(spark, sf_dir):
     Scale: same shape as dimuon_mass — one groupBy shuffle to build
     events, then per-row HOFs; histogram shuffles bucket ids only."""
     from coffea_spark import vector as vec
+    from coffea_spark.plans import barrier
 
     li = _t(spark, sf_dir, "lineitem")
     mu = li.select(
@@ -846,7 +847,17 @@ def q_boost_cosstar(spark, sf_dir):
         ).alias("m"),
     )
     events = mu.groupBy("l_orderkey").agg(F.array_sort(F.collect_list("m")).alias("Muon"))
-    pairs = combinations(F.col("Muon"), 2)
+    # slim the structs AFTER the total-order sort (the extra fields are
+    # tiebreakers only) so the exploded pair rows carry 5 doubles per leg,
+    # not 10 — halves the explode width at sf0.1
+    slim = F.transform(
+        F.col("Muon"),
+        lambda x: F.struct(
+            x["pt"].alias("pt"), x["eta"].alias("eta"), x["phi"].alias("phi"),
+            x["mass"].alias("mass"), x["charge"].alias("charge"),
+        ),
+    )
+    pairs = combinations(slim, 2)
     # identical-kinematics pairs (same pt,eta,phi — possible on the
     # synthetic grid) have zero relative momentum: cos(theta*) is 0/0,
     # noise-dominated and engine-dependent. The exact-equality filter is
@@ -861,27 +872,38 @@ def q_boost_cosstar(spark, sf_dir):
         ),
     )
 
-    def cosstar(pr):
-        a, b = pr["f0"], pr["f1"]
-        plab = F.struct(
+    # stage the boost algebra through barriers: fully inlined, the
+    # boost_cartesian tree references beta/energy dozens of times and
+    # CollapseProject re-expands it per consumer (measured 115 s vs 3 s
+    # staged at sf0.1 — the plans.barrier lesson at expression scale)
+    a = F.col("p")["f0"]
+    b = F.col("p")["f1"]
+    st1 = barrier(
+        events.select(F.explode(os_pairs).alias("p")),
+        vec.to_cartesian(a).alias("ca"),
+        F.struct(
             (vec.px(a) + vec.px(b)).alias("x"),
             (vec.py(a) + vec.py(b)).alias("y"),
             (vec.pz(a) + vec.pz(b)).alias("z"),
-        )
-        etot = vec.energy(a) + vec.energy(b)
-        beta = F.struct(
-            (-plab["x"] / etot).alias("x"),
-            (-plab["y"] / etot).alias("y"),
-            (-plab["z"] / etot).alias("z"),
-        )
-        arf = vec.boost_cartesian(a, beta)
-        num = arf["x"] * plab["x"] + arf["y"] * plab["y"] + arf["z"] * plab["z"]
-        den = F.sqrt(arf["x"] * arf["x"] + arf["y"] * arf["y"] + arf["z"] * arf["z"]) * F.sqrt(
-            vec.dot3(plab, plab)
-        )
-        return num / den
-
-    cos = events.select(F.explode(F.transform(os_pairs, cosstar)).alias("cos"))
+            (vec.energy(a) + vec.energy(b)).alias("t"),
+        ).alias("plab"),
+    )
+    beta = F.struct(
+        (-F.col("plab")["x"] / F.col("plab")["t"]).alias("x"),
+        (-F.col("plab")["y"] / F.col("plab")["t"]).alias("y"),
+        (-F.col("plab")["z"] / F.col("plab")["t"]).alias("z"),
+    )
+    st2 = barrier(
+        st1,
+        F.col("plab").alias("plab"),
+        vec.boost_xyzt(F.col("ca"), beta).alias("arf"),
+    )
+    arf, plab = F.col("arf"), F.col("plab")
+    num = arf["x"] * plab["x"] + arf["y"] * plab["y"] + arf["z"] * plab["z"]
+    den = F.sqrt(
+        arf["x"] * arf["x"] + arf["y"] * arf["y"] + arf["z"] * arf["z"]
+    ) * F.sqrt(plab["x"] * plab["x"] + plab["y"] * plab["y"] + plab["z"] * plab["z"])
+    cos = st2.select((num / den).alias("cos"))
     # 21 bins over [-1.05, 1.05]: the symmetry-forced exact values (0, +-1
     # from collinear / mirror pairs in the synthetic grid) sit at bin
     # CENTERS, so cross-engine ulp noise cannot move them across an edge.
@@ -945,6 +967,61 @@ FROM cosv GROUP BY 1
 # ---------------------------------------------------------------------------
 # LLM-data pipeline: dedup / similarity / text analysis / multimodal
 # ---------------------------------------------------------------------------
+
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster construction: near-dup EDGES (consecutive docs in
+    (lang, source) with |delta n_chars| < 200 — chains up to ~8 hops at
+    sf0.01) -> connected components (large-star/small-star, llmdata/
+    cluster.py) -> cluster-size histogram. The oracle computes the same
+    components with window-run logic, which is only equivalent because the
+    edge set is chain-shaped — so a hash match certifies the iterative CC
+    converged to the true transitive closure.
+
+    Scale: CC rounds are groupBy-min + distinct on (long, long) edges,
+    O(log n) rounds (SoCC 2014); the edge generator is one window shuffle."""
+    from pyspark.sql import Window
+
+    from coffea_spark.llmdata.cluster import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.lag("n_chars").over(w).alias("pn"),
+            F.lag("doc_id").over(w).alias("pid"),
+        )
+        .where(F.col("pid").isNotNull() & (F.abs(F.col("n_chars") - F.col("pn")) < 200))
+        .select(F.col("pid").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    clustered = duplicate_clusters(docs, edges, id_col="doc_id")
+    sizes = clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select("size", "n_clusters")
+    )
+
+
+# window-run equivalent of the chain-shaped component structure
+SQL_DUP_CLUSTERS = """
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         lag(n_chars) OVER (PARTITION BY lang, source ORDER BY doc_id) AS pn
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, source,
+         sum(CASE WHEN pn IS NULL OR abs(n_chars - pn) >= 200 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY lang, source ORDER BY doc_id) AS run
+  FROM d
+), c AS (
+  SELECT count(*) AS size FROM r GROUP BY lang, source, run
+)
+SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters
+FROM c GROUP BY 1
+"""
+
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup stats by normalized-text md5 (one shuffle on the
@@ -2896,4 +2973,5 @@ REGISTRY: dict[str, Query] = {
     "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
+    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
 }

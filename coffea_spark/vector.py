@@ -305,10 +305,25 @@ def boost(v, beta) -> Column:
 def boost_cartesian(v, beta) -> Column:
     """The same active boost, returned as cartesian struct<x,y,z,t>
     without the PtEtaPhiM roundtrip — cheaper when downstream math stays
-    cartesian (decay angles, thrust axes)."""
+    cartesian (decay angles, thrust axes).
+
+    Plan note: the expansion references ``beta`` and the components many
+    times. Inside a single nested expression CollapseProject will
+    re-inline each reference; in wide pipelines, stage the inputs with
+    ``plans.barrier`` and use ``boost_xyzt`` on materialized columns
+    (measured ~40x on the boost_cosstar gate at sf0.1)."""
+    c = F.struct(
+        px(v).alias("px"), py(v).alias("py"), pz(v).alias("pz"), energy(v).alias("energy")
+    )
+    return boost_xyzt(c, beta)
+
+
+def boost_xyzt(c, beta) -> Column:
+    """Active boost of a cartesian struct<px,py,pz,energy> by velocity
+    struct<x,y,z>, returning struct<x,y,z,t>."""
     b2 = dot3(beta, beta)
     gamma = 1.0 / F.sqrt(1.0 - b2)
-    x, y, z, e = px(v), py(v), pz(v), energy(v)
+    x, y, z, e = c["px"], c["py"], c["pz"], c["energy"]
     bp = beta["x"] * x + beta["y"] * y + beta["z"] * z
     k = gamma * gamma / (gamma + 1.0) * bp + gamma * e
     return F.struct(
