@@ -237,3 +237,44 @@ def histnd(
             cond = cond & (F.col(f"bin{i}") >= 0) & (F.col(f"bin{i}") < nbins)
         out = out.filter(cond)
     return out
+
+
+def hist_categorical(
+    df: DataFrame,
+    categories: Column | str,
+    weight: Column | str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Categorical (StrCategory-axis) histogram: one row per observed
+    label with (sumw, sumw2, n). The reference's growable StrCategory
+    axis (hist.axis.StrCategory(growth=True)) is a groupBy in Spark —
+    the label set needs no pre-declaration.
+
+    ``categories`` may be a scalar string column (one label per row) or
+    an ``array<string>`` column (RAGGED per-event label lists, e.g. all
+    quality flags a document carries): arrays are exploded so each label
+    receives the row's full weight, matching the reference's fill
+    broadcasting of a jagged categorical. NULL labels / NULL arrays fill
+    nothing (option-type skip).
+
+    Scale: explode -> partial hash agg -> final agg; the shuffle carries
+    one row per DISTINCT label per partition."""
+    cat = F.col(categories) if isinstance(categories, str) else categories
+    wcol = (
+        F.lit(1.0)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
+    base = df.select(*[F.col(k) for k in (by or [])], cat.alias("_c"), wcol.alias("_w"))
+    ctype = base.schema["_c"].dataType.typeName()
+    if ctype == "array":
+        base = base.select(*(by or []), F.explode("_c").alias("_c"), "_w")
+    return (
+        base.where(F.col("_c").isNotNull())
+        .groupBy(*(by or []), F.col("_c").alias("category"))
+        .agg(
+            F.sum("_w").alias("sumw"),
+            F.sum(F.col("_w") * F.col("_w")).alias("sumw2"),
+            F.count("_w").alias("n"),
+        )
+    )

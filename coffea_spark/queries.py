@@ -1023,6 +1023,55 @@ FROM c GROUP BY 1
 """
 
 
+def q_categorical_counts(spark, sf_dir):
+    """Ragged categorical counting (reference: growable StrCategory axis,
+    hist.axis.StrCategory(growth=True) fills in analysis_tools /
+    processor outputs): each document carries a VARIABLE-LENGTH list of
+    quality labels; every label receives the document's weight
+    (hist.hist_categorical). Explode -> partial agg: the shuffle carries
+    one row per distinct label per partition."""
+    from coffea_spark.hist import hist_categorical
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = F.filter(
+        F.array(
+            F.when(F.col("n_chars") < 200, F.lit("short")),
+            F.when(F.col("n_chars") > 400, F.lit("long")),
+            F.when(F.col("lang") == "en", F.lit("english")),
+            F.when(F.col("text").contains("the"), F.lit("has_the")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = hist_categorical(
+        docs, labels, weight=F.col("n_chars") / 100.0, by=["source"]
+    )
+    return out.select(
+        "source",
+        "category",
+        F.round(F.col("sumw"), 6).alias("sumw"),
+        F.round(F.col("sumw2"), 6).alias("sumw2"),
+        F.col("n"),
+    )
+
+
+SQL_CATEGORICAL_COUNTS = """
+WITH lab AS (
+  SELECT source, n_chars / 100.0 AS w, unnest(list_filter(list_value(
+           CASE WHEN n_chars < 200 THEN 'short' END,
+           CASE WHEN n_chars > 400 THEN 'long' END,
+           CASE WHEN lang = 'en' THEN 'english' END,
+           CASE WHEN contains(text, 'the') THEN 'has_the' END
+         ), x -> x IS NOT NULL)) AS category
+  FROM documents
+)
+SELECT source, category,
+       round(sum(w), 6) AS sumw,
+       round(sum(w * w), 6) AS sumw2,
+       count(*) AS n
+FROM lab GROUP BY 1, 2
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup stats by normalized-text md5 (one shuffle on the
     fingerprint)."""
@@ -2974,4 +3023,5 @@ REGISTRY: dict[str, Query] = {
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
 }

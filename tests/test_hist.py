@@ -86,3 +86,33 @@ def test_histnd_flow_and_by(spark):
     assert {r.l_returnflag for r in h} == {"A", "N", "R"}
     total_in_range = li.filter("l_quantity >= 10 and l_quantity < 40").count()
     assert sum(r.n for r in h) == total_in_range
+
+
+def test_hist_categorical_scalar_and_ragged(spark):
+    from coffea_spark.hist import hist_categorical
+
+    df = spark.createDataFrame(
+        [
+            ("a", ["x", "y"], 2.0),
+            ("a", ["x"], 3.0),
+            ("b", [], 1.0),
+            ("b", None, 1.0),
+            ("a", ["y", None], 1.0),
+        ],
+        "k string, labels array<string>, w double",
+    )
+    out = {
+        (r["category"],): (r["sumw"], r["n"])
+        for r in hist_categorical(df, "labels", weight="w").collect()
+    }
+    # x: 2+3; y: 2+1; NULL element and NULL/empty arrays fill nothing
+    assert out == {("x",): (5.0, 2), ("y",): (3.0, 2)}
+
+    scalar = hist_categorical(df, "k").collect()
+    assert {(r["category"]): r["n"] for r in scalar} == {"a": 3, "b": 2}
+
+    by = hist_categorical(df, "labels", weight="w", by=["k"]).collect()
+    assert {(r["k"], r["category"]): r["sumw"] for r in by} == {
+        ("a", "x"): 5.0,
+        ("a", "y"): 3.0,
+    }
