@@ -1,0 +1,64 @@
+"""ROOT ingestion plumbing: form->schema mapping, import gating, and the
+read-side collection reassembly on a parquet file with the converted
+layout (reference: nanoevents/factory.py from_root + schemas/base.py)."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from coffea_spark.root_io import branch_form_to_spark, read_converted, ttree_to_parquet
+
+
+def test_branch_form_mapping():
+    schema = branch_form_to_spark(
+        {
+            "run": "uint32",
+            "luminosityBlock": "uint32",
+            "event": "uint64",
+            "nMuon": "int32",
+            "Muon_pt": "var * float32",
+            "Muon_charge": "var * int8",
+            "HLT_IsoMu24": "bool",
+        }
+    )
+    by_name = {f.name: f.dataType for f in schema.fields}
+    assert by_name["run"] == T.LongType()
+    assert by_name["event"] == T.DecimalType(20, 0)
+    assert by_name["Muon_pt"] == T.ArrayType(T.FloatType())
+    assert by_name["Muon_charge"] == T.ArrayType(T.ByteType())
+    assert by_name["HLT_IsoMu24"] == T.BooleanType()
+
+
+def test_branch_form_rejects_unknown():
+    with pytest.raises(ValueError, match="unsupported"):
+        branch_form_to_spark({"x": "complex128"})
+    with pytest.raises(ValueError, match="unsupported jagged"):
+        branch_form_to_spark({"x": "var * var * float32"})
+
+
+def test_converter_import_gated():
+    # the env has no uproot: the recipe must fail with guidance, not
+    # an AttributeError deep inside
+    with pytest.raises(ImportError, match="uproot"):
+        ttree_to_parquet("/nonexistent.root", "/tmp/out.parquet")
+
+
+def test_read_converted_zips_collections(spark, tmp_path):
+    # simulate the converter's output layout (flat NanoAOD naming with
+    # jagged LIST columns) and check the Spark-side reassembly
+    src = spark.createDataFrame(
+        [
+            (1, [20.0, 11.0], [1, -1], 2),
+            (2, [35.5], [1], 1),
+            (3, [], [], 0),
+        ],
+        "event long, Muon_pt array<double>, Muon_charge array<int>, nMuon int",
+    )
+    path = str(tmp_path / "converted.parquet")
+    src.write.parquet(path)
+    df = read_converted(spark, path)
+    assert "Muon" in df.columns and "Muon_pt" not in df.columns
+    rows = {r["event"]: r["Muon"] for r in df.select("event", "Muon").collect()}
+    assert [m["pt"] for m in rows[1]] == [20.0, 11.0]
+    assert [m["charge"] for m in rows[1]] == [1, -1]
+    assert rows[3] == []
