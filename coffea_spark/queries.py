@@ -1072,6 +1072,56 @@ FROM lab GROUP BY 1, 2
 """
 
 
+def q_schema_variants(spark, sf_dir):
+    """NanoAODSchemaSpec synthesis gate (reference schemas/nanoaod.py:
+    169-200): flat branches built from lineitem get (a) a CONSTANT-FILL
+    Photon_mass synthesized with the collection's jagged shape, (b) the
+    Electron_regrEnergy -> Electron_energy RENAME, then zip into
+    collections. The aggregate proves both: the filled mass sums to
+    n_photons * 7.5 and the renamed energy matches the raw source sum."""
+    from coffea_spark.schema import NanoAODSchemaSpec
+
+    class DemoSchema(NanoAODSchemaSpec):
+        full_like_items = {"Photon_mass": 7.5, "Muon_charge": 1.0}
+        rename_items = {"Electron_regrEnergy": "Electron_energy"}
+        alias_items = {}
+
+    li = _t(spark, sf_dir, "lineitem")
+    flat = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("_mu"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("l_discount") > 0.05, F.struct("l_linenumber", "l_extendedprice"))
+            )
+        ).alias("_ph"),
+        F.array_sort(F.collect_list(F.struct("l_linenumber", (F.col("l_tax") * 100.0).alias("e")))).alias("_el"),
+    ).select(
+        "l_orderkey",
+        F.transform("_mu", lambda x: x["l_quantity"] + 0.0).alias("Muon_pt"),
+        F.transform("_ph", lambda x: x["l_extendedprice"] + 0.0).alias("Photon_pt"),
+        F.transform("_el", lambda x: x["e"]).alias("Electron_regrEnergy"),
+        F.transform("_el", lambda x: x["l_linenumber"] + 0.0).alias("Electron_pt"),
+    )
+    events = DemoSchema.apply(flat)
+    return events.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("Photon")).alias("n_photons"),
+        F.round(F.sum(F.aggregate("Photon", F.lit(0.0), lambda s, x: s + x["mass"])), 2).alias("sum_photon_mass"),
+        F.round(F.sum(F.aggregate("Electron", F.lit(0.0), lambda s, x: s + x["energy"])), 2).alias("sum_electron_energy"),
+        F.round(F.sum(F.aggregate("Muon", F.lit(0.0), lambda s, x: s + x["pt"])), 2).alias("sum_muon_pt"),
+    )
+
+
+SQL_SCHEMA_VARIANTS = """
+SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_photons,
+       round(sum(CASE WHEN l_discount > 0.05 THEN CAST(7.5 AS DOUBLE) ELSE 0.0 END), 2) AS sum_photon_mass,
+       round(sum(l_tax * 100.0), 2) AS sum_electron_energy,
+       round(sum(l_quantity), 2) AS sum_muon_pt
+FROM lineitem
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup stats by normalized-text md5 (one shuffle on the
     fingerprint)."""
@@ -3024,4 +3074,5 @@ REGISTRY: dict[str, Query] = {
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
 }
