@@ -36,6 +36,25 @@ def distinct_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+#: GPT-2-style pre-tokenizer classes WITHOUT the lookahead/contraction
+#: rules, so the same pattern runs under Java regex (Spark) and RE2
+#: (DuckDB): a token is an optional leading space + letters, + digits,
+#: or + other non-space symbols.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """BPE-style pre-tokenization (the split a byte-pair encoder sees
+    BEFORE merges): letter runs, digit runs, and symbol runs, each with
+    their leading space. A much better LLM-cost proxy than whitespace
+    tokens — "don't!!" is 1 whitespace token but 4 BPE pre-tokens."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_pretoken_count(col: Column) -> Column:
+    return F.size(bpe_pretokens(col))
+
+
 def avg_token_length(col: Column) -> Column:
     """Mean token length (NULL for empty docs)."""
     t = tokens(col)

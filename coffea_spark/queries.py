@@ -1122,6 +1122,37 @@ FROM lineitem
 """
 
 
+def q_token_stats(spark, sf_dir):
+    """Token accounting for LLM-data budgeting: whitespace tokens vs
+    BPE-style pre-tokens (llmdata/text.py bpe_pretokens — GPT-2 classes
+    minus lookahead so Spark's Java regex and DuckDB's RE2 agree) per
+    source. Pure scan-stage expressions: one shuffle of 4 aggregate rows."""
+    from coffea_spark.llmdata.text import bpe_pretoken_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+        F.sum(bpe_pretoken_count(F.col("text"))).alias("bpe_tokens"),
+        F.round(
+            F.sum(bpe_pretoken_count(F.col("text")))
+            / F.sum(F.length("text")),
+            6,
+        ).alias("tokens_per_char"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
+       round(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+             / sum(length(text)), 6) AS tokens_per_char
+FROM documents GROUP BY 1
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup stats by normalized-text md5 (one shuffle on the
     fingerprint)."""
@@ -3075,4 +3106,5 @@ REGISTRY: dict[str, Query] = {
     "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
+    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
 }

@@ -107,3 +107,29 @@ def run_foreach_batch(
     if trigger:
         writer = writer.trigger(processingTime=trigger)
     return writer.start(), holder
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication: emit the FIRST arrival per ``keys``,
+    drop replays — the streaming form of the exact-dedup operator
+    (llmdata/dedup.drop_exact_duplicates) for ingest pipelines where the
+    corpus arrives continuously.
+
+    State is the seen-key set; the watermark bounds it:
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` —
+    duplicates arriving within the watermark delay of each other are
+    dropped and a key's state is evicted once the watermark passes it,
+    so state is O(keys per watermark window), the only shape that
+    survives an unbounded stream. ``False`` keeps exact all-time dedup
+    (state grows with distinct keys — bounded corpora only).
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)

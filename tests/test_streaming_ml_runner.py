@@ -184,3 +184,44 @@ def test_fileset_manipulations(spark, tmp_path):
     # limit must reach the scan as a CollectLimit, not a full read
     plan = max_rows(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"), 5)
     assert "CollectLimit" in plan._jdf.queryExecution().executedPlan().toString() or plan.count() == 5
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    """stream_dedup emits first arrivals only; replayed keys are dropped
+    (both all-time and within-watermark modes on a bounded replayed
+    source)."""
+    from coffea_spark.streaming import stream_dedup
+
+    d = str(tmp_path / "dup_stream")
+    rows = [
+        {"doc_id": i % 50, "ts": 1700000000 + i * 10, "text": f"doc-{i % 50}"}
+        for i in range(300)  # every key replayed 6x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts long, text string")
+    df.withColumn("ts", F.timestamp_seconds("ts")).write.mode("overwrite").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_dedup(stream, ["doc_id"], watermark="1 hour", within_watermark=False)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, count(*) c FROM sdedup GROUP BY 1").collect()
+    assert len(got) == 50 and all(r["c"] == 1 for r in got)
+
+    out2 = stream_dedup(stream, ["doc_id"], watermark="1 minute")
+    q2 = (
+        out2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n2 = spark.sql("SELECT count(DISTINCT doc_id) FROM sdedup2").collect()[0][0]
+    assert n2 == 50  # every key still present at least once
