@@ -167,3 +167,54 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def fake_audio_decoder(data: bytes, sample_rate: int) -> np.ndarray:
+    """Deterministic stand-in PCM decoder: payload bytes as int16 mono
+    samples (a real implementation calls ffmpeg/soundfile)."""
+    return np.frombuffer(data[: (len(data) // 2) * 2], dtype=np.int16)
+
+
+def audio_features(
+    df: DataFrame,
+    audio_col: str = "audio",
+    decoder: Callable[[bytes, int], np.ndarray] = fake_audio_decoder,
+) -> DataFrame:
+    """Per-clip audio summary features (duration, RMS level, peak,
+    zero-crossing rate) via the same mapInPandas Arrow-batch shape as
+    image_features. Payload dropped from the output."""
+    out_fields = [f for f in df.schema.fields if f.name != audio_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(s):
+                pcm = decoder(s["data"], s["sample_rate"]).astype(np.float64)
+                n = len(pcm)
+                if n == 0:
+                    return (0.0, 0.0, 0, 0.0)
+                return (
+                    n / float(s["sample_rate"]),
+                    float(np.sqrt(np.mean(pcm**2))),
+                    int(np.abs(pcm).max()),
+                    float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))),
+                )
+
+            vals = pdf[audio_col].map(stats)
+            out = pdf[keep].copy()
+            out["duration_s"] = vals.map(lambda t: t[0])
+            out["rms"] = vals.map(lambda t: t[1])
+            out["peak"] = vals.map(lambda t: t[2])
+            out["zcr"] = vals.map(lambda t: t[3])
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -254,3 +254,30 @@ def test_simhash_exploded_equals_column_form(spark):
         "doc_id", simhash64(F.col("text")).alias("h")).collect()}
     expl_form = {r.doc_id: r.simhash for r in simhash_exploded(docs).collect()}
     assert col_form == expl_form
+
+
+def test_audio_features(spark):
+    """audio_features over int16 PCM payloads: duration/rms/peak/zcr via
+    the mapInPandas batch shape (deterministic fake decoder)."""
+    import numpy as np
+
+    from coffea_spark.llmdata.multimodal import audio_features
+
+    pcm1 = np.array([1000, -1000] * 800, dtype=np.int16)  # 1600 samples
+    pcm2 = np.zeros(16000, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, {"data": pcm1.tobytes(), "codec": "pcm16", "sample_rate": 16000,
+                 "n_samples": len(pcm1)}),
+            (2, {"data": pcm2.tobytes(), "codec": "pcm16", "sample_rate": 16000,
+                 "n_samples": len(pcm2)}),
+        ],
+        "clip_id long, audio struct<data:binary,codec:string,sample_rate:int,n_samples:bigint>",
+    )
+    rows = {r["clip_id"]: r for r in audio_features(df).collect()}
+    assert abs(rows[1]["duration_s"] - 0.1) < 1e-9
+    assert abs(rows[1]["rms"] - 1000.0) < 1e-6
+    assert rows[1]["peak"] == 1000
+    assert rows[1]["zcr"] > 0.99  # alternating signs
+    assert rows[2]["rms"] == 0.0 and rows[2]["duration_s"] == 1.0
+    assert "audio" not in rows[1].asDict()
