@@ -26,6 +26,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from coffea_spark.hist import bucket, hist1d, hist2d
 from coffea_spark.joins import combinations
@@ -45,15 +46,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-zoned TIMESTAMP regardless of how the
+    generator wrote it. Seen on-disk forms: TIMESTAMP(NANOS) (read as long
+    via the legacy conf, truncated to micros with integral ``div`` —
+    bit-identical to DuckDB's ns->us conversion; dividing through double
+    would lose precision at 1.7e18 ns), TIMESTAMP_NTZ (micros, cast is a
+    no-op under the pinned UTC session zone), or plain TIMESTAMP."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which the vectorized Spark
-    reader rejects. Read nanos as long (runtime conf) and truncate to
-    microseconds with integer division — bit-identical to DuckDB's
-    parquet ns->us conversion. (Dividing through double would lose
-    precision at 1.7e18 ns; ``div`` stays integral.)"""
+    # nanosAsLong only affects TIMESTAMP(NANOS) files; harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(df)
 
 
 def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1791,7 +1801,7 @@ def q_stream_windowed_hist(spark, sf_dir):
     sch = spark.read.parquet(path).schema
     # FileStreamSource wants a directory/glob, not a bare file path
     raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_event_ts(raw)
     agg = windowed_hist(
         stream, F.col("value"), nbins=25, lo=0.0, hi=500.0,
         ts_col="ts", window="1 hour", watermark="2 hours",
@@ -2569,7 +2579,7 @@ def q_stream_cutflow(spark, sf_dir):
     path = os.path.join(sf_dir, "events.parquet")
     sch = spark.read.parquet(path).schema
     raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_event_ts(raw)
     agg = windowed_cutflow(
         stream,
         {"mid": F.col("value") > 50.0, "high": F.col("value") > 200.0},
@@ -2611,7 +2621,7 @@ def q_stream_sessions(spark, sf_dir):
     path = os.path.join(sf_dir, "events.parquet")
     sch = spark.read.parquet(path).schema
     raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_event_ts(raw)
     agg = sessionized(stream, key="user_id", ts_col="ts", gap="30 minutes",
                       watermark="1 hour")
     qname = "stream_sessions_gate"

@@ -104,11 +104,27 @@ class PackedSelection:
         for n in names:
             c = self._cuts[n]
             cumulative = cumulative & c
-            aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"onecut_{n}"))
-            aggs.append(F.sum(F.when(cumulative, 1).otherwise(0)).alias(f"cutflow_{n}"))
+            # coalesce: SUM over zero rows is NULL, but a cutflow on an
+            # empty selection must report 0 (reference returns 0 counts)
+            aggs.append(
+                F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0)).alias(f"onecut_{n}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(cumulative, 1).otherwise(0)), F.lit(0)).alias(
+                    f"cutflow_{n}"
+                )
+            )
             if weight is not None:
-                aggs.append(F.sum(F.when(c, weight).otherwise(0.0)).alias(f"onecut_w_{n}"))
-                aggs.append(F.sum(F.when(cumulative, weight).otherwise(0.0)).alias(f"cutflow_w_{n}"))
+                aggs.append(
+                    F.coalesce(F.sum(F.when(c, weight).otherwise(0.0)), F.lit(0.0)).alias(
+                        f"onecut_w_{n}"
+                    )
+                )
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.when(cumulative, weight).otherwise(0.0)), F.lit(0.0)
+                    ).alias(f"cutflow_w_{n}")
+                )
         return aggs
 
     def cutflow(self, df: DataFrame, *names: str, weight: Column | None = None) -> "Cutflow":
