@@ -56,13 +56,21 @@ def main():
         )
 
     failures = []
+    results = {}
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
-        sdf = q.fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = q.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # record, keep sweeping
+            failures.append(name)
+            results[name] = {"status": "error", "err": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"{name:24s} ERROR {type(exc).__name__}")
+            continue
         scols = sdf.columns
         if q.oracle is None:
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             print(f"{name:24s} rows-only: {len(srows)} rows")
             continue
         ores = con.execute(q.oracle)
@@ -103,9 +111,22 @@ def main():
                         break
         if status:
             failures.append(name)
+            results[name] = {"status": "fail", "detail": " | ".join(status)[:500]}
             print(f"{name:24s} FAIL  " + " | ".join(status))
         else:
+            results[name] = {"status": "pass", "rows": len(srows)}
             print(f"{name:24s} OK    ({len(srows)} rows)")
+
+    # Full-registry sweeps leave a committed evidence trail for the
+    # queries beyond the driver's 50-entry correctness window.
+    if not only:
+        import json
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(results), "results": results}, f, indent=1)
+        print(f"wrote {out}")
 
     print()
     if failures:
