@@ -26,10 +26,16 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i, (name, q) in enumerate(REGISTRY.items()):
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            q.fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            # one broken query must not void the whole bench run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
         # drop caches a query pinned (e.g. shared minhash signatures) so
         # storage memory doesn't accumulate across unrelated queries
         spark.catalog.clearCache()
@@ -47,6 +53,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

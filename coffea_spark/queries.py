@@ -34,6 +34,27 @@ from coffea_spark.selection import PackedSelection
 from coffea_spark.weights import Weights
 
 
+# Fact tables whose per-row work dominates queries; dimensions stay
+# un-repartitioned (they broadcast).
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
+def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guard against unsplittable inputs: the test parquet is written as
+    ONE row group per table, so a scan is a single task no matter how
+    many cores the session has — every downstream narrow op (shingle
+    extraction, collect_list partial agg, HOF math) runs on one core.
+    A one-time round-robin repartition (a few MB of shuffle here) buys
+    full-width execution. At production scale inputs carry thousands of
+    row groups, the partition count exceeds the floor, and this is a
+    no-op — the guard exists precisely because local one-row-group
+    files are the degenerate case."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 4):
+        return df.repartition(cores)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver runs these in ITS session; pin the confs results depend
     # on (all runtime-settable) and ship the package to Python workers.
@@ -43,7 +64,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _FACT_TABLES:
+        df = _parallelism_floor(spark, df)
+    return df
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -63,7 +87,7 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanosAsLong only affects TIMESTAMP(NANOS) files; harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return _normalize_event_ts(df)
+    return _parallelism_floor(spark, _normalize_event_ts(df))
 
 
 def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
