@@ -1,0 +1,108 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+Train/val/test assignment and per-stratum sampling must be (a) stable
+across runs and cluster layouts — membership is a pure function of the
+row's id, never of partitioning or visit order — and (b) cheap: one
+scan-stage expression, no shuffle for assignment itself.
+
+Two hash families:
+
+- ``portable_hash32``: Knuth multiplicative hashing on the id column
+  (h = (id * 2654435761 + salt) mod 2^32). Weaker mixing than xxhash64
+  but expressible in ANSI SQL, so oracle engines reproduce membership
+  bit-for-bit — the correctness-gate path.
+- ``xxhash64`` (Spark-native, via ``F.xxhash64``): the production path
+  for arbitrary id types/content-derived keys.
+
+Reference analogy: the reference's chunk-level determinism contract
+(processor/executor.py step planning) — same inputs => same split —
+applied to row-level dataset membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, odd
+_M32 = 4294967296
+
+
+def portable_hash32(id_col: Column, salt: int = 0) -> Column:
+    """((id + salt) * 2654435761) mod 2^32 as BIGINT — reproducible in
+    any SQL engine with 64-bit integer arithmetic (ids up to ~3.4e9 stay
+    inside int64 before the mod). The salt adds INSIDE the
+    multiplication: an additive-outside salt would only rotate the unit
+    interval by salt/2^32 and leave every assignment unchanged."""
+    return F.pmod((id_col.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_M32))
+
+
+def split_column(
+    id_col: Column,
+    fractions: dict[str, float],
+    salt: int = 0,
+    portable: bool = True,
+) -> Column:
+    """Split-name column from cumulative fraction thresholds over the
+    unit interval h/2^32. Fractions must sum to ~1."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = (
+        portable_hash32(id_col, salt)
+        if portable
+        else F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_M32))
+    )
+    u = h / F.lit(float(_M32))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Assign every row to a named split. Pure scan-stage projection —
+    no shuffle, no state; at any scale the split is a filter the
+    optimizer pushes into the scan of downstream jobs."""
+    return df.withColumn("split", split_column(F.col(id_col), fractions, salt, portable))
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum
+    by (hash(id), id) and keep the first k. Unlike ``df.sampleBy`` this
+    is reproducible across runs/executors and yields EXACTLY k rows per
+    stratum (when available).
+
+    Scale shape: one hash-partitioned sort per stratum (window). For
+    very hot strata, pre-filter by a hash threshold (~k/stratum_size
+    quantile) first so the sort touches a sliver — same two-phase trick
+    as distributed top-k."""
+    h = (
+        portable_hash32(F.col(id_col), salt)
+        if portable
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(_M32))
+    )
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

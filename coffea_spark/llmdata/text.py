@@ -6,7 +6,7 @@ entirely in the scan stage with zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # deterministic per-language marker lists for the n-gram/stopword scoring
@@ -153,3 +153,38 @@ def rolling_hash(col: Column, base: int = 257, mod: int = 2147483647) -> Column:
         codes, F.lit(0).cast("long"), lambda a, c: (a * base + c) % mod
     )
     return F.when(F.length(col) > 0, h).otherwise(F.lit(0).cast("long"))
+
+
+def term_table(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: per (group..., term) the total occurrence count
+    and document frequency — the table a tokenizer-vocabulary build or a
+    TF-IDF weighting starts from.
+
+    Scale shape: explode to (group, doc, term, n) via a per-doc
+    aggregation that is PURE column math (array grouping inside the
+    row), then ONE hash-partitioned sum over terms with map-side
+    combine. The shuffle carries (term, count, 1) triples — corpus size
+    in bytes never crosses the wire, and df comes free from the same
+    aggregate (one row per distinct term per doc)."""
+    t = tokens(F.col(text_col))
+    groups = [F.col(c) for c in (by or [])]
+    # one row per DISTINCT term per doc, with its in-doc count: explode
+    # the distinct list and count occurrences with array filter — keeps
+    # the doc-level pass shuffle-free
+    per_doc = df.select(
+        *groups,
+        F.explode(F.array_distinct(t)).alias("term"),
+        t.alias("_toks"),
+    ).select(
+        *groups,
+        "term",
+        F.size(F.filter(F.col("_toks"), lambda x: x == F.col("term"))).alias("_n"),
+    )
+    return per_doc.groupBy(*(by or []), "term").agg(
+        F.sum("_n").alias("count"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )

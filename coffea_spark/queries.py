@@ -3061,6 +3061,144 @@ def q_ivf_topk(spark, sf_dir):
     return r0.unionAll(r1)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (llmdata/splits.py hash_split):
+    membership is a pure function of doc_id through a portable
+    multiplicative hash, so any engine reproduces the exact assignment.
+    Scan-stage projection — zero shuffles beyond the final tiny agg."""
+    from coffea_spark.llmdata.splits import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=7)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM h GROUP BY 1
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (llmdata/packing.py): concat docs per
+    language in doc_id order, cut every 256 tokens; report sequences,
+    boundary-crossing docs and final-sequence padding per language.
+    One windowed cumsum per group — no stream materialization."""
+    from coffea_spark.llmdata.packing import pack_offsets, packing_summary
+    from coffea_spark.llmdata.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tc = docs.select("lang", "doc_id", token_count(F.col("text")).alias("tc"))
+    packed = pack_offsets(with_tc, "tc", 256, ["lang"], "doc_id")
+    return packing_summary(packed, 256, ["lang"])
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tc
+  FROM documents
+), c AS (
+  SELECT lang, tc,
+         sum(tc) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+  FROM t
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(max(tok_end) AS BIGINT) AS n_tokens,
+       CAST(ceil(max(tok_end) / 256.0) AS BIGINT) AS n_sequences,
+       CAST(sum(CASE WHEN tc > 0
+                      AND floor((tok_end - 1) / 256.0) > floor((tok_end - tc) / 256.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       CAST(ceil(max(tok_end) / 256.0) * 256 - max(tok_end) AS BIGINT) AS pad_tokens
+FROM c GROUP BY lang
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Tokenizer-vocabulary build (llmdata/text.py term_table): corpus
+    term/doc-frequency table, top 20 terms. The shuffle carries
+    (term, count, df) triples only — map-side combined."""
+    from coffea_spark.llmdata.text import term_table
+
+    docs = _t(spark, sf_dir, "documents")
+    tt = term_table(docs, "text")
+    return tt.orderBy(F.col("count").desc(), "term").limit(20)
+
+
+SQL_VOCAB_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term
+)
+SELECT term, CAST(sum(n) AS BIGINT) AS count, count(*) AS doc_freq
+FROM per_doc GROUP BY term
+ORDER BY count DESC, term LIMIT 20
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (llmdata/decontam.py): training docs
+    (doc_id % 101 != 0) sharing any word 5-gram with the held-out eval
+    subset (doc_id % 101 == 0). Eval grams broadcast — the corpus-side
+    check is a map-side semi-join probe."""
+    from coffea_spark.llmdata.decontam import contaminated_ids, contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 101 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 101 == 0)
+    bad = contaminated_ids(train, eval_df, n=5)
+    rep = contamination_report(train, eval_df, n=5)
+    a = bad.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    b = rep.agg(
+        F.coalesce(F.sum("n_dirty_grams"), F.lit(0)).alias("n_shared_grams")
+    )
+    c = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 1)),
+           i -> array_to_string(t[i:i+4], ' ')))) AS gram
+  FROM toks
+), dirty AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n
+  FROM grams g JOIN dirty d USING (gram)
+  WHERE g.doc_id % 101 <> 0
+  GROUP BY g.doc_id
+)
+SELECT (SELECT count(*) FROM hits) AS n_contaminated,
+       CAST((SELECT coalesce(sum(n), 0) FROM hits) AS BIGINT) AS n_shared_grams,
+       (SELECT count(*) FROM documents WHERE doc_id % 101 <> 0) AS n_train
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3145,6 +3283,10 @@ REGISTRY: dict[str, Query] = {
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
+    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
+    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     # -- rows-only (no SQL-expressible oracle; driver records rows count) ---
     "minhash_lsh": Query(q_minhash_lsh, None),
     "simhash": Query(q_simhash, None),

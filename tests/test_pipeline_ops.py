@@ -1,0 +1,127 @@
+"""Training-data pipeline operators: splits, packing, vocab, decontam."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark, docs):
+    from coffea_spark.llmdata.splits import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in hash_split(docs, "doc_id", fr, salt=7).collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(13), "doc_id", fr, salt=7).collect()
+    }
+    assert s1 == s2  # membership independent of layout
+    n = len(s1)
+    counts = {k: 0 for k in fr}
+    for v in s1.values():
+        counts[v] += 1
+    assert sum(counts.values()) == n
+    # fractions roughly honored (multiplicative hash on sequential ids)
+    assert abs(counts["train"] / n - 0.8) < 0.1
+
+
+def test_hash_split_salt_changes_assignment(spark, docs):
+    from coffea_spark.llmdata.splits import hash_split
+
+    fr = {"a": 0.5, "b": 0.5}
+    s1 = {r.doc_id: r.split for r in hash_split(docs, "doc_id", fr, salt=1).collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(docs, "doc_id", fr, salt=2).collect()}
+    assert s1 != s2
+
+
+def test_hash_split_bad_fractions(docs):
+    from coffea_spark.llmdata.splits import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_sample_per_stratum_exact_k(spark, docs):
+    from coffea_spark.llmdata.splits import sample_per_stratum
+
+    got = sample_per_stratum(docs, ["lang"], 3, "doc_id")
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(3, avail[lang])
+    # deterministic across runs
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(r.doc_id for r in sample_per_stratum(docs, ["lang"], 3, "doc_id").collect())
+    assert a == b
+
+
+def test_pack_offsets_contiguous(spark, docs):
+    from coffea_spark.llmdata.packing import pack_offsets, packing_summary
+    from coffea_spark.llmdata.text import token_count
+
+    tc = docs.select("lang", "doc_id", token_count(F.col("text")).alias("tc"))
+    packed = pack_offsets(tc, "tc", 64, ["lang"], "doc_id")
+    rows = sorted(
+        packed.select("lang", "doc_id", "tc", "tok_start", "tok_end").collect(),
+        key=lambda r: (r.lang, r.doc_id),
+    )
+    # stream offsets tile [0, total) per language with no gaps
+    prev_end = {}
+    for r in rows:
+        assert r.tok_end - r.tok_start == r.tc
+        assert r.tok_start == prev_end.get(r.lang, 0)
+        prev_end[r.lang] = r.tok_end
+    summ = {r.lang: r for r in packing_summary(packed, 64, ["lang"]).collect()}
+    for lang, end in prev_end.items():
+        s = summ[lang]
+        assert s.n_tokens == end
+        assert s.n_sequences == -(-end // 64)
+        assert s.pad_tokens == s.n_sequences * 64 - end
+
+
+def test_pack_rejects_bad_seq_len(docs):
+    from coffea_spark.llmdata.packing import pack_offsets
+
+    with pytest.raises(ValueError):
+        pack_offsets(docs, "n_chars", 0, ["lang"], "doc_id")
+
+
+def test_term_table_counts(spark):
+    from coffea_spark.llmdata.text import term_table
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a d"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.term: (r["count"], r.doc_freq) for r in term_table(df, "text").collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1), "d": (1, 1)}
+
+
+def test_decontaminate_removes_overlaps(spark):
+    from coffea_spark.llmdata.decontam import (
+        contaminated_ids,
+        contamination_report,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares a 5-gram
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma delta epsilon other"),  # same leading 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    bad = sorted(r.doc_id for r in contaminated_ids(train, eval_df, n=5).collect())
+    assert bad == [1, 3]
+    rep = {r.doc_id: r.n_dirty_grams for r in contamination_report(train, eval_df, n=5).collect()}
+    assert rep == {1: 1, 3: 1}
+    clean = sorted(r.doc_id for r in decontaminate(train, eval_df, n=5).collect())
+    assert clean == [2]
