@@ -65,10 +65,13 @@ class Record:
     member). ``rec.pt`` is the stored field; ``rec.px`` is computed;
     comparison/arithmetic operators build Columns."""
 
-    __slots__ = ("_x",)
+    __slots__ = ("_x", "_fields")
 
-    def __init__(self, expr):
+    def __init__(self, expr, fields: list[str] | None = None):
         object.__setattr__(self, "_x", expr)
+        # optional static field-name metadata (Columns carry no runtime
+        # struct type): enables dimensional-promotion dispatch
+        object.__setattr__(self, "_fields", list(fields) if fields else None)
 
     @property
     def c(self):
@@ -99,6 +102,27 @@ class Record:
 
     def add(self, other, with_charge: bool = False) -> "Record":
         return Record(vec.add(self, other, with_charge=with_charge))
+
+    def add_promoted(self, other, fields=None, other_fields=None) -> "Record":
+        """Sum with the reference's dimensional-promotion dispatch
+        (methods/vector.py:675-690): the result carries
+        min(dim(self), dim(other)) dimensions. Field names come from the
+        Records' declared ``fields`` metadata or the explicit
+        arguments."""
+        fa = fields or self._fields
+        ob = other if isinstance(other, Record) else Record(other)
+        fb = other_fields or ob._fields
+        if fa is None or fb is None:
+            raise ValueError(
+                "add_promoted needs field-name metadata for both sides "
+                "(construct Record(expr, fields=[...]) or pass fields=)"
+            )
+        out = vec.add_promoted(self, ob, fa, fb)
+        dim = min(vec.dimension(fa), vec.dimension(fb))
+        out_fields = ["pt", "phi"] + (["eta"] if dim >= 3 else []) + (
+            ["mass"] if dim == 4 else []
+        )
+        return Record(out, fields=out_fields)
 
     def invariant_mass(self, other) -> Column:
         return vec.invariant_mass(self, other)

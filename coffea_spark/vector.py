@@ -226,6 +226,113 @@ def sum_vectors(collection: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# dimensional dispatch + coordinate validation
+# (reference: methods/vector.py:675-690 — binary ops between vectors of
+#  different dimensionality promote to the LOWEST common dimension
+#  (2D+3D→2D, 2D+4D→2D, 3D+4D→3D); vector.py:84-142,216-230,324-338,
+#  563-579 — constructors reject conflicting coordinate systems)
+# ---------------------------------------------------------------------------
+
+#: coordinate-system aliases per geometric role: a vector may carry one
+#: spelling of each role, never two
+_AZIMUTHAL_POLAR = frozenset({"pt", "phi"})
+_AZIMUTHAL_CART = frozenset({"px", "py"})
+_LONGITUDINAL = ("eta", "pz", "theta")
+_TEMPORAL = ("mass", "energy")
+
+
+def validate_coordinates(fields) -> None:
+    """Reject field sets that mix coordinate systems for the same
+    geometric role — the Spark-side analog of the reference's
+    constructor checks (a struct with both ``pt`` and ``px`` is
+    ambiguous about which is authoritative)."""
+    fs = set(fields)
+    if (fs & _AZIMUTHAL_POLAR) and (fs & _AZIMUTHAL_CART):
+        raise ValueError(
+            f"conflicting azimuthal coordinates in {sorted(fs)}: "
+            "use pt/phi (polar) OR px/py (cartesian), not both"
+        )
+    have_az = _AZIMUTHAL_POLAR <= fs or _AZIMUTHAL_CART <= fs
+    if not have_az:
+        raise ValueError(
+            f"no complete azimuthal coordinate pair in {sorted(fs)}: "
+            "need pt+phi or px+py"
+        )
+    longi = [c for c in _LONGITUDINAL if c in fs]
+    if len(longi) > 1:
+        raise ValueError(f"conflicting longitudinal coordinates: {longi}")
+    temp = [c for c in _TEMPORAL if c in fs]
+    if len(temp) > 1:
+        raise ValueError(f"conflicting temporal coordinates: {temp}")
+    if temp and not longi:
+        raise ValueError(
+            f"temporal coordinate {temp[0]} without a longitudinal one "
+            "(a 2D vector cannot carry mass/energy)"
+        )
+
+
+def dimension(fields) -> int:
+    """Dimensionality of a struct's field set: 2 (azimuthal), 3
+    (+longitudinal), 4 (+temporal). Validates coordinates first."""
+    validate_coordinates(fields)
+    fs = set(fields)
+    if any(c in fs for c in _TEMPORAL):
+        return 4
+    if any(c in fs for c in _LONGITUDINAL):
+        return 3
+    return 2
+
+
+def _as_cartesian_components(v, fields):
+    """(px, py[, pz][, energy]) Columns for whatever layout ``v`` has."""
+    fs = set(fields)
+    if _AZIMUTHAL_CART <= fs:
+        cx, cy = _f(v, "px"), _f(v, "py")
+    else:
+        cx, cy = _f(v, "pt") * F.cos(_f(v, "phi")), _f(v, "pt") * F.sin(_f(v, "phi"))
+    cz = None
+    if "pz" in fs:
+        cz = _f(v, "pz")
+    elif "eta" in fs:
+        rho_ = F.sqrt(cx * cx + cy * cy)
+        cz = rho_ * F.sinh(_f(v, "eta"))
+    elif "theta" in fs:
+        rho_ = F.sqrt(cx * cx + cy * cy)
+        cz = rho_ / F.tan(_f(v, "theta"))
+    ce = None
+    if "energy" in fs:
+        ce = _f(v, "energy")
+    elif "mass" in fs:
+        m = _f(v, "mass")
+        ce = F.sqrt(m * m + cx * cx + cy * cy + cz * cz)
+    return cx, cy, cz, ce
+
+
+def add_promoted(a, b, fields_a, fields_b) -> Column:
+    """Vector sum with the reference's dimensional-promotion dispatch:
+    the result has min(dim(a), dim(b)) dimensions, summed component-wise
+    in cartesian coordinates and returned in the polar layout
+    (struct<pt,phi[,eta][,mass]>). ``fields_*`` are the structs' field
+    names (Columns carry no runtime type here — the caller, e.g. the
+    NanoEvents proxy, supplies them from the DataFrame schema)."""
+    dim = min(dimension(fields_a), dimension(fields_b))
+    ax, ay, az, ae = _as_cartesian_components(a, fields_a)
+    bx, by, bz, be = _as_cartesian_components(b, fields_b)
+    sx, sy = ax + bx, ay + by
+    out = [
+        pt_from_cartesian(sx, sy).alias("pt"),
+        phi_from_cartesian(sx, sy).alias("phi"),
+    ]
+    if dim >= 3:
+        sz = az + bz
+        out.append(eta_from_cartesian(sx, sy, sz).alias("eta"))
+    if dim == 4:
+        se = ae + be
+        out.append(mass_from_cartesian(sx, sy, sz, se).alias("mass"))
+    return F.struct(*out)
+
+
+# ---------------------------------------------------------------------------
 # three-vector geometry + Lorentz boosts
 # (reference: methods/vector.py:145-370 TwoVector/ThreeVector mixins,
 #  :461-478 pvec/boostvec; boost algebra follows the scikit-hep ``vector``

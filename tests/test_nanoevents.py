@@ -244,3 +244,23 @@ def test_schema_xref_attributes(spark):
         raise AssertionError("expected analysis failure without schema")
     except pyspark.errors.exceptions.base.AnalysisException:
         pass
+
+
+def test_record_add_promoted(spark, nano):
+    """Record.add_promoted: dimensional promotion through the proxy
+    (reference vector.py:675-690 dispatch)."""
+    from coffea_spark.nanoevents import Record
+
+    met = Record(F.element_at(F.col("Muon"), 1), fields=["pt", "eta", "phi", "mass"])
+    two = Record(
+        F.element_at(F.col("Muon"), 2), fields=["pt", "phi"]
+    )
+    s = met.add_promoted(two)
+    df = nano.filter(F.size("Muon") >= 2).select(s.c.alias("s")).limit(5)
+    t = repr(df.schema["s"].dataType)
+    assert "pt" in t and "phi" in t and "eta" not in t
+    assert df.count() >= 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Record(F.element_at(F.col("Muon"), 1)).add_promoted(two.c)

@@ -3,6 +3,8 @@ nanoevents/methods/vector.py)."""
 
 import math
 
+import pytest
+
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -168,3 +170,71 @@ def test_three_vector_algebra(spark):
         assert abs(r.orth_a) < 1e-6 * max(1.0, r.scale)
         assert abs(r.orth_b) < 1e-6 * max(1.0, r.scale)
         assert abs(r.lagrange) < 1e-6 * max(1.0, r.scale)
+
+
+def test_coordinate_validation():
+    """Constructor-style checks (reference vector.py:84-142): mixed
+    coordinate systems and incomplete layouts are rejected."""
+    vec.validate_coordinates(["pt", "eta", "phi", "mass"])
+    vec.validate_coordinates(["px", "py", "pz", "energy"])
+    vec.validate_coordinates(["pt", "phi"])
+    with pytest.raises(ValueError):
+        vec.validate_coordinates(["pt", "phi", "px", "py"])  # mixed azimuthal
+    with pytest.raises(ValueError):
+        vec.validate_coordinates(["pt"])  # incomplete azimuthal
+    with pytest.raises(ValueError):
+        vec.validate_coordinates(["px", "py", "eta", "pz"])  # two longitudinal
+    with pytest.raises(ValueError):
+        vec.validate_coordinates(["pt", "phi", "eta", "mass", "energy"])
+    with pytest.raises(ValueError):
+        vec.validate_coordinates(["pt", "phi", "mass"])  # temporal w/o longitudinal
+    assert vec.dimension(["pt", "phi"]) == 2
+    assert vec.dimension(["px", "py", "theta"]) == 3
+    assert vec.dimension(["pt", "eta", "phi", "mass"]) == 4
+
+
+def test_add_promoted_dispatch(spark):
+    """2D+4D -> 2D, 3D+4D -> 3D (reference vector.py:675-690): promoted
+    sums agree with the full 4D cartesian sum on shared components."""
+    rng = np.random.default_rng(23)
+    a, b = _np_vec(rng, 100), _np_vec(rng, 100)
+    df = _df_from(spark, a, b)
+    va, vb = F.col("a"), F.col("b")
+    full = vec.add(va, vb)
+    two = vec.add_promoted(va, vb, ["pt", "phi"], ["pt", "eta", "phi", "mass"])
+    three = vec.add_promoted(
+        va, vb, ["pt", "eta", "phi"], ["pt", "eta", "phi", "mass"]
+    )
+    rows = df.select(
+        full["pt"].alias("pt4"), full["phi"].alias("phi4"), full["eta"].alias("eta4"),
+        two["pt"].alias("pt2"), two["phi"].alias("phi2"),
+        three["pt"].alias("pt3"), three["eta"].alias("eta3"),
+    ).collect()
+    for r in rows:
+        assert abs(r.pt2 - r.pt4) < 1e-9
+        assert abs(r.phi2 - r.phi4) < 1e-9
+        assert abs(r.pt3 - r.pt4) < 1e-9
+        assert abs(r.eta3 - r.eta4) < 1e-9
+    assert "eta" not in repr(df.select(two.alias("s")).schema["s"].dataType)
+    sch3 = df.select(three.alias("s")).schema["s"].dataType
+    assert "eta" in repr(sch3) and "mass" not in repr(sch3)
+
+
+def test_add_promoted_cartesian_input(spark):
+    """Cartesian-layout structs promote identically (px/py/pz/energy)."""
+    rng = np.random.default_rng(29)
+    a, b = _np_vec(rng, 50), _np_vec(rng, 50)
+    df = _df_from(spark, a, b)
+    cart_b = vec.to_cartesian(F.col("b"))
+    mixed = vec.add_promoted(
+        F.col("a"), cart_b, ["pt", "eta", "phi", "mass"],
+        ["px", "py", "pz", "energy"],
+    )
+    full = vec.add(F.col("a"), F.col("b"))
+    rows = df.select(
+        (mixed["pt"] - full["pt"]).alias("dpt"),
+        (mixed["mass"] - full["mass"]).alias("dm"),
+    ).collect()
+    for r in rows:
+        assert abs(r.dpt) < 1e-9
+        assert abs(r.dm) < 1e-6
