@@ -3175,6 +3175,54 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Custom stateful streaming operator (streaming.stateful_ewma,
+    applyInPandasWithState): per-user EWMA of event values folded in
+    event-time order with O(keys) state and event-time TTL. Sampled to
+    user_id % 97 == 0; with availableNow + update mode each key's LAST
+    emitted row is its final state, which the closed-form SQL oracle
+    reproduces: ewma_n = (1-a)^(n-1) v_1 + sum_{j=2..n} a (1-a)^(n-j) v_j."""
+    from coffea_spark.streaming import stateful_ewma
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    stream = _normalize_event_ts(raw).filter(F.col("user_id") % 97 == 0)
+    agg = stateful_ewma(stream, "user_id", alpha=0.25, watermark="1 hour",
+                        tiebreak_cols=["event_id"])
+    qname = "stream_ewma_gate"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per batch: keep each key's last
+    latest = spark.table(qname).groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "ewma"), "n_events").alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round(F.col("s.ewma"), 6).alias("ewma"),
+    )
+
+
+SQL_STREAM_EWMA = """
+WITH e AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id % 97 = 0
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN rn = 1 THEN pow(0.75, n - 1) * value
+                      ELSE 0.25 * pow(0.75, n - rn) * value END), 6) AS ewma
+FROM e GROUP BY user_id
+"""
+
+
 SQL_DECONTAMINATE = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -3283,6 +3331,7 @@ REGISTRY: dict[str, Query] = {
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

@@ -133,3 +133,72 @@ def stream_dedup(
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(keys)
     return wm.dropDuplicates(keys)
+
+
+def stateful_ewma(
+    stream: DataFrame,
+    key: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    watermark: str = "1 hour",
+    state_ttl: str = "2 hours",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key
+    exponentially-weighted moving average maintained across micro-batches
+    — the kind of sequential-fold statistic no built-in windowed
+    aggregation expresses (each update depends on the previous state).
+
+    State per key is THREE scalars (count, ewma, last event time); an
+    event-time timeout evicts keys idle past ``state_ttl`` beyond the
+    watermark, so state is O(active keys), never O(events) — the only
+    shape that survives an unbounded stream. Batches fold in event-time
+    order (the batch is sorted in the UDF; cross-batch order is the
+    stream's delivery order past the watermark).
+
+    Emits one row per key per micro-batch (update semantics):
+    (key, n_events, ewma, last_ts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    key_type = {f.name: f.dataType.simpleString() for f in stream.schema.fields}[key]
+    out_schema = f"{key} {key_type}, n_events long, ewma double, last_ts timestamp"
+    state_schema = "n long, ewma double, last_us long"
+
+    def fn(key_tuple, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, *(tiebreak_cols or [])])
+        if state.exists:
+            n, ew, last_us = state.get
+        else:
+            n, ew, last_us = 0, None, None
+        for v, t in zip(rows[value_col], rows[ts_col]):
+            ew = float(v) if ew is None else alpha * float(v) + (1.0 - alpha) * ew
+            n += 1
+            last_us = t.value // 1000
+        state.update((n, ew, last_us))
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm_ms + ttl_ms, last_us // 1000 + ttl_ms))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n],
+                "ewma": [ew],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )

@@ -225,3 +225,49 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.sql("SELECT count(DISTINCT doc_id) FROM sdedup2").collect()[0][0]
     assert n2 == 50  # every key still present at least once
+
+
+def test_stateful_ewma(spark, tmp_path):
+    """applyInPandasWithState EWMA: single-batch fold matches the pandas
+    reference fold; alpha validated."""
+    import pandas as pd
+    import pytest
+
+    from coffea_spark.streaming import stateful_ewma
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from coffea_spark.queries import _normalize_event_ts
+
+    src = _normalize_event_ts(src).filter(F.col("user_id") % 31 == 0)
+    pdf = src.toPandas().sort_values(["ts", "event_id"])
+    expect = {}
+    for uid, g in pdf.groupby("user_id"):
+        ew = None
+        for v in g["value"]:
+            ew = float(v) if ew is None else 0.25 * float(v) + 0.75 * ew
+        expect[uid] = (len(g), ew)
+
+    sch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    raw = spark.readStream.schema(sch).parquet("/root/testdata/sf0.001/events.*")
+    stream = _normalize_event_ts(raw).filter(F.col("user_id") % 31 == 0)
+    agg = stateful_ewma(stream, "user_id", alpha=0.25, tiebreak_cols=["event_id"])
+    q = (
+        agg.writeStream.format("memory").queryName("ewma_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in spark.table("ewma_t")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "ewma"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.ewma")
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (n, ew) in expect.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - ew) < 1e-9
+
+    with pytest.raises(ValueError):
+        stateful_ewma(stream, "user_id", alpha=0.0)
