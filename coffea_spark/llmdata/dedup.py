@@ -303,6 +303,59 @@ def minhash_signatures(
     )
 
 
+#: Mersenne prime 2^31 - 1: the universal-hash modulus for the portable
+#: MinHash family (and the rolling-hash fingerprint space)
+_MERSENNE31 = 2147483647
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, identical
+    on any engine: a fixed multiplicative sequence mod 2^31-1 (a_i != 0)."""
+    out = []
+    for i in range(n_hashes):
+        a = (2654435761 * (i + 1)) % _MERSENNE31 or 1
+        b = (40503 * (i + 17)) % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures any SQL engine can reproduce bit-for-bit:
+    shingles are fingerprinted with the engine-portable Rabin-Karp
+    rolling hash (llmdata.text.rolling_hash — plain modular arithmetic),
+    then each permutation is the classic universal hash
+    h_i(s) = (a_i * fp(s) + b_i) mod (2^31 - 1).
+
+    Same execution shape as the xxhash64 form (exploded shingles, one
+    64-way min aggregation with map-side combine); xxhash64 stays the
+    production default (better mixing, one JVM intrinsic per hash) —
+    this family exists so the correctness gate can hash-compare MinHash
+    END-TO-END against an independent engine, not just count rows."""
+    from coffea_spark.llmdata.text import rolling_hash
+
+    sh = df.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("_sh")
+    ).select(F.col(id_col), rolling_hash(F.col("_sh")).alias("_fp"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_fp") + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"_h{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
+
+
 def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
     """Band hashes: array<bigint> of length ``bands``; band j hashes
     signature[j*rows : (j+1)*rows]."""

@@ -3175,6 +3175,45 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash signatures hash-compared END-TO-END against an
+    independent engine (llmdata/dedup.py minhash_signatures_portable):
+    Rabin-Karp shingle fingerprints + universal hashing mod 2^31-1 —
+    plain modular arithmetic both engines reproduce bit-for-bit. The
+    xxhash64 family stays the production default; this gate proves the
+    MinHash MATH, not just row counts."""
+    from coffea_spark.llmdata.dedup import minhash_signatures_portable
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 251 == 0)
+    sig = minhash_signatures_portable(docs, "doc_id", "text", 5, 64)
+    return sig.select("doc_id", F.posexplode("sig").alias("hash_idx", "h"))
+
+
+def _sql_minhash_portable() -> str:
+    from coffea_spark.llmdata.dedup import minhash_params
+
+    rows = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(64))
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 3, 1)), i -> substr(text, i, 5)))) AS s
+  FROM documents WHERE doc_id % 251 = 0
+), fp AS (
+  SELECT doc_id, list_reduce(
+           list_transform(string_split_regex(s, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647) AS f
+  FROM sh
+), params(hash_idx, a, b) AS (VALUES
+    {rows})
+SELECT fp.doc_id, p.hash_idx,
+       CAST(min((p.a * fp.f + p.b) % 2147483647) AS BIGINT) AS h
+FROM fp CROSS JOIN params p
+GROUP BY fp.doc_id, p.hash_idx
+"""
+
+
 def q_stream_ewma(spark, sf_dir):
     """Custom stateful streaming operator (streaming.stateful_ewma,
     applyInPandasWithState): per-user EWMA of event values folded in
@@ -3332,6 +3371,7 @@ REGISTRY: dict[str, Query] = {
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

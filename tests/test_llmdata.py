@@ -281,3 +281,24 @@ def test_audio_features(spark):
     assert rows[1]["zcr"] > 0.99  # alternating signs
     assert rows[2]["rms"] == 0.0 and rows[2]["duration_s"] == 1.0
     assert "audio" not in rows[1].asDict()
+
+
+def test_minhash_portable_estimates_jaccard(spark):
+    """Portable MinHash (rolling-hash fingerprints + universal hashing):
+    signature agreement approximates exact shingle Jaccard."""
+    from coffea_spark.llmdata.dedup import minhash_signatures_portable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"
+    far = "completely different content with no overlap whatsoever here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in minhash_signatures_portable(df, "doc_id", "text", 5, 64).collect()
+    }
+    agree = lambda a, b: sum(x == y for x, y in zip(a, b)) / 64.0
+    assert agree(sigs[1], sigs[2]) > 0.6   # near-dup: high agreement
+    assert agree(sigs[1], sigs[3]) < 0.2   # unrelated: low agreement
+    assert all(0 <= h < 2147483647 for h in sigs[1])
