@@ -132,6 +132,51 @@ def hist2d(
     return out
 
 
+def profile1d(
+    df: DataFrame,
+    xvalue: Column | str,
+    yvalue: Column | str,
+    nbins: int,
+    lo: float,
+    hi: float,
+    weight: Column | str | None = None,
+    flow: bool = True,
+) -> DataFrame:
+    """Profile histogram (the reference's hist.storage.Mean axis / ROOT
+    TProfile): per x-bin the weighted MEAN of a sample value, with the
+    accumulators (sumw, sumwy, sumwy2, n) needed for the error on the
+    mean. Same bucket-id groupBy shape as hist1d — the shuffle carries
+    one small row per occupied bin, map-side combined."""
+    xvalue = F.col(xvalue) if isinstance(xvalue, str) else xvalue
+    yvalue = F.col(yvalue) if isinstance(yvalue, str) else yvalue
+    wcol = (
+        F.lit(1.0)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
+    out = (
+        df.select(
+            bucket(xvalue, lo, hi, nbins).alias("bin"),
+            wcol.alias("_w"),
+            yvalue.alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("_w").alias("sumw"),
+            F.sum(F.col("_w") * F.col("_y")).alias("sumwy"),
+            F.sum(F.col("_w") * F.col("_y") * F.col("_y")).alias("sumwy2"),
+            F.count("_w").alias("n"),
+        )
+        .withColumn(
+            "mean",
+            F.when(F.col("sumw") != 0, F.col("sumwy") / F.col("sumw")),
+        )
+    )
+    if not flow:
+        out = out.filter((F.col("bin") >= 0) & (F.col("bin") < nbins))
+    return out
+
+
 @dataclass
 class Hist1D:
     """Driver-side materialized histogram (dense numpy arrays), for the

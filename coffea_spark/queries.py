@@ -3175,6 +3175,41 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_profile_hist(spark, sf_dir):
+    """Profile histogram (hist.profile1d — the reference's
+    hist.storage.Mean axis / TProfile): weighted mean of extendedprice
+    per quantity bin. Integer-width bins so bucket edges are exact in
+    binary; sums rounded, mean to 6dp."""
+    from coffea_spark.hist import profile1d
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = profile1d(
+        li, "l_quantity", "l_extendedprice", nbins=10, lo=0.0, hi=50.0,
+        weight=(F.lit(1.0) + F.col("l_discount")),
+    )
+    return prof.select(
+        "bin",
+        F.round("sumw", 4).alias("sumw"),
+        F.round("sumwy", 2).alias("sumwy"),
+        "n",
+        F.round("mean", 6).alias("mean"),
+    )
+
+
+SQL_PROFILE_HIST = """
+WITH b AS (
+  SELECT CASE WHEN l_quantity < 0 THEN -1
+              WHEN l_quantity >= 50 THEN 10
+              ELSE CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT) END AS bin,
+         (1.0 + l_discount) AS w, l_extendedprice AS y
+  FROM lineitem
+)
+SELECT bin, round(sum(w), 4) AS sumw, round(sum(w * y), 2) AS sumwy,
+       count(*) AS n, round(sum(w * y) / sum(w), 6) AS mean
+FROM b GROUP BY bin
+"""
+
+
 def q_minhash_portable(spark, sf_dir):
     """MinHash signatures hash-compared END-TO-END against an
     independent engine (llmdata/dedup.py minhash_signatures_portable):
@@ -3372,6 +3407,7 @@ REGISTRY: dict[str, Query] = {
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
+    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

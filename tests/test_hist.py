@@ -116,3 +116,20 @@ def test_hist_categorical_scalar_and_ragged(spark):
         ("a", "x"): 5.0,
         ("a", "y"): 3.0,
     }
+
+
+def test_profile1d(spark):
+    """Profile histogram: per-bin weighted mean matches a hand fold;
+    accumulators allow error-on-mean; flow bins controllable."""
+    from coffea_spark.hist import profile1d
+
+    rows = [(1.0, 10.0, 1.0), (1.5, 20.0, 3.0), (6.0, 30.0, 1.0), (-2.0, 5.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, w double")
+    got = {r.bin: r for r in profile1d(df, "x", "y", 2, 0.0, 10.0, weight="w").collect()}
+    # bin 0: x in [0,5): means of y=10 (w=1) and y=20 (w=3) -> (10+60)/4
+    assert abs(got[0].mean - 17.5) < 1e-12
+    assert got[0].n == 2 and abs(got[0].sumw - 4.0) < 1e-12
+    assert abs(got[1].mean - 30.0) < 1e-12
+    assert -1 in got  # underflow kept with flow=True
+    noflow = profile1d(df, "x", "y", 2, 0.0, 10.0, flow=False).collect()
+    assert all(0 <= r.bin < 2 for r in noflow)
