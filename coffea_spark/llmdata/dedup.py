@@ -563,6 +563,37 @@ def simhash_exploded(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def simhash_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """31-bit SimHash any SQL engine reproduces bit-for-bit: token
+    fingerprints via the engine-portable Rabin-Karp rolling hash, bit b
+    of the fingerprint set iff the signed occurrence sum over tokens is
+    positive. Same exploded-aggregation shape as
+    :func:`simhash_exploded`; xxhash64/64-bit stays the production
+    default — this family exists so the correctness gate can
+    hash-compare SimHash end-to-end. Zero-token docs drop out (both
+    engines identically)."""
+    from coffea_spark.llmdata.text import rolling_hash
+
+    fp = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).select(F.col(id_col), rolling_hash(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"_b{b}")
+        for b in range(31)
+    ]
+    per_doc = fp.groupBy(id_col).agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(31):
+        packed = packed + F.when(
+            F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(F.col(id_col), packed.alias("simhash"))
+
+
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Docs grouped by exact SimHash fingerprint (bucket size > 1 =>
     near-dup cluster candidates)."""

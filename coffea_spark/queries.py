@@ -3175,6 +3175,39 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_simhash_portable(spark, sf_dir):
+    """SimHash fingerprints hash-compared end-to-end
+    (llmdata/dedup.py simhash_portable): 31-bit fingerprints over
+    Rabin-Karp token hashes — engine-portable modular/bitwise math."""
+    from coffea_spark.llmdata.dedup import simhash_portable
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return simhash_portable(docs, "doc_id", "text")
+
+
+SQL_SIMHASH_PORTABLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+  FROM documents WHERE doc_id % 17 = 0
+), fp AS (
+  SELECT doc_id, list_reduce(
+           list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647) AS f
+  FROM toks
+), bits AS (
+  SELECT doc_id, bs.bit AS bit,
+         sum(CASE WHEN (f >> bs.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 31)) AS bit) bs
+  GROUP BY doc_id, bs.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
 def q_profile_hist(spark, sf_dir):
     """Profile histogram (hist.profile1d — the reference's
     hist.storage.Mean axis / TProfile): weighted mean of extendedprice
@@ -3408,6 +3441,7 @@ REGISTRY: dict[str, Query] = {
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
     "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
+    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

@@ -302,3 +302,21 @@ def test_minhash_portable_estimates_jaccard(spark):
     assert agree(sigs[1], sigs[2]) > 0.6   # near-dup: high agreement
     assert agree(sigs[1], sigs[3]) < 0.2   # unrelated: low agreement
     assert all(0 <= h < 2147483647 for h in sigs[1])
+
+
+def test_simhash_portable_similarity(spark):
+    """Portable SimHash: near-dup texts land at small Hamming distance,
+    unrelated texts far apart."""
+    from coffea_spark.llmdata.dedup import simhash_portable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"
+    far = "zzz qqq completely different words xyzzy plugh foo bar baz"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    h = {r.doc_id: r.simhash for r in simhash_portable(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[1], h[2]) <= 6
+    assert ham(h[1], h[3]) > ham(h[1], h[2])
+    assert all(0 <= v < (1 << 31) for v in h.values())
