@@ -188,3 +188,47 @@ def term_table(
         F.sum("_n").alias("count"),
         F.count(F.lit(1)).alias("doc_freq"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list[str] | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model quality score (the simplified form of the
+    LM-perplexity filtering used to rank web documents for training
+    corpora): score(doc) = mean over tokens of ln p(token | corpus),
+    with add-k smoothed probabilities estimated from the corpus itself
+    (or per group, e.g. per language). Gibberish and off-distribution
+    documents score low; the score column feeds a threshold filter.
+
+    Two passes, both scale-shaped: (1) :func:`term_table` — one
+    map-combined shuffle of (term, count) — gives the vocabulary, which
+    is corpus-bounded and BROADCAST back; (2) scoring joins each
+    exploded token against the broadcast vocab and averages per doc —
+    map-side probe + one groupBy on the doc id."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias clarity)
+
+    groups = by or []
+    tt = term_table(df, text_col, by=groups)
+    totals = tt.groupBy(*groups).agg(
+        F.sum("count").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    vocab = tt.join(totals, groups) if groups else tt.crossJoin(totals)
+    vocab = vocab.select(
+        *groups,
+        "term",
+        F.log(
+            (F.col("count") + F.lit(smoothing))
+            / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
+        ).alias("_logp"),
+    )
+    toks = df.select(
+        *groups, F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    scored = toks.join(F.broadcast(vocab), [*groups, "term"])
+    return scored.groupBy(*groups, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_logp").alias("logprob"),
+    )

@@ -3175,6 +3175,45 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_lm_quality(spark, sf_dir):
+    """Unigram LM quality filter (llmdata/text.py unigram_logprob_score,
+    the simplified CCNet-style perplexity ranking): per-language corpus
+    LM, per-doc mean token log-probability, per-language score stats."""
+    from coffea_spark.llmdata.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs, "text", by=["lang"])
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+        F.round(F.max("logprob"), 6).alias("max_logprob"),
+    )
+
+
+SQL_LM_QUALITY = r"""
+WITH tok AS (
+  SELECT lang, doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tt AS (
+  SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term
+), tot AS (
+  SELECT lang, sum(c) AS total, count(*) AS vocab FROM tt GROUP BY lang
+), vocab AS (
+  SELECT tt.lang, term, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+  FROM tt JOIN tot ON tt.lang = tot.lang
+), scored AS (
+  SELECT t.lang, t.doc_id, avg(v.logp) AS lp
+  FROM tok t JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+  GROUP BY t.lang, t.doc_id
+)
+SELECT lang, count(*) AS n_docs, round(avg(lp), 6) AS avg_logprob,
+       round(min(lp), 6) AS min_logprob, round(max(lp), 6) AS max_logprob
+FROM scored GROUP BY lang
+"""
+
+
 def q_simhash_portable(spark, sf_dir):
     """SimHash fingerprints hash-compared end-to-end
     (llmdata/dedup.py simhash_portable): 31-bit fingerprints over
@@ -3442,6 +3481,7 @@ REGISTRY: dict[str, Query] = {
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
     "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

@@ -125,3 +125,24 @@ def test_decontaminate_removes_overlaps(spark):
     assert rep == {1: 1, 3: 1}
     clean = sorted(r.doc_id for r in decontaminate(train, eval_df, n=5).collect())
     assert clean == [2]
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    from coffea_spark.llmdata.text import unigram_logprob_score
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    df = spark.createDataFrame(
+        [
+            (1, common),
+            (2, "the cat sat on the rug and the dog sat on the mat"),
+            (3, "zxqv wkjh pqrs zzzz xxyy qqww eeee rrrr tttt yyyy uuuu iiii"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.logprob for r in unigram_logprob_score(df, "text").collect()}
+    # gibberish (all hapax tokens) scores strictly below the common docs
+    assert got[3] < got[1] and got[3] < got[2]
+    assert all(v < 0 for v in got.values())
+    # n_tokens preserved
+    n = {r.doc_id: r.n_tokens for r in unigram_logprob_score(df, "text").collect()}
+    assert n[1] == len(common.split())
