@@ -232,3 +232,36 @@ def unigram_logprob_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("_logp").alias("logprob"),
     )
+
+
+#: default scrub patterns (Java-regex and RE2 compatible: no lookaround)
+SCRUB_PATTERNS: dict[str, str] = {
+    "url": r"https?://\S+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "number": r"\b[0-9][0-9 .,-]{6,}[0-9]\b",  # long digit runs (phone/card/id)
+}
+
+
+def scrub_text(
+    col: Column, patterns: dict[str, str] | None = None
+) -> Column:
+    """Mask PII-shaped spans: each pattern's matches are replaced by its
+    ``<NAME>`` placeholder, applied in dict order. Pure scan-stage
+    ``regexp_replace`` chain — no shuffle, no UDF; patterns avoid
+    lookaround so the same strings run under Java regex and RE2."""
+    out = col
+    for name, pat in (patterns or SCRUB_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def scrub_stats(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Per-doc struct of match counts per scrub pattern (audit signal:
+    how much was masked, before committing to a destructive rewrite)."""
+    pats = patterns or SCRUB_PATTERNS
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(p), 0)).alias(f"n_{name}")
+            for name, p in pats.items()
+        ]
+    )

@@ -146,3 +146,30 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     # n_tokens preserved
     n = {r.doc_id: r.n_tokens for r in unigram_logprob_score(df, "text").collect()}
     assert n[1] == len(common.split())
+
+
+def test_scrub_text_masks_pii_shapes(spark):
+    from coffea_spark.llmdata.text import scrub_stats, scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe@example.org or https://ex.org/a?b=1 now"),
+            (2, "call 555 123 4567 x89 maybe"),
+            (3, "clean text with no sensitive spans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.scrubbed, r.stats)
+        for r in df.select(
+            "doc_id",
+            scrub_text(F.col("text")).alias("scrubbed"),
+            scrub_stats(F.col("text")).alias("stats"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1][0] and "<URL>" in out[1][0]
+    assert "example.org" not in out[1][0].replace("<EMAIL>", "")
+    assert out[1][1]["n_email"] == 1 and out[1][1]["n_url"] == 1
+    assert "<NUMBER>" in out[2][0] and out[2][1]["n_number"] == 1
+    assert out[3][0] == "clean text with no sensitive spans"
+    assert out[3][1]["n_url"] == out[3][1]["n_email"] == out[3][1]["n_number"] == 0
