@@ -329,3 +329,75 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact k-NN label prediction: for every test vector, the majority
+    label among its k nearest training vectors by cosine; ties break to
+    the smaller training id, vote ties to the smaller label
+    (deterministic, oracle-reproducible). Returns
+    (test id, true label, predicted label, votes).
+
+    ``round_digits`` ranks by ROUNDED cosine — last-ulp summation
+    differences between engines must not flip near-tie neighbors when
+    an independent engine replays the ranking (the correctness-gate
+    setting; leave None for full-precision production ranking).
+
+    Scale shape: the train side broadcasts when it's a labeled seed set
+    (the usual case — labels are scarce), so scoring is a map-side
+    cross product over the test scan; ranking is a per-test-row window
+    over k·|test| candidate rows. For train sets too big to broadcast,
+    route through the LSH/IVF bucketed joins first (knn_join_blocked)
+    and apply the same vote — the vote logic below is join-agnostic.
+    """
+    from pyspark.sql import Window
+
+    tr = train.select(
+        F.col(id_col).alias("_tid"),
+        F.col(vec_col).alias("_tv"),
+        F.col(label_col).alias("_tl"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("true_label"),
+    )
+    scored = te.crossJoin(F.broadcast(tr)).select(
+        "test_id",
+        "true_label",
+        "_tl",
+        (
+            F.round(cosine(F.col("_qv"), F.col("_tv")), round_digits)
+            if round_digits is not None
+            else cosine(F.col("_qv"), F.col("_tv"))
+        ).alias("_cos"),
+        "_tid",
+    )
+    w = Window.partitionBy("test_id").orderBy(
+        F.col("_cos").desc(), F.col("_tid").asc()
+    )
+    top = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    votes = top.groupBy("test_id", "true_label", "_tl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("test_id").orderBy(
+        F.col("votes").desc(), F.col("_tl").asc()
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(
+            "test_id",
+            "true_label",
+            F.col("_tl").alias("predicted_label"),
+            "votes",
+        )
+    )

@@ -3175,6 +3175,67 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_knn_classify(spark, sf_dir):
+    """Exact k-NN label prediction (llmdata/similarity.py knn_classify):
+    held-out vectors (vec_id % 5 == 0) classified by majority label of
+    their 5 nearest neighbors among the rest; broadcast train side, one
+    per-test window. Ranked by 6dp-rounded cosine so an independent
+    engine replays the ranking bit-for-bit."""
+    from coffea_spark.llmdata.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0).filter(F.col("vec_id") % 20 == 0)
+    pred = knn_classify(train, test, k=5, round_digits=6)
+    acc = pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("predicted_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    sample = pred.filter(F.col("test_id") % 100 == 0).select(
+        "test_id", "true_label", "predicted_label", "votes"
+    )
+    return sample.crossJoin(acc)
+
+
+SQL_KNN_CLASSIFY = """
+WITH test AS (
+  SELECT vec_id AS test_id, label AS true_label, embedding FROM embeddings
+  WHERE vec_id % 20 = 0
+), train AS (
+  SELECT vec_id AS tid, label AS tl, embedding FROM embeddings
+  WHERE vec_id % 5 <> 0
+), scored AS (
+  SELECT t.test_id, t.true_label, tr.tl, tr.tid,
+         round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                      tr.embedding::DOUBLE[]), 6) AS c
+  FROM test t CROSS JOIN train tr
+), top AS (
+  SELECT *, row_number() OVER (PARTITION BY test_id ORDER BY c DESC, tid) AS rk
+  FROM scored
+), votes AS (
+  SELECT test_id, true_label, tl, count(*) AS votes
+  FROM top WHERE rk <= 5 GROUP BY test_id, true_label, tl
+), pred AS (
+  SELECT test_id, true_label, tl AS predicted_label, votes,
+         row_number() OVER (PARTITION BY test_id ORDER BY votes DESC, tl) AS vr
+  FROM votes
+), final AS (
+  SELECT test_id, true_label, predicted_label, CAST(votes AS BIGINT) AS votes
+  FROM pred WHERE vr = 1
+), acc AS (
+  SELECT count(*) AS n_test,
+         CAST(sum(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM final
+)
+SELECT f.test_id, f.true_label, f.predicted_label, f.votes, a.n_test, a.n_correct
+FROM final f CROSS JOIN acc a
+WHERE f.test_id % 100 = 0
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """Unigram LM quality filter (llmdata/text.py unigram_logprob_score,
     the simplified CCNet-style perplexity ranking): per-language corpus
@@ -3482,6 +3543,7 @@ REGISTRY: dict[str, Query] = {
     "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
+    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

@@ -320,3 +320,25 @@ def test_simhash_portable_similarity(spark):
     assert ham(h[1], h[2]) <= 6
     assert ham(h[1], h[3]) > ham(h[1], h[2])
     assert all(0 <= v < (1 << 31) for v in h.values())
+
+
+def test_knn_classify_separable(spark):
+    """k-NN vote recovers labels on linearly separated clusters; tie
+    rules are deterministic."""
+    from coffea_spark.llmdata.similarity import knn_classify
+
+    rows = []
+    # two tight clusters on orthogonal axes
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i, 0.0], 0))
+        rows.append((100 + i, [0.0, 0.01 * i, 1.0], 1))
+    train = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    test = spark.createDataFrame(
+        [(1000, [0.99, 0.0, 0.05], 0), (1001, [0.05, 0.0, 0.99], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.test_id: r for r in knn_classify(train, test, k=3).collect()}
+    assert got[1000].predicted_label == 0 and got[1000].votes == 3
+    assert got[1001].predicted_label == 1 and got[1001].votes == 3
