@@ -1350,9 +1350,15 @@ def q_minhash_lsh(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", 5, 64).cache()
+    # eagerly materialize the cached stages: three consumers (candidate
+    # join sides + dedup verify) otherwise race a cold cache and re-run
+    # the 64-hash signature aggregation per branch (the dominant cost —
+    # same lesson as jaccard_join's eager counts)
+    sig.count()
     cands = minhash_lsh_candidates(
         docs, "doc_id", "text", 5, 64, 16, signatures=sig
     ).cache()
+    cands.count()
     dupes = minhash_dedup(
         docs, "doc_id", "text", threshold=0.5, n=5, n_hashes=64, bands=16,
         candidates=cands, signatures=sig,
