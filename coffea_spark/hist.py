@@ -323,3 +323,25 @@ def hist_categorical(
             F.count("_w").alias("n"),
         )
     )
+
+
+#: histogram accumulator columns (summable under projection/merge)
+_HIST_ACCS = ("sumw", "sumw2", "sumwy", "sumwy2", "n")
+
+
+def project(hdf: DataFrame, axis: str) -> DataFrame:
+    """Project an N-dim histogram DataFrame onto one bin axis by summing
+    the accumulators over the other bin axes (the reference's
+    ``hist.project``; works on any hist1d/hist2d/histnd output whose bin
+    columns end in 'bin'). Category columns (e.g. a dataset axis) are
+    KEPT as group keys, not summed away. Tiny aggregate over
+    already-reduced bins — no data re-scan."""
+    bin_cols = [c for c in hdf.columns if c.endswith("bin")]
+    if axis not in bin_cols:
+        raise ValueError(f"axis {axis!r} not among bin columns {bin_cols}")
+    keys = [axis] + [
+        c for c in hdf.columns
+        if c not in bin_cols and c not in _HIST_ACCS and c != "mean"
+    ]
+    aggs = [F.sum(c).alias(c) for c in hdf.columns if c in _HIST_ACCS]
+    return hdf.groupBy(*keys).agg(*aggs)

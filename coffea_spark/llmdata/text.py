@@ -6,6 +6,8 @@ entirely in the scan stage with zero shuffle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -265,3 +267,50 @@ def scrub_stats(col: Column, patterns: dict[str, str] | None = None) -> Column:
             for name, p in pats.items()
         ]
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: per document the
+    Robertson/Sparck-Jones score for ``query_terms`` — the lexical half
+    of a hybrid (keyword + embedding-ANN) search stack.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-doc term frequency
+    from row-local array math; length normalization against the corpus
+    mean token count. Scale shape: the ONLY aggregations are the
+    df/avg-len statistics (map-combined, rows = distinct query terms);
+    scoring itself is a scan-stage expression per document — no
+    per-term explode of the corpus, no join (query terms are a literal
+    array)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    t = tokens(F.col(text_col))
+    qarr = [F.lit(q) for q in query_terms]
+    # ONE stats pass: corpus size, mean length, and per-term df together
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(t)).alias("al"),
+        *[
+            F.sum(F.when(F.array_contains(t, q), 1).otherwise(0)).alias(f"_df{i}")
+            for i, q in enumerate(qarr)
+        ],
+    ).first()
+    n_docs, avg_len, dfreqs = stats["n"], stats["al"], stats
+    dl = F.size(t).cast("double")
+    score = F.lit(0.0)
+    for i, q in enumerate(qarr):
+        df_t = float(dfreqs[f"_df{i}"])
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        def _match(term):
+            return lambda x: x == term
+
+        tf = F.size(F.filter(t, _match(q))).cast("double")
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avg_len)))
+        )
+    return df.withColumn("bm25", score)

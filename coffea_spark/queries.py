@@ -3181,6 +3181,54 @@ def q_decontaminate(spark, sf_dir):
     return a.crossJoin(b).crossJoin(c)
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (llmdata/text.py bm25_scores): top-10 docs
+    for a 3-term query, score to 6dp with (rounded score, doc_id)
+    ordering. The lexical half of hybrid search next to the embedding
+    ANN operators."""
+    from coffea_spark.llmdata.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["table", "window", "fast"])
+    return (
+        scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+SQL_BM25_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(len(toks)) AS al,
+         sum(CASE WHEN list_contains(toks, 'table')  THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2,
+         sum(CASE WHEN list_contains(toks, 'fast')   THEN 1 ELSE 0 END) AS df3
+  FROM t
+), scored AS (
+  SELECT doc_id,
+      ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+        * (len(list_filter(toks, x -> x = 'table')) * 2.2)
+        / (len(list_filter(toks, x -> x = 'table'))
+           + 1.2 * (1 - 0.75 + 0.75 * len(toks) / s.al))
+    + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+        * (len(list_filter(toks, x -> x = 'window')) * 2.2)
+        / (len(list_filter(toks, x -> x = 'window'))
+           + 1.2 * (1 - 0.75 + 0.75 * len(toks) / s.al))
+    + ln(1 + (s.n - s.df3 + 0.5) / (s.df3 + 0.5))
+        * (len(list_filter(toks, x -> x = 'fast')) * 2.2)
+        / (len(list_filter(toks, x -> x = 'fast'))
+           + 1.2 * (1 - 0.75 + 0.75 * len(toks) / s.al)) AS raw
+  FROM t, stats s
+)
+SELECT doc_id, round(raw, 6) AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 def q_knn_classify(spark, sf_dir):
     """Exact k-NN label prediction (llmdata/similarity.py knn_classify):
     held-out vectors (vec_id % 5 == 0) classified by majority label of
@@ -3550,6 +3598,7 @@ REGISTRY: dict[str, Query] = {
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
     "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
+    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
     "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),

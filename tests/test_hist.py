@@ -133,3 +133,22 @@ def test_profile1d(spark):
     assert -1 in got  # underflow kept with flow=True
     noflow = profile1d(df, "x", "y", 2, 0.0, 10.0, flow=False).collect()
     assert all(0 <= r.bin < 2 for r in noflow)
+
+
+def test_project_2d_to_1d(spark):
+    from coffea_spark.hist import hist2d, hist1d, project
+
+    df = spark.createDataFrame(
+        [(float(i % 5), float(i % 3), 1.0 + i * 0.1) for i in range(60)],
+        "x double, y double, w double",
+    )
+    h2 = hist2d(df, "x", "y", 5, 0.0, 5.0, 3, 0.0, 3.0, weight="w")
+    px = {r.xbin: r.sumw for r in project(h2, "xbin").collect()}
+    h1 = {r.bin: r.sumw for r in hist1d(df, "x", 5, 0.0, 5.0, weight="w").collect()}
+    assert set(px) == set(h1)
+    for b in px:
+        assert abs(px[b] - h1[b]) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError):
+        project(h2, "zbin")

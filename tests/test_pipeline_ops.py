@@ -173,3 +173,27 @@ def test_scrub_text_masks_pii_shapes(spark):
     assert "<NUMBER>" in out[2][0] and out[2][1]["n_number"] == 1
     assert out[3][0] == "clean text with no sensitive spans"
     assert out[3][1]["n_url"] == out[3][1]["n_email"] == out[3][1]["n_number"] == 0
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from coffea_spark.llmdata.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine for big data"),
+            (2, "query query query spark"),
+            (3, "unrelated text about cats and dogs"),
+            (4, "data engine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["query", "engine"]).collect()}
+    assert got[3] == 0.0
+    # tf saturation: matching BOTH terms beats repeating one term
+    assert got[1] > got[2] > 0
+    # repeated "query" still beats a single "engine" hit
+    assert got[2] > 0 and got[4] > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])
