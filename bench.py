@@ -1,12 +1,20 @@
 #!/usr/bin/env python
 """Benchmark: run every registry query at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query
-wall seconds."""
+wall seconds.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the per-query MEDIAN; the headline total is the sum of medians. The
+bench box has heavy run-to-run noise (the same query has been observed
+at 2-20 s across runs under host contention), and single-shot timings
+repeatedly produced false regressions that cost manual re-adjudication —
+medians make one contended rep harmless."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +27,7 @@ from coffea_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="coffea-spark-bench", cpus=cpus)
 
@@ -26,19 +35,27 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, (name, q) in enumerate(REGISTRY.items()):
-        t0 = time.perf_counter()
-        try:
-            q.fn(spark, sf_dir).collect()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            # one broken query must not void the whole bench run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
-        # drop caches a query pinned (e.g. shared minhash signatures) so
-        # storage memory doesn't accumulate across unrelated queries
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                q.fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            except Exception as exc:
+                # one broken query must not void the whole bench run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+                break
+            # drop caches a query pinned (e.g. shared minhash signatures)
+            # so every rep pays the same cache-fill cost and storage
+            # memory doesn't accumulate across unrelated queries
+            spark.catalog.clearCache()
+        if samples:
+            times[name] = round(statistics.median(samples), 3)
+            spreads[name] = round(max(samples) - min(samples), 3)
         if (i + 1) % 10 == 0:
             # broadcast/shuffle state is only reclaimed by the
             # ContextCleaner on driver GC, which a large heap rarely
@@ -52,6 +69,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "spread": spreads,
     }
     if errors:
         out["errors"] = errors

@@ -256,11 +256,16 @@ def jaccard_join(
                      F.col("_sh").alias("_sh_a"), F.col("_sz").alias("size_a"))
     sb = sets.select(*block_cols, F.col(id_col).alias("id_b"),
                      F.col("_sh").alias("_sh_b"), F.col("_sz").alias("size_b"))
-    # the surviving candidate set is orders of magnitude smaller than
-    # the corpus — broadcast it so the two verify joins stream the
-    # cached shingle-set table with no shuffle of the arrays
+    # The surviving candidate set is usually orders of magnitude smaller
+    # than the corpus, but its size is DATA-DEPENDENT (low thresholds /
+    # near-dup-heavy corpora defeat the positional filter) — so the
+    # broadcast decision is left to AQE, which sees the candidate
+    # shuffle's actual runtime size and converts to broadcast only when
+    # it fits. Forcing F.broadcast here would risk driver OOM exactly on
+    # the corpora where the filter is weakest; a shuffle join degrades
+    # gracefully instead.
     verified = (
-        F.broadcast(cand).join(sa, [*block_cols, "id_a"])
+        cand.join(sa, [*block_cols, "id_a"])
         .join(sb, [*block_cols, "id_b"])
         .withColumn("inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn(

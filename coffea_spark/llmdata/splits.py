@@ -37,29 +37,46 @@ def portable_hash32(id_col: Column, salt: int = 0) -> Column:
     return F.pmod((id_col.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_M32))
 
 
+def split_thresholds(fractions: dict[str, float]) -> list[int]:
+    """Integer cutpoints floor(cum_fraction * 2^32) for every split but
+    the last — the boundary arithmetic both engines must share.
+
+    Cumulative fractions are accumulated with 12-decimal rounding and
+    converted through exact decimal ``Fraction`` arithmetic, so a config
+    like 0.8+0.1 yields the cutpoint for 0.9 exactly, never for
+    0.9000000000000001 — float accumulation can land a 32-bit hash in
+    the gap between the two and assign it a different split than an
+    oracle that evaluates the literal 0.9."""
+    from fractions import Fraction
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    for name in list(fractions)[:-1]:
+        acc = round(acc + fractions[name], 12)
+        out.append(int(Fraction(str(acc)) * _M32))
+    return out
+
+
 def split_column(
     id_col: Column,
     fractions: dict[str, float],
     salt: int = 0,
     portable: bool = True,
 ) -> Column:
-    """Split-name column from cumulative fraction thresholds over the
-    unit interval h/2^32. Fractions must sum to ~1."""
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1, got {total}")
+    """Split-name column: h < floor(cum_fraction*2^32) compared in
+    INTEGER space (``split_thresholds``) — bit-reproducible on any
+    engine with 64-bit integers, no float boundary ambiguity."""
     h = (
         portable_hash32(id_col, salt)
         if portable
         else F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_M32))
     )
-    u = h / F.lit(float(_M32))
     expr = None
-    acc = 0.0
     names = list(fractions)
-    for name in names[:-1]:
-        acc += fractions[name]
-        cond = u < F.lit(acc)
+    for name, cut in zip(names[:-1], split_thresholds(fractions)):
+        cond = h < F.lit(cut)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)

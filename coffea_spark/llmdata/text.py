@@ -291,7 +291,10 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     t = tokens(F.col(text_col))
     qarr = [F.lit(q) for q in query_terms]
-    # ONE stats pass: corpus size, mean length, and per-term df together
+    # ONE stats pass: corpus size, mean length, and per-term df together.
+    # NOTE: corpus statistics (N, df, avg length) are FROZEN at call
+    # time — this runs an eager action over ``df`` as passed in; filters
+    # applied to the returned frame afterwards do not refresh them.
     stats = df.select(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(t)).alias("al"),
@@ -301,6 +304,10 @@ def bm25_scores(
         ],
     ).first()
     n_docs, avg_len, dfreqs = stats["n"], stats["al"], stats
+    if not n_docs or avg_len is None or float(avg_len) == 0.0:
+        # empty corpus (or all-empty texts): every score is 0 by
+        # convention rather than a float(None) TypeError downstream
+        return df.withColumn("bm25", F.lit(0.0))
     dl = F.size(t).cast("double")
     score = F.lit(0.0)
     for i, q in enumerate(qarr):

@@ -39,18 +39,58 @@ from coffea_spark.weights import Weights
 _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
-def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
+#: path -> estimated scan split count; file sizes are immutable for a
+#: given testdata generation, so one os.stat per (path, process) suffices
+_SPLIT_EST_CACHE: dict[str, int] = {}
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    mult = 1
+    low = raw.lower()
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if suffix in low.replace("b", ""):
+            mult = m
+    return (int(digits) if digits else 134217728) * mult
+
+
+def _estimated_splits(spark: SparkSession, path: str) -> int:
+    """Scan-partition count Spark will produce for ``path``, from file
+    footprint alone: FileSourceScan splits files into byte ranges of
+    ``spark.sql.files.maxPartitionBytes``, so ceil(size/mpb) per file.
+    Computed from os.stat and cached per path — replaces the old
+    ``df.rdd.getNumPartitions()`` probe, which forced a full
+    DataFrame->RDD conversion (fresh plan + Python serializer setup)
+    on EVERY query and cost ~0.3-0.7 s of driver time each."""
+    est = _SPLIT_EST_CACHE.get(path)
+    if est is None:
+        mpb = _max_partition_bytes(spark)
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        est = sum(max(1, -(-os.path.getsize(f) // mpb)) for f in files) or 1
+        _SPLIT_EST_CACHE[path] = est
+    return est
+
+
+def _parallelism_floor(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Guard against unsplittable inputs: the test parquet is written as
-    ONE row group per table, so a scan is a single task no matter how
-    many cores the session has — every downstream narrow op (shingle
+    ONE row group per small file, so a scan is a single task no matter
+    how many cores the session has — every downstream narrow op (shingle
     extraction, collect_list partial agg, HOF math) runs on one core.
     A one-time round-robin repartition (a few MB of shuffle here) buys
     full-width execution. At production scale inputs carry thousands of
-    row groups, the partition count exceeds the floor, and this is a
+    row groups, the split estimate exceeds the floor, and this is a
     no-op — the guard exists precisely because local one-row-group
     files are the degenerate case."""
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, cores // 4):
+    if _estimated_splits(spark, path) < max(2, cores // 4):
         return df.repartition(cores)
     return df
 
@@ -64,9 +104,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _read_events(spark, sf_dir)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name in _FACT_TABLES:
-        df = _parallelism_floor(spark, df)
+        df = _parallelism_floor(spark, df, path)
     return df
 
 
@@ -86,8 +127,9 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanosAsLong only affects TIMESTAMP(NANOS) files; harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return _parallelism_floor(spark, _normalize_event_ts(df))
+    path = os.path.join(sf_dir, "events.parquet")
+    df = spark.read.parquet(path)
+    return _parallelism_floor(spark, _normalize_event_ts(df), path)
 
 
 def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3084,13 +3126,20 @@ def q_hash_split(spark, sf_dir):
     )
 
 
-SQL_HASH_SPLIT = """
+def _sql_hash_split() -> str:
+    # The CASE cutpoints come from the SAME integer-threshold helper the
+    # Spark side uses (splits.split_thresholds) — boundary hashes cannot
+    # be assigned different splits by float-literal drift.
+    from coffea_spark.llmdata.splits import split_thresholds
+
+    t_train, t_val = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
 WITH h AS (
-  SELECT doc_id,
-         (((doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0 AS u
+  SELECT doc_id, ((doc_id + 7) * 2654435761) % 4294967296 AS hh
   FROM documents
 )
-SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+SELECT CASE WHEN hh < {t_train} THEN 'train'
+            WHEN hh < {t_val} THEN 'val' ELSE 'test' END AS split,
        count(*) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS min_id,
        CAST(max(doc_id) AS BIGINT) AS max_id,
@@ -3599,7 +3648,7 @@ REGISTRY: dict[str, Query] = {
     "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
     "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
     "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
-    "hash_split": Query(q_hash_split, SQL_HASH_SPLIT),
+    "hash_split": Query(q_hash_split, _sql_hash_split()),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),

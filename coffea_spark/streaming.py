@@ -150,12 +150,28 @@ def stateful_ewma(
     — the kind of sequential-fold statistic no built-in windowed
     aggregation expresses (each update depends on the previous state).
 
-    State per key is THREE scalars (count, ewma, last event time); an
-    event-time timeout evicts keys idle past ``state_ttl`` beyond the
-    watermark, so state is O(active keys), never O(events) — the only
-    shape that survives an unbounded stream. Batches fold in event-time
-    order (the batch is sorted in the UDF; cross-batch order is the
-    stream's delivery order past the watermark).
+    Event-time correctness across micro-batches: rows are NOT folded in
+    arrival order. The state keeps (a) the COMMITTED fold — only rows
+    whose event time the watermark has passed, which Spark guarantees no
+    future arrival can precede — and (b) a BUFFER of not-yet-expired
+    (ts, tiebreak, value) triples. Each batch merges its rows into the
+    buffer, commits the newly watermark-expired prefix in event-time
+    order, and EMITS the provisional fold of committed-state + remaining
+    buffer (again event-time-ordered). A row arriving in a later
+    micro-batch but with an earlier event time (within the watermark)
+    therefore slots into its correct position before anything after it
+    is committed — the emitted value always equals the closed-form
+    event-time-ordered EWMA over all rows seen, matching an ORDER BY
+    event-time oracle regardless of how the source splits batches.
+
+    State per key is three scalars + the watermark-bounded buffer
+    (O(events per watermark window), never O(events)); an event-time
+    timeout folds any remainder, emits the final row, and evicts keys
+    idle past ``state_ttl``.
+
+    ``tiebreak_cols``: optional single integer-typed column that breaks
+    equal-timestamp ordering deterministically (stored in state as
+    int64).
 
     Emits one row per key per micro-batch (update semantics):
     (key, n_events, ewma, last_ts).
@@ -165,27 +181,24 @@ def stateful_ewma(
 
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    if tiebreak_cols is not None and len(tiebreak_cols) > 1:
+        raise ValueError("at most one tiebreak column is supported")
+    tb_col = tiebreak_cols[0] if tiebreak_cols else None
     ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
     key_type = {f.name: f.dataType.simpleString() for f in stream.schema.fields}[key]
     out_schema = f"{key} {key_type}, n_events long, ewma double, last_ts timestamp"
-    state_schema = "n long, ewma double, last_us long"
+    state_schema = (
+        "n long, ewma double, last_us long,"
+        " buf_ts array<long>, buf_tb array<long>, buf_v array<double>"
+    )
 
-    def fn(key_tuple, pdfs, state):
-        if state.hasTimedOut:
-            state.remove()
-            return
-        rows = pd.concat(list(pdfs)).sort_values([ts_col, *(tiebreak_cols or [])])
-        if state.exists:
-            n, ew, last_us = state.get
-        else:
-            n, ew, last_us = 0, None, None
-        for v, t in zip(rows[value_col], rows[ts_col]):
+    def _fold(n, ew, triples):
+        for _ts, _tb, v in triples:
             ew = float(v) if ew is None else alpha * float(v) + (1.0 - alpha) * ew
             n += 1
-            last_us = t.value // 1000
-        state.update((n, ew, last_us))
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(wm_ms + ttl_ms, last_us // 1000 + ttl_ms))
+        return n, ew
+
+    def _emit(key_tuple, n, ew, last_us):
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]],
@@ -194,6 +207,46 @@ def stateful_ewma(
                 "last_ts": [pd.Timestamp(last_us * 1000)],
             }
         )
+
+    def fn(key_tuple, pdfs, state):
+        if state.hasTimedOut:
+            n, ew, last_us, bts, btb, bv = state.get
+            n, ew = _fold(n, ew, sorted(zip(bts or [], btb or [], bv or [])))
+            state.remove()
+            yield from _emit(key_tuple, n, ew, last_us)
+            return
+        if state.exists:
+            n, ew, last_us, bts, btb, bv = state.get
+            buf = list(zip(bts or [], btb or [], bv or []))
+        else:
+            n, ew, last_us, buf = 0, None, 0, []
+        rows = pd.concat(list(pdfs))
+        buf.extend(
+            zip(
+                (t.value // 1000 for t in rows[ts_col]),
+                (int(x) for x in rows[tb_col]) if tb_col else (0,) * len(rows),
+                (float(v) for v in rows[value_col]),
+            )
+        )
+        buf.sort()
+        last_us = max(last_us, buf[-1][0]) if buf else last_us
+        # commit the prefix the watermark has sealed: Spark drops any
+        # future row with ts < watermark, so no arrival can ever precede
+        # these — their fold is final
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cut = 0
+        while cut < len(buf) and buf[cut][0] < wm_us:
+            cut += 1
+        n, ew = _fold(n, ew, buf[:cut])
+        buf = buf[cut:]
+        state.update((n, ew, last_us,
+                      [b[0] for b in buf], [b[1] for b in buf], [b[2] for b in buf]))
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm_ms + ttl_ms, last_us // 1000 + ttl_ms))
+        # provisional fold over the still-buffered suffix — reflects ALL
+        # rows seen, in event-time order, without committing them
+        pn, pew = _fold(n, ew, buf)
+        yield from _emit(key_tuple, pn, pew, last_us)
 
     return (
         stream.withWatermark(ts_col, watermark)
