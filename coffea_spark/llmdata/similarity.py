@@ -115,6 +115,119 @@ def ann_topk(
     )
 
 
+def ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    max_hamming: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batched multi-probe hyperplane-LSH ANN: per-QUERY top-k over a
+    query TABLE, the production serving shape (single-vector
+    :func:`ann_topk` is the interactive one-off).
+
+    Multi-probe is done on the QUERY side: each query row explodes into
+    its own bucket plus every bucket within Hamming distance
+    ``max_hamming`` (n_planes+1 probes at distance 1, plus all bit-pairs
+    at distance 2), then equi-joins the corpus on bucket. The corpus is
+    hashed/bucketed ONCE — at 100 TB the assigned corpus is written
+    partitioned by bucket so each probe is partition pruning, and the
+    exploded query side (|Q| x probes rows, tiny) broadcasts; nothing
+    ever enumerates corpus pairs. Exact cosine ranks candidates; ties
+    broken by (rounded cosine desc, id).
+    """
+    if dim is None:
+        raise ValueError("pass dim (embedding dimensionality)")
+    if max_hamming > 2:
+        raise ValueError("max_hamming <= 2 (probe count grows C(n_planes, d))")
+    from pyspark.sql import Window as W
+
+    planes = hyperplane_planes(dim, n_planes, seed)
+    probes = [F.col("_qb")]
+    if max_hamming >= 1:
+        probes += [F.col("_qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    if max_hamming >= 2:
+        probes += [
+            F.col("_qb").bitwiseXOR(F.lit((1 << j) | (1 << l)))
+            for j in range(n_planes)
+            for l in range(j + 1, n_planes)
+        ]
+    q = (
+        queries.withColumn("_qb", hyperplane_bucket(F.col(qvec_col), planes))
+        .select(qid_col, qvec_col, F.explode(F.array(*probes)).alias("_bucket"))
+    )
+    c = corpus.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
+    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        F.broadcast(q)
+        .join(c, "_bucket")
+        .select(qid_col, id_col, sim.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(qid_col, id_col, "cosine")
+    )
+
+
+def ivf_probe_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+) -> DataFrame:
+    """Batched IVF search over a query TABLE: each query's ``n_probe``
+    nearest coarse centroids are computed as scan-stage column math
+    (argsort over literal centroid distances — no UDF, no collect),
+    exploded to (query, probe-list) rows, and equi-joined against the
+    pre-ASSIGNED corpus on list id. Against a corpus written
+    partitioned by list id (:func:`ivf_write_index`) the join key is
+    partition pruning per probe; the exploded query side broadcasts.
+    Cost ~ n_probe/n_lists of brute force per query, independent of
+    query count fan-in."""
+    from pyspark.sql import Window as W
+
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(centroids[i] @ centroids[i]))
+                    - 2.0 * dot(F.col(qvec_col), _lit_vec(centroids[i]))
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i in range(centroids.shape[0])
+        ]
+    )
+    probe_ids = F.transform(
+        F.slice(F.array_sort(entries), 1, n_probe), lambda s: s["i"]
+    )
+    q = queries.select(
+        qid_col, qvec_col, F.explode(probe_ids).alias(list_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        F.broadcast(q)
+        .join(assigned, list_col)
+        .select(qid_col, id_col, sim.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(qid_col, id_col, "cosine")
+    )
+
+
 def knn_join_blocked(
     left: DataFrame,
     right: DataFrame,

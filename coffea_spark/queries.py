@@ -1470,15 +1470,123 @@ GROUP BY a.label
 """
 
 
-def q_ann_topk(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k (the 100 TB similarity path):
-    bucket filter + exact cosine on candidates. Rows-only (approximate
-    by construction)."""
-    from coffea_spark.llmdata.similarity import ann_topk
+def _planted_queries(emb: DataFrame) -> DataFrame:
+    """Query table for the ANN/IVF recall gates: every 25th corpus
+    vector, elementwise-perturbed (factor 1 + 0.001*((i + vec_id) % 7),
+    NON-uniform so cosine < 1). Each query's exact nearest neighbor is
+    its source vector at cosine ~0.99998 against a ~0.4 background —
+    the planted-near-duplicate retrieval task that IS the production use
+    of ANN in a dedup pipeline. Pure deterministic column math both
+    engines reproduce bit-for-bit at 6 decimals."""
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        * (F.lit(1.0) + F.lit(0.001) * ((i + F.col("vec_id")) % 7).cast("double")),
+    )
+    return emb.filter(F.col("vec_id") % 25 == 3).select(
+        F.col("vec_id").alias("qid"), pert.alias("qvec")
+    )
+
+
+def _exact_top1(queries: DataFrame, emb: DataFrame) -> DataFrame:
+    """Brute-force exact nearest neighbor per planted query (the gold
+    standard the approximate paths are graded against): broadcast the
+    tiny query table across the corpus scan, rank by (rounded cosine
+    desc, id)."""
+    from coffea_spark.llmdata.similarity import cosine as _cos
+    from pyspark.sql import Window as W
+
+    sim = F.round(_cos(F.col("embedding"), F.col("qvec")), 6)
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        emb.join(F.broadcast(queries))
+        .select("qid", "vec_id", sim.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("qid", F.col("vec_id").alias("top1_id"), F.col("cosine").alias("top1_cos"))
+    )
+
+
+def _recall_summary(exact1: DataFrame, approx: DataFrame, min_recall: float) -> DataFrame:
+    """One-row summary both engines can check: exact-side aggregates
+    (count / id checksum / mean top-1 cosine — fully oracle-computable)
+    plus ``recall_ok``: did the approximate path retrieve the exact
+    top-1 within its top-k for >= ``min_recall`` of queries? The oracle
+    emits TRUE as a constant — if the approximate algorithm degrades,
+    the Spark side emits FALSE and the value-hash goes red. Approximate
+    operator, exact gate."""
+    hits = exact1.join(
+        approx.withColumnRenamed("vec_id", "top1_id"), ["qid", "top1_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    summary = exact1.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("top1_id").alias("sum_top1_id"),
+        F.round(F.avg("top1_cos"), 6).alias("avg_top1_cos"),
+    )
+    return summary.crossJoin(hits).select(
+        "n_queries",
+        "sum_top1_id",
+        "avg_top1_cos",
+        (F.col("n_hit") >= F.lit(min_recall) * F.col("n_queries")).alias("recall_ok"),
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Batched multi-probe hyperplane-LSH ANN (similarity.ann_join) with
+    a CHECKED recall gate: planted near-duplicate queries, exact top-1
+    oracle, recall@5 >= 0.9 as a hash-compared boolean. The corpus is
+    bucketed once; each query probes its bucket + all Hamming-1
+    neighbors (13 probes of 4096 buckets ~ 0.3% of the corpus per
+    query)."""
+    from coffea_spark.llmdata.similarity import ann_join
 
     emb = _t(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ann_topk(emb, [float(x) for x in query], k=10, n_planes=12, max_hamming=1)
+    dim = len(emb.select("embedding").head()[0])
+    queries = _planted_queries(emb)
+    approx = ann_join(
+        queries, emb, k=5, n_planes=12, max_hamming=1, dim=dim
+    )
+    return _recall_summary(_exact_top1(queries, emb), approx, min_recall=0.9)
+
+
+def q_ivf_recall(spark, sf_dir):
+    """IVF with a CHECKED recall gate: train the coarse quantizer once
+    (driver-side sample k-means), assign the corpus once (cached Arrow
+    matmul), then serve the whole planted-query table through
+    similarity.ivf_probe_join (n_probe=4 of 16 lists ~ 25% of brute
+    force). recall@5 >= 0.9 hash-compared like ann_recall."""
+    from coffea_spark.llmdata.similarity import ivf_assign_table, ivf_probe_join, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb.sample(0.25, seed=1), n_lists=16, seed=42)
+    assigned = ivf_assign_table(emb, cents).persist()
+    assigned.count()  # materialize the one-time assignment
+    queries = _planted_queries(emb)
+    approx = ivf_probe_join(queries, assigned, cents, k=5, n_probe=4)
+    return _recall_summary(_exact_top1(queries, emb), approx, min_recall=0.9)
+
+
+SQL_RECALL_GATE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::DOUBLE * (1 + 0.001 * ((i - 1 + vec_id) % 7))) AS qvec
+  FROM embeddings WHERE vec_id % 25 = 3
+), ranked AS (
+  SELECT q.qid, b.vec_id,
+         round(list_cosine_similarity(b.embedding::DOUBLE[], q.qvec), 6) AS c,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], q.qvec), 6) DESC,
+                    b.vec_id) AS rn
+  FROM embeddings b, q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(vec_id) AS BIGINT) AS sum_top1_id,
+       round(avg(c), 6) AS avg_top1_cos,
+       TRUE AS recall_ok
+FROM ranked WHERE rn = 1
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3085,30 +3193,6 @@ FROM v
 """
 
 
-def q_ivf_topk(spark, sf_dir):
-    """IVF similarity search (trained coarse quantizer — the other
-    100 TB ANN path besides hyperplane LSH), exercising the PRECOMPUTE
-    serving shape: train the quantizer ONCE on a sample, assign the
-    corpus ONCE (cached; at scale: ivf_write_index partitions by list id
-    so probes become partition pruning), then serve two query vectors
-    from the assigned table without re-running the quantizer. Rows-only:
-    k-means is iterative (not SQL-expressible), but the output is
-    deterministic for the fixed seed."""
-    from coffea_spark.llmdata.similarity import ivf_assign_table, ivf_topk, ivf_train
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb.sample(0.25, seed=1), n_lists=16, seed=42)
-    assigned = ivf_assign_table(emb, cents).persist()
-    assigned.count()  # materialize the one-time assignment
-    q0, q1 = (
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id").isin(0, 1)).orderBy("vec_id").collect()
-    )
-    r0 = ivf_topk(assigned, q0, cents, k=5, n_probe=4).withColumn("qid", F.lit(0))
-    r1 = ivf_topk(assigned, q1, cents, k=5, n_probe=4).withColumn("qid", F.lit(1))
-    return r0.unionAll(r1)
-
-
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (llmdata/splits.py hash_split):
     membership is a pure function of doc_id through a portable
@@ -3652,11 +3736,11 @@ REGISTRY: dict[str, Query] = {
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     # -- rows-only (no SQL-expressible oracle; driver records rows count) ---
     "minhash_lsh": Query(q_minhash_lsh, None),
     "simhash": Query(q_simhash, None),
-    "ann_topk": Query(q_ann_topk, None),
-    "ivf_topk": Query(q_ivf_topk, None),
     "multimodal_features": Query(q_multimodal_features, None),
     "jer_smear": Query(q_jer_smear, None),
     "quantiles_approx": Query(q_quantiles_approx, None),

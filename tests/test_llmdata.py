@@ -342,3 +342,43 @@ def test_knn_classify_separable(spark):
     got = {r.test_id: r for r in knn_classify(train, test, k=3).collect()}
     assert got[1000].predicted_label == 0 and got[1000].votes == 3
     assert got[1001].predicted_label == 1 and got[1001].votes == 3
+
+
+def test_ann_join_batched(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": [float(x) for x in vecs[i]]} for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # queries = perturbed copies of vectors 10 and 20
+    qrows = [
+        {"qid": i, "qvec": [float(x) * (1.0 + 0.002 * ((j + i) % 5)) for j, x in enumerate(vecs[i])]}
+        for i in (10, 20)
+    ]
+    queries = spark.createDataFrame(qrows, "qid long, qvec array<double>")
+    got = similarity.ann_join(queries, corpus, k=3, n_planes=8, max_hamming=1, dim=16).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.vec_id)
+    # each query's source vector is its exact nearest neighbor and must be rank 1
+    assert by_q[10][0] == 10 and by_q[20][0] == 20
+    assert all(len(v) <= 3 for v in by_q.values())
+
+
+def test_ivf_probe_join_batched(spark):
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": [float(x) for x in vecs[i]]} for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train(corpus, n_lists=4, seed=42, max_iter=5)
+    assigned = similarity.ivf_assign_table(corpus, cents)
+    qrows = [
+        {"qid": i, "qvec": [float(x) * (1.0 + 0.002 * ((j + i) % 5)) for j, x in enumerate(vecs[i])]}
+        for i in (7, 42)
+    ]
+    queries = spark.createDataFrame(qrows, "qid long, qvec array<double>")
+    got = similarity.ivf_probe_join(queries, assigned, cents, k=3, n_probe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.vec_id)
+    # n_probe = n_lists probes everything -> exact: source vector is rank 1
+    assert by_q[7][0] == 7 and by_q[42][0] == 42
