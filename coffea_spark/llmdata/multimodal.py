@@ -1,10 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real (schemas, Arrow batch shapes, partition
-sizing, mapInPandas signatures); the actual codec calls are stubbed — the
-container has no image/audio libraries — behind ``decoder=`` hooks with a
-deterministic fake for tests. Swap ``fake_image_decoder`` for a real
-PIL/ffmpeg call in production; nothing else changes.
+The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
+mapInPandas signatures) is real, and so is the default image codec:
+:func:`real_image_decoder` contains complete numpy-only BMP (8-bit
+paletted + 24-bit) and PPM/PGM (P5/P6) parsers with matching encoders —
+uncompressed formats need no external library. Compressed formats
+(JPEG/PNG) and audio/video codecs still require PIL/ffmpeg, which this
+container lacks; those go through the same ``decoder=`` hook with a
+deterministic fake for tests, and swapping in a PIL-backed callable
+changes nothing else.
 
 Design for 100 TB of media:
 - binary payloads stay in parquet; metadata (width/height/duration/codec)
@@ -46,12 +50,159 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Parse binary PPM/PGM (magic P5 = grayscale, P6 = RGB; maxval <=
+    255): header tokens separated by whitespace with ``#`` comments,
+    one whitespace byte after maxval, then raw samples. Returns HxW
+    uint8 (P5) or HxWx3 (P6)."""
+    magic = bytes(data[:2])
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PPM/PGM payload: magic {magic!r}")
+    vals, i = [], 2
+    while len(vals) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        vals.append(int(data[i:j]))
+        i = j
+    w, h, maxv = vals
+    if maxv > 255:
+        raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
+    i += 1  # the single whitespace byte after maxval
+    ch = 1 if magic == b"P5" else 3
+    need = w * h * ch
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=i)
+    return px.reshape(h, w) if ch == 1 else px.reshape(h, w, 3)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Parse uncompressed BMP (BITMAPINFOHEADER, 8-bit paletted or
+    24-bit BGR): bottom-up or top-down rows, 4-byte row padding, BGR(A)
+    palette. An 8-bit image with a pure grayscale palette returns HxW;
+    anything else returns HxWx3 RGB."""
+    if bytes(data[:2]) != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    hdrsz = int.from_bytes(data[14:18], "little")
+    if hdrsz < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bits = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (method {comp}) not supported")
+    topdown, h = h < 0, abs(h)
+    row = ((w * bits // 8) + 3) & ~3
+    px = np.frombuffer(data, dtype=np.uint8, count=row * h, offset=off).reshape(h, row)
+    if not topdown:
+        px = px[::-1]
+    if bits == 8:
+        nclr = int.from_bytes(data[46:50], "little") or 256
+        pal = (
+            np.frombuffer(data, dtype=np.uint8, count=nclr * 4, offset=14 + hdrsz)
+            .reshape(nclr, 4)[:, 2::-1]  # BGRA -> RGB
+        )
+        idx = px[:, :w]
+        if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+            return pal[idx][:, :, 0].copy()
+        return pal[idx].copy()
+    if bits == 24:
+        return px[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()
+    raise NotImplementedError(f"{bits}-bit BMP not supported")
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """HxW uint8 -> binary PGM (P5)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_pgm takes a 2-D grayscale array")
+    return b"P5\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_ppm takes an HxWx3 RGB array")
+    return b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 array -> uncompressed BMP: HxW becomes 8-bit with a
+    grayscale palette, HxWx3 becomes 24-bit BGR. Bottom-up rows, 4-byte
+    padding — the canonical layout every BMP reader accepts."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        row = (w + 3) & ~3
+        pal = bytes(b for i in range(256) for b in (i, i, i, 0))
+        off = 14 + 40 + len(pal)
+        body = np.zeros((h, row), dtype=np.uint8)
+        body[:, :w] = a[::-1]
+        info = (
+            (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + (row * h).to_bytes(4, "little")
+            + bytes(8) + (256).to_bytes(4, "little") + bytes(4)
+        )
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        row = (w * 3 + 3) & ~3
+        pal = b""
+        off = 14 + 40
+        body = np.zeros((h, row), dtype=np.uint8)
+        body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+        info = (
+            (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + (row * h).to_bytes(4, "little")
+            + bytes(8) + bytes(4) + bytes(4)
+        )
+    else:
+        raise ValueError("encode_bmp takes HxW or HxWx3 uint8")
+    size = off + body.size
+    header = b"BM" + size.to_bytes(4, "little") + bytes(4) + off.to_bytes(4, "little")
+    return header + info + pal + body.tobytes()
+
+
+def synthetic_gray_payloads(ids: pd.Series) -> pd.Series:
+    """Deterministic encoded test payloads (pandas-UDF worker): for id d
+    a (8 + d%7) x (8 + d%9) grayscale image with pixel i =
+    (d*31 + 7i) % 256, encoded as paletted BMP for odd ids and binary
+    PGM for even ids. An oracle can recompute the pixel statistics from
+    the formula alone, so decoding these through the REAL parsers makes
+    the whole encode->decode path hash-checkable."""
+    out = []
+    for d in ids:
+        d = int(d)
+        w, h = 8 + d % 9, 8 + d % 7
+        px = ((d * 31 + 7 * np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
+        out.append(encode_bmp(px) if d % 2 else encode_pgm(px))
+    return pd.Series(out)
+
+
 def real_image_decoder(data: bytes) -> np.ndarray:
-    """Placeholder for a real decoder (PIL/libjpeg). Not available in this
-    container."""
+    """Default image decoder: full numpy-only parsers for the
+    uncompressed container formats (BMP 8/24-bit, PPM/PGM P5/P6),
+    dispatched on magic bytes. Compressed formats still need an
+    external library — raise with an actionable message rather than
+    silently faking a decode."""
+    magic = bytes(data[:2])
+    if magic == b"BM":
+        return decode_bmp(data)
+    if magic in (b"P5", b"P6"):
+        return decode_ppm(data)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; pass "
-        "decoder=fake_image_decoder or provide a PIL-backed callable"
+        f"payload magic {magic!r}: only uncompressed BMP/PPM/PGM decode "
+        "without external libraries; pass a PIL-backed decoder= for "
+        "JPEG/PNG"
     )
 
 

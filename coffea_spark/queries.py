@@ -1590,27 +1590,59 @@ FROM ranked WHERE rn = 1
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing through the gate: text bytes as a fake image
-    payload -> mapInPandas decode -> per-lang feature aggregation.
-    Rows-only (the fake decoder is not SQL-expressible)."""
-    from coffea_spark.llmdata.multimodal import fake_image_decoder, image_features
+    """REAL image decode through the gate: per document a deterministic
+    grayscale image (pixel i = (doc_id*31 + 7i) % 256, size tied to
+    doc_id) is ENCODED to an actual container format — BMP with a
+    palette for odd ids, binary PGM for even ids — then DECODED by the
+    numpy-only parsers in llmdata/multimodal.py (real_image_decoder,
+    the default) via the mapInPandas Arrow-batch path, and the decoded
+    (width, height, mean, std) aggregate per language. The oracle
+    recomputes the pixel statistics directly from the formula — any
+    header, padding, palette, row-order, or byte-order bug in either
+    codec shifts the decoded stats and goes hash-red."""
+    from coffea_spark.llmdata.multimodal import image_features, synthetic_gray_payloads
 
+    enc = F.pandas_udf(synthetic_gray_payloads, "binary")
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.struct(
-            F.encode("text", "utf-8").alias("data"),
-            F.lit("raw8").alias("format"),
-            F.lit(0).alias("width"),
-            F.lit(0).alias("height"),
+            enc("doc_id").alias("data"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("bmp")).otherwise(F.lit("pgm")).alias("format"),
+            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
         ).alias("image"),
     )
-    feats = image_features(docs, "image", decoder=fake_image_decoder)
+    feats = image_features(docs, "image")
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("img_width").alias("sum_w"),
+        F.sum("img_height").alias("sum_h"),
         F.round(F.avg("img_mean"), 6).alias("avg_mean"),
-        F.round(F.avg("img_width"), 6).alias("avg_side"),
+        F.round(F.avg("img_std"), 6).alias("avg_std"),
     )
+
+
+SQL_MULTIMODAL = """
+WITH d AS (
+  SELECT doc_id, lang, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT lang, w, h,
+         list_transform(range(0, w * h),
+                        i -> CAST((doc_id * 31 + 7 * i) % 256 AS DOUBLE)) AS p
+  FROM d
+), stats AS (
+  SELECT lang, w, h, list_avg(p) AS m,
+         sqrt(list_avg(list_transform(p, x -> x * x)) - list_avg(p) ^ 2) AS s
+  FROM px
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       round(avg(m), 6) AS avg_mean,
+       round(avg(s), 6) AS avg_std
+FROM stats GROUP BY lang
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3741,7 +3773,7 @@ REGISTRY: dict[str, Query] = {
     # -- rows-only (no SQL-expressible oracle; driver records rows count) ---
     "minhash_lsh": Query(q_minhash_lsh, None),
     "simhash": Query(q_simhash, None),
-    "multimodal_features": Query(q_multimodal_features, None),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
     "jer_smear": Query(q_jer_smear, None),
     "quantiles_approx": Query(q_quantiles_approx, None),
 }

@@ -170,8 +170,67 @@ def test_real_decoder_raises(spark):
     from coffea_spark.llmdata.multimodal import real_image_decoder
     import pytest
 
+    # compressed/unknown formats still need external libs
+    with pytest.raises(NotImplementedError):
+        real_image_decoder(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError):
         real_image_decoder(b"abc")
+
+
+def test_image_codec_roundtrips():
+    import numpy as np
+    import pytest
+    from coffea_spark.llmdata.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_pgm, encode_ppm,
+        real_image_decoder,
+    )
+
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (13, 10), dtype=np.uint8)  # odd width: padding
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(gray)) == gray).all()
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+    assert (decode_ppm(encode_pgm(gray)) == gray).all()
+    assert (decode_ppm(encode_ppm(rgb)) == rgb).all()
+    # dispatch on magic bytes
+    assert (real_image_decoder(encode_bmp(gray)) == gray).all()
+    assert (real_image_decoder(encode_ppm(rgb)) == rgb).all()
+    # PGM comments and whitespace in the header
+    withc = b"P5\n# a comment\n10 13\n255\n" + gray.tobytes()
+    assert (decode_ppm(withc) == gray).all()
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P5\n2 2\n65535\n" + bytes(8))  # 16-bit
+
+
+def test_image_features_real_decoder(spark):
+    """End-to-end: encoded BMP/PGM payloads through mapInPandas with the
+    DEFAULT (real) decoder."""
+    import numpy as np
+    from coffea_spark.llmdata.multimodal import encode_bmp, encode_pgm, image_features
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (6 + i, 9 - i), dtype=np.uint8) for i in range(3)]
+    rows = [
+        {
+            "id": i,
+            "image": {
+                "data": encode_bmp(a) if i % 2 else encode_pgm(a),
+                "format": "bmp" if i % 2 else "pgm",
+                "width": a.shape[1],
+                "height": a.shape[0],
+            },
+        }
+        for i, a in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, image struct<data:binary,format:string,width:int,height:int>",
+    )
+    got = {r.id: r for r in image_features(df, "image").collect()}
+    for i, a in enumerate(imgs):
+        assert (got[i].img_height, got[i].img_width) == a.shape
+        assert abs(got[i].img_mean - a.mean()) < 1e-9
+        assert abs(got[i].img_std - a.std()) < 1e-9
 
 
 def test_ivf_topk_recall(spark):
