@@ -137,18 +137,85 @@ def _jagged_bin_index(x: Column, flat_edges: np.ndarray, off: Column, cnt: Colum
     return F.greatest(F.least(raw, cnt - F.lit(2)), F.lit(0))
 
 
-class JECTable:
-    """One JEC level as column math: ``jec(eta[, pt], ...evals) -> Column``.
+def _build_nested(rows: np.ndarray, nb: int):
+    """Build the N-level jagged bin tree from bound-pair columns.
 
-    Supports the standard CMS layouts: 1 binned var (eta), or 2 binned
-    vars (eta x pt cells, pt edges jagged per eta bin — e.g. L2Relative).
+    CMS JME tables are a DEPTH-FIRST dense grid: level-0 bins from
+    column pair 0, and for every level-(k-1) cell its own (jagged)
+    level-k edge array from column pair k — L2Relative's per-eta pt
+    edges generalized to any depth (reference
+    txt_converters.py:137-235 builds the same structure as awkward
+    offsets). Returns ``(order, edges0, levels)``: ``order`` sorts rows
+    into cell DFS order; ``levels[k-1]`` holds, per parent cell,
+    ``(flat_edges, edge_off, edge_cnt, cell_off)`` as literal-array
+    fodder — a row index is then computed by chained jagged bin
+    searches, O(sum of edge counts) expression size, never
+    O(rows x params)."""
+    order = np.lexsort(tuple(rows[:, 2 * k] for k in reversed(range(nb))))
+    rows = rows[order]
+    edges0 = _edges_from_rows(rows[:, 0], rows[:, 1])
+    parents = [np.flatnonzero(rows[:, 0] == lo) for lo in np.unique(rows[:, 0])]
+    levels = []
+    for k in range(1, nb):
+        flat_edges: list[float] = []
+        edge_off, edge_cnt, cell_off = [], [], []
+        children = []
+        n_cells = 0
+        for idxs in parents:
+            sub_edges = _edges_from_rows(rows[idxs, 2 * k], rows[idxs, 2 * k + 1])
+            edge_off.append(len(flat_edges))
+            edge_cnt.append(len(sub_edges))
+            cell_off.append(n_cells)
+            flat_edges.extend(sub_edges)
+            los = rows[idxs, 2 * k]
+            for lo in np.unique(los):
+                children.append(idxs[los == lo])
+            n_cells += len(sub_edges) - 1
+        levels.append(
+            (
+                np.asarray(flat_edges),
+                np.asarray(edge_off),
+                np.asarray(edge_cnt),
+                np.asarray(cell_off),
+            )
+        )
+        parents = children
+    for i, idxs in enumerate(parents):
+        if len(idxs) != 1 or int(idxs[0]) != i:
+            raise ValueError("binned rows do not form a dense nested grid")
+    return order, edges0, levels
+
+
+def _nested_row_index(cols: list[Column], edges0: np.ndarray, levels) -> Column:
+    """Flat row index from one Column per binned dimension: level-0 bin
+    search, then per level a jagged search inside the parent cell's edge
+    slice. Out-of-range values clamp into the edge bins at every level
+    (reference lookup semantics)."""
+    cell = _bin_index_expr(
+        cols[0], np.nan_to_num(edges0, posinf=1e300, neginf=-1e300)
+    )
+    for (flat_edges, eoff, ecnt, coff), col in zip(levels, cols[1:]):
+        off = _pick(eoff, cell).cast("int")
+        cnt = _pick(ecnt, cell).cast("int")
+        sub = _jagged_bin_index(col, flat_edges, off, cnt)
+        cell = _pick(coff, cell).cast("int") + sub
+    return cell
+
+
+class JECTable:
+    """One JEC level as column math: ``jec(eta[, rho, pt], ...evals) ->
+    Column``.
+
+    Supports the standard CMS layouts at ANY binning depth: 1 binned var
+    (eta), 2 (eta x jagged pt, e.g. L2Relative), or 3+ (eta x rho x pt,
+    e.g. L1FastJet) — the nested jagged grid of :func:`_build_nested`.
     Bin indices select the flat row; parameter vectors come from literal
     arrays indexed once (NOT a per-row CASE chain, so expression size is
     O(params + edges), not O(rows x params)); eval variables clamp to
     the row's validity range; the TFormula becomes a Column tree.
     Reference semantics: lookup_tools/jme_standard_function.py (clamp +
-    formula eval), jagged second binning dim as in
-    txt_converters.py:137-235 _build_standard_jme_lookup.
+    formula eval), jagged binning dims as in txt_converters.py:137-235
+    _build_standard_jme_lookup.
 
     ``signature`` lists the positional args of ``__call__`` — binned
     vars then eval vars, deduplicated by name (for L2Relative that is
@@ -156,12 +223,12 @@ class JECTable:
     formula variable).
     """
 
-    def __init__(self, name, edges, sub, clamp_lo, clamp_hi, params, formula,
+    def __init__(self, name, edges, levels, clamp_lo, clamp_hi, params, formula,
                  binned_vars, eval_vars):
         self.name = name
         self.edges = np.asarray(edges, dtype=float)
-        # sub = None (1-D) or (flat_edges, offsets, counts, row_offsets)
-        self.sub = sub
+        # per-level jagged structures from _build_nested (empty for 1-D)
+        self.levels = levels
         self.clamp_lo = np.asarray(clamp_lo, dtype=float)  # [n_eval][flat_row]
         self.clamp_hi = np.asarray(clamp_hi, dtype=float)
         self.params = np.asarray(params, dtype=float)  # [n_params][flat_row]
@@ -170,24 +237,13 @@ class JECTable:
         self.eval_vars = list(eval_vars)
         self.signature = list(dict.fromkeys(self.binned_vars + self.eval_vars))
 
-    def _row_index(self, args: dict[str, Column]) -> Column:
-        idx = _bin_index_expr(
-            args[self.binned_vars[0]],
-            np.nan_to_num(self.edges, posinf=1e300, neginf=-1e300),
-        )
-        if self.sub is None:
-            return idx
-        flat_edges, offsets, counts, row_offsets = self.sub
-        off = _pick(offsets, idx).cast("int")
-        cnt = _pick(counts, idx).cast("int")
-        sub_idx = _jagged_bin_index(args[self.binned_vars[1]], flat_edges, off, cnt)
-        return _pick(row_offsets, idx).cast("int") + sub_idx
-
     def __call__(self, *args: Column) -> Column:
         if len(args) != len(self.signature):
             raise ValueError(f"expected args {self.signature}")
         named = dict(zip(self.signature, args))
-        row = self._row_index(named)
+        row = _nested_row_index(
+            [named[v] for v in self.binned_vars], self.edges, self.levels
+        )
         env: dict[str, Column] = {}
         for i, v in enumerate(self.eval_vars):
             lo = _pick(self.clamp_lo[i], row)
@@ -199,74 +255,57 @@ class JECTable:
 
 
 def read_jec_txt(path: str, name: str | None = None) -> JECTable:
-    """Parse a single-level ``*.jec.txt[.gz]`` file (1- or 2-D binned)."""
+    """Parse a single-level ``*.jec.txt[.gz]`` file (any binning depth)."""
     with _open_text(path) as f:
         binned, eval_vars, formula = _parse_jme_header(f.readline())
-        if len(binned) > 2:
-            raise NotImplementedError(
-                f"{len(binned)}-D binned JEC not supported (file {path})"
-            )
         rows = np.loadtxt(f, ndmin=2)
-    ncol = rows[:, 2 * len(binned)].astype(int)
+    nb = len(binned)
+    ncol = rows[:, 2 * nb].astype(int)
     if not (ncol == ncol[0]).all():
         raise ValueError("ragged parameter rows in JEC file")
     ne = len(eval_vars)
-    sub = None
-    if len(binned) == 1:
-        order = np.argsort(rows[:, 0])
-        rows = rows[order]
-        edges = _edges_from_rows(rows[:, 0], rows[:, 1])
-    else:
-        order = np.lexsort((rows[:, 2], rows[:, 0]))
-        rows = rows[order]
-        lo0 = np.unique(rows[:, 0])
-        edges = _edges_from_rows(rows[:, 0], rows[:, 1])
-        flat_edges, offsets, counts, row_offsets = [], [], [], []
-        row_off = 0
-        for b in lo0:
-            m = rows[:, 0] == b
-            sub_edges = _edges_from_rows(rows[m, 2], rows[m, 3])
-            offsets.append(len(flat_edges))
-            counts.append(len(sub_edges))
-            row_offsets.append(row_off)
-            flat_edges.extend(sub_edges)
-            row_off += int(m.sum())
-        sub = (np.asarray(flat_edges), np.asarray(offsets), np.asarray(counts),
-               np.asarray(row_offsets))
-    pcol0 = 2 * len(binned) + 1
+    order, edges, levels = _build_nested(rows, nb)
+    rows = rows[order]
+    pcol0 = 2 * nb + 1
     clamp_lo = [rows[:, pcol0 + 2 * i] for i in range(ne)]
     clamp_hi = [rows[:, pcol0 + 1 + 2 * i] for i in range(ne)]
     params = [rows[:, pcol0 + 2 * ne + k] for k in range(ncol[0] - 2 * ne)]
     return JECTable(
         name or path.rsplit("/", 1)[-1].split(".")[0],
-        edges, sub, clamp_lo, clamp_hi, params, _normalize_formula(formula),
+        edges, levels, clamp_lo, clamp_hi, params, _normalize_formula(formula),
         binned, eval_vars,
     )
 
 
 class JuncTable:
-    """Binned JES uncertainty: ``junc(eta, pt) -> struct<up, down>``.
+    """Binned JES uncertainty: ``junc(eta[, more bins...], pt) ->
+    struct<up, down>``.
 
-    up = 1 + lerp(ups[eta_bin], pt_clamped), down = 1 - lerp(downs...)
-    — exactly the reference's jec_uncertainty_lookup.py:100-112 (clip pt
-    to the knot range, linear interpolation between knots).
-    All literal-array column math; knots are shared across eta bins (the
-    format guarantees it; the reference asserts the same).
+    up = 1 + lerp(ups[row], pt_clamped), down = 1 - lerp(downs...) —
+    exactly the reference's jec_uncertainty_lookup.py:100-112 (clip pt
+    to the knot range, linear interpolation between knots), with the
+    bin-row selection generalized to any binning depth through the same
+    nested jagged grid as :class:`JECTable`. All literal-array column
+    math; knots are shared across bins (the format guarantees it; the
+    reference asserts the same).
     """
 
-    def __init__(self, name, edges, knots, ups, downs):
+    def __init__(self, name, edges, knots, ups, downs, levels=()):
         self.name = name
         self.edges = np.asarray(edges, dtype=float)
+        self.levels = list(levels)
         self.knots = np.asarray(knots, dtype=float)
-        self.ups = np.asarray(ups, dtype=float)  # [bin][knot]
+        self.ups = np.asarray(ups, dtype=float)  # [row][knot]
         self.downs = np.asarray(downs, dtype=float)
-        nb, nk = len(self.edges) - 1, len(self.knots)
-        if self.ups.shape != (nb, nk) or self.downs.shape != (nb, nk):
+        nk = len(self.knots)
+        if self.ups.shape[1] != nk or self.downs.shape != self.ups.shape:
+            raise ValueError("uncertainty table shape mismatch")
+        if not self.levels and self.ups.shape[0] != len(self.edges) - 1:
             raise ValueError("uncertainty table shape mismatch")
 
     def _lerp(self, table: np.ndarray, bin_idx: Column, ptc: Column, kidx: Column) -> Column:
         nk = len(self.knots)
-        flat = table.ravel()  # [bin*nk + k]
+        flat = table.ravel()  # [row*nk + k]
         base = bin_idx * F.lit(nk) + kidx
         v0 = _pick(flat, base)
         v1 = _pick(flat, base + F.lit(1))
@@ -275,8 +314,11 @@ class JuncTable:
         t = (ptc - k0) / (k1 - k0)
         return v0 + t * (v1 - v0)
 
-    def __call__(self, binned: Column, pt: Column) -> Column:
-        idx = _bin_index_expr(binned, np.nan_to_num(self.edges, posinf=1e300, neginf=-1e300))
+    def __call__(self, *args: Column) -> Column:
+        *binned, pt = args
+        if len(binned) != len(self.levels) + 1:
+            raise ValueError(f"expected {len(self.levels) + 1} binned args + pt")
+        idx = _nested_row_index(list(binned), self.edges, self.levels)
         ptc = _clamp(pt, self.knots[0], self.knots[-1])
         kidx = _bin_index_expr(ptc, self.knots)
         up = F.lit(1.0) + self._lerp(self.ups, idx, ptc, kidx)
@@ -285,9 +327,9 @@ class JuncTable:
 
 
 def read_junc_txt(path: str) -> dict[str, JuncTable]:
-    """Parse ``*.junc.txt[.gz]``; multi-component files (``[Name]``
-    sections) yield one table per component. Returns {component: table}
-    with ``""`` for the single-section form."""
+    """Parse ``*.junc.txt[.gz]`` (any binning depth); multi-component
+    files (``[Name]`` sections) yield one table per component. Returns
+    {component: table} with ``""`` for the single-section form."""
     sections: list[tuple[str, list[str]]] = [("", [])]
     with _open_text(path) as f:
         for line in f:
@@ -304,44 +346,46 @@ def read_junc_txt(path: str) -> dict[str, JuncTable]:
             continue
         header, *data = lines
         binned, eval_vars, _ = _parse_jme_header(header)
-        if len(binned) != 1:
-            raise NotImplementedError("multi-dim binned junc not supported")
+        nb = len(binned)
         rows = np.loadtxt(io.StringIO("".join(data)), ndmin=2)
-        order = np.argsort(rows[:, 0])
+        order, edges, levels = _build_nested(rows, nb)
         rows = rows[order]
-        edges = _edges_from_rows(rows[:, 0], rows[:, 1])
-        triplets = rows[:, 3:]
+        triplets = rows[:, 2 * nb + 1 :]
         if triplets.shape[1] % 3:
             raise ValueError("junc rows must hold (pt, down, up) triplets")
         knots = triplets[0, 0::3]
         if not np.allclose(triplets[:, 0::3], knots[None, :]):
-            raise ValueError("knots differ across eta bins")
+            raise ValueError("knots differ across bins")
         # triplet layout (reference txt_converters.py:425-427):
         # vals[0::3]=knots, vals[1::3]=downs, vals[2::3]=ups
         downs = triplets[:, 1::3]
         ups = triplets[:, 2::3]
         key = comp or path.rsplit("/", 1)[-1].split(".")[0]
-        out[key] = JuncTable(key, edges, knots, ups, downs)
+        out[key] = JuncTable(key, edges, knots, ups, downs, levels)
     if not out:
         raise ValueError(f"no uncertainty tables found in {path}")
     return out
 
 
 class JERSFTable:
-    """JER scale factors: ``jersf(eta) -> struct<central, down, up>``
-    (reference txt_converters.py:263-305 convert_jersf_txt_file; 3
-    params per bin, optional extra eval columns ignored for the 1-D
-    layout)."""
+    """JER scale factors: ``jersf(eta[, more bins...]) ->
+    struct<central, down, up>`` (reference txt_converters.py:263-305
+    convert_jersf_txt_file; 3 params per bin row, optional extra eval
+    columns ignored; any binning depth through the nested jagged
+    grid)."""
 
-    def __init__(self, name, edges, central, down, up):
+    def __init__(self, name, edges, central, down, up, levels=()):
         self.name = name
         self.edges = np.asarray(edges, dtype=float)
+        self.levels = list(levels)
         self.central = np.asarray(central, dtype=float)
         self.down = np.asarray(down, dtype=float)
         self.up = np.asarray(up, dtype=float)
 
-    def __call__(self, binned: Column) -> Column:
-        idx = _bin_index_expr(binned, np.nan_to_num(self.edges, posinf=1e300, neginf=-1e300))
+    def __call__(self, *binned: Column) -> Column:
+        if len(binned) != len(self.levels) + 1:
+            raise ValueError(f"expected {len(self.levels) + 1} binned args")
+        idx = _nested_row_index(list(binned), self.edges, self.levels)
         return F.struct(
             _pick(self.central, idx).alias("central"),
             _pick(self.down, idx).alias("down"),
@@ -352,19 +396,17 @@ class JERSFTable:
 def read_jersf_txt(path: str) -> JERSFTable:
     with _open_text(path) as f:
         binned, eval_vars, _ = _parse_jme_header(f.readline())
-        if len(binned) != 1:
-            raise NotImplementedError("multi-dim binned jersf not supported")
         rows = np.loadtxt(f, ndmin=2)
-    order = np.argsort(rows[:, 0])
+    nb = len(binned)
+    order, edges, levels = _build_nested(rows, nb)
     rows = rows[order]
-    edges = _edges_from_rows(rows[:, 0], rows[:, 1])
     ne = len(eval_vars)
-    # after etaMin etaMax N [evalMin evalMax]*ne: central down up
-    p = rows[:, 3 + 2 * ne :]
+    # after bound pairs and N: [evalMin evalMax]*ne, then central down up
+    p = rows[:, 2 * nb + 1 + 2 * ne :]
     if p.shape[1] < 3:
         raise ValueError("jersf rows need (central, down, up)")
     return JERSFTable(
-        path.rsplit("/", 1)[-1].split(".")[0], edges, p[:, 0], p[:, 1], p[:, 2]
+        path.rsplit("/", 1)[-1].split(".")[0], edges, p[:, 0], p[:, 1], p[:, 2], levels
     )
 
 

@@ -3160,6 +3160,80 @@ FROM s GROUP BY flav
 """
 
 
+def q_jec_3d(spark, sf_dir):
+    """3-D binned JEC (eta x rho x jagged-pt nested grid — the
+    L1FastJet layout, reference txt_converters.py:137-235 at depth 3):
+    chained jagged bin searches select the flat parameter row, the
+    TFormula evaluates at pt clamped to the row's validity range. All
+    literal-array column math in the scan stage; the oracle re-derives
+    every cell as an explicit nested CASE."""
+    from coffea_spark.correction_files import read_jec_txt
+
+    table = read_jec_txt(
+        os.path.join(os.path.dirname(__file__), "data", "demo3d.jec.txt")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    eta = F.col("l_discount") * 60.0 - 3.0
+    rho = F.col("l_tax") * 500.0
+    pt = F.col("l_extendedprice") / 100.0
+    return (
+        li.select("l_returnflag", table(eta, rho, pt).alias("jec"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("jec"), 2).alias("sum_jec"),
+            F.round(F.avg("jec"), 6).alias("avg_jec"),
+        )
+    )
+
+
+# explicit nested-CASE re-derivation of coffea_spark/data/demo3d.jec.txt:
+# eta bins [-3,0,3]; per-eta rho edges ([0,20,40] / [0,15,30,45]); per-cell
+# jagged pt rows; out-of-range values clamp into the edge bins at every
+# level; x clamps to the row's [xmin, xmax]; val = max(0.8, p0+p1*log10(x))
+SQL_JEC_3D = """
+WITH j AS (
+  SELECT l_returnflag,
+         l_discount * 60.0 - 3.0 AS eta,
+         l_tax * 500.0 AS rho,
+         l_extendedprice / 100.0 AS pt
+  FROM lineitem
+), sel AS (
+  SELECT l_returnflag, pt,
+    CASE WHEN eta < 0 THEN
+      CASE WHEN rho < 20 THEN
+        CASE WHEN pt < 100 THEN struct_pack(p0 := 1.05, p1 := 0.02, xmin := 10.0, xmax := 100.0)
+             ELSE struct_pack(p0 := 1.10, p1 := -0.01, xmin := 100.0, xmax := 5000.0) END
+      ELSE
+        CASE WHEN pt < 50 THEN struct_pack(p0 := 0.98, p1 := 0.05, xmin := 10.0, xmax := 50.0)
+             WHEN pt < 200 THEN struct_pack(p0 := 1.02, p1 := 0.01, xmin := 50.0, xmax := 200.0)
+             ELSE struct_pack(p0 := 1.08, p1 := -0.02, xmin := 200.0, xmax := 5000.0) END
+      END
+    ELSE
+      CASE WHEN rho < 15 THEN
+        CASE WHEN pt < 100 THEN struct_pack(p0 := 0.95, p1 := 0.04, xmin := 10.0, xmax := 100.0)
+             ELSE struct_pack(p0 := 1.00, p1 := 0.02, xmin := 100.0, xmax := 5000.0) END
+      WHEN rho < 30 THEN
+        CASE WHEN pt < 100 THEN struct_pack(p0 := 0.97, p1 := 0.03, xmin := 10.0, xmax := 100.0)
+             ELSE struct_pack(p0 := 1.03, p1 := 0.00, xmin := 100.0, xmax := 5000.0) END
+      ELSE
+        CASE WHEN pt < 100 THEN struct_pack(p0 := 0.99, p1 := 0.01, xmin := 10.0, xmax := 100.0)
+             ELSE struct_pack(p0 := 1.06, p1 := -0.03, xmin := 100.0, xmax := 5000.0) END
+      END
+    END AS r
+  FROM j
+), v AS (
+  SELECT l_returnflag,
+         greatest(0.8, r.p0 + r.p1 * log10(greatest(r.xmin, least(r.xmax, pt)))) AS jec
+  FROM sel
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(jec), 2) AS sum_jec,
+       round(avg(jec), 6) AS avg_jec
+FROM v GROUP BY l_returnflag
+"""
+
+
 def q_jes_uncertainty(spark, sf_dir):
     """Eta/pt-binned JES uncertainty from the junc txt format (reference
     jetmet_tools/JetCorrectionUncertainty.py:54 + txt converter
@@ -3756,6 +3830,7 @@ REGISTRY: dict[str, Query] = {
     "btag_sf": Query(q_btag_sf, _sql_btag()),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
+    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),

@@ -41,23 +41,28 @@ _NP_ENV = {
 }
 
 
-def _np_jec(table, eta, pt):
+def _np_row_index(table, binned_vals):
+    """Independent numpy walk of the nested jagged bin tree."""
+    row = int(np.clip(np.searchsorted(table.edges, binned_vals[0], side="right") - 1,
+                      0, len(table.edges) - 2))
+    for (flat, eoff, ecnt, coff), v in zip(table.levels, binned_vals[1:]):
+        se = flat[int(eoff[row]): int(eoff[row]) + int(ecnt[row])]
+        si = int(np.clip(np.searchsorted(se, v, side="right") - 1, 0, len(se) - 2))
+        row = int(coff[row]) + si
+    return row
+
+
+def _np_jec(table, eta, pt, rho=None):
     """Independent numpy evaluation of a parsed JECTable."""
     out = np.empty_like(np.asarray(eta, dtype=float))
-    for j, (e, p) in enumerate(zip(eta, pt)):
-        i = np.clip(np.searchsorted(table.edges, e, side="right") - 1,
-                    0, len(table.edges) - 2)
-        if table.sub is None:
-            row = i
-        else:
-            flat, offs, cnts, roffs = table.sub
-            se = flat[int(offs[i]): int(offs[i]) + int(cnts[i])]
-            si = np.clip(np.searchsorted(se, p, side="right") - 1, 0, int(cnts[i]) - 2)
-            row = int(roffs[i]) + si
+    for j in range(len(out)):
+        ev = {"JetPt": pt[j], "JetEta": eta[j]}
+        if rho is not None:
+            ev["Rho"] = rho[j]
+        row = _np_row_index(table, [ev[v] for v in table.binned_vars])
         env = dict(_NP_ENV)
         for k in range(table.params.shape[0]):
             env[f"p{k}"] = table.params[k][row]
-        ev = {"JetPt": p, "JetEta": e}
         for vi, v in enumerate(table.eval_vars):
             x = np.clip(ev[v], table.clamp_lo[vi][row], table.clamp_hi[vi][row])
             env["xyztws"[vi]] = x
@@ -243,3 +248,84 @@ def test_extractor_dispatch(tmp_path):
     assert "a" in extractor(str(tmp_path / "a.jec.txt"))
     assert "b" in extractor(str(tmp_path / "b.junc.txt"))
     assert "c" in extractor(str(tmp_path / "c.btag.csv"))
+
+
+# ---------------------------------------------------------------------------
+# N-D binned tables (nested jagged grid)
+# ---------------------------------------------------------------------------
+
+JERSF_2D = """{2 JetEta Rho 1 JetPt "" Resolution}
+-2.0 0.0  0.0 20.0 5 10.0 5000.0 1.10 1.05 1.15
+-2.0 0.0 20.0 40.0 5 10.0 5000.0 1.20 1.10 1.30
+ 0.0 2.0  0.0 15.0 5 10.0 5000.0 1.05 1.00 1.10
+ 0.0 2.0 15.0 30.0 5 10.0 5000.0 1.08 1.02 1.14
+ 0.0 2.0 30.0 45.0 5 10.0 5000.0 1.12 1.04 1.20
+"""
+
+JUNC_2D = """{2 JetEta Rho 1 JetPt "" Uncertainty}
+-2.0 0.0  0.0 20.0 9 10.0 0.05 0.04 100.0 0.03 0.02 1000.0 0.02 0.01
+-2.0 0.0 20.0 40.0 9 10.0 0.06 0.05 100.0 0.02 0.03 1000.0 0.01 0.02
+ 0.0 2.0  0.0 30.0 9 10.0 0.07 0.06 100.0 0.04 0.03 1000.0 0.03 0.02
+ 0.0 2.0 30.0 60.0 9 10.0 0.08 0.07 100.0 0.05 0.04 1000.0 0.04 0.03
+"""
+
+
+def test_jec_3d_nested(spark, tmp_path):
+    """3-D (eta x rho x jagged pt) JEC vs an independent numpy walk."""
+    table = read_jec_txt(
+        "/root/repo/coffea_spark/data/demo3d.jec.txt"
+    )
+    assert table.binned_vars == ["JetEta", "Rho", "JetPt"]
+    rng = np.random.default_rng(11)
+    eta = rng.uniform(-3.5, 3.5, 80)
+    rho = rng.uniform(-2.0, 50.0, 80)  # includes out-of-range clamping
+    pt = np.exp(rng.uniform(np.log(5.0), np.log(6000.0), 80))
+    df = spark.createDataFrame(
+        [(float(e), float(r), float(p)) for e, r, p in zip(eta, rho, pt)],
+        "eta double, rho double, pt double",
+    )
+    got = np.array([
+        r.v for r in df.select(
+            table(F.col("eta"), F.col("rho"), F.col("pt")).alias("v")
+        ).collect()
+    ])
+    want = _np_jec(table, eta, pt, rho=rho)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_jersf_2d_nested(spark, tmp_path):
+    p = tmp_path / "Demo2D.jersf.txt"
+    p.write_text(JERSF_2D)
+    table = read_jersf_txt(str(p))
+    assert len(table.levels) == 1
+    pts = [(-1.0, 5.0), (-1.0, 25.0), (1.0, 10.0), (1.0, 20.0), (1.0, 40.0),
+           (-5.0, 100.0), (5.0, -3.0)]  # last two clamp
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts],
+                               "eta double, rho double")
+    got = df.select(table(F.col("eta"), F.col("rho")).alias("s")).collect()
+    # expected rows via the numpy tree walk
+    for (e, r), row in zip(pts, got):
+        i = _np_row_index(table, [e, r])
+        assert row.s.central == table.central[i]
+        assert row.s.down == table.down[i]
+        assert row.s.up == table.up[i]
+
+
+def test_junc_2d_nested(spark, tmp_path):
+    p = tmp_path / "Demo2D.junc.txt"
+    p.write_text(JUNC_2D)
+    (table,) = extractor(str(p)).values()
+    assert len(table.levels) == 1
+    pts = [(-1.0, 10.0, 50.0), (-1.0, 30.0, 500.0), (1.0, 10.0, 9.0), (1.0, 50.0, 2000.0)]
+    df = spark.createDataFrame([tuple(map(float, t)) for t in pts],
+                               "eta double, rho double, pt double")
+    got = df.select(table(F.col("eta"), F.col("rho"), F.col("pt")).alias("s")).collect()
+    for (e, r, ptv), row in zip(pts, got):
+        i = _np_row_index(table, [e, r])
+        pc = np.clip(ptv, table.knots[0], table.knots[-1])
+        k = int(np.clip(np.searchsorted(table.knots, pc, side="right") - 1,
+                        0, len(table.knots) - 2))
+        t = (pc - table.knots[k]) / (table.knots[k + 1] - table.knots[k])
+        up = 1.0 + table.ups[i][k] + t * (table.ups[i][k + 1] - table.ups[i][k])
+        dn = 1.0 - (table.downs[i][k] + t * (table.downs[i][k + 1] - table.downs[i][k]))
+        assert abs(row.s.up - up) < 1e-12 and abs(row.s.down - dn) < 1e-12
