@@ -7,14 +7,26 @@ distinctChildrenDeep (:302-431); surfaced as GenParticle properties
 
 Each event's particle list is tiny (tens of entries), so these are
 NOT distributed-graph problems: ``children`` is a pure HOF expression
-(O(n^2) per event, same complexity as the reference's kernel), and the
+(O(n^2) per event, same complexity as the reference's kernel); the
 irregular recursions (distinctParent / distinctChildrenDeep) are
-Arrow-batched pandas UDFs over the array column — Python per event-batch,
-never per row.
+Arrow-batched pandas UDFs that receive ONLY the two int columns they
+need (mother index, pdgId) — never the full particle structs, whose
+Arrow->Python conversion dominated the old per-event ``dict`` walk —
+flattened to offsets+values arrays per batch, exactly the layout the
+reference's numba kernels use:
+
+- distinctParent runs as fully VECTORIZED numpy pointer-jumping over
+  the whole flat batch (one ``gm[cur]`` gather per chain step, no
+  per-particle Python), which beats a JIT'd scalar loop here;
+- distinctChildrenDeep keeps its DFS (jagged output), but over flat
+  int arrays instead of per-particle dicts — the same offsets+values
+  shape a numba/JIT port would compile, with no object-layer work in
+  the loop beyond int comparisons.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
@@ -58,78 +70,137 @@ def children(genpart: Column) -> Column:
     )
 
 
-def _walk_distinct_parent(particles: list) -> list:
-    """Per event: for each particle, walk the mother chain until the pdgId
-    differs (reference kernel semantics, transforms.py:182-231). Returns
-    0-based index of the distinct parent or None."""
+# ---------------------------------------------------------------------------
+# flat-batch kernels
+# ---------------------------------------------------------------------------
+
+def _flatten_batch(mothers: pd.Series, pdgs: pd.Series):
+    """Arrow list columns -> (flat_mothers, flat_pdgs, offsets, null_mask)
+    int64 arrays covering the whole batch (reference layout:
+    offsets+content, nanoevents/transforms.py)."""
+    null = np.array([m is None for m in mothers], dtype=bool)
+    arrs_m = [np.asarray(m, dtype=np.int64) if m is not None else np.empty(0, np.int64)
+              for m in mothers]
+    arrs_p = [np.asarray(p, dtype=np.int64) if p is not None else np.empty(0, np.int64)
+              for p in pdgs]
+    lens = np.array([len(a) for a in arrs_m], dtype=np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat_m = np.concatenate(arrs_m) if arrs_m else np.empty(0, np.int64)
+    flat_p = np.concatenate(arrs_p) if arrs_p else np.empty(0, np.int64)
+    return flat_m, flat_p, offsets, null
+
+
+def _distinct_parent_flat(mothers: np.ndarray, pdgs: np.ndarray,
+                          offsets: np.ndarray) -> np.ndarray:
+    """Vectorized distinct-parent walk over a flat batch: local mother
+    indices become global, then pointer-jump the whole batch at once —
+    each iteration advances every particle still sitting on a same-pdg
+    ancestor. Iteration count = longest same-pdg chain in the batch
+    (the reference walks the same chain per particle in numba,
+    transforms.py:182-231). Returns local index of the first
+    different-pdg ancestor, -1 if none. Assumes acyclic mother chains
+    (as does the reference kernel); a cycle cannot loop forever — the
+    bound below caps iterations at the longest event."""
+    n = mothers.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+    ev_len = np.diff(offsets)
+    ev_off = np.repeat(offsets[:-1], ev_len)
+    loc_len = np.repeat(ev_len, ev_len)
+    valid = (mothers >= 0) & (mothers < loc_len)
+    gm = np.where(valid, mothers + ev_off, -1)
+    cur = gm.copy()
+    for _ in range(int(ev_len.max(initial=0)) + 1):
+        act = cur >= 0
+        safe = np.where(act, cur, 0)
+        same = act & (pdgs[safe] == pdgs)
+        if not same.any():
+            break
+        cur = np.where(same, gm[safe], cur)
+    return np.where(cur >= 0, cur - ev_off, -1)
+
+
+def _deep_children_event(m_loc, p_loc, n: int) -> list:
+    """Per-event distinctChildrenDeep: DFS through same-pdg chains,
+    emitting each descendant at its first pdg change, in the reference's
+    child-index DFS order (transforms.py:302-431). Operates on int
+    arrays only; njit-shaped (no dicts, no attribute access)."""
+    kids: list[list[int]] = [[] for _ in range(n)]
+    for j in range(n):
+        m = m_loc[j]
+        if 0 <= m < n:
+            kids[m].append(j)
     out = []
-    n = len(particles)
-    for p in particles:
-        pdg = p["pdgId"]
-        m = p[MOTHER]
-        seen = 0
-        while 0 <= m < n and particles[m]["pdgId"] == pdg and seen <= n:
-            m = particles[m][MOTHER]
-            seen += 1
-        out.append(m if 0 <= m < n else None)
+    for i in range(n):
+        acc: list[int] = []
+        pdg = p_loc[i]
+        stack = [iter(kids[i])]
+        while stack:
+            try:
+                c = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
+            if p_loc[c] == pdg and len(stack) <= n:
+                stack.append(iter(kids[c]))
+            else:
+                acc.append(c)
+        out.append(acc)
     return out
 
 
-def _collect_children_deep(particles: list) -> list:
-    """Per event: transitive children, skipping chains where the child has
-    the same pdgId (descend through same-pdg children instead of keeping
-    them) — reference kernel transforms.py:302-431."""
-    n = len(particles)
-    kids: list[list[int]] = [[] for _ in range(n)]
-    for j, p in enumerate(particles):
-        m = p[MOTHER]
-        if 0 <= m < n:
-            kids[m].append(j)
-
-    def deep(i: int, depth: int = 0) -> list[int]:
-        out: list[int] = []
-        if depth > n:
-            return out
-        for c in kids[i]:
-            if particles[c]["pdgId"] == particles[i]["pdgId"]:
-                out.extend(deep(c, depth + 1))
-            else:
-                out.append(c)
-        return out
-
-    return [deep(i) for i in range(n)]
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def distinct_parent_idx_udf(mothers: pd.Series, pdgs: pd.Series) -> pd.Series:
+    flat_m, flat_p, offsets, null = _flatten_batch(mothers, pdgs)
+    res = _distinct_parent_flat(flat_m, flat_p, offsets)
+    out = []
+    for e in range(len(offsets) - 1):
+        if null[e]:
+            out.append(None)
+            continue
+        seg = res[offsets[e]:offsets[e + 1]]
+        out.append([int(v) if v >= 0 else None for v in seg])
+    return pd.Series(out, dtype=object)
 
 
-def _genealogy_udf(fn, rettype):
-    @F.pandas_udf(rettype)
-    def inner(col: pd.Series) -> pd.Series:
-        return col.map(lambda parts: fn(list(parts)) if parts is not None else None)
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.IntegerType())))
+def distinct_children_deep_idx_udf(mothers: pd.Series, pdgs: pd.Series) -> pd.Series:
+    flat_m, flat_p, offsets, null = _flatten_batch(mothers, pdgs)
+    out = []
+    for e in range(len(offsets) - 1):
+        if null[e]:
+            out.append(None)
+            continue
+        s, t = int(offsets[e]), int(offsets[e + 1])
+        out.append(_deep_children_event(flat_m[s:t], flat_p[s:t], t - s))
+    return pd.Series(out, dtype=object)
 
-    return inner
 
-
-distinct_parent_idx_udf = _genealogy_udf(_walk_distinct_parent, T.ArrayType(T.IntegerType()))
-distinct_children_deep_idx_udf = _genealogy_udf(
-    _collect_children_deep, T.ArrayType(T.ArrayType(T.IntegerType()))
-)
+def _int_cols(genpart: Column) -> tuple[Column, Column]:
+    """Project the two kernel inputs out of the particle structs so the
+    Arrow transfer carries 2 int arrays, not every particle field."""
+    mothers = F.transform(genpart, lambda x: x[MOTHER].cast("long"))
+    pdgs = F.transform(genpart, lambda x: x["pdgId"].cast("long"))
+    return mothers, pdgs
 
 
 def distinct_parent_idx(genpart: Column) -> Column:
     """Index of the first ancestor with a different pdgId (NULL if none).
-    Arrow-batched pandas UDF — irregular per-event recursion
-    (SURVEY.md §2.2 'distinctParent')."""
-    return distinct_parent_idx_udf(genpart)
+    Arrow-batched, batch-vectorized pointer-jump (SURVEY.md §2.2
+    'distinctParent')."""
+    return distinct_parent_idx_udf(*_int_cols(genpart))
 
 
 def distinct_parent(genpart: Column) -> Column:
     """Distinct-parent particle structs (gather of distinct_parent_idx)."""
     return F.zip_with(
         genpart,
-        distinct_parent_idx_udf(genpart),
+        distinct_parent_idx(genpart),
         lambda x, i: gather_local(genpart, i),
     )
 
 
 def distinct_children_deep_idx(genpart: Column) -> Column:
     """Doubly-jagged indices of transitive distinct children."""
-    return distinct_children_deep_idx_udf(genpart)
+    return distinct_children_deep_idx_udf(*_int_cols(genpart))
