@@ -49,6 +49,8 @@ __all__ = [
     "read_jec_txt",
     "read_junc_txt",
     "read_jersf_txt",
+    "read_histo_json",
+    "read_histo_npz",
     "BTagSFTable",
     "JECTable",
     "JuncTable",
@@ -512,3 +514,89 @@ def read_btag_csv(path: str) -> BTagSFTable:
             r["formula"] = r["formula"].strip().strip('"')
             rows.append(r)
     return BTagSFTable(rows, discriminator)
+
+
+# ---------------------------------------------------------------------------
+# histogram converters (the ".histo" extractor family)
+# ---------------------------------------------------------------------------
+
+def read_histo_json(path: str):
+    """CMS EGM-style ``*.histo.json``: nested ``axis:[lo,hi]`` keys ending
+    in ``{"value": v, "error": e}`` leaves (reference
+    json_converters.py:13-45 extract_json_histo_structure/_values, test
+    fixture ``EIDISO_WH_out.histo.json``). Returns
+    ``{"dir/title": DenseLookup, "dir/title_error": DenseLookup}`` —
+    the same (values, edges) and (errors, edges) pair the reference
+    registers per histogram."""
+    import json
+
+    from coffea_spark.lookup import DenseLookup
+
+    with _open_text(path) as f:
+        doc = json.load(f)
+    out = {}
+    for dirname, hists in doc.items():
+        for htitle, tree in hists.items():
+            axes: list[np.ndarray] = []
+            node = tree
+            while "value" not in node:
+                pairs = [k.split(":")[-1].strip("[]").split(",") for k in node]
+                edges = np.unique(np.asarray(
+                    [float(v) for p in pairs for v in p], dtype=float))
+                axes.append(edges)
+                node = node[next(iter(node))]
+            shape = tuple(len(e) - 1 for e in axes)
+            vals = np.zeros(shape)
+            errs = np.zeros(shape)
+
+            def fill(node, idx):
+                if "value" in node:
+                    vals[tuple(idx)] = float(node["value"])
+                    errs[tuple(idx)] = float(node.get("error", 0.0))
+                    return
+                level = len(idx)
+                for k, sub in node.items():
+                    lo = float(k.split(":")[-1].strip("[]").split(",")[0])
+                    fill(sub, idx + [int(np.searchsorted(axes[level], lo))])
+
+            fill(tree, [])
+            name = f"{dirname}/{htitle}"
+            out[name] = DenseLookup(vals, axes)
+            out[name + "_error"] = DenseLookup(errs, axes)
+    return out
+
+
+def read_histo_npz(path: str):
+    """TH1/TH2/TH3 dumps as npz — the uproot-free carrier for ROOT
+    histogram content (reference root_converters.py:19-49 registers
+    (values, edges) and (sqrt(variances), edges) per histogram; this
+    reads the same payload from arrays a one-time conversion script
+    writes with uproot::
+
+        np.savez(out, **{f"{name}__values": h.values(),
+                         f"{name}__variances": h.variances(),
+                         **{f"{name}__edges{i}": ax.edges()
+                            for i, ax in enumerate(h.axes)}})
+
+    Returns ``{name: DenseLookup, name_error: DenseLookup}`` (the error
+    table only when variances were dumped)."""
+    from coffea_spark.lookup import DenseLookup
+
+    with np.load(path) as z:
+        names = sorted({k.rsplit("__", 1)[0] for k in z.files})
+        out = {}
+        for name in names:
+            vals = z[f"{name}__values"]
+            edges = []
+            i = 0
+            while f"{name}__edges{i}" in z.files:
+                edges.append(np.asarray(z[f"{name}__edges{i}"], dtype=float))
+                i += 1
+            if not edges:
+                raise ValueError(f"{path}: no edges arrays for {name!r}")
+            out[name] = DenseLookup(vals, edges)
+            if f"{name}__variances" in z.files:
+                out[name + "_error"] = DenseLookup(
+                    np.sqrt(np.asarray(z[f"{name}__variances"], dtype=float)), edges
+                )
+    return out

@@ -187,6 +187,170 @@ def _substitute(formula: str, x: Column | None = None, variables: dict[str, Colu
     return build(ast.parse(formula.replace("^", "**"), mode="eval"))
 
 
+class DenseMappedLookup:
+    """Bins select a FORMULA id through an integer mapping table, the
+    formula evaluates at a clamped coordinate — the reference's
+    dense_mapped_lookup (lookup_tools/dense_mapped_lookup.py:10-71) as
+    pure column math.
+
+    ``axes``: one edge array per coordinate; a 2-entry axis means "any
+    value -> bin 0" (the reference's degenerate-axis convention).
+    ``mapping``: int array of shape (bins per axis...) holding formula
+    indices (-1 = no correction available -> NULL, the column-math
+    analogue of the reference's ignore_missing path).
+    ``formulas``: expression strings in ``x`` (or plain numbers);
+    ``feval_dim`` names which coordinate feeds ``x``, clamped to that
+    axis' range."""
+
+    def __init__(self, axes, mapping, formulas, feval_dim: int | None):
+        self.axes = [np.asarray(a, dtype=float) for a in axes]
+        self.mapping = np.asarray(mapping, dtype=int)
+        expected = tuple(len(a) - 1 for a in self.axes)
+        if self.mapping.shape != expected:
+            raise ValueError(f"mapping shape {self.mapping.shape} != bins {expected}")
+        self.formulas = list(formulas)
+        self.feval_dim = feval_dim
+
+    def __call__(self, *coords: Column) -> Column:
+        if len(coords) != len(self.axes):
+            raise ValueError(f"expected {len(self.axes)} coordinates")
+        flat = self.mapping.ravel()
+        strides = [int(s) for s in np.array(self.mapping.strides) // self.mapping.itemsize]
+        idx = F.lit(0)
+        for c, edges, stride in zip(coords, self.axes, strides):
+            if len(edges) == 2:
+                continue  # degenerate axis: always bin 0
+            e = np.nan_to_num(edges, posinf=1e300, neginf=-1e300)
+            idx = idx + _bin_index_expr(c, e) * F.lit(stride)
+        mapidx = F.element_at(
+            F.array(*[F.lit(int(v)) for v in flat]), idx + F.lit(1)
+        )
+        result = F.lit(None).cast("double")
+        for i, formula in enumerate(self.formulas):
+            s = str(formula)
+            if "x" in s:
+                if self.feval_dim is None:
+                    raise ValueError("formulas use x but feval_dim not set")
+                ax = self.axes[self.feval_dim]
+                xc = F.greatest(
+                    F.lit(float(ax[0])),
+                    F.least(F.lit(float(ax[-1])), coords[self.feval_dim]),
+                )
+                compiled = _substitute(s, x=xc)
+            else:
+                compiled = F.lit(float(s))
+            result = F.when(mapidx == F.lit(i), compiled).otherwise(result)
+        return result
+
+
+# ---------------------------------------------------------------------------
+# double-sided Crystal Ball (reference lookup_tools/doublecrystalball.py)
+# ---------------------------------------------------------------------------
+
+_SQRT2PI = 2.5066282746310002
+
+
+def _erf(x: Column) -> Column:
+    """erf as column math (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7 —
+    Spark has no erf builtin; the approximation keeps the whole
+    distribution inside whole-stage codegen)."""
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return sign * (F.lit(1.0) - poly * F.exp(-ax * ax))
+
+
+def _norm_cdf_col(x: Column) -> Column:
+    return F.lit(0.5) * (F.lit(1.0) + _erf(x / F.lit(2.0 ** 0.5)))
+
+
+def _dcb_norm(betaL: float, betaH: float, mL: float, mH: float) -> float:
+    import math
+
+    def phi(v):
+        return 0.5 * (1.0 + math.erf(v / math.sqrt(2.0)))
+
+    return 1.0 / (
+        mL / betaL / (mL - 1) * math.exp(-0.5 * betaL * betaL)
+        + mH / betaH / (mH - 1) * math.exp(-0.5 * betaH * betaH)
+        + _SQRT2PI * (phi(betaH) - phi(-betaL))
+    )
+
+
+def doublecrystalball_pdf(x: Column, betaL: float, betaH: float,
+                          mL: float, mH: float) -> Column:
+    """PDF of the two-sided Crystal Ball: Gaussian core on
+    (-betaL, betaH), power-law tails outside (reference
+    doublecrystalball.py:55-84; exact N computed driver-side with true
+    erf). Pure column math — used by muon-scale unc. models."""
+    if not (betaL > 0 and betaH > 0 and mL > 1 and mH > 1):
+        raise ValueError("need beta > 0 and m > 1 on both sides")
+    N = F.lit(_dcb_norm(betaL, betaH, mL, mH))
+
+    def tail(v: Column, beta: float, m: float) -> Column:
+        return (
+            F.lit((m / beta) ** m)
+            * F.lit(float(np.exp(-0.5 * beta * beta)))
+            * F.pow(F.lit(m / beta - beta) - v, F.lit(-m))
+        )
+
+    core = F.exp(F.lit(-0.5) * x * x)
+    return N * (
+        F.when(x <= F.lit(-betaL), tail(x, betaL, mL))
+        .when(x >= F.lit(betaH), tail(-x, betaH, mH))
+        .otherwise(core)
+    )
+
+
+def doublecrystalball_cdf(x: Column, betaL: float, betaH: float,
+                          mL: float, mH: float) -> Column:
+    """CDF of the two-sided Crystal Ball (reference
+    doublecrystalball.py:121-168): closed-form tail integrals + Gaussian
+    core through the column-math normal CDF."""
+    if not (betaL > 0 and betaH > 0 and mL > 1 and mH > 1):
+        raise ValueError("need beta > 0 and m > 1 on both sides")
+    import math
+
+    N = F.lit(_dcb_norm(betaL, betaH, mL, mH))
+
+    def inttail(beta: float, m: float) -> float:
+        return m / beta / (m - 1) * math.exp(-0.5 * beta * beta)
+
+    def phi(v: float) -> float:
+        return 0.5 * (1.0 + math.erf(v / math.sqrt(2.0)))
+
+    intcore = _SQRT2PI * (phi(betaH) - phi(-betaL))
+
+    def tail(v: Column, beta: float, m: float) -> Column:
+        return (
+            F.lit((m / beta) ** m)
+            * F.lit(float(np.exp(-0.5 * beta * beta)))
+            * F.pow(F.lit(m / beta - beta) - v, F.lit(1.0 - m))
+            / F.lit(m - 1.0)
+        )
+
+    low = tail(x, betaL, mL)
+    core = F.lit(inttail(betaL, mL)) + F.lit(_SQRT2PI) * (
+        _norm_cdf_col(x) - F.lit(phi(-betaL))
+    )
+    high = (
+        F.lit(inttail(betaL, mL) + intcore + inttail(betaH, mH))
+        - tail(-x, betaH, mH)
+    )
+    return N * (
+        F.when(x <= F.lit(-betaL), low)
+        .when(x >= F.lit(betaH), high)
+        .otherwise(core)
+    )
+
+
 def extractor(path: str):
     """Load correction tables into lookup objects, dispatching on the
     file extension (reference: lookup_tools.extractor:153-189 dispatches
@@ -196,15 +360,19 @@ def extractor(path: str):
     - ``*.jec.txt[.gz]``                  -> {name: JECTable}
     - ``*.junc.txt[.gz]``                 -> {component: JuncTable}
     - ``*.jersf.txt[.gz]``                -> {name: JERSFTable}
+    - ``*.histo.json``                    -> {hist: DenseLookup (+_error)}
+    - ``*.npz``                           -> {hist: DenseLookup (+_error)}
     - ``*.json``: the normalized form below.
 
     JSON schema: {"corrections": [
       {"name": ..., "type": "dense",   "bins": [edges...] | [[e0..],[e1..]],
        "values": nested-list},
       {"name": ..., "type": "formula", "bins": [edges...],
-       "formulas": ["1.0 + 2.0/sqrt(x)", ...]}
+       "formulas": ["1.0 + 2.0/sqrt(x)", ...]},
+      {"name": ..., "type": "dense_mapped", "bins": [[e0..],[e1..]],
+       "mapping": nested-int-list, "formulas": [...], "feval_dim": 0}
     ]}
-    Returns {name: DenseLookup | FormulaLookup}.
+    Returns {name: DenseLookup | FormulaLookup | DenseMappedLookup}.
     """
     import json
 
@@ -230,6 +398,14 @@ def extractor(path: str):
 
         t = read_jec_txt(path)
         return {t.name: t}
+    if base.endswith(".histo.json"):
+        from coffea_spark.correction_files import read_histo_json
+
+        return read_histo_json(path)
+    if base.endswith(".npz"):
+        from coffea_spark.correction_files import read_histo_npz
+
+        return read_histo_npz(path)
 
     with open(path) as f:
         doc = json.load(f)
@@ -248,6 +424,76 @@ def extractor(path: str):
             )
         elif kind == "formula":
             out[name] = FormulaLookup(list(c["formulas"]), np.asarray(c["bins"], dtype=float))
+        elif kind == "dense_mapped":
+            out[name] = DenseMappedLookup(
+                [np.asarray(b, dtype=float) for b in c["bins"]],
+                np.asarray(c["mapping"], dtype=int),
+                list(c["formulas"]),
+                c.get("feval_dim"),
+            )
         else:
             raise ValueError(f"unknown correction type {kind!r} for {name!r}")
     return out
+
+
+class Extractor:
+    """The reference's extractor/evaluator REGISTRY surface
+    (lookup_tools/extractor.py:41-218): accumulate weight-set
+    descriptions across many files, then finalize into one evaluator
+    mapping local names to lookup callables.
+
+    Descriptions are ``"<local_name> <name-in-file> <file>"`` with ``*``
+    wildcards: ``"* * file"`` imports every table in the file under its
+    in-file name, ``"prefix_* * file"`` prefixes them. Files are parsed
+    once (cache keyed by path) no matter how many sets they feed —
+    multi-file stacking composes one namespace from many payloads."""
+
+    def __init__(self):
+        self._pending: list[tuple[str, str, str]] = []
+        self._filecache: dict[str, dict] = {}
+        self._names: dict[str, object] = {}
+        self._finalized = False
+
+    def add_weight_set(self, description: str) -> None:
+        if self._finalized:
+            raise RuntimeError("extractor is finalized, cannot add more sets")
+        parts = description.split()
+        if len(parts) != 3:
+            raise ValueError(
+                f"expected '<local> <in-file> <file>', got {description!r}"
+            )
+        self._pending.append((parts[0], parts[1], parts[2]))
+
+    def add_weight_sets(self, descriptions: list[str]) -> None:
+        for d in descriptions:
+            self.add_weight_set(d)
+
+    def _tables(self, path: str) -> dict:
+        if path not in self._filecache:
+            self._filecache[path] = extractor(path)
+        return self._filecache[path]
+
+    def finalize(self) -> None:
+        if self._finalized:
+            raise RuntimeError("extractor is already finalized")
+        for local, infile, path in self._pending:
+            tables = self._tables(path)
+            if infile == "*":
+                prefix = local[:-1] if local.endswith("*") else ""
+                for name, t in tables.items():
+                    key = prefix + name if prefix else name
+                    if key in self._names:
+                        raise ValueError(f"duplicate weight name {key!r}")
+                    self._names[key] = t
+            else:
+                if infile not in tables:
+                    raise KeyError(f"{infile!r} not found in {path}")
+                if local in self._names:
+                    raise ValueError(f"duplicate weight name {local!r}")
+                self._names[local] = tables[infile]
+        self._finalized = True
+
+    def make_evaluator(self) -> dict:
+        if not self._finalized:
+            raise RuntimeError("call finalize() before make_evaluator()")
+        return dict(self._names)

@@ -1649,6 +1649,67 @@ FROM stats GROUP BY lang
 # lookup / corrections / lumi / genealogy / weights / ML / streaming
 # ---------------------------------------------------------------------------
 
+def q_histo_sf(spark, sf_dir):
+    """Histogram-fed scale factor through the EXTRACTOR REGISTRY
+    (reference lookup_tools/extractor.py:41-218 + the .histo.json
+    converter, json_converters.py:13-45): two weight sets (value +
+    error tables) registered from one EGM-style histogram file,
+    finalized into an evaluator, and applied as literal-array column
+    math. The oracle replays both 2-D lookups as CASE chains over the
+    same bin edges with clamp-to-edge semantics."""
+    from coffea_spark.lookup import Extractor
+
+    data = os.path.join(os.path.dirname(__file__), "data", "demo.histo.json")
+    ex = Extractor()
+    ex.add_weight_sets([
+        f"sf DEMO/abseta_pt_ratio {data}",
+        f"sferr DEMO/abseta_pt_ratio_error {data}",
+    ])
+    ex.finalize()
+    ev = ex.make_evaluator()
+    li = _t(spark, sf_dir, "lineitem")
+    abseta = F.col("l_discount") * 14.4
+    pt = F.col("l_quantity")
+    return (
+        li.withColumn("_sf", ev["sf"](abseta, pt))
+        .withColumn("_err", ev["sferr"](abseta, pt))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_sf"), 2).alias("sum_sf"),
+            F.round(F.avg("_err"), 6).alias("avg_err"),
+        )
+    )
+
+
+# clamp-to-edge 2-D lookup over the demo.histo.json tables: abseta bins
+# [0, 0.8, 1.44] (values > 1.44 clamp into the top bin), pt bins
+# [25, 27, 30, 40] (values outside clamp into the edge bins)
+SQL_HISTO_SF = """
+WITH j AS (
+  SELECT l_linestatus, l_discount * 14.4 AS abseta, l_quantity AS pt
+  FROM lineitem
+), v AS (
+  SELECT l_linestatus,
+    CASE WHEN abseta < 0.8 THEN
+      CASE WHEN pt < 27 THEN 0.903 WHEN pt < 30 THEN 0.921 ELSE 0.940 END
+    ELSE
+      CASE WHEN pt < 27 THEN 0.867 WHEN pt < 30 THEN 0.886 ELSE 0.910 END
+    END AS sf,
+    CASE WHEN abseta < 0.8 THEN
+      CASE WHEN pt < 27 THEN 0.051 WHEN pt < 30 THEN 0.042 ELSE 0.030 END
+    ELSE
+      CASE WHEN pt < 27 THEN 0.078 WHEN pt < 30 THEN 0.040 ELSE 0.035 END
+    END AS err
+  FROM j
+)
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(sf) AS DOUBLE), 2) AS sum_sf,
+       round(CAST(avg(err) AS DOUBLE), 6) AS avg_err
+FROM v GROUP BY l_linestatus
+"""
+
+
 def q_dense_lookup(spark, sf_dir):
     """2-D binned correction lookup (reference dense_lookup,
     lookup_tools/dense_lookup.py:8-60): per-lineitem scale factor from a
@@ -3808,6 +3869,7 @@ REGISTRY: dict[str, Query] = {
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
     "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
+    "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),

@@ -329,3 +329,135 @@ def test_junc_2d_nested(spark, tmp_path):
         up = 1.0 + table.ups[i][k] + t * (table.ups[i][k + 1] - table.ups[i][k])
         dn = 1.0 - (table.downs[i][k] + t * (table.downs[i][k + 1] - table.downs[i][k]))
         assert abs(row.s.up - up) < 1e-12 and abs(row.s.down - dn) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# histogram converters, mapped lookup, double crystal ball, Extractor
+# ---------------------------------------------------------------------------
+
+def test_histo_json_demo(spark):
+    from coffea_spark.correction_files import read_histo_json
+
+    t = read_histo_json("/root/repo/coffea_spark/data/demo.histo.json")
+    lk = t["DEMO/abseta_pt_ratio"]
+    err = t["DEMO/abseta_pt_ratio_error"]
+    df = spark.createDataFrame(
+        [(0.5, 26.0), (1.0, 28.0), (2.0, 100.0), (0.1, 5.0)],
+        "abseta double, pt double",
+    )
+    got = df.select(lk(F.col("abseta"), F.col("pt")).alias("v"),
+                    err(F.col("abseta"), F.col("pt")).alias("e")).collect()
+    assert [r.v for r in got] == [0.903, 0.886, 0.910, 0.903]  # clamp both axes
+    assert [r.e for r in got] == [0.051, 0.040, 0.035, 0.051]
+
+
+@needs_samples
+def test_histo_json_reference_fixture(spark):
+    from coffea_spark.correction_files import read_histo_json
+
+    t = read_histo_json(f"{SAMPLES}/EIDISO_WH_out.histo.json")
+    lk = t["EIDISO_WH/eta_pt_ratio"]
+    assert lk.values.shape == (12, 7)
+    # spot value: first eta/pt bin must equal the raw json leaf
+    import json
+    doc = json.load(open(f"{SAMPLES}/EIDISO_WH_out.histo.json"))
+    first_eta = next(iter(doc["EIDISO_WH"]["eta_pt_ratio"].values()))
+    first_val = next(iter(first_eta.values()))["value"]
+    # locate bin of the smallest eta/pt edges
+    assert lk.values[0][0] == first_val or first_val in lk.values
+
+
+def test_histo_npz_roundtrip(spark, tmp_path):
+    from coffea_spark.correction_files import read_histo_npz
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0.8, 1.2, (3, 4))
+    var = rng.uniform(0.0, 0.01, (3, 4))
+    e0 = np.array([0.0, 1.0, 2.0, 3.0])
+    e1 = np.array([10.0, 20.0, 30.0, 40.0, 50.0])
+    p = tmp_path / "sf2d.histo.npz"
+    np.savez(p, sf2d__values=vals, sf2d__variances=var,
+             sf2d__edges0=e0, sf2d__edges1=e1)
+    t = read_histo_npz(str(p))
+    assert set(t) == {"sf2d", "sf2d_error"}
+    df = spark.createDataFrame([(0.5, 15.0), (2.5, 45.0)], "x double, y double")
+    got = df.select(t["sf2d"](F.col("x"), F.col("y")).alias("v"),
+                    t["sf2d_error"](F.col("x"), F.col("y")).alias("e")).collect()
+    assert got[0].v == vals[0][0] and got[1].v == vals[2][3]
+    assert abs(got[0].e - np.sqrt(var[0][0])) < 1e-12
+
+
+def test_dense_mapped_lookup(spark):
+    from coffea_spark.lookup import DenseMappedLookup
+
+    axes = [np.array([0.0, 1.0, 2.0]), np.array([0.0, 10.0, 20.0])]
+    mapping = np.array([[0, 1], [2, -1]])
+    formulas = ["1.0 + 0.1*x", "2.0", "sqrt(x)"]
+    lut = DenseMappedLookup(axes, mapping, formulas, feval_dim=1)
+    df = spark.createDataFrame(
+        [(0.5, 5.0), (0.5, 15.0), (1.5, 5.0), (1.5, 15.0), (0.5, -5.0), (0.5, 99.0)],
+        "a double, b double",
+    )
+    got = [r.v for r in df.select(lut(F.col("a"), F.col("b")).alias("v")).collect()]
+    assert got[0] == pytest.approx(1.0 + 0.1 * 5.0)
+    assert got[1] == 2.0
+    assert got[2] == pytest.approx(np.sqrt(5.0))
+    assert got[3] is None           # mapping -1 -> no correction
+    assert got[4] == pytest.approx(1.0)  # bin clamps low, x clamps to axis start
+    assert got[5] == 2.0                 # bin clamps high into the constant row
+
+
+def test_doublecrystalball(spark):
+    from coffea_spark.lookup import doublecrystalball_cdf, doublecrystalball_pdf
+
+    betaL, betaH, mL, mH = 1.2, 2.0, 2.5, 3.0
+    xs = np.linspace(-6.0, 6.0, 241)
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    rows = df.select(
+        "x",
+        doublecrystalball_pdf(F.col("x"), betaL, betaH, mL, mH).alias("p"),
+        doublecrystalball_cdf(F.col("x"), betaL, betaH, mL, mH).alias("c"),
+    ).orderBy("x").collect()
+    p = np.array([r.p for r in rows]); c = np.array([r.c for r in rows])
+    assert (p > 0).all() and (np.diff(c) >= -1e-12).all()
+    assert c[0] < 0.05 and c[-1] > 0.95  # heavy power-law tails hold a few %
+    # cdf' == pdf (trapezoid integration of pdf matches cdf increments)
+    integ = np.cumsum((p[1:] + p[:-1]) / 2 * np.diff(xs)) + c[0]
+    np.testing.assert_allclose(integ, c[1:], atol=2e-4)
+    # continuity at the matching points
+    for edge in (-betaL, betaH):
+        near = df.sparkSession.createDataFrame(
+            [(edge - 1e-9,), (edge + 1e-9,)], "x double")
+        v = [r.p for r in near.select(
+            doublecrystalball_pdf(F.col("x"), betaL, betaH, mL, mH).alias("p")
+        ).collect()]
+        assert abs(v[0] - v[1]) < 1e-6
+
+
+def test_extractor_registry(spark, tmp_path):
+    from coffea_spark.lookup import Extractor
+
+    (tmp_path / "a.json").write_text(
+        '{"corrections": [{"name": "flat", "type": "dense",'
+        ' "bins": [0.0, 1.0, 2.0], "values": [1.5, 2.5]}]}'
+    )
+    ex = Extractor()
+    ex.add_weight_sets([
+        f"myflat flat {tmp_path}/a.json",
+        f"demo_* * /root/repo/coffea_spark/data/demo.histo.json",
+    ])
+    ex.finalize()
+    ev = ex.make_evaluator()
+    assert "myflat" in ev and "demo_DEMO/abseta_pt_ratio" in ev
+    df = spark.createDataFrame([(0.5,), (1.5,)], "x double")
+    got = [r.v for r in df.select(ev["myflat"](F.col("x")).alias("v")).collect()]
+    assert got == [1.5, 2.5]
+    # error paths
+    with pytest.raises(RuntimeError):
+        ex.finalize()
+    with pytest.raises(RuntimeError):
+        ex.add_weight_set("x y z")
+    ex2 = Extractor()
+    ex2.add_weight_set(f"missing nope {tmp_path}/a.json")
+    with pytest.raises(KeyError):
+        ex2.finalize()
