@@ -2500,6 +2500,46 @@ FROM lineitem
 """
 
 
+def q_systematics_multi(spark, sf_dir):
+    """Coherent MULTI-column systematic (reference
+    UpDownMultiSystematic.py:10-50): one source shifts price and
+    quantity together (anti-correlated, as a jet-energy shift moves pt
+    and mass coherently); both varied columns live under a single
+    ``systematics.<name>.<dir>`` struct so a variation can never mix
+    directions. The derived revenue recomputes from the varied pair in
+    the same single agg pass as the nominal."""
+    from coffea_spark.systematics import add_systematic
+
+    li = _t(spark, sf_dir, "lineitem")
+    li = add_systematic(
+        li, "pq_shift", "UpDownMultiSystematic",
+        ["l_extendedprice", "l_quantity"],
+        lambda cols, d: {
+            "l_extendedprice": cols["l_extendedprice"] * (1.0 + 0.03 * d),
+            "l_quantity": cols["l_quantity"] * (1.0 - 0.01 * d),
+        },
+    )
+    up = F.col("systematics.pq_shift.up")
+    dn = F.col("systematics.pq_shift.down")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(up["l_extendedprice"]), 2).alias("sum_price_up"),
+        F.round(F.sum(dn["l_quantity"]), 2).alias("sum_qty_down"),
+        F.round(F.sum(up["l_extendedprice"] * up["l_quantity"]), 2).alias("sum_rev_up"),
+        F.round(F.sum(dn["l_extendedprice"] * dn["l_quantity"]), 2).alias("sum_rev_down"),
+    )
+
+
+SQL_SYSTEMATICS_MULTI = """
+SELECT count(*) AS n,
+       round(sum(l_extendedprice * 1.03), 2) AS sum_price_up,
+       round(sum(l_quantity * 1.01), 2) AS sum_qty_down,
+       round(sum(l_extendedprice * 1.03 * l_quantity * 0.99), 2) AS sum_rev_up,
+       round(sum(l_extendedprice * 0.97 * l_quantity * 1.01), 2) AS sum_rev_down
+FROM lineitem
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rabin-Karp rolling-hash document fingerprinting (pure column
     math): per source, distinct fingerprints vs distinct normalized md5
@@ -3876,6 +3916,7 @@ REGISTRY: dict[str, Query] = {
     "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
     "ml_score": Query(q_ml_score, SQL_ML_SCORE),
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
+    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),

@@ -157,18 +157,60 @@ class NanoAODSchemaSpec:
         "CorrT1METJet_pt": "CorrT1METJet_rawPt",
         "CorrT1METJet_mass": "CorrT1METJet_rawMass",
     }
-    #: {index_column: target_collection} FK gathers (Muon.matched_jet, ...)
-    cross_references: dict[str, str] = {
+    #: every FK gather the LATEST NanoAOD version carries (reference
+    #: nanoaod.py all_cross_references); per-version specs subtract the
+    #: links a given production did not have yet
+    all_cross_references: dict[str, str] = {
         "Muon_jetIdx": "Jet",
         "Muon_genPartIdx": "GenPart",
+        "Muon_fsrPhotonIdx": "FsrPhoton",   # v6+
+        "FsrPhoton_muonIdx": "Muon",        # v6+
         "Electron_jetIdx": "Jet",
         "Electron_genPartIdx": "GenPart",
         "Electron_photonIdx": "Photon",
         "Photon_electronIdx": "Electron",
         "Photon_jetIdx": "Jet",
         "Jet_genJetIdx": "GenJet",
+        "FatJet_genJetAK8Idx": "GenJetAK8",  # v7+
         "GenPart_genPartIdxMother": "GenPart",
     }
+    #: {index_column: target_collection} FK gathers (Muon.matched_jet, ...)
+    cross_references: dict[str, str] = dict(all_cross_references)
+    #: NanoAOD production version this spec models
+    version: str = "latest"
+
+    @classmethod
+    def versioned(cls, version: str) -> type["NanoAODSchemaSpec"]:
+        """Version-specific spec (reference nanoaod.py:202-253): NanoAOD
+        v5/v6/v7 lack cross-links added later — v7 introduced
+        FatJet->GenJetAK8 matching, v6 the muon FSR-photon links. The
+        returned class behaves like this one with those links removed,
+        so the NanoEvents proxy refuses gathers the production never
+        wrote instead of emitting NULL joins."""
+        xref = dict(cls.all_cross_references)
+        if version != "latest":
+            if int(version) < 7:
+                xref.pop("FatJet_genJetAK8Idx", None)
+            if int(version) < 6:
+                xref.pop("FsrPhoton_muonIdx", None)
+                xref.pop("Muon_fsrPhotonIdx", None)
+        return type(
+            f"{cls.__name__}V{version}",
+            (cls,),
+            {"cross_references": xref, "version": version},
+        )
+
+    @classmethod
+    def v7(cls) -> type["NanoAODSchemaSpec"]:
+        return cls.versioned("7")
+
+    @classmethod
+    def v6(cls) -> type["NanoAODSchemaSpec"]:
+        return cls.versioned("6")
+
+    @classmethod
+    def v5(cls) -> type["NanoAODSchemaSpec"]:
+        return cls.versioned("5")
     #: {source_collection: {attr: (target, [index_fields...])}} 1->k FKs
     nested_references: dict[str, dict[str, tuple[str, list[str]]]] = {
         "Jet": {

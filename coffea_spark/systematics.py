@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 SYST_COL = "systematics"
 
-_KINDS = ("UpDownSystematic",)
+_KINDS = ("UpDownSystematic", "UpDownMultiSystematic")
 
 
 def add_updown_systematic(
@@ -44,18 +44,65 @@ def add_updown_systematic(
     return df.withColumn(SYST_COL, F.struct(entry.alias(name)))
 
 
+def add_updown_multi_systematic(
+    df: DataFrame,
+    name: str,
+    whats: list[str],
+    up_fn: Callable[[dict[str, Column]], dict[str, Column]],
+    down_fn: Callable[[dict[str, Column]], dict[str, Column]],
+) -> DataFrame:
+    """Register a MULTI-column up/down systematic: several observables
+    vary COHERENTLY under one source (reference
+    methods/systematics/UpDownMultiSystematic.py:10-50 — e.g. a jet
+    energy shift moving pt and mass together). ``up_fn``/``down_fn``
+    receive {name: Column} for every entry of ``whats`` and return the
+    varied columns; both directions land under one entry:
+    ``systematics.<name>.up.<what>`` / ``...down.<what>`` — so a
+    variation selects ALL its varied columns at once, never a
+    mixed-direction combination."""
+    if not whats:
+        raise ValueError("whats must name at least one column")
+    cols = {w: F.col(w) for w in whats}
+
+    def pack(varied: dict[str, Column]) -> Column:
+        missing = set(whats) - set(varied)
+        if missing:
+            raise ValueError(f"varying fn did not return columns for {sorted(missing)}")
+        return F.struct(*[varied[w].alias(w) for w in whats])
+
+    entry = F.struct(
+        pack(up_fn(dict(cols))).alias("up"),
+        pack(down_fn(dict(cols))).alias("down"),
+    )
+    if SYST_COL in df.columns:
+        return df.withColumn(SYST_COL, F.col(SYST_COL).withField(name, entry))
+    return df.withColumn(SYST_COL, F.struct(entry.alias(name)))
+
+
 def add_systematic(
     df: DataFrame,
     name: str,
     kind: str,
-    what: str | Column,
-    varying_fn: Callable[..., Column],
+    what: str | Column | list[str],
+    varying_fn: Callable[..., Column | dict[str, Column]],
 ) -> DataFrame:
     """Reference-shaped entry point (methods/base.py:129-259): ``kind``
     selects the variation template. ``UpDownSystematic``'s varying_fn is
-    called with (col, direction) for direction in (+1, -1)."""
+    called with (col, direction) for direction in (+1, -1);
+    ``UpDownMultiSystematic``'s with ({name: col}, direction) and must
+    return the varied columns keyed the same way."""
     if kind not in _KINDS:
         raise ValueError(f"unknown systematic kind {kind!r}; known: {_KINDS}")
+    if kind == "UpDownMultiSystematic":
+        whats = [what] if isinstance(what, str) else list(what)
+        return add_updown_multi_systematic(
+            df, name, whats,
+            up_fn=lambda cols: varying_fn(cols, 1),
+            down_fn=lambda cols: varying_fn(cols, -1),
+        )
+    if isinstance(what, list):
+        raise ValueError("UpDownSystematic varies a single column; use "
+                         "UpDownMultiSystematic for coherent multi-column shifts")
     return add_updown_systematic(
         df, name, what,
         up_fn=lambda c: varying_fn(c, 1),

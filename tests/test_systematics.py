@@ -89,3 +89,52 @@ def test_npz_sinks(spark, tmp_path):
     n1.to_npz(p2)
     z2 = np.load(p2)
     assert z2["nev"][0] == n1.initial and z2["nev"][-1] == n1.nev_all
+
+
+def test_updown_multi_systematic(spark):
+    import pyspark.sql.functions as F
+    import pytest
+    from coffea_spark.systematics import add_systematic, systematic_names
+
+    df = spark.createDataFrame([(100.0, 10.0), (200.0, 20.0)], "price double, qty double")
+    out = add_systematic(
+        df, "shift", "UpDownMultiSystematic", ["price", "qty"],
+        lambda cols, d: {"price": cols["price"] * (1.0 + 0.1 * d),
+                         "qty": cols["qty"] * (1.0 - 0.05 * d)},
+    )
+    assert systematic_names(out) == ["shift"]
+    r = out.select(
+        F.col("systematics.shift.up.price").alias("pu"),
+        F.col("systematics.shift.up.qty").alias("qu"),
+        F.col("systematics.shift.down.price").alias("pd"),
+        F.col("systematics.shift.down.qty").alias("qd"),
+    ).collect()
+    assert [x.pu for x in r] == pytest.approx([110.0, 220.0])
+    assert [x.qu for x in r] == pytest.approx([9.5, 19.0])
+    assert [x.pd for x in r] == pytest.approx([90.0, 180.0])
+    assert [x.qd for x in r] == pytest.approx([10.5, 21.0])
+    # single-column kind refuses a list; multi fn must cover every column
+    with pytest.raises(ValueError, match="single column"):
+        add_systematic(df, "x", "UpDownSystematic", ["price", "qty"], lambda c, d: c)
+    with pytest.raises(ValueError, match="did not return"):
+        add_systematic(df, "y", "UpDownMultiSystematic", ["price", "qty"],
+                       lambda cols, d: {"price": cols["price"]})
+
+
+def test_nanoaod_version_specs():
+    from coffea_spark.schema import NanoAODSchemaSpec
+
+    latest = NanoAODSchemaSpec.cross_references
+    assert "FatJet_genJetAK8Idx" in latest and "Muon_fsrPhotonIdx" in latest
+    v7 = NanoAODSchemaSpec.v7()
+    assert "FatJet_genJetAK8Idx" in v7.cross_references
+    v6 = NanoAODSchemaSpec.v6()
+    assert "FatJet_genJetAK8Idx" not in v6.cross_references
+    assert "Muon_fsrPhotonIdx" in v6.cross_references
+    v5 = NanoAODSchemaSpec.v5()
+    assert "Muon_fsrPhotonIdx" not in v5.cross_references
+    assert "FsrPhoton_muonIdx" not in v5.cross_references
+    assert "Muon_jetIdx" in v5.cross_references  # shared links survive
+    assert v5.version == "5" and NanoAODSchemaSpec.version == "latest"
+    # versioned specs keep every other behavior (mixins, synthesis rules)
+    assert v5.mixins == NanoAODSchemaSpec.mixins
