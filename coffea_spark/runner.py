@@ -15,6 +15,7 @@ Checkpointing = optional intermediate parquet per dataset.
 from __future__ import annotations
 
 import os
+import pickle
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,12 +24,18 @@ from pyspark.sql import functions as F
 from coffea_spark.accumulator import accumulate
 
 
+def _result_path(checkpoint_dir: str, dataset: str) -> str:
+    return os.path.join(checkpoint_dir, f"{dataset}.result.pkl")
+
+
 def run(
     spark: SparkSession,
     fileset: dict[str, list[str] | str],
     pipeline: Callable[[DataFrame], dict],
     with_dataset_column: bool = True,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
+    on_error: str = "raise",
 ) -> dict:
     """Run ``pipeline`` over each dataset's files; returns
     {dataset: result} plus a merged ``"__total__"`` entry.
@@ -37,22 +44,59 @@ def run(
     literal column for metadata parity with events.metadata,
     methods/base.py:272-275) and returns a dict of driver-side values —
     anything accumulator.add can merge (numbers, numpy arrays, Hist1D,
-    nested dicts)."""
+    nested dicts).
+
+    Recovery bookkeeping (reference SimpleCheckpointer,
+    processor/checkpointer.py:15-130, + the Ok/Err partial accumulation
+    of executor.py:202-273): with ``checkpoint_dir`` set, each
+    completed dataset's result is pickled (atomically: tmp + rename) to
+    ``<dir>/<dataset>.result.pkl``; ``resume=True`` loads those instead
+    of recomputing, so a rerun after a mid-fileset failure only pays
+    for the datasets that never finished. Spark's own task retries
+    handle chunk-level failure — the unit of recovery here is the
+    dataset. ``on_error="partial"`` records a failing dataset under
+    ``"__failed__"`` (name -> repr(error)) and keeps going instead of
+    raising; the merged total then covers the successes only.
+    """
+    if on_error not in ("raise", "partial"):
+        raise ValueError("on_error must be 'raise' or 'partial'")
     results: dict[str, dict] = {}
+    failed: dict[str, str] = {}
     for dataset, paths in fileset.items():
+        if checkpoint_dir is not None and resume:
+            rp = _result_path(checkpoint_dir, dataset)
+            if os.path.exists(rp):
+                with open(rp, "rb") as f:
+                    results[dataset] = pickle.load(f)
+                continue
         if isinstance(paths, str):
             paths = [paths]
-        df = spark.read.parquet(*paths)
-        if with_dataset_column:
-            df = df.withColumn("dataset", F.lit(dataset))
+        try:
+            df = spark.read.parquet(*paths)
+            if with_dataset_column:
+                df = df.withColumn("dataset", F.lit(dataset))
+            if checkpoint_dir is not None:
+                ckpt = os.path.join(checkpoint_dir, dataset)
+                df.write.mode("overwrite").parquet(ckpt)
+                df = spark.read.parquet(ckpt)
+            results[dataset] = pipeline(df)
+        except Exception as exc:  # noqa: BLE001 - partial-result contract
+            if on_error == "raise":
+                raise
+            failed[dataset] = repr(exc)
+            continue
         if checkpoint_dir is not None:
-            ckpt = os.path.join(checkpoint_dir, dataset)
-            df.write.mode("overwrite").parquet(ckpt)
-            df = spark.read.parquet(ckpt)
-        results[dataset] = pipeline(df)
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            rp = _result_path(checkpoint_dir, dataset)
+            tmp = rp + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(results[dataset], f)
+            os.replace(tmp, rp)
     merged = accumulate(results.values())
     out = dict(results)
     out["__total__"] = merged
+    if failed:
+        out["__failed__"] = failed
     return out
 
 

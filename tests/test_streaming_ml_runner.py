@@ -271,3 +271,42 @@ def test_stateful_ewma(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stateful_ewma(stream, "user_id", alpha=0.0)
+
+
+def test_runner_checkpoint_recovery(spark, tmp_path):
+    """Mid-fileset failure -> partial result with __failed__; resumed run
+    skips completed datasets (checkpointer semantics,
+    reference processor/checkpointer.py:15-130 + Ok/Err partials)."""
+    d1, d2, d3 = (str(tmp_path / n) for n in ("a", "b", "c"))
+    for i, d in enumerate((d1, d2, d3)):
+        spark.range(10 * (i + 1)).select(
+            F.col("id").cast("double").alias("v")
+        ).write.parquet(d)
+    ckpt = str(tmp_path / "ckpt")
+    calls = []
+
+    def flaky(df):
+        ds = df.select("dataset").first()["dataset"]
+        calls.append(ds)
+        if ds == "dsB" and calls.count("dsB") == 1:
+            raise RuntimeError("simulated mid-fileset failure")
+        return {"n": df.count()}
+
+    fileset = {"dsA": d1, "dsB": d2, "dsC": d3}
+    out = run(spark, fileset, flaky, checkpoint_dir=ckpt, on_error="partial")
+    assert out["__failed__"] == {"dsB": "RuntimeError('simulated mid-fileset failure')"}
+    assert out["dsA"]["n"] == 10 and out["dsC"]["n"] == 30
+    assert out["__total__"]["n"] == 40  # successes only
+
+    # resume: dsA/dsC load from checkpoint (pipeline NOT re-invoked),
+    # dsB recomputes; merged output matches a clean full run
+    calls_before = list(calls)
+    out2 = run(spark, fileset, flaky, checkpoint_dir=ckpt, resume=True)
+    assert calls == calls_before + ["dsB"]
+    assert "__failed__" not in out2
+    assert out2["__total__"]["n"] == 60
+    clean = run(spark, fileset, lambda df: {"n": df.count()})
+    assert out2["__total__"] == clean["__total__"]
+
+    with pytest.raises(ValueError, match="on_error"):
+        run(spark, fileset, flaky, on_error="bogus")
