@@ -1198,6 +1198,333 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# experiment schema variants (reference nanoevents/schemas/{physlite,
+# delphes,treemaker,fcc,edm4hep,pdune}.py) — each gate builds flat branches
+# with that experiment's naming convention from lineitem, runs the Spark
+# rewriter, and proves a position-dependent invariant the DuckDB oracle
+# reproduces from the base table.
+# ---------------------------------------------------------------------------
+
+def _sorted_items(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            )
+        ).alias("it")
+    )
+
+
+def q_physlite_links(spark, sf_dir):
+    """PHYSLITE gate (reference schemas/physlite.py:77-188 + the
+    test_nanoevents_physlite.py link-resolution invariant): AuxDyn branch
+    grouping, TrackParticle p/pt/tau derivations from qOverP/theta, muon
+    mass fill, and ElementLink resolution with a REVERSED per-event link
+    (electron rank i -> track n-i), so the pt-weighted linked sum is
+    position-dependent — a wrong gather cannot hash-match."""
+    from coffea_spark.schemas_variants import PHYSLITESchemaSpec, resolve_element_links
+
+    flat = _sorted_items(spark, sf_dir).select(
+        "l_orderkey",
+        F.transform("it", lambda x: x["l_quantity"] + 0.0).alias("AnalysisElectronsAuxDyn.pt"),
+        F.transform("it", lambda x: x["l_quantity"] * 2.0).alias("AnalysisMuonsAuxDyn.pt"),
+        F.transform("it", lambda x: x["l_discount"] + 0.01).alias("GSFTrackParticlesAuxDyn.qOverP"),
+        F.transform("it", lambda x: x["l_tax"] + 0.5).alias("GSFTrackParticlesAuxDyn.theta"),
+        F.transform(F.sequence(F.lit(1), F.size("it")), lambda i: F.array(F.lit(7))).alias(
+            "AnalysisElectronsAuxDyn.trackParticleLinks.m_persKey"
+        ),
+        F.transform(F.sequence(F.lit(1), F.size("it")), lambda i: F.array(F.size("it") - i)).alias(
+            "AnalysisElectronsAuxDyn.trackParticleLinks.m_persIndex"
+        ),
+    )
+    events = PHYSLITESchemaSpec.apply(flat)
+    linked = resolve_element_links(
+        F.col("Electrons"), "trackParticleLinks", F.col("GSFTrackParticles")
+    )
+    weighted = F.zip_with(
+        F.col("Electrons"),
+        linked,
+        lambda e, ts: e["pt"] * F.aggregate(ts, F.lit(0.0), lambda a, t: a + t["qOverP"]),
+    )
+    return events.agg(
+        F.sum(F.size("Electrons")).alias("n_ele"),
+        F.round(F.sum(F.aggregate("GSFTrackParticles", F.lit(0.0), lambda s, t: s + t["p"])), 2).alias("sum_track_p"),
+        F.round(
+            F.sum(F.aggregate("GSFTrackParticles", F.lit(0.0), lambda s, t: s + t["pt"])), 2
+        ).alias("sum_track_pt"),
+        F.round(F.sum(F.aggregate(weighted, F.lit(0.0), lambda s, x: s + x)), 2).alias("sum_linked"),
+        F.round(F.sum(F.aggregate("Muons", F.lit(0.0), lambda s, m: s + m["m"])), 2).alias("sum_muon_m"),
+    )
+
+
+SQL_PHYSLITE_LINKS = """
+WITH ranked AS (
+  SELECT l_orderkey, l_quantity, l_discount, l_tax,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax) AS r,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ele,
+       round(sum(1.0 / abs(a.l_discount + 0.01)), 2) AS sum_track_p,
+       round(sum(sin(a.l_tax + 0.5) / abs(a.l_discount + 0.01)), 2) AS sum_track_pt,
+       round(sum(a.l_quantity * (b.l_discount + 0.01)), 2) AS sum_linked,
+       round(CAST(sum(105.658) AS DOUBLE), 2) AS sum_muon_m
+FROM ranked a JOIN ranked b
+  ON a.l_orderkey = b.l_orderkey AND b.r = a.n + 1 - a.r
+"""
+
+
+def q_delphes_met(spark, sf_dir):
+    """Delphes gate (reference schemas/delphes.py:235-356 +
+    test_nanoevents_delphes.py): size-branch counts dropped, massless-mixin
+    aliasing PT/Eta/Phi -> pt/eta/phi with mass=0 fill, and the MissingET
+    length-1 singleton flattened to a struct with rho = MET/cosh(eta)."""
+    from coffea_spark.schemas_variants import DelphesSchemaSpec
+
+    flat = _sorted_items(spark, sf_dir).select(
+        "l_orderkey",
+        F.transform("it", lambda x: x["l_quantity"] + 0.0).alias("Muon/Muon.PT"),
+        F.transform("it", lambda x: x["l_tax"]).alias("Muon/Muon.Eta"),
+        F.transform("it", lambda x: x["l_discount"]).alias("Muon/Muon.Phi"),
+        F.size("it").alias("Muon_size"),
+        F.array(F.aggregate("it", F.lit(0.0), lambda s, x: s + x["l_extendedprice"])).alias(
+            "MissingET/MissingET.MET"
+        ),
+        F.array(F.lit(0.5)).alias("MissingET/MissingET.Eta"),
+        F.array(F.lit(0.1)).alias("MissingET/MissingET.Phi"),
+        F.lit(1).alias("MissingET_size"),
+    )
+    events = DelphesSchemaSpec.apply(flat)
+    return events.agg(
+        F.sum(F.size("Muon")).alias("n_mu"),
+        F.round(F.sum(F.aggregate("Muon", F.lit(0.0), lambda s, m: s + m["pt"])), 2).alias("sum_pt"),
+        F.round(F.sum(F.aggregate("Muon", F.lit(0.0), lambda s, m: s + m["mass"])), 2).alias("sum_mass"),
+        F.round(F.sum("MissingET.rho"), 2).alias("sum_rho"),
+        F.round(F.sum("MissingET.eta"), 2).alias("sum_eta"),
+    )
+
+
+SQL_DELPHES_MET = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS sq, sum(l_extendedprice) AS sp
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_mu,
+       round(sum(sq), 2) AS sum_pt,
+       CAST(0.0 AS DOUBLE) AS sum_mass,
+       round(sum(sp / ((exp(0.5) + exp(-0.5)) / 2)), 2) AS sum_rho,
+       round(CAST(sum(0.5) AS DOUBLE), 2) AS sum_eta
+FROM per_order
+"""
+
+
+def q_treemaker_subjets(spark, sf_dir):
+    """TreeMaker gate (reference schemas/treemaker.py:50-167 +
+    test_nanoevents_treemaker.py): split PtEtaPhiE vector components zip
+    into jets, ``Jets_jecFactor`` merges as an attribute, and the
+    ``Jets_subjetsCounts`` branch regroups a flattened subjet collection
+    into a doubly-jagged ``Jets.subjets``. The checked sum couples each
+    jet's jec to ITS OWN subjet pts (prefix-offset dependent), so a
+    mis-nesting cannot hash-match."""
+    from coffea_spark.schemas_variants import TreeMakerSchemaSpec
+
+    counts = F.transform("it", lambda x: (x["l_linenumber"] % 2 + 1).cast("int"))
+    total = F.aggregate(counts, F.lit(0), lambda s, c: s + c)
+    flat = _sorted_items(spark, sf_dir).select(
+        F.col("l_orderkey").alias("event"),
+        F.transform("it", lambda x: x["l_quantity"] + 0.0).alias("Jets/Jets.fCoordinates.fPt"),
+        F.transform("it", lambda x: x["l_tax"]).alias("Jets/Jets.fCoordinates.fEta"),
+        F.transform("it", lambda x: x["l_discount"]).alias("Jets/Jets.fCoordinates.fPhi"),
+        F.transform("it", lambda x: x["l_quantity"] * 1.1).alias("Jets/Jets.fCoordinates.fE"),
+        F.transform("it", lambda x: x["l_discount"] + 1.0).alias("Jets_jecFactor"),
+        counts.alias("Jets_subjetsCounts"),
+        F.transform(F.sequence(F.lit(1), total), lambda p: p * 10.0).alias(
+            "Jets_subjets/Jets_subjets.fCoordinates.fPt"
+        ),
+        F.transform(F.sequence(F.lit(1), total), lambda p: p * 0.1).alias(
+            "Jets_subjets/Jets_subjets.fCoordinates.fEta"
+        ),
+        F.transform(F.sequence(F.lit(1), total), lambda p: p * 0.2).alias(
+            "Jets_subjets/Jets_subjets.fCoordinates.fPhi"
+        ),
+        F.transform(F.sequence(F.lit(1), total), lambda p: p * 11.0).alias(
+            "Jets_subjets/Jets_subjets.fCoordinates.fE"
+        ),
+    )
+    events = TreeMakerSchemaSpec.apply(flat)
+    jet_term = F.transform(
+        "Jets",
+        lambda j: j["jecFactor"]
+        * F.aggregate(j["subjets"], F.lit(0.0), lambda s, sj: s + sj["pt"]),
+    )
+    return events.agg(
+        F.sum(F.size("Jets")).alias("n_jets"),
+        F.sum(F.aggregate("Jets", F.lit(0), lambda s, j: s + F.size(j["subjets"]))).alias("n_subjets"),
+        F.round(F.sum(F.aggregate("Jets", F.lit(0.0), lambda s, j: s + j["energy"])), 2).alias("sum_energy"),
+        F.round(F.sum(F.aggregate(jet_term, F.lit(0.0), lambda s, x: s + x)), 2).alias("sum_jec_subpt"),
+    )
+
+
+SQL_TREEMAKER_SUBJETS = """
+WITH jets AS (
+  SELECT l_orderkey, l_quantity, l_discount,
+         l_linenumber % 2 + 1 AS c,
+         coalesce(sum(l_linenumber % 2 + 1) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_jets,
+       CAST(sum(c) AS BIGINT) AS n_subjets,
+       round(sum(l_quantity * 1.1), 2) AS sum_energy,
+       round(sum((l_discount + 1.0) * 10.0 * (c * start + c * (c + 1) / 2.0)), 2) AS sum_jec_subpt
+FROM jets
+"""
+
+
+def q_fcc_constituents(spark, sf_dir):
+    """FCC/EDM4HEP gate (reference schemas/fcc.py:171-528,
+    edm4hep.py:401-901 + test_nanoevents_edm4hep.py): slash-named podio
+    members with momentum-component aliasing, an ObjectID index collection
+    resolved with collectionID dispatch over TWO target collections, and a
+    begin/end range gather of jet constituents that skips the first
+    particle — all position-dependent."""
+    from coffea_spark.schemas_variants import FCCSchemaSpec, gather_range, resolve_objectid
+
+    n = F.size("it")
+    flat = _sorted_items(spark, sf_dir).select(
+        "l_orderkey",
+        F.transform("it", lambda x: x["l_extendedprice"]).alias(
+            "ReconstructedParticles/ReconstructedParticles.energy"
+        ),
+        F.transform("it", lambda x: x["l_quantity"] + 0.0).alias(
+            "ReconstructedParticles/ReconstructedParticles.momentum.x"
+        ),
+        F.transform("it", lambda x: x["l_quantity"] * 2.0).alias("Tracks/Tracks.energy"),
+        F.transform(F.sequence(F.lit(1), n), lambda i: (n - i).cast("long")).alias(
+            "Muon#0/Muon#0.index"
+        ),
+        F.transform(F.sequence(F.lit(1), n), lambda i: (F.lit(13) + i % 2).cast("int")).alias(
+            "Muon#0/Muon#0.collectionID"
+        ),
+        F.array(F.aggregate("it", F.lit(0.0), lambda s, x: s + x["l_extendedprice"])).alias(
+            "Jet/Jet.energy"
+        ),
+        F.array(F.lit(1).cast("long")).alias("Jet/Jet.particles_begin"),
+        F.array(n.cast("long")).alias("Jet/Jet.particles_end"),
+    )
+    events = FCCSchemaSpec.apply(flat)
+    resolved = resolve_objectid(
+        F.col("Muon_idx0"),
+        {13: F.col("ReconstructedParticles.E"), 14: F.col("Tracks.E")},
+    )
+    constituents = gather_range(
+        F.col("ReconstructedParticles.E"),
+        F.col("Jet.particles.begin"),
+        F.col("Jet.particles.end"),
+    )
+    return events.agg(
+        F.sum(F.size("Muon_idx0")).alias("n_muons"),
+        F.round(F.sum(F.aggregate(resolved, F.lit(0.0), lambda s, e: s + e)), 2).alias("sum_resolved"),
+        F.round(
+            F.sum(
+                F.aggregate(
+                    constituents,
+                    F.lit(0.0),
+                    lambda s, c: s + F.aggregate(c, F.lit(0.0), lambda a, e: a + e),
+                )
+            ),
+            2,
+        ).alias("sum_range"),
+        F.round(F.sum(F.aggregate("ReconstructedParticles", F.lit(0.0), lambda s, p: s + p["px"])), 2).alias("sum_px"),
+    )
+
+
+SQL_FCC_CONSTITUENTS = """
+WITH ranked AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax) AS r,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_muons,
+       round(sum(CASE WHEN a.r % 2 = 1 THEN b.l_quantity * 2.0 ELSE b.l_extendedprice END), 2) AS sum_resolved,
+       round(sum(CASE WHEN a.r > 1 THEN a.l_extendedprice ELSE 0.0 END), 2) AS sum_range,
+       round(sum(a.l_quantity), 2) AS sum_px
+FROM ranked a JOIN ranked b
+  ON a.l_orderkey = b.l_orderkey AND b.r = a.n + 1 - a.r
+"""
+
+
+def q_pdune_beam(spark, sf_dir):
+    """ProtoDUNE gate (reference schemas/pdune.py:90-214): hierarchical
+    underscore branches folded into RecoBeam (scalar record with a 3-vector
+    leaf) and Tracks (jagged record with per-track 3-vector leaves); the
+    checked sums are the 3-vector norms, which require the x/y/z
+    components to land in the SAME leaf struct."""
+    from coffea_spark.schemas_variants import PDUNESchemaSpec
+
+    flat = _sorted_items(spark, sf_dir).select(
+        "l_orderkey",
+        F.aggregate("it", F.lit(0.0), lambda s, x: s + x["l_quantity"]).alias("reco_beam_startX"),
+        F.aggregate("it", F.lit(0.0), lambda s, x: s + x["l_tax"]).alias("reco_beam_startY"),
+        F.aggregate("it", F.lit(0.0), lambda s, x: s + x["l_discount"]).alias("reco_beam_startZ"),
+        F.size("it").cast("double").alias("reco_beam_len"),
+        F.transform("it", lambda x: x["l_quantity"] + 0.0).alias("reco_daughter_allTrack_startX"),
+        F.transform("it", lambda x: x["l_tax"] * 10.0).alias("reco_daughter_allTrack_startY"),
+        F.transform("it", lambda x: x["l_discount"] * 10.0).alias("reco_daughter_allTrack_startZ"),
+        F.transform("it", lambda x: x["l_extendedprice"] / 100.0).alias("reco_daughter_allTrack_len"),
+    )
+    events = PDUNESchemaSpec.apply(flat)
+    b = F.col("RecoBeam")
+    beam_norm = F.sqrt(
+        b["start3D"]["x"] * b["start3D"]["x"]
+        + b["start3D"]["y"] * b["start3D"]["y"]
+        + b["start3D"]["z"] * b["start3D"]["z"]
+    )
+    trk_norm = F.aggregate(
+        "Tracks",
+        F.lit(0.0),
+        lambda s, t: s
+        + F.sqrt(
+            t["start3D"]["x"] * t["start3D"]["x"]
+            + t["start3D"]["y"] * t["start3D"]["y"]
+            + t["start3D"]["z"] * t["start3D"]["z"]
+        ),
+    )
+    return events.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(beam_norm), 2).alias("sum_beam_norm"),
+        F.round(F.sum(b["len"]), 2).alias("sum_beam_len"),
+        F.round(F.sum(trk_norm), 2).alias("sum_track_norm"),
+        F.round(F.sum(F.aggregate("Tracks", F.lit(0.0), lambda s, t: s + t["len"])), 2).alias("sum_track_len"),
+    )
+
+
+SQL_PDUNE_BEAM = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(l_quantity) AS bx, sum(l_tax) AS by, sum(l_discount) AS bz,
+         count(*) AS blen,
+         sum(sqrt(l_quantity * l_quantity + 100.0 * l_tax * l_tax
+                  + 100.0 * l_discount * l_discount)) AS tnorm,
+         sum(l_extendedprice / 100.0) AS tlen
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(sqrt(bx * bx + by * by + bz * bz)), 2) AS sum_beam_norm,
+       round(sum(blen), 2) AS sum_beam_len,
+       round(sum(tnorm), 2) AS sum_track_norm,
+       round(sum(tlen), 2) AS sum_track_len
+FROM per_order
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """Token accounting for LLM-data budgeting: whitespace tokens vs
     BPE-style pre-tokens (llmdata/text.py bpe_pretokens — GPT-2 classes
@@ -3871,6 +4198,11 @@ class Query:
 REGISTRY: dict[str, Query] = {
     # -- §2.2 schema-restructuring transforms ------------------------------
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
+    "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
+    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
+    "treemaker_subjets": Query(q_treemaker_subjets, SQL_TREEMAKER_SUBJETS),
+    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
+    "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
     "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
     "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
     "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),

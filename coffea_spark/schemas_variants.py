@@ -391,11 +391,12 @@ class TreeMakerSchemaSpec:
                     col = F.zip_with(col, _c(item), _with_field(field))
                 built[cname] = col
                 consumed.update(plain)
-            elif plain:
+            elif plain and all(_is_array(df, x) for x in plain):
                 built[cname] = F.arrays_zip(
                     *[_c(x).alias(x[len(cname) + 1:]) for x in plain]
                 )
                 consumed.update(plain)
+            # scalar <x>_<y> branches (per-event variables) stay flat
 
         # 3. nest subcollections: counts branch regroups the flattened
         #    subcollection under each outer object (nest_jagged_forms).
