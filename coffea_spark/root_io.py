@@ -99,13 +99,18 @@ def ttree_to_parquet(
     try:
         import awkward as ak  # noqa: F401
         import uproot
-    except ImportError as exc:  # pragma: no cover - env has no ROOT stack
-        raise ImportError(
-            "ROOT conversion needs the scientific Python stack: "
-            "`pip install uproot awkward` on the conversion host. "
-            "Spark itself never reads ROOT; convert once, then "
-            "`spark.read.parquet(...)`."
-        ) from exc
+    except ImportError:
+        # No uproot: flat leaflist trees (all NanoAOD-family files) go
+        # through the native pure-Python reader instead.
+        import pyarrow.parquet as pq
+
+        from coffea_spark.root_reader import root_to_arrow
+
+        table = root_to_arrow(
+            root_path, tree, list(branches) if branches is not None else None
+        )
+        pq.write_table(table, out_path, row_group_size=64 * 1024)
+        return
 
     with uproot.open(root_path) as f:  # pragma: no cover
         t = f[tree]

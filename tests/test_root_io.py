@@ -36,10 +36,10 @@ def test_branch_form_rejects_unknown():
         branch_form_to_spark({"x": "var * var * float32"})
 
 
-def test_converter_import_gated():
-    # the env has no uproot: the recipe must fail with guidance, not
-    # an AttributeError deep inside
-    with pytest.raises(ImportError, match="uproot"):
+def test_converter_native_fallback():
+    # the env has no uproot: the converter falls back to the native
+    # pure-Python reader (root_reader), which surfaces real I/O errors
+    with pytest.raises(FileNotFoundError):
         ttree_to_parquet("/nonexistent.root", "/tmp/out.parquet")
 
 
