@@ -15,11 +15,16 @@ format using only the stdlib + numpy + pyarrow:
   ``0x80000000 | displacement``), and jaggedness comes from the leaf title
   (``Muon_pt[nMuon]``).
 
-This replaces the reference's uproot mapping for the flat-tree case
-(reference: nanoevents/factory.py:267-480 from_root and
-nanoevents/mapping/uproot.py:115-226); object-typed branches
-(TLeafElement — nested std::vector trees) and RNTuple are NOT handled
-here — those stay on the convert-once path in ``root_io``.
+Member-wise split branches (TLeafElement: podio/EDM4HEP/FCC collections,
+ATLAS xAOD AuxDyn stores, TreeMaker split ROOT vectors) are also read:
+jaggedness comes from each basket's entry-offset table, element types from
+the leaf's fType or — for object-wise ``std::vector<T>`` branches — from
+the branch's streamed fClassName, stripping the 10-byte per-entry vector
+header.  This replaces the reference's uproot mapping
+(nanoevents/factory.py:267-480 from_root, mapping/uproot.py:115-226) for
+every fixture tree the reference tests ship except RNTuple files and
+nested ``vector<vector<T>>`` / object-class branches, which stay on the
+convert-once path in ``root_io``.
 
 Scale design: the Spark entry point :func:`read_root` distributes one
 task per file via ``mapInPandas`` over a file-list DataFrame — the
@@ -50,7 +55,22 @@ _LEAF_DTYPES = {
     "TLeafB": ("i1", "u1"),
     "TLeafO": ("u1", "u1"),  # bool
 }
-_LEAF_RE = re.compile(rb"\xff\xff\xff\xff(TLeaf[FDILSBOC])\x00")
+_LEAF_RE = re.compile(rb"\xff\xff\xff\xff(TLeaf[FDILSBOC]|TLeafElement)\x00")
+# TLeafElement fType (TStreamerInfo element type codes) -> numpy dtype
+_STREAMER_DTYPES = {
+    1: "i1", 11: "u1", 2: "i2", 12: "u2", 3: "i4", 13: "u4",
+    5: "f4", 8: "f8", 16: "i8", 17: "u8", 18: "u1",  # 18 = bool
+}
+# std::vector<T> element C++ type -> numpy dtype (object-wise STL branches)
+_VECTOR_DTYPES = {
+    "float": "f4", "double": "f8", "int": "i4", "unsigned int": "u4",
+    "short": "i2", "unsigned short": "u2", "char": "i1",
+    "unsigned char": "u1", "signed char": "i1", "bool": "u1",
+    "long": "i8", "unsigned long": "u8", "long long": "i8",
+    "unsigned long long": "u8", "Long64_t": "i8", "ULong64_t": "u8",
+    "Int_t": "i4", "UInt_t": "u4", "Float_t": "f4", "Double_t": "f8",
+}
+_VECTOR_RE = re.compile(rb"vector<([a-zA-Z_ 0-9]{3,24})>")
 
 
 @dataclass
@@ -60,6 +80,13 @@ class BranchInfo:
     counts: str | None  # counts branch name for jagged, None for flat
     fixed_len: int      # >1 for fixed-size array leaves
     is_bool: bool
+    # jaggedness carried by the basket entry-offset tables instead of a
+    # counts branch (TBranchElement member-wise splitting: podio/EDM4HEP,
+    # ATLAS xAOD, any std::vector<T> member branch)
+    from_offsets: bool = False
+    # per-entry streamer header to strip (10 for object-wise std::vector<T>
+    # branches: 4-byte bytecount + 2-byte version + 4-byte size)
+    header_bytes: int = 0
 
 
 class RootFileError(ValueError):
@@ -151,6 +178,7 @@ class RootTreeReader:
         self.branches = self._parse_leaves()
         self._entries: int | None = None
         self._cache: dict[str, np.ndarray] = {}
+        self._counts_cache: dict[str, np.ndarray] = {}
 
     # -- low-level ----------------------------------------------------------
 
@@ -209,7 +237,14 @@ class RootTreeReader:
                     title, after = _read_string(buf, tpos)
                 except Exception:
                     continue
-                if not title.startswith(name):
+                # leaflist leaves title as "name[counts]"; member-wise
+                # split leaves (TLeafElement) title only the member suffix
+                base = title.split("[", 1)[0]
+                if not (
+                    title.startswith(name)
+                    or name == base
+                    or name.endswith("." + base)
+                ):
                     continue
                 # resolve the class tag written just before this object:
                 # first-use: ...[ff ff ff ff][classname\0][hdrs(28)][name...]
@@ -227,9 +262,60 @@ class RootTreeReader:
                 if cls == "TLeafC":
                     break  # string leaf: unsupported, skip branch
                 # leaf body: fLen(i4) fLenType(i4) fOffset(i4) fIsRange(u1)
-                # fIsUnsigned(u1)
+                # fIsUnsigned(u1) fLeafCount(objptr)
                 flen, _ltype, _loff = struct.unpack_from(">iii", buf, after)
                 unsigned = buf[after + 13] != 0
+                if cls == "TLeafElement":
+                    # member-wise split branch: element type from fType.
+                    # fLeafCount is an object pointer: 0 = null, a plain
+                    # displacement = 4-byte back-reference to the count
+                    # leaf, kByteCountMask bit = the count-leaf object
+                    # written INLINE (first leaf of a collection) — skip
+                    # its bytecount+4 to land on fID/fType.
+                    ptr = struct.unpack_from(">I", buf, after + 14)[0]
+                    body = after + 18
+                    if ptr & 0x40000000:
+                        body = after + 18 + (ptr & 0x3FFFFFFF)
+                    ftype = struct.unpack_from(">i", buf, body + 4)[0]
+                    base = ftype % 20 if 20 < ftype < 40 else ftype
+                    dt = _STREAMER_DTYPES.get(base)
+                    header = 0
+                    if dt is None and ftype in (-1, 0):
+                        # object-wise STL branch: element type from the
+                        # branch's fClassName ("vector<float>"), which is
+                        # streamed a little further into the same
+                        # TBranchElement record; entries carry a 10-byte
+                        # streamer header.
+                        inner = None
+                        vp = buf.find(b"vector<", after, after + 900)
+                        if vp > 0:
+                            # fClassName is a length-prefixed TString: take
+                            # the FULL string so vector<vector<T>> is seen
+                            # as nested (unsupported), not as vector<T>
+                            slen = buf[vp - 1]
+                            full = buf[vp : vp - 1 + 1 + slen].decode(
+                                "latin1", "replace"
+                            )
+                            if full.endswith(">") and full.count("vector<") == 1:
+                                inner = full[len("vector<") : -1].strip()
+                        dt = _VECTOR_DTYPES.get(inner) if inner else None
+                        if dt is None:
+                            break  # nested/object vector: unsupported
+                        base = 18 if inner == "bool" else 0
+                        header = 10
+                        out[name] = BranchInfo(
+                            name, dt, None, 1, is_bool=(base == 18),
+                            from_offsets=True, header_bytes=header,
+                        )
+                        break
+                    if dt is None:
+                        break  # object-typed member: unsupported
+                    jagged = "[" in title or ptr != 0
+                    out[name] = BranchInfo(
+                        name, dt, None, 1, is_bool=(base == 18),
+                        from_offsets=jagged,
+                    )
+                    break
                 dt = _LEAF_DTYPES[cls][1 if unsigned else 0]
                 counts = None
                 fixed = max(int(flen), 1)
@@ -256,13 +342,21 @@ class RootTreeReader:
     def entries(self) -> int:
         if self._entries is None:
             for name, info in self.branches.items():
-                if info.counts is None and info.fixed_len == 1:
+                if info.counts is None and info.fixed_len == 1 and not info.from_offsets:
                     self._entries = sum(
                         self._basket_nev(k) for k in self._baskets[name]
                     )
                     break
             else:
-                self._entries = 0
+                # TBranchElement-only tree: every basket header carries the
+                # entry count regardless of member type
+                if self.branches:
+                    name = next(iter(self.branches))
+                    self._entries = sum(
+                        self._basket_nev(k) for k in self._baskets[name]
+                    )
+                else:
+                    self._entries = 0
         return self._entries
 
     def _basket_nev(self, key: _Key) -> int:
@@ -276,7 +370,7 @@ class RootTreeReader:
     def array(self, name: str) -> np.ndarray:
         """Flat (entry-concatenated) values of one branch, native byte
         order. Jagged branches return the flattened content — regroup with
-        the counts branch (:meth:`counts`)."""
+        :meth:`counts`."""
         if name in self._cache:
             return self._cache[name]
         info = self.branches.get(name)
@@ -285,11 +379,35 @@ class RootTreeReader:
                 f"{self.path}:{self.tree}: no readable branch {name!r} "
                 f"(have {len(self.branches)})"
             )
-        parts = []
+        itemsize = np.dtype(info.dtype).itemsize
+        parts, count_parts = [], []
         for k in self._baskets[name]:
             buf = self._payload(k)
             border = self._basket_last(k) - k.keylen
-            parts.append(np.frombuffer(buf, dtype=">" + info.dtype, count=border // np.dtype(info.dtype).itemsize))
+            if info.header_bytes:
+                offs = self._entry_offsets(k, buf, border)
+                sizes = np.diff(offs) - info.header_bytes
+                if (sizes < 0).any() or (sizes % itemsize).any():
+                    raise RootFileError(
+                        f"{self.path}:{name}: bad STL entry framing"
+                    )
+                raw = np.frombuffer(buf, dtype=np.uint8, count=border)
+                idx = np.concatenate(
+                    [
+                        np.arange(o + info.header_bytes, o + info.header_bytes + s)
+                        for o, s in zip(offs[:-1], sizes)
+                    ]
+                    or [np.empty(0, dtype=np.int64)]
+                ).astype(np.int64)
+                parts.append(raw[idx].tobytes())
+                parts[-1] = np.frombuffer(parts[-1], dtype=">" + info.dtype)
+                count_parts.append(sizes // itemsize)
+                continue
+            parts.append(
+                np.frombuffer(buf, dtype=">" + info.dtype, count=border // itemsize)
+            )
+            if info.from_offsets:
+                count_parts.append(self._entry_counts(k, buf, border, itemsize))
         vals = (
             np.concatenate(parts)
             if parts
@@ -299,13 +417,51 @@ class RootTreeReader:
         if info.is_bool:
             vals = vals.astype(bool)
         self._cache[name] = vals
+        if info.from_offsets:
+            self._counts_cache[name] = (
+                np.concatenate(count_parts)
+                if count_parts
+                else np.empty(0, dtype=np.int64)
+            )
         return vals
+
+    def _entry_offsets(self, key: _Key, buf: bytes, border: int) -> np.ndarray:
+        """Per-entry byte offsets (0-based into the content region) from
+        the basket's entry-offset table (written after the content for
+        variable-size branches)."""
+        nev = self._basket_nev(key)
+        m = struct.unpack_from(">i", buf, border)[0]
+        if m < nev:
+            raise RootFileError(
+                f"{self.path}:{key.name}: entry-offset table too short ({m} < {nev})"
+            )
+        offs = np.frombuffer(buf, dtype=">i4", count=nev, offset=border + 4).astype(np.int64)
+        offs = np.append(offs - key.keylen, border)
+        if len(offs) != nev + 1 or offs[0] != 0 or offs[-1] != border:
+            raise RootFileError(
+                f"{self.path}:{key.name}: malformed entry-offset table "
+                f"(n={m}, nev={nev}, span={offs[0]}..{offs[-1]}, border={border})"
+            )
+        return offs
+
+    def _entry_counts(self, key: _Key, buf: bytes, border: int, itemsize: int) -> np.ndarray:
+        """Per-entry element counts for member-wise split branches."""
+        byte_counts = np.diff(self._entry_offsets(key, buf, border))
+        if (byte_counts % itemsize).any():
+            raise RootFileError(
+                f"{self.path}:{key.name}: entry sizes not divisible by item size"
+            )
+        return byte_counts // itemsize
 
     def counts(self, name: str) -> np.ndarray | None:
         info = self.branches[name]
-        if info.counts is None:
-            return None
-        return self.array(info.counts)
+        if info.counts is not None:
+            return self.array(info.counts)
+        if info.from_offsets:
+            if name not in self._counts_cache:
+                self.array(name)
+            return self._counts_cache[name]
+        return None
 
     def to_arrow(self, columns: list[str] | None = None):
         """One Arrow table for the tree: scalar branches as flat columns,
@@ -319,8 +475,12 @@ class RootTreeReader:
         for name in names:
             info = self.branches[name]
             vals = self.array(name)
-            if info.counts is not None:
-                cts = self.array(info.counts).astype(np.int64)
+            if info.counts is not None or info.from_offsets:
+                cts = (
+                    self._counts_cache[name]
+                    if info.from_offsets
+                    else self.array(info.counts)
+                ).astype(np.int64)
                 if cts.sum() != len(vals):
                     raise RootFileError(
                         f"{self.path}:{name}: counts/content mismatch "
@@ -392,7 +552,7 @@ def read_root(
     for c in use_cols:
         info = head.branches[c]
         base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
-        if info.counts is not None or info.fixed_len > 1:
+        if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
             fields.append(T.StructField(c, T.ArrayType(base)))
         else:
             fields.append(T.StructField(c, base))
@@ -410,7 +570,7 @@ def read_root(
 
         def target_field(info):
             base = pa.bool_() if info.is_bool else _PA[info.dtype]
-            if info.counts is not None or info.fixed_len > 1:
+            if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
                 return pa.list_(base)
             return base
 

@@ -343,11 +343,15 @@ class TreeMakerSchemaSpec:
         names = [f.name for f in df.schema.fields]
         consumed: set[str] = set()
 
-        # 1. composite ROOT vectors: Obj/Obj.fCoordinates.fPt etc.
+        # 1. composite ROOT vectors: Obj/Obj.fCoordinates.fPt (uproot
+        #    naming) or Obj.fCoordinates.fPt (native reader naming)
         comp: dict[str, dict[str, str]] = {}
         for n in names:
             if "/" in n:
                 obj = n.split("/")[0].rstrip("_")
+                comp.setdefault(obj, {})[n.split(".")[-1]] = n
+            elif "." in n and n.split(".")[-1] in (set(cls._P4) | set(cls._V3)):
+                obj = n.split(".")[0].rstrip("_")
                 comp.setdefault(obj, {})[n.split(".")[-1]] = n
         built: dict[str, Column] = {}
         for obj, parts in comp.items():
@@ -435,8 +439,15 @@ class FCCSchemaSpec:
 
     @classmethod
     def apply(cls, df: DataFrame) -> DataFrame:
+        """Accepts both uproot-style ``Name/Name.member`` and podio-native
+        ``Name.member`` column names (the latter is what
+        :mod:`coffea_spark.root_reader` produces)."""
         names = [f.name for f in df.schema.fields]
-        tops = sorted({n.split("/")[0] for n in names if "/" in n})
+        slashed = {n.split("/")[0] for n in names if "/" in n}
+        dotted = {
+            n.split(".", 1)[0] for n in names if "." in n and "/" not in n
+        }
+        tops = sorted(slashed | dotted)
         out_cols: list[Column] = []
         consumed: set[str] = set()
         for top in tops:
@@ -444,6 +455,13 @@ class FCCSchemaSpec:
             raw: dict[str, str] = {
                 n[len(prefix):]: n for n in names if n.startswith(prefix)
             }
+            if not raw:  # podio-native naming
+                prefix = f"{top}."
+                raw = {
+                    n[len(prefix):]: n
+                    for n in names
+                    if n.startswith(prefix) and "/" not in n
+                }
             if not raw:
                 continue
             consumed.update(raw.values())

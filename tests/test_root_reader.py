@@ -132,6 +132,110 @@ def test_read_nanoevents_dimuon_pipeline(spark):
     assert z_window == 7  # deterministic for this fixture
 
 
+def test_vector_branches_podio_fcc():
+    """TBranchElement member-wise branches (podio/FCC): offsets-table
+    jaggedness + fType element types; every vector branch must decode with
+    counts/content agreement."""
+    r = RootTreeReader(f"{SAMPLES}/test_FCC_Winter2023.root")
+    assert r.tree == "events"
+    assert r.entries == 100
+    e = r.array("ReconstructedParticles.energy")
+    c = r.counts("ReconstructedParticles.energy")
+    assert c.sum() == len(e) and (e > 0).all()
+    for name, info in r.branches.items():
+        if info.from_offsets:
+            assert r.counts(name).sum() == len(r.array(name)), name
+
+
+def test_stl_vector_branches_physlite():
+    """Object-wise std::vector<T> branches (ATLAS xAOD AuxDyn): 10-byte
+    per-entry vector headers stripped, dtype from fClassName."""
+    r = RootTreeReader(f"{SAMPLES}/PHYSLITE_example.root")
+    assert r.tree == "CollectionTree"
+    pt = r.array("AnalysisElectronsAuxDyn.pt")
+    cts = r.counts("AnalysisElectronsAuxDyn.pt")
+    assert cts.sum() == len(pt) == 134
+    assert 1000 < pt.mean() / 1000 * 1000 < 1e6  # MeV scale
+    # nested vector<vector<T>> branches are excluded, not misread
+    assert "AnalysisJetsAuxDyn.EnergyPerSampling" not in r.branches
+
+
+def test_native_fcc_pipeline(spark):
+    """Raw podio ROOT -> read_root -> FCCSchemaSpec -> constituent range
+    gather; jet energy must approximately equal its constituents' sum."""
+    from coffea_spark.schemas_variants import FCCSchemaSpec, gather_range
+
+    df = read_root(
+        spark,
+        [f"{SAMPLES}/test_FCC_Winter2023.root"],
+        columns=[
+            "ReconstructedParticles.energy", "ReconstructedParticles.momentum.x",
+            "Jet.energy", "Jet.particles_begin", "Jet.particles_end",
+            "Muon#0.index", "Muon#0.collectionID",
+        ],
+    )
+    ev = FCCSchemaSpec.apply(df)
+    assert {"Jet", "Muon_idx0", "ReconstructedParticles"} <= set(ev.columns)
+    out = ev.select(
+        F.size("Jet").alias("njet"),
+        F.col("Jet.E").alias("jetE"),
+        gather_range(
+            F.col("ReconstructedParticles.E"),
+            F.col("Jet.particles.begin"),
+            F.col("Jet.particles.end"),
+        ).alias("cons"),
+    ).agg(
+        F.sum("njet").alias("njets"),
+        F.sum(F.aggregate(F.col("jetE"), F.lit(0.0), lambda s, e: s + e)).alias("sumJetE"),
+        F.sum(
+            F.aggregate(
+                "cons",
+                F.lit(0.0),
+                lambda s, c: s + F.aggregate(c, F.lit(0.0), lambda a, e: a + e),
+            )
+        ).alias("sumConsE"),
+    ).first()
+    assert out["njets"] == 268
+    assert abs(out["sumJetE"] - out["sumConsE"]) / out["sumJetE"] < 0.05
+
+
+def test_native_physlite_pipeline(spark):
+    from coffea_spark.schemas_variants import PHYSLITESchemaSpec
+
+    df = read_root(
+        spark,
+        [f"{SAMPLES}/PHYSLITE_example.root"],
+        columns=[
+            "AnalysisElectronsAuxDyn.pt", "AnalysisElectronsAuxDyn.eta",
+            "GSFTrackParticlesAuxDyn.qOverP", "GSFTrackParticlesAuxDyn.theta",
+        ],
+    )
+    ev = PHYSLITESchemaSpec.apply(df)
+    row = ev.agg(
+        F.sum(F.size("Electrons")).alias("nele"),
+        F.sum(F.aggregate("GSFTrackParticles", F.lit(0.0), lambda s, t: s + t["pt"])).alias("pt"),
+    ).first()
+    assert row["nele"] == 134
+    assert row["pt"] > 0
+
+
+def test_native_treemaker_pipeline(spark):
+    from coffea_spark.schemas_variants import TreeMakerSchemaSpec
+
+    df = read_root(
+        spark,
+        [f"{SAMPLES}/treemaker.root"],
+        columns=[
+            "Jets.fCoordinates.fPt", "Jets.fCoordinates.fEta",
+            "Jets.fCoordinates.fPhi", "Jets.fCoordinates.fE",
+        ],
+    )
+    ev = TreeMakerSchemaSpec.apply(df)
+    r = RootTreeReader(f"{SAMPLES}/treemaker.root")
+    zipped = ev.agg(F.sum(F.size("Jets"))).first()[0]
+    assert zipped == int(r.counts("Jets.fCoordinates.fPt").sum()) == 172
+
+
 def test_convert_fallback_roundtrip(tmp_path, spark):
     """root_io.ttree_to_parquet now works without uproot via the native
     reader; parquet round-trip preserves values."""
