@@ -251,17 +251,19 @@ class Collection:
         spec = getattr(ev, "_schema", None) if ev is not None else None
         if spec is None:
             return None
-        nested = spec.nested_references.get(self._name, {})
+        # variant specs (schemas_variants) declare no FK metadata
+        nested = getattr(spec, "nested_references", {}).get(self._name, {})
+        xrefs = getattr(spec, "cross_references", {})
         if name in nested:
             target, idx_fields = nested[name]
             return self.matched_via(idx_fields, ev[target])
         if name.startswith("matched_"):
             want = name[len("matched_"):]
-            for idx_col, target in spec.cross_references.items():
+            for idx_col, target in xrefs.items():
                 coll, field = idx_col.split("_", 1)
                 if coll == self._name and target.lower() == want:
                     return self.matched(field, ev[target])
-        if name == "parent" and f"{self._name}_genPartIdxMother" in spec.cross_references:
+        if name == "parent" and f"{self._name}_genPartIdxMother" in xrefs:
             return self.matched("genPartIdxMother", ev[self._name])
         return None
 
@@ -382,6 +384,23 @@ class NanoEvents:
         if schema is not None:
             return cls(schema.apply(df, collections), schema)
         return cls(zip_collections(df, collections))
+
+    @classmethod
+    def from_variant(cls, df: DataFrame, variant: str | None = None) -> "NanoEvents":
+        """Apply an experiment schema-variant rewriter (PHYSLITE, Delphes,
+        TreeMaker, EDM4HEP/FCC, ProtoDUNE, NanoAOD), auto-detected from
+        branch names when not given — the analog of the reference's
+        per-experiment factory entry points plus schemas/auto.py."""
+        from coffea_spark.schemas_variants import SCHEMA_SPECS, detect_schema
+
+        v = variant or detect_schema(df)
+        if v == "nanoaod":
+            from coffea_spark.schema import NanoAODSchemaSpec
+
+            return cls.from_flat(df, schema=NanoAODSchemaSpec)
+        if v == "auto":
+            return cls(zip_collections(df))
+        return cls(SCHEMA_SPECS[v].apply(df), SCHEMA_SPECS[v])
 
     @property
     def df(self) -> DataFrame:

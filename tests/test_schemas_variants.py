@@ -342,6 +342,20 @@ def test_auto_mixins(spark):
     assert mix["trk"] == "NanoCollection"
 
 
+def test_nanoevents_from_variant(physlite_df, fcc_df):
+    from coffea_spark.nanoevents import NanoEvents
+
+    ev = NanoEvents.from_variant(physlite_df)
+    assert "Electrons" in ev.df.columns
+    # proxy access works on the rewritten collections
+    total = ev.df.select(
+        F.sum(F.aggregate(ev.Electrons.pt, F.lit(0.0), lambda s, x: s + x)).alias("s")
+    ).first()["s"]
+    assert total == pytest.approx(35.0)
+    ev2 = NanoEvents.from_variant(fcc_df)
+    assert "Muon_idx0" in ev2.df.columns
+
+
 def test_detect_schema(physlite_df, delphes_df, treemaker_df, fcc_df, pdune_df):
     assert detect_schema(physlite_df) == "physlite"
     assert detect_schema(delphes_df) == "delphes"
