@@ -31,6 +31,7 @@ from coffea_spark.schema import (
 )
 from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
 from coffea_spark.nanoevents import Collection, NanoEvents, Record
+from coffea_spark.root_reader import RootTreeReader, read_nanoevents, read_root
 from coffea_spark.selection import PackedSelection
 from coffea_spark.weights import Weights
 
@@ -45,6 +46,9 @@ __all__ = [
     "NanoAODSchemaSpec",
     "PFNanoAODSchema",
     "ScoutingNanoAODSchema",
+    "RootTreeReader",
+    "read_root",
+    "read_nanoevents",
     "Hist1D",
     "Hist2D",
     "hist1d",
