@@ -50,7 +50,10 @@ class DenseLookup:
         if isinstance(bins, np.ndarray) and bins.ndim == 1:
             bins = [bins]
         self.bins = [np.asarray(b, dtype=float) for b in bins]
-        self.values = np.asarray(values, dtype=float)
+        # contiguous copy: indexing math below uses C-order logical
+        # strides, which physical strides of a transposed/sliced input
+        # would NOT match
+        self.values = np.ascontiguousarray(np.asarray(values, dtype=float))
         expected = tuple(len(b) - 1 for b in self.bins)
         if self.values.shape != expected:
             raise ValueError(
@@ -62,7 +65,12 @@ class DenseLookup:
     def _expr_call(self, *coords: Column) -> Column:
         flat = self.values.ravel()
         values_lit = F.array(*[F.lit(float(v)) for v in flat])
-        strides = [int(s) for s in np.array(self.values.strides) // self.values.itemsize]
+        # logical C-order strides from the shape (never the ndarray's
+        # physical strides, which differ for non-contiguous views)
+        strides = [
+            int(np.prod(self.values.shape[d + 1:], dtype=int))
+            for d in range(self.values.ndim)
+        ]
         idx = F.lit(0)
         for c, edges, stride in zip(coords, self.bins, strides):
             # replace inf edges with huge finite sentinels for literal math
@@ -402,6 +410,17 @@ def extractor(path: str):
         from coffea_spark.correction_files import read_histo_json
 
         return read_histo_json(path)
+    if base.endswith(".root"):
+        # native TH1/TH2/TH3 extraction (reference root_converters.py:19-34
+        # via uproot; here via the pure-Python reader) — each histogram
+        # becomes a DenseLookup plus a "<name>_error" lookup
+        from coffea_spark.root_reader import read_histograms
+
+        out = {}
+        for name, (edges, values, errors) in read_histograms(path).items():
+            out[name] = DenseLookup(values, [np.asarray(e) for e in edges])
+            out[name + "_error"] = DenseLookup(errors, [np.asarray(e) for e in edges])
+        return out
     if base.endswith(".npz"):
         from coffea_spark.correction_files import read_histo_npz
 

@@ -599,6 +599,153 @@ def _expand(pattern: str) -> list[str]:
     return glob.glob(pattern) if any(ch in pattern for ch in "*?[") else [pattern]
 
 
+# ---------------------------------------------------------------------------
+# histogram objects (TH1/TH2/TH3, F/D) — the reference's
+# lookup_tools/root_converters.py:19-49 without uproot
+# ---------------------------------------------------------------------------
+
+_HIST_CLASSES = {
+    "TH1F": (1, "f4"), "TH1D": (1, "f8"),
+    "TH2F": (2, "f4"), "TH2D": (2, "f8"),
+    "TH3F": (3, "f4"), "TH3D": (3, "f8"),
+}
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def rd(self, fmt: str):
+        v = struct.unpack_from(fmt, self.buf, self.pos)
+        self.pos += struct.calcsize(fmt)
+        return v if len(v) > 1 else v[0]
+
+    def hdr(self) -> int:
+        """Versioned-object header: returns the END position of the object
+        (bytecount counts from the version word)."""
+        bc = self.rd(">I") & 0x3FFFFFFF
+        end = self.pos + bc
+        self.rd(">H")  # version
+        return end
+
+    def skip_obj(self):
+        bc = self.rd(">I") & 0x3FFFFFFF
+        self.pos += bc
+
+    def tarray(self, dtype: str) -> np.ndarray:
+        n = self.rd(">i")
+        out = np.frombuffer(
+            self.buf, dtype=">" + dtype, count=n, offset=self.pos
+        ).astype(dtype)
+        self.pos += n * np.dtype(dtype).itemsize
+        return out
+
+
+def _parse_axis(c: _Cursor) -> np.ndarray:
+    """TAxis -> bin edges (len nbins+1); variable edges from fXbins,
+    uniform from fXmin/fXmax."""
+    end = c.hdr()
+    c.skip_obj()  # TNamed
+    c.skip_obj()  # TAttAxis
+    nbins = c.rd(">i")
+    xmin = c.rd(">d")
+    xmax = c.rd(">d")
+    xbins = c.tarray("f8")
+    c.pos = end
+    if len(xbins):
+        return xbins
+    return np.linspace(xmin, xmax, nbins + 1)
+
+
+def _parse_hist(cls: str, buf: bytes):
+    """Deserialize one TH1x/TH2x/TH3x record: (edges tuple, values with
+    flow stripped, errors with flow stripped).  Walks the streamed bases
+    with bytecount skipping — no TStreamerInfo machinery needed; the
+    member order relied on (axes -> stat block -> fContour -> fSumw2) is
+    stable since TH1 v4."""
+    dim, dtype = _HIST_CLASSES[cls]
+    c = _Cursor(buf)
+    c.hdr()                      # TH1F/TH2F/... outer
+    mid_end = c.hdr() if dim > 1 else None  # TH2/TH3 base
+    th1_end = c.hdr()            # TH1 base
+    for _ in range(4):           # TNamed, TAttLine, TAttFill, TAttMarker
+        c.skip_obj()
+    ncells = c.rd(">i")
+    axes = [_parse_axis(c) for _ in range(3)]
+    c.rd(">hh")                  # fBarOffset, fBarWidth
+    c.rd(">8d")                  # fEntries..fNormFactor
+    c.tarray("f8")               # fContour
+    sumw2 = c.tarray("f8")
+    # jump to the end of the outermost parsed base, then the bin contents
+    c.pos = mid_end if mid_end is not None else th1_end
+    values = c.tarray(dtype).astype("f8")
+    if len(values) != ncells:
+        raise RootFileError(f"{cls}: {len(values)} cells, expected {ncells}")
+    variances = sumw2 if len(sumw2) == ncells else values.clip(min=0.0)
+    nx = len(axes[0]) - 1
+    ny = len(axes[1]) - 1 if dim > 1 else 1
+    nz = len(axes[2]) - 1 if dim > 2 else 1
+    # ROOT global bin = x + (nx+2)*(y + (ny+2)*z), flow bins included
+    def shape(arr):
+        a = arr.reshape(nz + 2 if dim > 2 else 1, ny + 2 if dim > 1 else 1, nx + 2)
+        a = a[..., 1:-1]
+        if dim > 1:
+            a = a[:, 1:-1, :]
+        if dim > 2:
+            a = a[1:-1, :, :]
+        # to (x, y, z) axis order, squeezing absent dims
+        a = np.transpose(a, (2, 1, 0))
+        return a.reshape(a.shape[:dim])
+
+    edges = tuple(axes[:dim])
+    return edges, shape(values), np.sqrt(shape(variances))
+
+
+def read_histograms(path: str) -> dict:
+    """All TH1/TH2/TH3 (F/D) objects of a ROOT file:
+    ``{name: (edges tuple, values, errors)}`` with flow bins stripped —
+    subdirectory histograms included (keys are walked file-wide); for
+    duplicate names the highest cycle wins."""
+    r = RootTreeReader.__new__(RootTreeReader)
+    r.path = path
+    with open(path, "rb") as f:
+        r._data = f.read()
+    data = r._data
+    if data[:4] != b"root":
+        raise RootFileError(f"{path}: not a ROOT file")
+    version, fbegin = struct.unpack_from(">ii", data, 4)
+    fend = struct.unpack_from(">q" if version > 1000000 else ">i", data, 12)[0]
+    out, cycles = {}, {}
+    off = fbegin
+    while off < fend:
+        k = _Key(data, off)
+        if k.nbytes == 0:
+            break
+        if k.nbytes < 0:
+            off += -k.nbytes
+            continue
+        if k.cls in _HIST_CLASSES and cycles.get(k.name, -1) < k.cycle:
+            out[k.name] = _parse_hist(k.cls, r._payload(k))
+            cycles[k.name] = k.cycle
+        off += k.nbytes
+    return out
+
+
+def convert_histo_root_file(path: str) -> dict:
+    """Reference-shaped converter output
+    (lookup_tools/root_converters.py:19-34): for each histogram,
+    ``{(name, "dense_lookup"): (values, edges)}`` plus a
+    ``(name + "_error", "dense_lookup")`` entry with sqrt(variances)."""
+    out = {}
+    for name, (edges, values, errors) in read_histograms(path).items():
+        out[(name, "dense_lookup")] = (values, edges)
+        out[(name + "_error", "dense_lookup")] = (errors, edges)
+    return out
+
+
 def read_nanoevents(spark, paths, tree: str | None = None, columns=None, spec=None):
     """read_root + NanoAOD collection zipping in one call: the Spark
     equivalent of ``NanoEventsFactory.from_root(...).events()``."""

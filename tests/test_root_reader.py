@@ -236,6 +236,75 @@ def test_native_treemaker_pipeline(spark):
     assert zipped == int(r.counts("Jets.fCoordinates.fPt").sum()) == 172
 
 
+def test_read_histograms():
+    from coffea_spark.root_reader import convert_histo_root_file, read_histograms
+
+    h = read_histograms(f"{SAMPLES}/testSF2d.histo.root")
+    edges, vals, errs = h["scalefactors_Tight_Electron"]
+    assert vals.shape == (10, 6) and errs.shape == (10, 6)
+    assert edges[0][0] == -2.5 and edges[0][-1] == 2.5
+    assert edges[1][0] == 10.0 and edges[1][-1] == 500.0
+    # TH1D with variable edges + directory-nested TH1F
+    h1 = read_histograms(f"{SAMPLES}/SFttbar_2016_ele_pt.root")
+    assert h1["histo_eff_data"][1].shape[0] == 10
+    h2 = read_histograms(f"{SAMPLES}/PR554_SkipReadOnlyDirectory.root")
+    assert h2["h1"][1].shape == (25,)
+    conv = convert_histo_root_file(f"{SAMPLES}/testSF2d.histo.root")
+    assert ("scalefactors_Tight_Electron", "dense_lookup") in conv
+    assert ("scalefactors_Tight_Electron_error", "dense_lookup") in conv
+
+
+# the reference's own expected output for evaluator["testSF2d"](eta, pt)
+# over its seed-42 dummy distribution (tests/test_lookup_tools.py:26-91 in
+# the reference) — reproduced here as the parity oracle for the native
+# histogram reader + DenseLookup chain.
+_TESTSF2D_EXPECTED = np.array([
+    0.90780139, 0.82748538, 0.86332178, 0.86332178, 0.97981155, 0.79701495,
+    0.88245934, 0.82857144, 0.91884059, 0.97466666, 0.94072163, 1.00775194,
+    0.82748538, 1.00775194, 0.97203946, 0.98199672, 0.80655736, 0.90893763,
+    0.88245934, 0.79701495, 0.82748538, 0.82857144, 0.91884059, 0.90893763,
+    0.97520661, 0.97520661, 0.82748538, 0.91884059, 0.97203946, 0.88245934,
+    0.79701495, 0.9458763, 1.00775194, 0.80655736, 1.00775194, 1.00775194,
+    0.98976982, 0.98976982, 0.86332178, 0.94072163, 0.80655736, 0.98976982,
+    0.96638656, 0.9458763, 0.90893763, 0.9529984, 0.9458763, 0.9529984,
+    0.80655736, 0.80655736, 0.80655736, 0.98976982, 0.97466666, 0.98199672,
+    0.86332178, 1.03286386, 0.94072163, 1.03398061, 0.82857144, 0.80655736,
+    1.00775194, 0.80655736,
+])
+
+
+def test_root_scalefactors_reference_parity(spark):
+    """Reference tests/test_lookup_tools.py::test_root_scalefactors
+    end-to-end: Extractor('.root') -> DenseLookup on a Spark column must
+    reproduce the reference's hard-coded expected scale factors for its
+    seed-42 dummy kinematics."""
+    from coffea_spark.lookup import Extractor
+
+    np.random.seed(42)
+    counts = np.random.exponential(2, size=50).astype(int)
+    entries = int(counts.sum())
+    test_eta = np.random.uniform(-3.0, 3.0, size=entries)
+    test_pt = np.random.exponential(10.0, size=entries) + np.random.exponential(
+        10, size=entries
+    )
+
+    ex = Extractor()
+    ex.add_weight_set(
+        f"testSF2d scalefactors_Tight_Electron {SAMPLES}/testSF2d.histo.root"
+    )
+    ex.finalize()
+    ev = ex.make_evaluator()
+    sf = ev["testSF2d"]
+
+    df = spark.createDataFrame(
+        [(i, float(e), float(p)) for i, (e, p) in enumerate(zip(test_eta, test_pt))],
+        "i long, eta double, pt double",
+    )
+    rows = df.select("i", sf(F.col("eta"), F.col("pt")).alias("sf")).orderBy("i").collect()
+    got = np.array([r["sf"] for r in rows])
+    assert got == pytest.approx(_TESTSF2D_EXPECTED, abs=1e-6)
+
+
 def test_convert_fallback_roundtrip(tmp_path, spark):
     """root_io.ttree_to_parquet now works without uproot via the native
     reader; parquet round-trip preserves values."""
