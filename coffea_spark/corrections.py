@@ -77,7 +77,8 @@ def jer_smear_factor(
     resolution: Column,
     sf: Column,
     *,
-    rand_cols: tuple[Column, ...],
+    rand_cols: tuple[Column, ...] | None = None,
+    randn: Column | None = None,
 ) -> Column:
     """Hybrid deterministic/stochastic JER smearing factor (reference
     jer_smear, CorrectedJetsFactory.py:65-122):
@@ -85,9 +86,16 @@ def jer_smear_factor(
     - matched (pt_gen valid): 1 + (sf-1) * (pt - pt_gen)/pt  [scaling]
     - unmatched: 1 + randn * sqrt(max(sf^2-1, 0)) * resolution [stochastic]
     clamped at >= 0.
+
+    Pass ``randn`` to share ONE content-seeded draw across nominal/up/down
+    variations (reference semantics: the random draw is per jet, not per
+    variation — and recomputing the Box-Muller chain three times triples
+    the hash/trig work per jet).
     """
+    if randn is None:
+        randn = content_randn(*rand_cols)
     det = 1.0 + (sf - 1.0) * (pt - pt_gen) / pt
-    stoch = 1.0 + content_randn(*rand_cols) * F.sqrt(
+    stoch = 1.0 + randn * F.sqrt(
         F.greatest(sf * sf - 1.0, F.lit(0.0))
     ) * resolution
     factor = F.when(pt_gen.isNotNull() & (pt_gen > 0), det).otherwise(stoch)
@@ -156,11 +164,11 @@ class CorrectedJetsFactory:
             if self.jer and self.resolution is not None:
                 reso = self.resolution(j["eta"], pt_jec)
                 sf_nom, sf_up, sf_down = self.resolution_sf(j["eta"])
-                rand_cols = (j["pt"], j["eta"], j["phi"])
+                rand = content_randn(j["pt"], j["eta"], j["phi"])
                 pt_gen = F.lit(None).cast("double")  # no gen match by default
-                smear = jer_smear_factor(pt_jec, pt_gen, reso, sf_nom, rand_cols=rand_cols)
-                smear_up = jer_smear_factor(pt_jec, pt_gen, reso, sf_up, rand_cols=rand_cols)
-                smear_dn = jer_smear_factor(pt_jec, pt_gen, reso, sf_down, rand_cols=rand_cols)
+                smear = jer_smear_factor(pt_jec, pt_gen, reso, sf_nom, randn=rand)
+                smear_up = jer_smear_factor(pt_jec, pt_gen, reso, sf_up, randn=rand)
+                smear_dn = jer_smear_factor(pt_jec, pt_gen, reso, sf_down, randn=rand)
                 out = (
                     out.withField("pt", pt_jec * smear)
                     .withField("JER_up_pt", pt_jec * smear_up)

@@ -107,17 +107,33 @@ def gather_range(target: Column, begin: Column, end: Column) -> Column:
     )
 
 
-def resolve_element_links(source: Column, link_field: str, target: Column) -> Column:
+def resolve_element_links(
+    source: Column,
+    link_field: str,
+    target: Column | dict[int, Column],
+) -> Column:
     """PHYSLITE ElementLink resolution: for each source object, gather the
     target objects (same event) its ``link_field`` list points at via
     ``m_persIndex`` (reference physlite.py:114-152 link splitting +
-    methods/physlite.py link dereference).  -1 / out-of-range -> NULL."""
-    return F.transform(
-        source,
-        lambda x: F.transform(
-            x[link_field], lambda l: gather_local(target, l["m_persIndex"].cast("int"))
-        ),
-    )
+    methods/physlite.py link dereference).  -1 / out-of-range -> NULL.
+
+    ``target`` may be a single collection, or a ``{m_persKey: collection}``
+    mapping when links of one field point into different containers (the
+    reference resolves m_persKey through the file's hash map; element
+    types must agree across targets)."""
+    if isinstance(target, dict):
+        def deref(l):
+            out = None
+            for key, coll in target.items():
+                hit = gather_local(coll, l["m_persIndex"].cast("int"))
+                cond = l["m_persKey"].cast("long") == F.lit(int(key))
+                out = F.when(cond, hit) if out is None else out.when(cond, hit)
+            return out
+    else:
+        def deref(l):
+            return gather_local(target, l["m_persIndex"].cast("int"))
+
+    return F.transform(source, lambda x: F.transform(x[link_field], deref))
 
 
 def resolve_objectid(ids: Column, targets: dict[int, Column]) -> Column:

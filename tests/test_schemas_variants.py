@@ -90,6 +90,24 @@ def test_physlite_muon_mass_fill(physlite_df):
     assert mu[0]["m"] == pytest.approx(105.658)
 
 
+def test_physlite_elementlink_perskey_dispatch(physlite_df, spark):
+    """m_persKey routes each link to its target container."""
+    events = PHYSLITESchemaSpec.apply(physlite_df)
+    other = F.transform(
+        F.col("GSFTrackParticles"), lambda t: t.withField("qOverP", t["qOverP"] * 100.0)
+    )
+    resolved = events.select(
+        "eventNumber",
+        resolve_element_links(
+            F.col("Electrons"),
+            "trackParticleLinks",
+            {7: F.col("GSFTrackParticles"), 8: other},
+        ).alias("tracks"),
+    ).orderBy("eventNumber").first()
+    # fixture links all carry persKey 7 -> plain target values
+    assert resolved["tracks"][0][0]["qOverP"] == pytest.approx(0.01)
+
+
 def test_physlite_elementlink_resolution(physlite_df):
     events = PHYSLITESchemaSpec.apply(physlite_df)
     resolved = events.select(
