@@ -651,3 +651,79 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(block_col, "id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level deduplication (cross-document repeated windows)
+# ---------------------------------------------------------------------------
+
+def duplicate_windows(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate detection: every k-token window
+    occurring in >= ``min_docs`` DISTINCT documents marks a duplicated
+    span (the training-data dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — suffix-array exact
+    substring matching, here restricted to fixed-k windows so it runs as
+    one linear shuffle instead of a global suffix sort).
+
+    Returns per-document rows ``(id, n_dup_windows, dup_tokens)`` where
+    ``dup_tokens`` is the UNION length of the duplicated [pos, pos+k)
+    spans (overlaps merged in one pass over the sorted positions).
+
+    Scale: the exploded frame carries one row per token (window), i.e.
+    corpus-linear — the same volume class as the vocabulary build; the
+    one groupBy shuffles (window, doc, pos) triples. At 100 TB hash each
+    window to int64 first (xxhash64(win)) so the shuffle carries 8-byte
+    keys; the gate keeps raw strings so the DuckDB oracle reproduces the
+    grouping exactly.
+    """
+    toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    n = F.size("_tk")
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    positions,
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.concat_ws(" ", F.slice("_tk", i, k)).alias("win"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    dup_wins = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("win")
+    )
+    hits = wins.join(dup_wins, "win")
+    # merge overlapping fixed-length spans: for sorted positions p_1..p_m,
+    # union length = sum_j min(k, p_{j+1} - p_j) + k (last span full)
+    ps = F.sort_array(F.collect_list("pos"))
+    gaps = F.zip_with(
+        F.col("_ps"),
+        F.slice(F.col("_ps"), 2, F.greatest(F.size("_ps") - 1, F.lit(0))),
+        lambda a, b: F.least(F.lit(k), F.coalesce(b - a, F.lit(k))),
+    )
+    return (
+        hits.groupBy("_id")
+        .agg(ps.alias("_ps"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_ps").alias("n_dup_windows"),
+            F.aggregate(gaps, F.lit(0), lambda s, x: s + x).alias("dup_tokens"),
+        )
+    )

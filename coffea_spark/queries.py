@@ -1044,6 +1044,53 @@ FROM cosv GROUP BY 1
 # LLM-data pipeline: dedup / similarity / text analysis / multimodal
 # ---------------------------------------------------------------------------
 
+def q_substring_dupes(spark, sf_dir):
+    """Exact substring-level dedup gate (llmdata/dedup.duplicate_windows
+    — the fixed-window variant of Lee et al. 2022's exact substring
+    dedup): every 6-token window shared by >= 2 documents marks a
+    duplicated span; spans merge per document (sum of min(k, gap) over
+    sorted positions + k). Linear in corpus tokens; one groupBy shuffle
+    of (window, doc, pos) plus the join back."""
+    from coffea_spark.llmdata.dedup import duplicate_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = duplicate_windows(docs, text="text", id_col="doc_id", k=6)
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs_with_dupes"),
+        F.sum("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+    )
+
+
+SQL_SUBSTRING_DUPES = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+5], ' ') AS win
+  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 5, 0) + 1)) AS i FROM toks)
+),
+dups AS (
+  SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.i,
+         lead(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i) AS nxt
+  FROM wins w JOIN dups USING (win)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS nw,
+         sum(least(6, coalesce(nxt - i, 6))) AS toks
+  FROM hits GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs_with_dupes,
+       CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+       CAST(sum(toks) AS BIGINT) AS dup_tokens
+FROM per_doc
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster construction: near-dup EDGES (consecutive docs in
     (lang, source) with |delta n_chars| < 200 — chains up to ~8 hops at
@@ -4279,6 +4326,7 @@ REGISTRY: dict[str, Query] = {
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "simhash": Query(q_simhash, None),
     "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
+    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
     "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
     # -- LLM-data pipeline: similarity search ------------------------------
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),

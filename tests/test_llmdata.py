@@ -441,3 +441,43 @@ def test_ivf_probe_join_batched(spark):
         by_q.setdefault(r.qid, []).append(r.vec_id)
     # n_probe = n_lists probes everything -> exact: source vector is rank 1
     assert by_q[7][0] == 7 and by_q[42][0] == 42
+
+
+def test_duplicate_windows(spark):
+    """Exact substring-level dedup: shared k-token windows across docs,
+    overlapping spans merged (llmdata/dedup.duplicate_windows)."""
+    from pyspark.sql import Row
+
+    from coffea_spark.llmdata.dedup import duplicate_windows
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="something the quick brown fox jumps over the fence"),
+            Row(doc_id=3, text="entirely different content with no overlap at all"),
+            Row(doc_id=4, text="short text"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in duplicate_windows(df, k=4).collect()}
+    # docs 1+2 share "the quick brown fox jumps over the": 4 windows of 4
+    # tokens at consecutive positions -> merged span of 7 tokens each
+    assert set(out) == {1, 2}
+    assert out[1]["n_dup_windows"] == 4 and out[1]["dup_tokens"] == 7
+    assert out[2]["n_dup_windows"] == 4 and out[2]["dup_tokens"] == 7
+
+
+def test_duplicate_windows_disjoint_spans(spark):
+    from pyspark.sql import Row
+
+    from coffea_spark.llmdata.dedup import duplicate_windows
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c X Y Z q w e r t a b c"),
+            Row(doc_id=2, text="a b c K L M N O P Q R S T"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in duplicate_windows(df, k=3).collect()}
+    # only "a b c" is shared; doc 1 has it at positions 1 and 12 (disjoint)
+    assert out[1]["n_dup_windows"] == 2 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_dup_windows"] == 1 and out[2]["dup_tokens"] == 3
