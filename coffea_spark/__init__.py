@@ -31,7 +31,8 @@ from coffea_spark.schema import (
 )
 from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
 from coffea_spark.nanoevents import Collection, NanoEvents, Record
-from coffea_spark.root_reader import RootTreeReader, read_nanoevents, read_root
+from coffea_spark.rntuple import RNTupleReader
+from coffea_spark.root_reader import RootTreeReader, open_tree, read_nanoevents, read_root
 from coffea_spark.selection import PackedSelection
 from coffea_spark.weights import Weights
 
@@ -47,6 +48,8 @@ __all__ = [
     "PFNanoAODSchema",
     "ScoutingNanoAODSchema",
     "RootTreeReader",
+    "RNTupleReader",
+    "open_tree",
     "read_root",
     "read_nanoevents",
     "Hist1D",

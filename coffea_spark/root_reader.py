@@ -7,7 +7,8 @@ format using only the stdlib + numpy + pyarrow:
 - file header + sequential TKey walk (gap records with negative fNbytes
   skipped) discovers every basket and tree in the file;
 - per-branch TBasket payloads are decompressed lazily — ZLIB and LZMA via
-  the stdlib; LZ4/ZSTD raise with an actionable message (libs not in env);
+  the stdlib, ZSTD and LZ4 via the system libraries through ctypes
+  (gated: a clear error if neither is present);
 - leaf element types come from a targeted deserialization of the TLeaf
   records inside the TTree metadata buffer: each leaf's class
   (TLeafF/I/L/S/B/O/D) is resolved through ROOT's class-tag mechanism
@@ -20,11 +21,12 @@ ATLAS xAOD AuxDyn stores, TreeMaker split ROOT vectors) are also read:
 jaggedness comes from each basket's entry-offset table, element types from
 the leaf's fType or — for object-wise ``std::vector<T>`` branches — from
 the branch's streamed fClassName, stripping the 10-byte per-entry vector
-header.  This replaces the reference's uproot mapping
-(nanoevents/factory.py:267-480 from_root, mapping/uproot.py:115-226) for
-every fixture tree the reference tests ship except RNTuple files and
-nested ``vector<vector<T>>`` / object-class branches, which stay on the
-convert-once path in ``root_io``.
+header.  RNTuple files dispatch to :mod:`coffea_spark.rntuple` through
+:func:`open_tree`/:func:`read_root`.  This replaces the reference's
+uproot mapping (nanoevents/factory.py:267-480 from_root,
+mapping/uproot.py:115-226) for every fixture tree the reference tests
+ship except nested ``vector<vector<T>>`` / object-class branches, which
+stay on the convert-once path in ``root_io``.
 
 Scale design: the Spark entry point :func:`read_root` distributes one
 task per file via ``mapInPandas`` over a file-list DataFrame — the
@@ -91,6 +93,65 @@ class BranchInfo:
 
 class RootFileError(ValueError):
     pass
+
+
+# -- optional system codecs (ctypes, no Python packages needed) -------------
+
+def _load_zstd():
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("zstd")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t
+    ]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+    def decompress(blob: bytes, ulen: int) -> bytes:
+        import ctypes as ct
+
+        out = ct.create_string_buffer(ulen)
+        n = lib.ZSTD_decompress(out, ulen, blob, len(blob))
+        if lib.ZSTD_isError(n):
+            raise RootFileError("zstd decompression failed")
+        return out.raw[:n]
+
+    return decompress
+
+
+def _load_lz4():
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("lz4")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.LZ4_decompress_safe.restype = ctypes.c_int
+    lib.LZ4_decompress_safe.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
+    ]
+
+    def decompress(blob: bytes, ulen: int) -> bytes:
+        import ctypes as ct
+
+        # ROOT prefixes LZ4 payloads with an 8-byte xxhash64 checksum
+        out = ct.create_string_buffer(ulen)
+        n = lib.LZ4_decompress_safe(blob[8:], out, len(blob) - 8, ulen)
+        if n < 0:
+            raise RootFileError("lz4 decompression failed")
+        return out.raw[:n]
+
+    return decompress
+
+
+_ZSTD = _load_zstd()
+_LZ4 = _load_lz4()
 
 
 def _read_string(buf: bytes, p: int) -> tuple[str, int]:
@@ -194,16 +255,21 @@ class RootTreeReader:
             algo = data[p : p + 2]
             csize = data[p + 3] + (data[p + 4] << 8) + (data[p + 5] << 16)
             blob = data[p + 9 : p + 9 + csize]
+            usize = data[p + 6] + (data[p + 7] << 8) + (data[p + 8] << 16)
             if algo == b"ZL":
                 chunk = zlib.decompress(blob)
             elif algo == b"XZ":
                 import lzma
 
                 chunk = lzma.decompress(blob)
+            elif algo == b"ZS" and _ZSTD is not None:
+                chunk = _ZSTD(blob, usize)
+            elif algo == b"L4" and _LZ4 is not None:
+                chunk = _LZ4(blob, usize)
             elif algo in (b"L4", b"ZS"):
                 raise RootFileError(
-                    f"{self.path}: {algo.decode()} compression needs the lz4/zstandard "
-                    "package (not in this environment); re-write the file with "
+                    f"{self.path}: {algo.decode()} compression needs the system "
+                    "libzstd/liblz4 (not found); re-write the file with "
                     "ZLIB/LZMA or use the root_io convert path"
                 )
             else:
@@ -503,9 +569,23 @@ class RootTreeReader:
         return pa.Table.from_arrays(cols, schema=pa.schema(fields))
 
 
+def open_tree(path: str, tree: str | None = None):
+    """Open a columnar tree regardless of on-disk format: TTree via
+    :class:`RootTreeReader`, RNTuple via
+    :class:`coffea_spark.rntuple.RNTupleReader` (same API)."""
+    try:
+        return RootTreeReader(path, tree)
+    except RootFileError as exc:
+        if "RNTuple" not in str(exc):
+            raise
+        from coffea_spark.rntuple import RNTupleReader
+
+        return RNTupleReader(path, tree)
+
+
 def root_to_arrow(path: str, tree: str | None = None, columns: list[str] | None = None):
-    """Read one flat TTree into an Arrow table (column-pruned)."""
-    r = RootTreeReader(path, tree)
+    """Read one flat TTree/RNTuple into an Arrow table (column-pruned)."""
+    r = open_tree(path, tree)
     if columns is not None:
         missing = [c for c in columns if c not in r.branches]
         if missing:
@@ -540,7 +620,7 @@ def read_root(
     if not paths:
         raise ValueError("read_root: empty path list")
 
-    head = RootTreeReader(paths[0], tree)
+    head = open_tree(paths[0], tree)
     use_cols = columns if columns is not None else sorted(head.branches)
     _ARROW_TO_SPARK = {
         "f4": T.FloatType(), "f8": T.DoubleType(),
@@ -576,7 +656,7 @@ def read_root(
 
         for pdf in iterator:
             for path in pdf["path"]:
-                r = RootTreeReader(path, tree_name)
+                r = open_tree(path, tree_name)
                 tbl = r.to_arrow(use_cols)
                 # widen unsigned types to Spark's signed equivalents
                 tbl = tbl.cast(
