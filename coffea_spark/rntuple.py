@@ -108,8 +108,9 @@ class RNTupleReader:
 
     def __init__(self, path: str, name: str | None = None):
         self.path = path
-        with open(path, "rb") as f:
-            self._data = f.read()
+        from coffea_spark.root_reader import _map_file
+
+        self._data = _map_file(path)
         data = self._data
         if data[:4] != b"root":
             raise RootFileError(f"{path}: not a ROOT file")

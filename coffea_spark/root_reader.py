@@ -154,6 +154,21 @@ _ZSTD = _load_zstd()
 _LZ4 = _load_lz4()
 
 
+def _map_file(path: str):
+    """mmap the file read-only so a column-pruned read only PAGES IN the
+    byte ranges it touches (key headers + selected baskets) — a few MB of
+    I/O against multi-GB files; falls back to a full read where mmap is
+    unavailable."""
+    import mmap
+
+    with open(path, "rb") as fh:
+        try:
+            # POSIX: the mapping stays valid after the fd is closed
+            return mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file / no mmap support
+            return fh.read()
+
+
 def _read_string(buf: bytes, p: int) -> tuple[str, int]:
     n = buf[p]
     if n == 255:
@@ -186,8 +201,7 @@ class RootTreeReader:
 
     def __init__(self, path: str, tree: str | None = None):
         self.path = path
-        with open(path, "rb") as f:
-            self._data = f.read()
+        self._data = _map_file(path)
         data = self._data
         if data[:4] != b"root":
             raise RootFileError(f"{path}: not a ROOT file")
@@ -791,8 +805,7 @@ def read_histograms(path: str) -> dict:
     duplicate names the highest cycle wins."""
     r = RootTreeReader.__new__(RootTreeReader)
     r.path = path
-    with open(path, "rb") as f:
-        r._data = f.read()
+    r._data = _map_file(path)
     data = r._data
     if data[:4] != b"root":
         raise RootFileError(f"{path}: not a ROOT file")
