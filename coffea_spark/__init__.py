@@ -32,7 +32,13 @@ from coffea_spark.schema import (
 from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
 from coffea_spark.nanoevents import Collection, NanoEvents, Record
 from coffea_spark.rntuple import RNTupleReader
-from coffea_spark.root_reader import RootTreeReader, open_tree, read_nanoevents, read_root
+from coffea_spark.root_reader import (
+    RootTreeReader,
+    open_tree,
+    read_events,
+    read_nanoevents,
+    read_root,
+)
 from coffea_spark.selection import PackedSelection
 from coffea_spark.weights import Weights
 
@@ -52,6 +58,7 @@ __all__ = [
     "open_tree",
     "read_root",
     "read_nanoevents",
+    "read_events",
     "Hist1D",
     "Hist2D",
     "hist1d",

@@ -846,3 +846,22 @@ def read_nanoevents(spark, paths, tree: str | None = None, columns=None, spec=No
 
     df = read_root(spark, paths, tree=tree, columns=columns)
     return (spec or NanoAODSchemaSpec).apply(df)
+
+
+def read_events(spark, paths, tree: str | None = None, columns=None):
+    """Format- AND convention-agnostic events read: TTree or RNTuple on
+    disk, any experiment naming convention (NanoAOD, PHYSLITE, Delphes,
+    TreeMaker, EDM4HEP/FCC, ProtoDUNE) — the schema variant is detected
+    from the branch names and the matching rewriter applied (the
+    reference's per-format factory entry points + schemas/auto.py,
+    collapsed into one call)."""
+    from coffea_spark.schema import NanoAODSchemaSpec, zip_collections
+    from coffea_spark.schemas_variants import SCHEMA_SPECS, detect_schema
+
+    df = read_root(spark, paths, tree=tree, columns=columns)
+    variant = detect_schema(df)
+    if variant == "nanoaod":
+        return NanoAODSchemaSpec.apply(df)
+    if variant == "auto":
+        return zip_collections(df)
+    return SCHEMA_SPECS[variant].apply(df)

@@ -97,7 +97,9 @@ def zip_collections(
         if drop_counts and count_col in fields:
             consumed.add(count_col)
 
-    passthrough = [F.col(n) for n in fields if n not in consumed]
+    passthrough = [
+        F.col(f"`{n}`").alias(n) for n in fields if n not in consumed
+    ]
     return df.select(*passthrough, *out_cols)
 
 

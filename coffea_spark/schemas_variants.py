@@ -648,8 +648,9 @@ def detect_schema(df_or_names) -> str:
     joined = set(names)
     if any("AuxDyn" in n or ("Aux." in n) for n in names):
         return "physlite"
-    if any(".fCoordinates." in n or n.split(".")[-1] in {"fPt", "fEta", "fPhi", "fE"}
-           for n in names if "/" in n):
+    if any(".fCoordinates." in n
+           or ("." in n and n.split(".")[-1] in {"fPt", "fEta", "fPhi", "fE", "fX", "fY", "fZ"})
+           for n in names):
         return "treemaker"
     if any("#" in n for n in names) or any(
         n.endswith("_begin") or ".momentum.x" in n for n in names

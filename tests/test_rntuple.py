@@ -81,6 +81,23 @@ def test_open_tree_dispatch():
 
 
 @zstd_available
+def test_read_events_any_format(spark):
+    """One entry point from raw file to collections regardless of format
+    and naming convention."""
+    from coffea_spark.root_reader import read_events
+
+    # NanoAOD RNTuple
+    ev = read_events(spark, [f"{SAMPLES}/nano_dy_rntuple.root"],
+                     columns=["Muon_pt", "Muon_eta", "Muon_charge"])
+    assert "Muon" in ev.columns
+    # ATLAS PHYSLITE TTree
+    ev2 = read_events(spark, [f"{SAMPLES}/PHYSLITE_example.root"],
+                      columns=["AnalysisElectronsAuxDyn.pt", "AnalysisElectronsAuxDyn.eta"])
+    assert "Electrons" in ev2.columns
+    assert ev2.agg(F.sum(F.size("Electrons"))).first()[0] == 134
+
+
+@zstd_available
 def test_spark_read_root_rntuple(spark):
     """read_root transparently scans RNTuple files; results match the
     TTree twin read through the same entry point."""
