@@ -1245,6 +1245,54 @@ FROM lineitem
 """
 
 
+def q_root_scan(spark, sf_dir):
+    """Native ROOT ingestion gate (root_reader + rntuple): scan the
+    reference's OWN binary fixtures — nano_dimuon.root (TTree, zlib) and
+    its RNTuple twin — through the distributed ``read_root`` path, run
+    the dimuon pipeline, and emit per-format aggregates. The oracle is a
+    golden-value table: every number is a property of the fixed public
+    fixture (40 events, 84 muons, 6 Z-window opposite-sign pairs —
+    invariants the reference's own test suite also relies on), and the
+    TTree/RNTuple twins must agree exactly. ``sf_dir`` is unused: the
+    inputs are the binary fixtures themselves."""
+    from coffea_spark.root_reader import read_root
+    from coffea_spark.schema import zip_collections
+    from coffea_spark.vector import invariant_mass
+
+    samples = "/root/reference/tests/samples"
+    cols = ["run", "nMuon", "Muon_pt", "Muon_eta", "Muon_phi", "Muon_mass", "Muon_charge"]
+    rows = []
+    for fmt, path, use_cols in (
+        ("ttree", f"{samples}/nano_dimuon.root", cols),
+        ("rntuple", f"{samples}/nano_dimuon_rntuple.root", cols[2:]),
+    ):
+        ev = zip_collections(read_root(spark, [path], columns=use_cols))
+        pairs = combinations(F.col("Muon"), 2)
+        masses = F.filter(
+            F.transform(pairs, lambda p: F.when(
+                p["f0"]["charge"] != p["f1"]["charge"],
+                invariant_mass(p["f0"], p["f1"]),
+            )),
+            lambda m: m.isNotNull() & (m >= 60) & (m <= 120),
+        )
+        agg = ev.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.size("Muon")).alias("n_muons"),
+            F.sum(F.size(masses)).alias("z_pairs"),
+        )
+        rows.append(agg)
+    return rows[0].unionByName(rows[1])
+
+
+SQL_ROOT_SCAN = """
+SELECT * FROM (VALUES
+  ('ttree',   CAST(40 AS BIGINT), CAST(84 AS BIGINT), CAST(6 AS BIGINT)),
+  ('rntuple', CAST(40 AS BIGINT), CAST(84 AS BIGINT), CAST(6 AS BIGINT))
+) AS t(format, n_events, n_muons, z_pairs)
+"""
+
+
 # ---------------------------------------------------------------------------
 # experiment schema variants (reference nanoevents/schemas/{physlite,
 # delphes,treemaker,fcc,edm4hep,pdune}.py) — each gate builds flat branches
@@ -4243,6 +4291,8 @@ class Query:
 # The full registry is verified locally each round by
 # tools/check_oracle.py (results committed in CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
+    # -- §2.1 scans / sources ----------------------------------------------
+    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     # -- §2.2 schema-restructuring transforms ------------------------------
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
