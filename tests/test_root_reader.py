@@ -82,6 +82,16 @@ def test_other_experiment_trees():
     assert "NJets" in t.branches
 
 
+def test_empty_and_corrupt_files():
+    # empty Events tree: no baskets -> zero readable branches, zero rows
+    r = RootTreeReader(f"{SAMPLES}/scouting_nano.root")
+    assert r.tree == "Events" and r.entries == 0 and not r.branches
+    # truncated/corrupt fixture (the reference's bad_delphes.root) must
+    # fail with a clear error, not a parse crash
+    with pytest.raises(RootFileError):
+        RootTreeReader(f"{SAMPLES}/bad_delphes.root")
+
+
 def test_error_paths():
     with pytest.raises(RootFileError, match="RNTuple"):
         RootTreeReader(f"{SAMPLES}/nano_dy_rntuple.root")
