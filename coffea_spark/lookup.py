@@ -425,9 +425,19 @@ def extractor(path: str):
         from coffea_spark.correction_files import read_histo_npz
 
         return read_histo_npz(path)
+    if base.endswith(".corr.json"):
+        from coffea_spark.correctionlib_io import CorrectionSet
+
+        cs = CorrectionSet.from_file(path)
+        return {name: cs[name] for name in cs}
 
     with open(path) as f:
         doc = json.load(f)
+    if doc.get("schema_version") == 2:  # correctionlib JSON-POG payload
+        from coffea_spark.correctionlib_io import CorrectionSet
+
+        cs = CorrectionSet(doc)
+        return {name: cs[name] for name in cs}
     out = {}
     for c in doc.get("corrections", []):
         name, kind = c["name"], c["type"]
