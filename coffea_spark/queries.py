@@ -1245,6 +1245,62 @@ FROM lineitem
 """
 
 
+_CLIB_PATH = "/root/reference/tests/samples/testSF2d.corr.json.gz"
+
+
+def q_correctionlib_sf(spark, sf_dir):
+    """correctionlib gate (correctionlib_io): the reference's JSON-POG
+    SF2d payload (multibinning, flow=clamp) evaluated over lineitem-derived
+    (eta, pt) coordinates. The oracle embeds the payload's edges and
+    values as literals and replays the same clamped 2-D gather in SQL —
+    a true value oracle, not a golden constant."""
+    from coffea_spark.correctionlib_io import CorrectionSet
+
+    sf = CorrectionSet.from_file(_CLIB_PATH)["scalefactors_Tight_Electron"]
+    li = _t(spark, sf_dir, "lineitem")
+    eta = (F.col("l_tax") * 75.0) - 3.0        # spans past both eta edges
+    pt = F.col("l_extendedprice") / 100.0      # spans past the top pt edge
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(sf(eta, pt)), 6).alias("sum_sf"),
+        F.round(F.min(sf(eta, pt)), 6).alias("min_sf"),
+        F.round(F.max(sf(eta, pt)), 6).alias("max_sf"),
+    )
+
+
+def _sql_correctionlib_sf() -> str:
+    import gzip as _gzip
+    import json as _json
+
+    doc = _json.load(_gzip.open(_CLIB_PATH, "rt"))
+    node = doc["corrections"][0]["data"]
+    e0 = ", ".join(repr(float(v)) for v in node["edges"][0])
+    e1 = ", ".join(repr(float(v)) for v in node["edges"][1])
+    vals = ", ".join(repr(float(v)) for v in node["content"])
+    n1 = len(node["edges"][1]) - 1
+    return f"""
+WITH p AS (
+  SELECT l_returnflag,
+         (l_tax * 75.0) - 3.0 AS eta,
+         l_extendedprice / 100.0 AS pt
+  FROM lineitem
+), idx AS (
+  SELECT l_returnflag,
+         greatest(least(len(list_filter([{e0}], e -> e <= eta)) - 1,
+                        {len(node["edges"][0]) - 2}), 0) AS i0,
+         greatest(least(len(list_filter([{e1}], e -> e <= pt)) - 1,
+                        {n1 - 1}), 0) AS i1
+  FROM p
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(([{vals}])[i0 * {n1} + i1 + 1]) AS DOUBLE), 6) AS sum_sf,
+       round(CAST(min(([{vals}])[i0 * {n1} + i1 + 1]) AS DOUBLE), 6) AS min_sf,
+       round(CAST(max(([{vals}])[i0 * {n1} + i1 + 1]) AS DOUBLE), 6) AS max_sf
+FROM idx GROUP BY 1
+"""
+
+
 def q_root_scan(spark, sf_dir):
     """Native ROOT ingestion gate (root_reader + rntuple): scan the
     reference's OWN binary fixtures — nano_dimuon.root (TTree, zlib) and
@@ -4348,6 +4404,7 @@ REGISTRY: dict[str, Query] = {
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
     "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
+    "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
