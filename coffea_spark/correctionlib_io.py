@@ -260,3 +260,33 @@ class CorrectionSet:
 
     def keys(self):
         return list(self)
+
+
+def as_jec_level(correction, fixed: dict[str, Column] | None = None):
+    """Adapt a (compound) correction to the FactorizedJetCorrector level
+    interface ``(eta, pt) -> Column`` (the reference's
+    correctionlib_adapters.py:21-120 name-mapped wrapper): inputs named
+    JetEta/JetPt bind to the level arguments; every other declared input
+    (Rho, JetA, systematic...) must be supplied in ``fixed``.  Event-level
+    columns are legal there even inside the factory's per-jet lambda
+    (outer-row references in higher-order functions); per-jet extras need
+    the correction called directly on the jet struct instead."""
+    fixed = fixed or {}
+
+    def level(eta: Column, pt: Column) -> Column:
+        args = []
+        for name in correction.inputs:
+            if name in ("JetEta", "eta"):
+                args.append(eta)
+            elif name in ("JetPt", "pt"):
+                args.append(pt)
+            elif name in fixed:
+                args.append(fixed[name])
+            else:
+                raise CorrectionError(
+                    f"{correction.name}: input {name!r} not bound — pass it "
+                    f"via fixed= (declared inputs: {correction.inputs})"
+                )
+        return correction.evaluate(*args)
+
+    return level

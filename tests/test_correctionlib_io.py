@@ -124,3 +124,31 @@ def test_flow_behaviors(spark):
     in_lo = spark.range(1).select(sf(F.lit(-2.49), F.lit(40.0)).alias("v")).first()["v"]
     in_hi = spark.range(1).select(sf(F.lit(2.49), F.lit(40.0)).alias("v")).first()["v"]
     assert lo == pytest.approx(in_lo) and hi == pytest.approx(in_hi)
+
+
+def test_as_jec_level_in_factory(spark):
+    """correctionlib correction driving the CorrectedJetsFactory chain
+    (reference correctionlib_adapters.py usage)."""
+    from coffea_spark.corrections import CorrectedJetsFactory, FactorizedJetCorrector
+    from coffea_spark.correctionlib_io import as_jec_level
+    from pyspark.sql import Row
+
+    cs = CorrectionSet.from_file(f"{SAMPLES}/jet_jerc.json.gz")
+    flavor = [n for n in cs.keys() if "FlavorQCD" in n][0]
+    level = as_jec_level(cs[flavor])  # inputs: JetEta, JetPt only
+    corr = FactorizedJetCorrector([level])
+    factory = CorrectedJetsFactory(corr)
+    df = spark.createDataFrame(
+        [Row(Jet=[
+            Row(pt=100.0, mass=10.0, eta=1.0, phi=0.0, rawFactor=0.0),
+            Row(pt=50.0, mass=5.0, eta=-2.0, phi=1.0, rawFactor=0.1),
+        ])]
+    )
+    built = df.select(factory.build(F.col("Jet")).alias("j")).first()["j"]
+    # this fixture's FlavorQCD correction is the constant formula 0.02
+    assert built[0]["pt"] == pytest.approx(100.0 * 0.02)
+    assert built[1]["pt"] == pytest.approx(50.0 * 0.9 * 0.02)
+    # unbound extra input errors clearly
+    compound = cs[[n for n in cs.keys() if "L1L2L3Res" in n][0]]
+    with pytest.raises(Exception, match="not bound"):
+        as_jec_level(compound)(F.lit(1.0), F.lit(2.0))
