@@ -89,6 +89,9 @@ class BranchInfo:
     # per-entry streamer header to strip (10 for object-wise std::vector<T>
     # branches: 4-byte bytecount + 2-byte version + 4-byte size)
     header_bytes: int = 0
+    # list nesting depth: 2 for vector<vector<T>> branches (entry = 10-byte
+    # outer header, then per inner vector an i4 count + elements)
+    depth: int = 1
 
 
 class RootFileError(ValueError):
@@ -254,6 +257,7 @@ class RootTreeReader:
         self._entries: int | None = None
         self._cache: dict[str, np.ndarray] = {}
         self._counts_cache: dict[str, np.ndarray] = {}
+        self._inner_counts_cache: dict[str, np.ndarray] = {}
 
     # -- low-level ----------------------------------------------------------
 
@@ -366,26 +370,29 @@ class RootTreeReader:
                         # streamed a little further into the same
                         # TBranchElement record; entries carry a 10-byte
                         # streamer header.
-                        inner = None
+                        inner, depth = None, 1
                         vp = buf.find(b"vector<", after, after + 900)
                         if vp > 0:
-                            # fClassName is a length-prefixed TString: take
-                            # the FULL string so vector<vector<T>> is seen
-                            # as nested (unsupported), not as vector<T>
+                            # fClassName is a length-prefixed TString: use
+                            # the FULL string to tell vector<T> from
+                            # vector<vector<T>>
                             slen = buf[vp - 1]
                             full = buf[vp : vp - 1 + 1 + slen].decode(
                                 "latin1", "replace"
                             )
-                            if full.endswith(">") and full.count("vector<") == 1:
-                                inner = full[len("vector<") : -1].strip()
+                            if full.endswith(">"):
+                                if full.count("vector<") == 1:
+                                    inner = full[len("vector<") : -1].strip()
+                                elif full.count("vector<") == 2:
+                                    inner = full[2 * len("vector<") : -1].rstrip("> ").strip()
+                                    depth = 2
                         dt = _VECTOR_DTYPES.get(inner) if inner else None
                         if dt is None:
-                            break  # nested/object vector: unsupported
+                            break  # deeper nesting / object vector: unsupported
                         base = 18 if inner == "bool" else 0
-                        header = 10
                         out[name] = BranchInfo(
                             name, dt, None, 1, is_bool=(base == 18),
-                            from_offsets=True, header_bytes=header,
+                            from_offsets=True, header_bytes=10, depth=depth,
                         )
                         break
                     if dt is None:
@@ -461,6 +468,8 @@ class RootTreeReader:
             )
         itemsize = np.dtype(info.dtype).itemsize
         parts, count_parts = [], []
+        if info.depth == 2:
+            return self._array_nested(name, info, itemsize)
         for k in self._baskets[name]:
             buf = self._payload(k)
             border = self._basket_last(k) - k.keylen
@@ -504,6 +513,51 @@ class RootTreeReader:
                 else np.empty(0, dtype=np.int64)
             )
         return vals
+
+    def _array_nested(self, name: str, info: BranchInfo, itemsize: int) -> np.ndarray:
+        """vector<vector<T>> branch: entry = 10-byte outer header with the
+        outer size, then per inner vector an i4 count + elements. Fills
+        the flat-values cache plus outer/inner count caches."""
+        vals, outer_counts, inner_counts = [], [], []
+        for k in self._baskets[name]:
+            buf = self._payload(k)
+            border = self._basket_last(k) - k.keylen
+            offs = self._entry_offsets(k, buf, border)
+            for e in range(len(offs) - 1):
+                p, end = int(offs[e]), int(offs[e + 1])
+                n_outer = struct.unpack_from(">i", buf, p + 6)[0]
+                outer_counts.append(n_outer)
+                q = p + 10
+                for _ in range(n_outer):
+                    n_in = struct.unpack_from(">i", buf, q)[0]
+                    inner_counts.append(n_in)
+                    vals.append(
+                        np.frombuffer(buf, dtype=">" + info.dtype, count=n_in, offset=q + 4)
+                    )
+                    q += 4 + n_in * itemsize
+                if q != end:
+                    raise RootFileError(
+                        f"{self.path}:{name}: nested-vector framing mismatch "
+                        f"({q} != {end} at entry {e})"
+                    )
+        flat = (
+            np.concatenate(vals) if vals else np.empty(0, dtype=">" + info.dtype)
+        )
+        flat = flat.astype(flat.dtype.newbyteorder("="))
+        if info.is_bool:
+            flat = flat.astype(bool)
+        self._cache[name] = flat
+        self._counts_cache[name] = np.asarray(outer_counts, dtype=np.int64)
+        self._inner_counts_cache[name] = np.asarray(inner_counts, dtype=np.int64)
+        return flat
+
+    def inner_counts(self, name: str) -> np.ndarray | None:
+        """Per-inner-vector element counts of a depth-2 branch."""
+        if self.branches[name].depth != 2:
+            return None
+        if name not in self._inner_counts_cache:
+            self.array(name)
+        return self._inner_counts_cache[name]
 
     def _entry_offsets(self, key: _Key, buf: bytes, border: int) -> np.ndarray:
         """Per-entry byte offsets (0-based into the content region) from
@@ -555,6 +609,20 @@ class RootTreeReader:
         for name in names:
             info = self.branches[name]
             vals = self.array(name)
+            if info.depth == 2:
+                inner = self._inner_counts_cache[name]
+                outer = self._counts_cache[name]
+                in_off = np.zeros(len(inner) + 1, dtype=np.int32)
+                np.cumsum(inner, out=in_off[1:])
+                out_off = np.zeros(len(outer) + 1, dtype=np.int32)
+                np.cumsum(outer, out=out_off[1:])
+                arr = pa.ListArray.from_arrays(
+                    pa.array(out_off),
+                    pa.ListArray.from_arrays(pa.array(in_off), pa.array(vals)),
+                )
+                cols.append(arr)
+                fields.append(pa.field(name, arr.type))
+                continue
             if info.counts is not None or info.from_offsets:
                 cts = (
                     self._counts_cache[name]
@@ -646,7 +714,9 @@ def read_root(
     for c in use_cols:
         info = head.branches[c]
         base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
-        if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
+        if info.depth == 2:
+            fields.append(T.StructField(c, T.ArrayType(T.ArrayType(base))))
+        elif info.counts is not None or info.fixed_len > 1 or info.from_offsets:
             fields.append(T.StructField(c, T.ArrayType(base)))
         else:
             fields.append(T.StructField(c, base))
@@ -664,6 +734,8 @@ def read_root(
 
         def target_field(info):
             base = pa.bool_() if info.is_bool else _PA[info.dtype]
+            if info.depth == 2:
+                return pa.list_(pa.list_(base))
             if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
                 return pa.list_(base)
             return base

@@ -82,6 +82,31 @@ def test_other_experiment_trees():
     assert "NJets" in t.branches
 
 
+def test_nested_vector_branches(spark):
+    """vector<vector<T>> branches (ProtoDUNE per-hit data) decode to
+    doubly-jagged columns: outer header + per-inner i4 count framing."""
+    r = RootTreeReader(f"{SAMPLES}/pduneana.root")
+    nested = [n for n, b in r.branches.items() if b.depth == 2]
+    assert len(nested) == 60
+    name = "reco_daughter_allTrack_dQdX_SCE"
+    vals = r.array(name)
+    assert r.inner_counts(name).sum() == len(vals)
+    assert len(r.counts(name)) == r.entries
+    for n in nested:
+        v = r.array(n)
+        assert r.inner_counts(n).sum() == len(v), n
+    df = read_root(spark, [f"{SAMPLES}/pduneana.root"],
+                   columns=[name, "reco_beam_startX"])
+    assert dict(df.dtypes)[name] == "array<array<double>>"
+    row = df.agg(
+        F.sum(F.aggregate(
+            F.col(name), F.lit(0),
+            lambda s, inner: s + F.size(inner),
+        )).alias("n")
+    ).first()
+    assert row["n"] == int(r.inner_counts(name).sum())
+
+
 def test_empty_and_corrupt_files():
     # empty Events tree: no baskets -> zero readable branches, zero rows
     r = RootTreeReader(f"{SAMPLES}/scouting_nano.root")
@@ -166,8 +191,10 @@ def test_stl_vector_branches_physlite():
     cts = r.counts("AnalysisElectronsAuxDyn.pt")
     assert cts.sum() == len(pt) == 134
     assert 1000 < pt.mean() / 1000 * 1000 < 1e6  # MeV scale
-    # nested vector<vector<T>> branches are excluded, not misread
-    assert "AnalysisJetsAuxDyn.EnergyPerSampling" not in r.branches
+    # nested vector<vector<T>> branches read as doubly-jagged
+    eps = "AnalysisJetsAuxDyn.EnergyPerSampling"
+    assert r.branches[eps].depth == 2
+    assert r.inner_counts(eps).sum() == len(r.array(eps))
 
 
 def test_native_fcc_pipeline(spark):
