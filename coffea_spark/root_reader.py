@@ -25,8 +25,8 @@ header.  RNTuple files dispatch to :mod:`coffea_spark.rntuple` through
 :func:`open_tree`/:func:`read_root`.  This replaces the reference's
 uproot mapping (nanoevents/factory.py:267-480 from_root,
 mapping/uproot.py:115-226) for every fixture tree the reference tests
-ship except nested ``vector<vector<T>>`` / object-class branches, which
-stay on the convert-once path in ``root_io``.
+ship — including ``vector<vector<T>>`` branches (doubly-jagged columns);
+only object-class branches stay on the convert-once path in ``root_io``.
 
 Scale design: the Spark entry point :func:`read_root` distributes one
 task per file via ``mapInPandas`` over a file-list DataFrame — the
