@@ -197,26 +197,47 @@ class CompoundCorrection:
     chain (reference correctionlib_adapters.py CorrectedJetsFactory
     usage)."""
 
+    _INPUT_OPS = ("*", "+", "/")
+    _OUTPUT_OPS = ("*", "+", "/", "last")
+
     def __init__(self, spec: dict, corrections: dict[str, Correction]):
         self.name = spec["name"]
         self.inputs = [i["name"] for i in spec["inputs"]]
         self._update = set(spec.get("inputs_update") or [])
         self._input_op = spec.get("input_op", "*")
         self._output_op = spec.get("output_op", "*")
+        if self._input_op not in self._INPUT_OPS:
+            raise CorrectionError(
+                f"{self.name}: unsupported input_op {self._input_op!r} "
+                f"(schema v2 allows {self._INPUT_OPS})"
+            )
+        if self._output_op not in self._OUTPUT_OPS:
+            raise CorrectionError(
+                f"{self.name}: unsupported output_op {self._output_op!r} "
+                f"(schema v2 allows {self._OUTPUT_OPS})"
+            )
         self._stack = [corrections[n] for n in spec["stack"]]
+
+    @staticmethod
+    def _combine(acc: Column, step: Column, op: str) -> Column:
+        if op == "*":
+            return acc * step
+        if op == "+":
+            return acc + step
+        if op == "/":
+            return acc / step
+        return step  # 'last' — each step's output replaces the total
 
     def evaluate(self, *cols: Column) -> Column:
         env = dict(zip(self.inputs, cols))
         total = None
         for corr in self._stack:
             step = corr.evaluate(*[env[n] for n in corr.inputs])
-            total = step if total is None else (
-                total * step if self._output_op == "*" else step
+            total = step if total is None else self._combine(
+                total, step, self._output_op
             )
             for name in self._update:
-                env[name] = (
-                    env[name] * step if self._input_op == "*" else env[name] + step
-                )
+                env[name] = self._combine(env[name], step, self._input_op)
         return total if total is not None else F.lit(1.0)
 
     __call__ = evaluate

@@ -3224,7 +3224,15 @@ FROM t, m
 def q_hist3d(spark, sf_dir):
     """N-dimensional histogram fill (hist.histnd — the general hist.Hist
     analog): 3 regular axes, sparse by construction (only occupied
-    bucket tuples exist; the shuffle carries bucket ids, not data)."""
+    bucket tuples exist; the shuffle carries bucket ids, not data).
+
+    Gate numerics: the weight is fed as DECIMAL(12,4) so sumw/sumw2
+    accumulate EXACTLY and order-independently on both engines —
+    sum(price^2) reaches ~3e12 at sf0.01, where double ULP (~5e-4) can
+    flip the 2nd rounded decimal depending on partial-agg order (the
+    round-4 driver flake). Prices have 2 decimal places, squares 4, so
+    decimal accumulation is lossless; results cast back to double after
+    rounding so the compared schema stays DOUBLE."""
     from coffea_spark.hist import histnd
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3235,16 +3243,21 @@ def q_hist3d(spark, sf_dir):
             ("l_discount", 5, 0.0, 0.1),
             ("l_extendedprice", 20, 0.0, 80000.0),
         ],
-        weight=F.col("l_extendedprice"),
+        weight=F.col("l_extendedprice").cast("decimal(12,4)"),
     )
     return h.select(
         "bin0", "bin1", "bin2", "n",
-        F.round("sumw", 2).alias("sumw"),
-        F.round("sumw2", 2).alias("sumw2"),
+        F.round("sumw", 2).cast("double").alias("sumw"),
+        F.round("sumw2", 2).cast("double").alias("sumw2"),
     )
 
 
 SQL_HIST3D = """
+WITH w AS (
+  SELECT l_quantity, l_discount, l_extendedprice,
+         CAST(l_extendedprice AS DECIMAL(12,4)) AS wd
+  FROM lineitem
+)
 SELECT
   CASE WHEN l_quantity < 0 THEN -1 WHEN l_quantity >= 50 THEN 10
        ELSE CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT) END AS bin0,
@@ -3253,9 +3266,9 @@ SELECT
   CASE WHEN l_extendedprice < 0 THEN -1 WHEN l_extendedprice >= 80000 THEN 20
        ELSE CAST(floor((l_extendedprice - 0.0) / 4000.0) AS BIGINT) END AS bin2,
   count(*) AS n,
-  round(sum(l_extendedprice), 2) AS sumw,
-  round(sum(l_extendedprice * l_extendedprice), 2) AS sumw2
-FROM lineitem GROUP BY 1, 2, 3
+  CAST(round(sum(wd), 2) AS DOUBLE) AS sumw,
+  CAST(round(sum(CAST(wd AS DECIMAL(28,4)) * wd), 2) AS DOUBLE) AS sumw2
+FROM w GROUP BY 1, 2, 3
 """
 
 

@@ -43,6 +43,7 @@ import os
 import re
 import struct
 import zlib
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -252,16 +253,37 @@ class RootTreeReader:
         for k in self._keys:
             if k.cls == "TBasket" and k.title == tree:
                 self._baskets.setdefault(k.name, []).append(k)
+        # bounded decompressed-payload cache for entry-range iteration:
+        # adjacent ranges share their boundary basket, so a cache sized
+        # ~2 baskets per requested column makes each basket decompress
+        # once per pass. 0 disables (whole-branch reads cache the final
+        # arrays instead).
+        self.payload_cache_size = 0
+        self._payload_lru: "OrderedDict[int, bytes]" = OrderedDict()
         self._tree_buf = self._payload(self._tree_key)
         self.branches = self._parse_leaves()
         self._entries: int | None = None
         self._cache: dict[str, np.ndarray] = {}
         self._counts_cache: dict[str, np.ndarray] = {}
         self._inner_counts_cache: dict[str, np.ndarray] = {}
+        self._basket_starts: dict[str, np.ndarray] = {}
 
     # -- low-level ----------------------------------------------------------
 
     def _payload(self, key: _Key) -> bytes:
+        if self.payload_cache_size > 0:
+            hit = self._payload_lru.get(key.off)
+            if hit is not None:
+                self._payload_lru.move_to_end(key.off)
+                return hit
+        out = self._payload_raw(key)
+        if self.payload_cache_size > 0:
+            self._payload_lru[key.off] = out
+            while len(self._payload_lru) > self.payload_cache_size:
+                self._payload_lru.popitem(last=False)
+        return out
+
+    def _payload_raw(self, key: _Key) -> bytes:
         data = self._data
         start, end = key.off + key.keylen, key.off + key.nbytes
         if key.objlen == key.nbytes - key.keylen:
@@ -406,13 +428,26 @@ class RootTreeReader:
                 dt = _LEAF_DTYPES[cls][1 if unsigned else 0]
                 counts = None
                 fixed = max(int(flen), 1)
-                bm = re.match(re.escape(name) + r"\[(\w+)\]", title)
+                bm = re.match(re.escape(name) + r"((?:\[\w+\])+)", title)
                 if bm:
-                    idx = bm.group(1)
-                    if idx.isdigit():
-                        fixed = int(idx)
+                    dims = re.findall(r"\[(\w+)\]", bm.group(1))
+                    if all(d.isdigit() for d in dims):
+                        # multi-dim fixed leaf ("x[2][3]"): total width is
+                        # the PRODUCT of the dims — the TLeaf fLen already
+                        # carries it, so trust the larger of the two rather
+                        # than the first bracket alone (which silently
+                        # mis-framed trailing values).
+                        prod = 1
+                        for d in dims:
+                            prod *= int(d)
+                        fixed = max(fixed, prod, 1)
+                    elif len(dims) == 1:
+                        counts = dims[0]
                     else:
-                        counts = idx
+                        # counts variable mixed with fixed dims (e.g.
+                        # "x[n][3]"): cannot frame without per-entry
+                        # multiplication — skip rather than mis-frame.
+                        break
                 out[name] = BranchInfo(
                     name, dt, counts, fixed, is_bool=(cls == "TLeafO")
                 )
@@ -454,74 +489,16 @@ class RootTreeReader:
     def _basket_last(self, key: _Key) -> int:
         return struct.unpack_from(">hiiii", self._data, key.hdrend)[4]
 
-    def array(self, name: str) -> np.ndarray:
-        """Flat (entry-concatenated) values of one branch, native byte
-        order. Jagged branches return the flattened content — regroup with
-        :meth:`counts`."""
-        if name in self._cache:
-            return self._cache[name]
-        info = self.branches.get(name)
-        if info is None:
-            raise KeyError(
-                f"{self.path}:{self.tree}: no readable branch {name!r} "
-                f"(have {len(self.branches)})"
-            )
-        itemsize = np.dtype(info.dtype).itemsize
-        parts, count_parts = [], []
+    def _basket_data(self, name, info: BranchInfo, itemsize: int, k: _Key):
+        """Values of ONE basket as (big-endian vals, per-entry counts or
+        None, per-inner-vector counts or None). The per-basket unit of
+        work for both whole-branch and entry-range reads."""
+        buf = self._payload(k)
+        border = self._basket_last(k) - k.keylen
         if info.depth == 2:
-            return self._array_nested(name, info, itemsize)
-        for k in self._baskets[name]:
-            buf = self._payload(k)
-            border = self._basket_last(k) - k.keylen
-            if info.header_bytes:
-                offs = self._entry_offsets(k, buf, border)
-                sizes = np.diff(offs) - info.header_bytes
-                if (sizes < 0).any() or (sizes % itemsize).any():
-                    raise RootFileError(
-                        f"{self.path}:{name}: bad STL entry framing"
-                    )
-                raw = np.frombuffer(buf, dtype=np.uint8, count=border)
-                idx = np.concatenate(
-                    [
-                        np.arange(o + info.header_bytes, o + info.header_bytes + s)
-                        for o, s in zip(offs[:-1], sizes)
-                    ]
-                    or [np.empty(0, dtype=np.int64)]
-                ).astype(np.int64)
-                parts.append(raw[idx].tobytes())
-                parts[-1] = np.frombuffer(parts[-1], dtype=">" + info.dtype)
-                count_parts.append(sizes // itemsize)
-                continue
-            parts.append(
-                np.frombuffer(buf, dtype=">" + info.dtype, count=border // itemsize)
-            )
-            if info.from_offsets:
-                count_parts.append(self._entry_counts(k, buf, border, itemsize))
-        vals = (
-            np.concatenate(parts)
-            if parts
-            else np.empty(0, dtype=">" + info.dtype)
-        )
-        vals = vals.astype(vals.dtype.newbyteorder("="))
-        if info.is_bool:
-            vals = vals.astype(bool)
-        self._cache[name] = vals
-        if info.from_offsets:
-            self._counts_cache[name] = (
-                np.concatenate(count_parts)
-                if count_parts
-                else np.empty(0, dtype=np.int64)
-            )
-        return vals
-
-    def _array_nested(self, name: str, info: BranchInfo, itemsize: int) -> np.ndarray:
-        """vector<vector<T>> branch: entry = 10-byte outer header with the
-        outer size, then per inner vector an i4 count + elements. Fills
-        the flat-values cache plus outer/inner count caches."""
-        vals, outer_counts, inner_counts = [], [], []
-        for k in self._baskets[name]:
-            buf = self._payload(k)
-            border = self._basket_last(k) - k.keylen
+            # vector<vector<T>>: entry = 10-byte outer header with the
+            # outer size, then per inner vector an i4 count + elements
+            vals, outer_counts, inner_counts = [], [], []
             offs = self._entry_offsets(k, buf, border)
             for e in range(len(offs) - 1):
                 p, end = int(offs[e]), int(offs[e + 1])
@@ -540,16 +517,164 @@ class RootTreeReader:
                         f"{self.path}:{name}: nested-vector framing mismatch "
                         f"({q} != {end} at entry {e})"
                     )
-        flat = (
-            np.concatenate(vals) if vals else np.empty(0, dtype=">" + info.dtype)
-        )
-        flat = flat.astype(flat.dtype.newbyteorder("="))
+            flat = (
+                np.concatenate(vals) if vals else np.empty(0, dtype=">" + info.dtype)
+            )
+            return (
+                flat,
+                np.asarray(outer_counts, dtype=np.int64),
+                np.asarray(inner_counts, dtype=np.int64),
+            )
+        if info.header_bytes:
+            offs = self._entry_offsets(k, buf, border)
+            sizes = np.diff(offs) - info.header_bytes
+            if (sizes < 0).any() or (sizes % itemsize).any():
+                raise RootFileError(
+                    f"{self.path}:{name}: bad STL entry framing"
+                )
+            raw = np.frombuffer(buf, dtype=np.uint8, count=border)
+            idx = np.concatenate(
+                [
+                    np.arange(o + info.header_bytes, o + info.header_bytes + s)
+                    for o, s in zip(offs[:-1], sizes)
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            ).astype(np.int64)
+            vals = np.frombuffer(raw[idx].tobytes(), dtype=">" + info.dtype)
+            return vals, (sizes // itemsize).astype(np.int64), None
+        vals = np.frombuffer(buf, dtype=">" + info.dtype, count=border // itemsize)
+        if info.from_offsets:
+            return vals, self._entry_counts(k, buf, border, itemsize).astype(np.int64), None
+        return vals, None, None
+
+    @staticmethod
+    def _native(vals: np.ndarray, info: BranchInfo) -> np.ndarray:
+        vals = vals.astype(vals.dtype.newbyteorder("="))
         if info.is_bool:
-            flat = flat.astype(bool)
-        self._cache[name] = flat
-        self._counts_cache[name] = np.asarray(outer_counts, dtype=np.int64)
-        self._inner_counts_cache[name] = np.asarray(inner_counts, dtype=np.int64)
-        return flat
+            vals = vals.astype(bool)
+        return vals
+
+    def array(self, name: str) -> np.ndarray:
+        """Flat (entry-concatenated) values of one branch, native byte
+        order. Jagged branches return the flattened content — regroup with
+        :meth:`counts`."""
+        if name in self._cache:
+            return self._cache[name]
+        info = self.branches.get(name)
+        if info is None:
+            raise KeyError(
+                f"{self.path}:{self.tree}: no readable branch {name!r} "
+                f"(have {len(self.branches)})"
+            )
+        itemsize = np.dtype(info.dtype).itemsize
+        parts, count_parts, inner_parts = [], [], []
+        for k in self._baskets[name]:
+            v, c, i = self._basket_data(name, info, itemsize, k)
+            parts.append(v)
+            if c is not None:
+                count_parts.append(c)
+            if i is not None:
+                inner_parts.append(i)
+        vals = (
+            np.concatenate(parts)
+            if parts
+            else np.empty(0, dtype=">" + info.dtype)
+        )
+        vals = self._native(vals, info)
+        self._cache[name] = vals
+        if count_parts or info.from_offsets or info.depth == 2:
+            self._counts_cache[name] = (
+                np.concatenate(count_parts)
+                if count_parts
+                else np.empty(0, dtype=np.int64)
+            )
+        if info.depth == 2:
+            self._inner_counts_cache[name] = (
+                np.concatenate(inner_parts)
+                if inner_parts
+                else np.empty(0, dtype=np.int64)
+            )
+        return vals
+
+    def basket_entry_index(self, name: str) -> np.ndarray:
+        """Cumulative entry offsets of the branch's baskets (length
+        n_baskets+1) — the split points for basket-aligned chunking."""
+        if name not in self._basket_starts:
+            nev = [self._basket_nev(k) for k in self._baskets.get(name, [])]
+            self._basket_starts[name] = np.concatenate(
+                [[0], np.cumsum(nev, dtype=np.int64)]
+            )
+        return self._basket_starts[name]
+
+    def _range_column(self, name: str, e0: int, e1: int):
+        """One branch over the half-open entry range [e0, e1): returns
+        (native vals, per-entry counts or None, inner counts or None).
+        Only baskets OVERLAPPING the range are decompressed, so peak
+        memory is bounded by the range span + one basket on each edge —
+        the reference's cluster-aligned chunk reads
+        (processor/executor.py:110-181), Spark-first."""
+        info = self.branches.get(name)
+        if info is None:
+            raise KeyError(
+                f"{self.path}:{self.tree}: no readable branch {name!r} "
+                f"(have {len(self.branches)})"
+            )
+        itemsize = np.dtype(info.dtype).itemsize
+        idx = self.basket_entry_index(name)
+        e1 = min(e1, int(idx[-1]))
+        e0 = min(e0, e1)
+        b_lo = max(int(np.searchsorted(idx, e0, side="right")) - 1, 0)
+        b_hi = int(np.searchsorted(idx, e1, side="left"))
+        keys = self._baskets.get(name, [])[b_lo:b_hi]
+        B0 = int(idx[b_lo]) if b_lo < len(idx) else 0
+        parts, cparts, iparts = [], [], []
+        for k in keys:
+            v, c, i = self._basket_data(name, info, itemsize, k)
+            parts.append(v)
+            if c is not None:
+                cparts.append(c)
+            if i is not None:
+                iparts.append(i)
+        vals = (
+            np.concatenate(parts)
+            if parts
+            else np.empty(0, dtype=">" + info.dtype)
+        )
+        s0, s1 = e0 - B0, e1 - B0
+        if info.depth == 2:
+            outer = np.concatenate(cparts) if cparts else np.empty(0, dtype=np.int64)
+            inner = np.concatenate(iparts) if iparts else np.empty(0, dtype=np.int64)
+            o_cum = np.concatenate([[0], np.cumsum(outer, dtype=np.int64)])
+            i_cum = np.concatenate([[0], np.cumsum(inner, dtype=np.int64)])
+            vals = vals[i_cum[o_cum[s0]] : i_cum[o_cum[s1]]]
+            return (
+                self._native(vals, info),
+                outer[s0:s1],
+                inner[o_cum[s0] : o_cum[s1]],
+            )
+        if cparts:  # offset-table jaggedness (STL / member-wise split)
+            cts = np.concatenate(cparts)
+            cum = np.concatenate([[0], np.cumsum(cts, dtype=np.int64)])
+            return self._native(vals[cum[s0] : cum[s1]], info), cts[s0:s1], None
+        if info.counts is not None:
+            # leaflist jagged: frame with the counts branch over the full
+            # basket span (whole entries per basket by construction)
+            span_hi = int(idx[b_hi]) if b_hi < len(idx) else int(idx[-1])
+            cts_span, _, _ = self._range_column(info.counts, B0, span_hi)
+            cts_span = cts_span.astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(cts_span, dtype=np.int64)])
+            return (
+                self._native(vals[cum[s0] : cum[s1]], info),
+                cts_span[s0:s1],
+                None,
+            )
+        vals = vals[s0 * info.fixed_len : s1 * info.fixed_len]
+        cts = (
+            np.full(s1 - s0, info.fixed_len, dtype=np.int64)
+            if info.fixed_len > 1
+            else None
+        )
+        return self._native(vals, info), cts, None
 
     def inner_counts(self, name: str) -> np.ndarray | None:
         """Per-inner-vector element counts of a depth-2 branch."""
@@ -597,13 +722,25 @@ class RootTreeReader:
             return self._counts_cache[name]
         return None
 
-    def to_arrow(self, columns: list[str] | None = None):
-        """One Arrow table for the tree: scalar branches as flat columns,
-        jagged branches as list columns, fixed-size arrays as
-        ``fixed_len``-wide lists."""
+    def to_arrow(
+        self,
+        columns: list[str] | None = None,
+        entry_start: int = 0,
+        entry_stop: int | None = None,
+    ):
+        """One Arrow table for the tree (or an entry range of it): scalar
+        branches as flat columns, jagged branches as list columns,
+        fixed-size arrays as ``fixed_len``-wide lists.
+
+        With an entry range, only the baskets overlapping the range are
+        decompressed per column — peak memory is range-sized, not
+        file-sized."""
         import pyarrow as pa
 
         names = columns if columns is not None else list(self.branches)
+        if entry_start != 0 or entry_stop is not None:
+            stop = self.entries if entry_stop is None else min(entry_stop, self.entries)
+            return self._to_arrow_range(names, entry_start, stop)
         cols, fields = [], []
         n = self.entries
         for name in names:
@@ -650,6 +787,47 @@ class RootTreeReader:
             fields.append(pa.field(name, arr.type))
         return pa.Table.from_arrays(cols, schema=pa.schema(fields))
 
+    def _to_arrow_range(self, names: list[str], e0: int, e1: int):
+        import pyarrow as pa
+
+        cols, fields = [], []
+        n = e1 - e0
+        for name in names:
+            info = self.branches[name]
+            vals, cts, inner = self._range_column(name, e0, e1)
+            if info.depth == 2:
+                in_off = np.zeros(len(inner) + 1, dtype=np.int64)
+                np.cumsum(inner, out=in_off[1:])
+                out_off = np.zeros(len(cts) + 1, dtype=np.int64)
+                np.cumsum(cts, out=out_off[1:])
+                arr = pa.ListArray.from_arrays(
+                    pa.array(out_off, type=pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(in_off, type=pa.int32()), pa.array(vals)
+                    ),
+                )
+            elif cts is not None:
+                offsets = np.zeros(len(cts) + 1, dtype=np.int64)
+                np.cumsum(cts, out=offsets[1:])
+                if offsets[-1] != len(vals):
+                    raise RootFileError(
+                        f"{self.path}:{name}: counts/content mismatch in "
+                        f"range [{e0},{e1}) ({offsets[-1]} vs {len(vals)})"
+                    )
+                arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), pa.array(vals)
+                )
+            else:
+                if len(vals) != n:
+                    raise RootFileError(
+                        f"{self.path}:{name}: {len(vals)} values for "
+                        f"{n} entries in range [{e0},{e1})"
+                    )
+                arr = pa.array(vals)
+            cols.append(arr)
+            fields.append(pa.field(name, arr.type))
+        return pa.Table.from_arrays(cols, schema=pa.schema(fields))
+
 
 def open_tree(path: str, tree: str | None = None):
     """Open a columnar tree regardless of on-disk format: TTree via
@@ -681,16 +859,22 @@ def read_root(
     tree: str | None = None,
     columns: list[str] | None = None,
     batch_rows: int = 65536,
+    split_rows: int = 1 << 19,
 ):
-    """Distributed flat-TTree scan: one task per file, Arrow batches out.
+    """Distributed flat-TTree scan: one task per (file, entry-range),
+    Arrow batches out.
 
     Schema is inferred from the first file on the driver (metadata-only:
-    the TTree record is decompressed, no baskets).  Each executor task
-    reads its file with :class:`RootTreeReader`, decompressing ONLY the
-    requested branches' baskets, and yields ``batch_rows``-row pandas
-    chunks so peak memory stays bounded regardless of file size.
-    Equivalent reference surface: NanoEventsFactory.from_root over a
-    fileset (factory.py:267-480) — here the fan-out is Spark's.
+    the TTree record is decompressed, no baskets).  Files are split into
+    ``split_rows``-entry work items — the reference's cluster-aligned
+    chunking (processor/executor.py:110-181) — so a single multi-GB file
+    fans out across executors instead of pinning one task.  Each task
+    iterates ``batch_rows``-entry sub-ranges through the reader's
+    entry-range path: only the baskets overlapping the current range are
+    decompressed (a small payload LRU keeps boundary baskets from
+    decompressing twice), so peak memory is range-sized, never
+    file-sized.  Equivalent reference surface: NanoEventsFactory.from_root
+    over a fileset (factory.py:267-480) — here the fan-out is Spark's.
     """
     from pyspark.sql import types as T
 
@@ -723,6 +907,26 @@ def read_root(
     schema = T.StructType(fields)
     tree_name = head.tree
 
+    # metadata pass: entry counts per file -> (path, start, stop) chunks.
+    # Header-only (TKey walk + basket headers via mmap) so it is cheap;
+    # distributed when the file list is long, exactly like parquet
+    # footer reads in a planner.
+    if len(paths) > 32:
+        entry_counts = dict(
+            spark.sparkContext.parallelize(paths, min(len(paths), 256)).map(
+                lambda p: (p, open_tree(p, tree_name).entries)
+            ).collect()
+        )
+    else:
+        entry_counts = {p: open_tree(p, tree_name).entries for p in paths}
+    chunks = []
+    for p in paths:
+        n = entry_counts[p]
+        if n == 0:
+            chunks.append((p, 0, 0))
+        for s in range(0, n, split_rows):
+            chunks.append((p, s, min(s + split_rows, n)))
+
     def _read(iterator):
         import pyarrow as pa
 
@@ -740,23 +944,39 @@ def read_root(
                 return pa.list_(base)
             return base
 
+        readers: dict[str, RootTreeReader] = {}
         for pdf in iterator:
-            for path in pdf["path"]:
-                r = open_tree(path, tree_name)
-                tbl = r.to_arrow(use_cols)
-                # widen unsigned types to Spark's signed equivalents
-                tbl = tbl.cast(
-                    pa.schema(
-                        [pa.field(c, target_field(r.branches[c])) for c in use_cols]
-                    )
+            for path, start, stop in zip(pdf["path"], pdf["start"], pdf["stop"]):
+                r = readers.get(path)
+                if r is None:
+                    readers.clear()  # one open file per task at a time
+                    r = readers[path] = open_tree(path, tree_name)
+                    r.payload_cache_size = 2 * len(use_cols) + 8
+                cast_schema = pa.schema(
+                    [pa.field(c, target_field(r.branches[c])) for c in use_cols]
                 )
-                for batch_start in range(0, tbl.num_rows, batch_rows):
-                    yield tbl.slice(batch_start, batch_rows).to_pandas()
+                for b0 in range(int(start), int(stop), batch_rows) or [0]:
+                    b1 = min(b0 + batch_rows, int(stop))
+                    tbl = r.to_arrow(use_cols, entry_start=b0, entry_stop=b1)
+                    try:
+                        # widen unsigned types to Spark's signed equivalents;
+                        # safe cast raises on u8 values >= 2^63
+                        tbl = tbl.cast(cast_schema)
+                    except pa.lib.ArrowInvalid as exc:
+                        u8 = [
+                            c for c in use_cols if r.branches[c].dtype == "u8"
+                        ]
+                        raise RootFileError(
+                            f"{path}: unsigned-64 value out of int64 range "
+                            f"(u8 branches: {u8}); read these branches via "
+                            f"root_to_arrow and cast explicitly ({exc})"
+                        ) from exc
+                    yield tbl.to_pandas()
 
-    files_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        min(len(paths), 256)
-    )
-    return files_df.mapInPandas(_read, schema=schema)
+    chunks_df = spark.createDataFrame(
+        chunks, "path string, start long, stop long"
+    ).repartition(min(len(chunks), 256))
+    return chunks_df.mapInPandas(_read, schema=schema)
 
 
 def _expand(pattern: str) -> list[str]:
@@ -877,6 +1097,7 @@ def read_histograms(path: str) -> dict:
     duplicate names the highest cycle wins."""
     r = RootTreeReader.__new__(RootTreeReader)
     r.path = path
+    r.payload_cache_size = 0
     r._data = _map_file(path)
     data = r._data
     if data[:4] != b"root":

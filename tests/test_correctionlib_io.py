@@ -152,3 +152,71 @@ def test_as_jec_level_in_factory(spark):
     compound = cs[[n for n in cs.keys() if "L1L2L3Res" in n][0]]
     with pytest.raises(Exception, match="not bound"):
         as_jec_level(compound)(F.lit(1.0), F.lit(2.0))
+
+
+def _scale_spec(name, factor):
+    """Minimal correction: out = factor * x."""
+    return {
+        "name": name,
+        "version": 1,
+        "inputs": [{"name": "x", "type": "real"}],
+        "output": {"name": "out", "type": "real"},
+        "data": {
+            "nodetype": "formula",
+            "expression": f"{factor}*x",
+            "parser": "TFormula",
+            "variables": ["x"],
+        },
+    }
+
+
+def _compound_doc(input_op, output_op):
+    return {
+        "schema_version": 2,
+        "corrections": [_scale_spec("double", 2.0), _scale_spec("triple", 3.0)],
+        "compound_corrections": [
+            {
+                "name": "stack",
+                "inputs": [{"name": "x", "type": "real"}],
+                "output": {"name": "out", "type": "real"},
+                "inputs_update": ["x"],
+                "input_op": input_op,
+                "output_op": output_op,
+                "stack": ["double", "triple"],
+            }
+        ],
+    }
+
+
+@pytest.mark.parametrize(
+    "input_op,output_op,expected",
+    [
+        # x=5: step1=2*5=10; '*' update x=5*10=50; step2=3*50=150
+        ("*", "*", 10.0 * 150.0),
+        ("*", "+", 10.0 + 150.0),
+        ("*", "/", 10.0 / 150.0),
+        ("*", "last", 150.0),
+        # '+' update: x=5+10=15; step2=45
+        ("+", "*", 10.0 * 45.0),
+        # '/' update: x=5/10=0.5; step2=1.5
+        ("/", "+", 10.0 + 1.5),
+    ],
+)
+def test_compound_all_ops(spark, input_op, output_op, expected):
+    """CompoundCorrection honors every schema-v2 input_op/output_op —
+    '+', '/', and 'last' payloads must not silently evaluate as 'last'
+    or '+' (round-4 advice)."""
+    cs = CorrectionSet(_compound_doc(input_op, output_op))
+    cc = cs["stack"]
+    df = spark.range(1).select(F.lit(5.0).alias("x"))
+    got = df.select(cc(F.col("x")).alias("v")).first()["v"]
+    assert got == pytest.approx(expected)
+
+
+def test_compound_bad_ops_raise():
+    from coffea_spark.correctionlib_io import CorrectionError
+
+    with pytest.raises(CorrectionError, match="input_op"):
+        CorrectionSet(_compound_doc("-", "*"))
+    with pytest.raises(CorrectionError, match="output_op"):
+        CorrectionSet(_compound_doc("*", "pow"))

@@ -356,3 +356,74 @@ def test_convert_fallback_roundtrip(tmp_path, spark):
     assert df.count() == 40
     got = df.agg(F.sum(F.size("Muon_pt"))).first()[0]
     assert got == int(r.array("nMuon").sum())
+
+
+def test_entry_range_matches_full_read():
+    """to_arrow(entry range) agrees with slicing the whole-file table, on
+    a multi-basket fixture and across basket boundaries (reference chunk
+    semantics: processor/executor.py cluster-aligned chunks)."""
+    r = RootTreeReader(f"{SAMPLES}/treemaker.root")
+    cols = [
+        n for n, info in list(r.branches.items())[:40]
+    ]
+    full = r.to_arrow(cols)
+    r2 = RootTreeReader(f"{SAMPLES}/treemaker.root")
+    n = r.entries
+    for e0, e1 in [(0, 3), (3, 7), (7, n), (0, n), (2, 2), (n - 1, n)]:
+        got = r2.to_arrow(cols, entry_start=e0, entry_stop=e1)
+        assert got.equals(full.slice(e0, e1 - e0)), (e0, e1)
+
+
+def test_entry_range_jagged_and_nested():
+    """Jagged (counts-branch) and STL columns slice correctly mid-file."""
+    r = RootTreeReader(f"{SAMPLES}/nano_dimuon.root")
+    cols = ["run", "nMuon", "Muon_pt", "Muon_charge", "Muon_softId"]
+    full = r.to_arrow(cols)
+    for e0, e1 in [(0, 8), (8, 16), (13, 29), (39, 40)]:
+        got = r.to_arrow(cols, entry_start=e0, entry_stop=e1)
+        assert got.equals(full.slice(e0, e1 - e0)), (e0, e1)
+
+
+def test_entry_range_decompresses_only_overlap():
+    """A range confined to the first basket must not decompress later
+    baskets — the memory-bounding contract of the chunked read path."""
+    r = RootTreeReader(f"{SAMPLES}/treemaker.root")
+    # find a branch with >1 basket
+    name = max(r._baskets, key=lambda n: len(r._baskets[n]))
+    assert len(r._baskets[name]) >= 2
+    idx = r.basket_entry_index(name)
+    first_end = int(idx[1])
+    touched = []
+    orig = RootTreeReader._payload_raw
+
+    def spy(self, key):
+        touched.append(key.off)
+        return orig(self, key)
+
+    RootTreeReader._payload_raw = spy
+    try:
+        r.to_arrow([name], entry_start=0, entry_stop=first_end)
+    finally:
+        RootTreeReader._payload_raw = orig
+    basket_offs = [k.off for k in r._baskets[name]]
+    assert basket_offs[0] in touched
+    assert all(off not in touched for off in basket_offs[1:])
+
+
+def test_read_root_chunked_fanout(spark):
+    """read_root with sub-file splits smaller than the file produces the
+    same frame as one-shot reads: the (file, entry-range) work items and
+    batch iteration reassemble losslessly."""
+    path = f"{SAMPLES}/nano_dimuon.root"
+    cols = ["run", "nMuon", "Muon_pt"]
+    big = read_root(spark, [path], columns=cols).orderBy("run").collect()
+    small = read_root(
+        spark, [path], columns=cols, batch_rows=3, split_rows=7
+    )
+    assert small.count() == 40
+    got = small.agg(
+        F.sum("nMuon").alias("s"), F.sum(F.size("Muon_pt")).alias("z")
+    ).first()
+    r = RootTreeReader(path)
+    assert got["s"] == int(r.array("nMuon").sum())
+    assert got["z"] == int(r.array("nMuon").sum())
