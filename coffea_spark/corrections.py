@@ -71,6 +71,68 @@ def content_randn(*cols: Column, salt: int = 0) -> Column:
     return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
 
 
+# -- oracle-portable content RNG --------------------------------------------
+#
+# The xxhash64 Box-Muller draw above is the production default, but no
+# independent SQL engine reproduces xxhash64 or guarantees bitwise log/cos.
+# The PORTABLE twin derives the gaussian from a multiplicative hash mod
+# 2^31-1 (plain modular arithmetic) and an Irwin-Hall sum of 12 uniforms
+# (N(0,1) to ~1e-2 tails) — every operation used (+ - * / mod sqrt) is
+# IEEE-correctly-rounded, so any engine evaluating the same expression in
+# the same order produces the SAME bits. Same content-seeded semantics as
+# the reference (CorrectedJetsFactory.py:36-62); exchange the distribution
+# tail for an exact cross-engine oracle.
+
+PORTABLE_P = 2147483647  # 2^31 - 1 (prime)
+_PORTABLE_A = 1000003
+_PORTABLE_C = 12345
+
+
+def portable_hash(cols: tuple[Column, ...], salt: int = 0) -> Column:
+    """Fold integer columns into [0, 2^31-1) with h = (h*a + x + c) mod p.
+    Intermediates stay below 2^51 — exact in int64."""
+    h: Column = F.lit(int(salt) % PORTABLE_P)
+    for c in cols:
+        h = F.pmod(
+            h * F.lit(_PORTABLE_A)
+            + F.pmod(c.cast("long"), F.lit(PORTABLE_P))
+            + F.lit(_PORTABLE_C),
+            F.lit(PORTABLE_P),
+        )
+    return h
+
+
+def content_randn_portable(*cols: Column, salt: int = 0) -> Column:
+    """Content-seeded ~N(0,1) using only exactly-portable operations:
+    sum of 12 hash uniforms minus 6 (Irwin-Hall). Pair with
+    :func:`portable_randn_sql` for a bit-identical ANSI-SQL oracle."""
+    total = None
+    for k in range(12):
+        h = portable_hash(cols, salt=salt * 16 + k)
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(PORTABLE_P))
+        total = u if total is None else total + u
+    return total - F.lit(6.0)
+
+
+def portable_randn_sql(exprs: list[str], salt: int = 0) -> str:
+    """The SQL spelling of :func:`content_randn_portable` over the same
+    integer expressions, with identical fold and summation order."""
+    p, a, c = PORTABLE_P, _PORTABLE_A, _PORTABLE_C
+    terms = []
+    for k in range(12):
+        h = str((salt * 16 + k) % p)
+        for e in exprs:
+            h = (
+                f"(({h}) * {a} + ((CAST({e} AS BIGINT)) % {p} + {p}) % {p}"
+                f" + {c}) % {p}"
+            )
+        terms.append(f"((CAST({h} AS DOUBLE) + 0.5) / {float(p)!r})")
+    total = terms[0]
+    for t in terms[1:]:
+        total = f"({total} + {t})"
+    return f"({total} - 6.0)"
+
+
 def jer_smear_factor(
     pt: Column,
     pt_gen: Column,

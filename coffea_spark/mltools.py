@@ -75,6 +75,27 @@ class BatchInferencer:
         return self.udf()(*cols)
 
 
+def numpy_mlp_wrapper(model_path: str, name: str = "numpy-mlp") -> BatchInferencer:
+    """A REAL model artifact through the real loader path: a pure-numpy
+    MLP (relu hidden + sigmoid head) whose weights live in an ``.npz``
+    file — ``W1 (d,h)``, ``b1 (h)``, ``W2 (h)``, ``b2 ()``. Exercises
+    the same load-once-per-executor mechanism as the framework wrappers
+    (reference ml_tools/helper.py:10-386 nonserializable_attribute;
+    torch/xgboost need their runtimes, this one needs only numpy), so
+    inference-by-loaded-weights is tested live, not just import-gated."""
+
+    def load():
+        z = np.load(model_path)
+        return z["W1"], z["b1"], z["W2"], z["b2"]
+
+    def predict(model, X):
+        W1, b1, W2, b2 = model
+        h = np.maximum(X @ W1 + b1, 0.0)
+        return 1.0 / (1.0 + np.exp(-(h @ W2 + float(b2))))
+
+    return BatchInferencer(name, load, predict)
+
+
 def _import_gate(module: str, extra: str):
     def loader_factory(*a, **k):
         raise ImportError(

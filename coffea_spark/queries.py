@@ -2067,30 +2067,56 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _multimodal_fixture(spark, sf_dir) -> str:
+    """Encode the deterministic per-document images (BMP for odd ids,
+    binary PGM for even) into a parquet FIXTURE once per sf_dir — the
+    real pipeline scans already-encoded media; only decode belongs in
+    the measured path (round-4 advice: half the gate's cost was in-query
+    fixture encoding)."""
+    import tempfile
+
+    from coffea_spark.llmdata.multimodal import synthetic_gray_payloads
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_multimodal.parquet"
+    )
+    if not os.path.exists(out):
+        enc = F.pandas_udf(synthetic_gray_payloads, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.struct(
+                enc("doc_id").alias("data"),
+                F.when(F.col("doc_id") % 2 == 1, F.lit("bmp")).otherwise(F.lit("pgm")).alias("format"),
+                (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+                (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+            ).alias("image"),
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # a concurrent writer won the rename; theirs is identical
+    return out
+
+
 def q_multimodal_features(spark, sf_dir):
     """REAL image decode through the gate: per document a deterministic
     grayscale image (pixel i = (doc_id*31 + 7i) % 256, size tied to
-    doc_id) is ENCODED to an actual container format — BMP with a
-    palette for odd ids, binary PGM for even ids — then DECODED by the
-    numpy-only parsers in llmdata/multimodal.py (real_image_decoder,
-    the default) via the mapInPandas Arrow-batch path, and the decoded
-    (width, height, mean, std) aggregate per language. The oracle
-    recomputes the pixel statistics directly from the formula — any
-    header, padding, palette, row-order, or byte-order bug in either
-    codec shifts the decoded stats and goes hash-red."""
-    from coffea_spark.llmdata.multimodal import image_features, synthetic_gray_payloads
+    doc_id) is encoded ONCE into a parquet fixture of actual containers
+    (BMP with a palette for odd ids, binary PGM for even ids —
+    _multimodal_fixture), then the measured query SCANS the fixture and
+    DECODES with the numpy-only parsers in llmdata/multimodal.py
+    (real_image_decoder, the default) via the mapInPandas Arrow-batch
+    path, aggregating decoded (width, height, mean, std) per language.
+    The oracle recomputes the pixel statistics directly from the
+    formula — any header, padding, palette, row-order, or byte-order
+    bug in either codec shifts the decoded stats and goes hash-red."""
+    from coffea_spark.llmdata.multimodal import image_features
 
-    enc = F.pandas_udf(synthetic_gray_payloads, "binary")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.struct(
-            enc("doc_id").alias("data"),
-            F.when(F.col("doc_id") % 2 == 1, F.lit("bmp")).otherwise(F.lit("pgm")).alias("format"),
-            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
-            (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
-        ).alias("image"),
-    )
+    docs = spark.read.parquet(_multimodal_fixture(spark, sf_dir))
     feats = image_features(docs, "image")
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2491,24 +2517,20 @@ FROM lineitem
 """
 
 
+_MLP_PATH = os.path.join(os.path.dirname(__file__), "data", "mlp_demo.npz")
+
+
 def q_ml_score(spark, sf_dir):
-    """Batch ML inference through the engine's wrapper (reference
-    ml_tools/helper.py:10-386): per-executor-cached model, Arrow-batched
-    pandas UDF, array column stacked to a 2-D batch. The 'model' is a
-    deterministic linear+sigmoid head so DuckDB can replay it."""
-    import numpy as np
+    """Batch ML inference with a REAL loaded model artifact (reference
+    ml_tools/helper.py:10-386 + tests/test_ml_tools.py): a pure-numpy
+    MLP whose weights ship as an .npz file, loaded once per executor by
+    mltools.numpy_mlp_wrapper and applied as an Arrow-batched pandas
+    UDF over the stacked embedding batch. The oracle replays the same
+    weights (read from the same artifact at SQL-generation time) as
+    literal arrays in DuckDB."""
+    from coffea_spark.mltools import numpy_mlp_wrapper
 
-    from coffea_spark.mltools import BatchInferencer
-
-    def loader():
-        wvec = (np.arange(64) % 7 - 3.0) / 10.0
-        return wvec, 0.05
-
-    def predict(model, X):
-        wvec, b = model
-        return 1.0 / (1.0 + np.exp(-(X @ wvec + b)))
-
-    scorer = BatchInferencer("linear-sigmoid", loader, predict)
+    scorer = numpy_mlp_wrapper(_MLP_PATH, name="mlp-demo")
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select(
         "label", scorer(F.col("embedding").cast("array<double>")).alias("score")
@@ -2520,19 +2542,37 @@ def q_ml_score(spark, sf_dir):
     )
 
 
-SQL_ML_SCORE = """
+def _sql_ml_score() -> str:
+    """Replay the .npz MLP weights as DuckDB literal-array math."""
+    import numpy as np
+
+    z = np.load(_MLP_PATH)
+    W1, b1, W2, b2 = z["W1"], z["b1"], z["W2"], float(z["b2"])
+    d, h = W1.shape
+
+    def lst(a):
+        return "[" + ", ".join(repr(float(v)) for v in a) + "]"
+
+    hidden = []
+    for j in range(h):
+        wj = lst(W1[:, j])
+        hidden.append(
+            f"greatest(list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> e[i] * ({wj}::DOUBLE[])[i])) + ({float(b1[j])!r}), 0.0) AS h{j}"
+        )
+    head = " + ".join(f"h{j} * ({float(W2[j])!r})" for j in range(h))
+    return f"""
+WITH x AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+), hid AS (
+  SELECT label, {', '.join(hidden)} FROM x
+), s AS (
+  SELECT label, 1.0 / (1.0 + exp(-({head} + ({b2!r})))) AS score FROM hid
+)
 SELECT label, count(*) AS n,
        round(avg(score), 6) AS avg_score,
        round(max(score), 6) AS max_score
-FROM (
-  SELECT label,
-         1.0 / (1.0 + exp(-(list_sum(
-           list_transform(embedding::DOUBLE[],
-                          (x, i) -> x * (CAST((i - 1) % 7 AS DOUBLE) - 3.0) / 10.0)
-         ) + 0.05))) AS score
-  FROM embeddings
-)
-GROUP BY 1
+FROM s GROUP BY 1
 """
 
 
@@ -2850,6 +2890,91 @@ def q_jer_smear(spark, sf_dir):
             F.sum(F.col("jet.pt") / F.col("jet.pt_jec")) / F.count(F.lit(1)), 6
         ).alias("avg_smear"),
     )
+
+
+def q_jer_smear_portable(spark, sf_dir):
+    """The FULL det+stochastic JER smear chain with an exact cross-engine
+    oracle (reference jer_smear semantics, CorrectedJetsFactory.py:65-122):
+    matched jets (qty>25, deterministic pt_gen) take the scaling branch,
+    unmatched jets take the stochastic branch driven by
+    content_randn_portable — an Irwin-Hall gaussian built from a
+    multiplicative hash mod 2^31-1 using only IEEE-exact operations, so
+    DuckDB reproduces every draw bit-for-bit (corrections.py
+    portable_randn_sql generates the mirrored SQL). Per-jet results are
+    rounded then summed as DECIMAL so the aggregation is
+    order-independent. Complements q_jer_smear, whose production xxhash64
+    Box-Muller draw stays rows-only."""
+    from coffea_spark.corrections import content_randn_portable, jer_smear_factor
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = F.col("l_extendedprice") / 1000.0
+    eta = F.col("l_discount") * 60.0 - 3.0
+    reso = F.lit(0.05) + F.abs(eta) * 0.01
+    randn = content_randn_portable(
+        F.col("l_orderkey"), F.col("l_linenumber"), salt=7
+    )
+    pt_gen = F.when(
+        F.col("l_quantity") > 25, pt * (1.0 - F.col("l_tax") / 2.0)
+    ).otherwise(F.lit(None).cast("double"))
+    smear = jer_smear_factor(pt, pt_gen, reso, F.lit(1.1), randn=randn)
+    smear_up = jer_smear_factor(pt, pt_gen, reso, F.lit(1.2), randn=randn)
+
+    def dsum(c):
+        return F.round(
+            F.sum(F.round(c, 6).cast("decimal(28,6)")), 2
+        ).cast("double")
+
+    out = li.select(
+        (pt * smear).alias("pts"),
+        (pt * smear_up).alias("ptu"),
+        randn.alias("r"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_jets"),
+        F.sum(F.when(F.col("qty") <= 25, 1).otherwise(0)).cast("bigint").alias("n_stoch"),
+        dsum(F.col("pts")).alias("sum_pt_smeared"),
+        dsum(F.col("ptu")).alias("sum_jer_up"),
+        dsum(F.col("r")).alias("sum_randn"),
+    )
+
+
+def _sql_jer_smear_portable() -> str:
+    from coffea_spark.corrections import portable_randn_sql
+
+    rn = portable_randn_sql(["l_orderkey", "l_linenumber"], salt=7)
+    return f"""
+WITH j AS (
+  SELECT l_extendedprice / 1000.0 AS pt,
+         l_discount * 60.0 - 3.0 AS eta,
+         l_quantity AS qty,
+         l_tax,
+         {rn} AS r
+  FROM lineitem
+), s AS (
+  SELECT pt, qty, r,
+         0.05 + abs(eta) * 0.01 AS reso,
+         CASE WHEN qty > 25 THEN pt * (1.0 - l_tax / 2.0) END AS pt_gen
+  FROM j
+), f AS (
+  SELECT pt, qty, r,
+         greatest(CASE WHEN pt_gen IS NOT NULL AND pt_gen > 0
+                       THEN 1.0 + (1.1 - 1.0) * (pt - pt_gen) / pt
+                       ELSE 1.0 + r * sqrt(greatest(1.1 * 1.1 - 1.0, 0.0)) * reso END,
+                  0.0) AS sm,
+         greatest(CASE WHEN pt_gen IS NOT NULL AND pt_gen > 0
+                       THEN 1.0 + (1.2 - 1.0) * (pt - pt_gen) / pt
+                       ELSE 1.0 + r * sqrt(greatest(1.2 * 1.2 - 1.0, 0.0)) * reso END,
+                  0.0) AS smu
+  FROM s
+)
+SELECT count(*) AS n_jets,
+       CAST(sum(CASE WHEN qty <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_stoch,
+       CAST(round(sum(CAST(round(pt * sm, 6) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_pt_smeared,
+       CAST(round(sum(CAST(round(pt * smu, 6) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_jer_up,
+       CAST(round(sum(CAST(round(r, 6) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_randn
+FROM f
+"""
 
 
 def q_corrected_jets_det(spark, sf_dir):
@@ -3992,6 +4117,71 @@ ORDER BY count DESC, term LIMIT 20
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing gate (llmdata/text.py scrub_text + scrub_stats):
+    deterministic synthetic PII spans — an email, a URL, and a long
+    digit run derived from doc_id by formula — are planted into every
+    document, then masked by the regexp_replace chain (url -> email ->
+    number, the SCRUB_PATTERNS order). The oracle plants the identical
+    spans and replays the same RE2-compatible regexes in DuckDB, so any
+    pattern, ordering, or counting bug goes hash-red. Scan-stage only:
+    no shuffle beyond the final tiny per-lang aggregate."""
+    from coffea_spark.llmdata.text import scrub_stats, scrub_text
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 7, "0"),
+    )
+    d = docs.select("lang", planted.alias("t"))
+    out = d.select(
+        "lang",
+        F.length("t").alias("lo"),
+        F.length(scrub_text(F.col("t"))).alias("ls"),
+        scrub_stats(F.col("t")).alias("st"),
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("st.n_url").cast("bigint").alias("n_url"),
+        F.sum("st.n_email").cast("bigint").alias("n_email"),
+        F.sum("st.n_number").cast("bigint").alias("n_number"),
+        F.sum(F.col("lo") - F.col("ls")).cast("bigint").alias("len_delta"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH d AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+              || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS t
+  FROM documents
+), s AS (
+  SELECT lang, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           'https?://\S+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9][0-9 .,-]{6,}[0-9]\b', '<NUMBER>', 'g') AS sc,
+         len(regexp_extract_all(t, 'https?://\S+')) AS n_url,
+         len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(t, '\b[0-9][0-9 .,-]{6,}[0-9]\b')) AS n_number
+  FROM d
+)
+SELECT lang, count(*) AS n,
+       CAST(sum(n_url) AS BIGINT) AS n_url,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_number) AS BIGINT) AS n_number,
+       CAST(sum(length(t) - length(sc)) AS BIGINT) AS len_delta
+FROM s GROUP BY lang
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (llmdata/decontam.py): training docs
     (doc_id % 101 != 0) sharing any word 5-gram with the held-out eval
@@ -4423,13 +4613,14 @@ REGISTRY: dict[str, Query] = {
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "jer_smear": Query(q_jer_smear, None),
+    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
     "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
     "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
     "btag_sf": Query(q_btag_sf, _sql_btag()),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "events_json": Query(q_events_json, SQL_EVENTS_JSON),
     # -- §2.9 UDF surface --------------------------------------------------
-    "ml_score": Query(q_ml_score, SQL_ML_SCORE),
+    "ml_score": Query(q_ml_score, _sql_ml_score()),
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
     "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
@@ -4465,4 +4656,5 @@ REGISTRY: dict[str, Query] = {
     "hash_split": Query(q_hash_split, _sql_hash_split()),
     "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
 }

@@ -310,3 +310,35 @@ def test_runner_checkpoint_recovery(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_error"):
         run(spark, fileset, flaky, on_error="bogus")
+
+
+def test_numpy_mlp_wrapper_loads_real_weights(spark):
+    """ml_score's model is a genuine loaded artifact: the wrapper's
+    scores must equal a driver-side numpy forward pass of the same .npz
+    weights (reference tests its torch/xgboost wrappers the same way,
+    tests/test_ml_tools.py)."""
+    import os
+
+    import numpy as np
+
+    from coffea_spark.mltools import numpy_mlp_wrapper
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "coffea_spark", "data", "mlp_demo.npz"
+    )
+    z = np.load(path)
+    W1, b1, W2, b2 = z["W1"], z["b1"], z["W2"], float(z["b2"])
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((20, W1.shape[0]))
+    expected = 1.0 / (
+        1.0 + np.exp(-(np.maximum(X @ W1 + b1, 0.0) @ W2 + b2))
+    )
+
+    scorer = numpy_mlp_wrapper(path, name="mlp-test")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "i long, emb array<double>",
+    )
+    rows = df.select("i", scorer(F.col("emb")).alias("s")).orderBy("i").collect()
+    got = np.array([r["s"] for r in rows])
+    assert got == pytest.approx(expected, abs=1e-12)
