@@ -2892,6 +2892,55 @@ def q_jer_smear(spark, sf_dir):
     )
 
 
+def q_root_sink_scan(spark, sf_dir):
+    """ROOT-format SINK round-trip gate (root_writer.py; reference
+    surface uproot_writeable, schemas/base.py:136-178): a lineitem
+    subset — scalars plus a jagged array column — is written
+    executor-side to a directory of .root part files by write_root_dir
+    (TKey/TBasket/zlib framing, NanoAOD-style counts leaf), then scanned
+    BACK through the distributed read_root path and aggregated. The
+    oracle recomputes the same aggregates straight from lineitem, so
+    any serialization bug (byte order, basket framing, counts leaf,
+    compression) surfaces as a hash mismatch."""
+    import tempfile
+
+    from coffea_spark.root_reader import read_root
+    from coffea_spark.root_writer import write_root_dir
+
+    src = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("evt"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.sequence(F.lit(1), F.col("l_linenumber").cast("int")).alias("hits"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="coffea_root_sink_")
+    write_root_dir(src.repartition(4), out, tree="Events", basket_rows=4096)
+    back = read_root(spark, os.path.join(out, "part-*.root"), tree="Events")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("evt").alias("sum_evt"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.sum(F.size("hits")).alias("n_hits"),
+        F.sum(F.aggregate("hits", F.lit(0).cast("long"), lambda a, x: a + x)).alias("sum_hits"),
+    )
+
+
+SQL_ROOT_SINK_SCAN = """
+SELECT count(*) AS n,
+       CAST(sum(l_orderkey * 10 + l_linenumber) AS BIGINT) AS sum_evt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(sum(l_linenumber) AS BIGINT) AS n_hits,
+       CAST(sum(l_linenumber * (l_linenumber + 1) / 2) AS BIGINT) AS sum_hits
+FROM lineitem WHERE l_orderkey % 97 = 0
+"""
+
+
 def q_jer_smear_portable(spark, sf_dir):
     """The FULL det+stochastic JER smear chain with an exact cross-engine
     oracle (reference jer_smear semantics, CorrectedJetsFactory.py:65-122):
@@ -4552,6 +4601,7 @@ class Query:
 REGISTRY: dict[str, Query] = {
     # -- §2.1 scans / sources ----------------------------------------------
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
+    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     # -- §2.2 schema-restructuring transforms ------------------------------
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),

@@ -1,0 +1,407 @@
+"""ROOT-format TTree SINK: write DataFrames back to .root files.
+
+Reference surface: ``uproot_writeable`` (schemas/base.py:136-178,
+schemas/nanoaod.py:417-464) — the reference converts events back to a
+form uproot can write; this engine writes the binary format directly
+(the reader in ``root_reader.py`` already encodes the format knowledge:
+TKey records, ROOT compression framing, TBasket layout, TLeaf streamers).
+
+Scope & honesty: files carry structurally correct TKey / TBasket /
+compression framing and real TLeaf records (TLeafF/D/I/L/S/B/O member
+layout per ROOT's streamers, NanoAOD-style counts leaves for jagged
+columns), organized under a minimal TTree envelope (TNamed + fEntries +
+a TObjArray shell of TBranch records). TStreamerInfo records are NOT
+written — ROOT itself would regenerate missing dictionaries from its
+own streamers for these foundation classes, but bit-level dictionary
+parity is not claimed; the contract tested here is lossless round-trip
+through :func:`coffea_spark.root_reader.read_root` and basket-level
+compatibility (compression frames, entry-offset tables, fLast/keylen
+bookkeeping) with the published format.
+
+Distributed shape: ``write_root_dir`` is a real SINK — one task per
+partition, each serializing its rows to one part-NNNNN.root file
+(exactly parquet's layout contract), so a 100-TB frame fans out without
+any driver materialization. ``write_root_file`` writes one file from a
+small/collected frame (driver-side; for fixtures and tool interchange).
+
+Supported column types: numeric/bool scalars and array<numeric/bool>
+(jagged) columns. Jagged columns get an Int32 counts branch (shareable
+via ``counts_map`` — NanoAOD's ``nMuon`` convention). Strings, structs,
+and nested arrays are rejected with an actionable error.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+_FBEGIN = 100
+_MAXFRAME = (1 << 24) - 1  # ROOT compression frame limit (3-byte sizes)
+
+# numpy kind+itemsize -> (TLeaf class, struct fmt for min/max, fLenType, unsigned)
+_LEAF_FOR_DTYPE = {
+    "f4": ("TLeafF", ">f", 4, False),
+    "f8": ("TLeafD", ">d", 8, False),
+    "i4": ("TLeafI", ">i", 4, False),
+    "u4": ("TLeafI", ">i", 4, True),
+    "i8": ("TLeafL", ">q", 8, False),
+    "u8": ("TLeafL", ">q", 8, True),
+    "i2": ("TLeafS", ">h", 2, False),
+    "u2": ("TLeafS", ">h", 2, True),
+    "i1": ("TLeafB", ">b", 1, False),
+    "u1": ("TLeafB", ">b", 1, True),
+    "b1": ("TLeafO", ">b", 1, False),  # bool
+}
+_LEAF_SUFFIX = {
+    "TLeafF": "F", "TLeafD": "D", "TLeafI": "I", "TLeafL": "L",
+    "TLeafS": "S", "TLeafB": "B", "TLeafO": "O",
+}
+
+
+class RootWriteError(ValueError):
+    pass
+
+
+def _tstring(s: str) -> bytes:
+    b = s.encode("latin1")
+    if len(b) < 255:
+        return bytes([len(b)]) + b
+    return b"\xff" + struct.pack(">I", len(b)) + b
+
+
+def _bc(payload: bytes, version: int) -> bytes:
+    """Versioned-object header: bytecount (kByteCountMask) + version."""
+    return struct.pack(">IH", (len(payload) + 2) | 0x40000000, version) + payload
+
+
+def _tobject() -> bytes:
+    return struct.pack(">HII", 1, 0, 0x03000000)
+
+
+def _tnamed(name: str, title: str) -> bytes:
+    return _bc(_tobject() + _tstring(name) + _tstring(title), 1)
+
+
+def _leaf_record(dtype_key: str, name: str, title: str, fixed_len: int = 1,
+                 is_range: bool = False) -> bytes:
+    """One streamed TLeaf with a first-use class tag — the layout
+    root_reader._parse_leaves consumes (and ROOT's TLeaf v2 streamer)."""
+    cls, mmfmt, lentype, unsigned = _LEAF_FOR_DTYPE[dtype_key]
+    members = struct.pack(
+        ">iiiBBI", fixed_len, lentype, 0, int(is_range), int(unsigned), 0
+    )
+    tleaf = _bc(_tnamed(name, title) + members, 2)
+    minmax = struct.pack(mmfmt, 0) + struct.pack(mmfmt, 0)
+    full = _bc(tleaf + minmax, 1)
+    return b"\xff\xff\xff\xff" + cls.encode() + b"\x00" + full
+
+
+def _tobjarray(items: list[bytes]) -> bytes:
+    body = _tobject() + _tstring("") + struct.pack(">ii", len(items), 0)
+    return b"\xff\xff\xff\xffTObjArray\x00" + _bc(
+        body + b"".join(items), 3
+    )
+
+
+def _branch_record(name: str, title: str, entries: int, leaf: bytes) -> bytes:
+    members = struct.pack(">iiqq", 32000, 0, entries, entries)
+    body = _tnamed(name, title) + members + _tobjarray([leaf])
+    return b"\xff\xff\xff\xffTBranch\x00" + _bc(body, 13)
+
+
+def _compress(payload: bytes, level: int) -> bytes:
+    """ROOT multi-frame zlib stream ('ZL' + method + 3-byte sizes)."""
+    out = []
+    for i in range(0, len(payload), _MAXFRAME):
+        chunk = payload[i : i + _MAXFRAME]
+        comp = zlib.compress(chunk, level)
+        out.append(
+            b"ZL" + bytes([8])
+            + len(comp).to_bytes(3, "little")
+            + len(chunk).to_bytes(3, "little")
+            + comp
+        )
+    return b"".join(out)
+
+
+def _tkey(cls: str, name: str, title: str, payload: bytes, seekkey: int,
+          extra_header: bytes = b"", compression: int = 1) -> bytes:
+    """A full TKey record at ``seekkey``; compresses when it pays."""
+    strings = _tstring(cls) + _tstring(name) + _tstring(title)
+    keylen = 26 + len(strings) + len(extra_header)
+    objlen = len(payload)
+    stored = payload
+    if compression and len(payload) > 64:
+        comp = _compress(payload, compression)
+        if len(comp) < len(payload):
+            stored = comp
+    nbytes = keylen + len(stored)
+    head = struct.pack(
+        ">iHiIhh", nbytes, 4, objlen, 0, keylen, 1
+    ) + struct.pack(">ii", seekkey, _FBEGIN)
+    rec = head + strings + extra_header + stored
+    assert len(rec) == nbytes
+    return rec
+
+
+def _basket_record(branch: str, tree: str, content: bytes, nev: int,
+                   seekkey: int, offsets: np.ndarray | None = None,
+                   compression: int = 1) -> bytes:
+    """TBasket: content (+ optional entry-offset table) with the
+    fLast/keylen bookkeeping the readers rely on."""
+    strings = _tstring("TBasket") + _tstring(branch) + _tstring(tree)
+    keylen = 26 + len(strings) + 19  # + basket header (v,h) + 4i + flag
+    flast = keylen + len(content)
+    payload = content
+    nev_size = 0
+    if offsets is not None:
+        # entry-offset table: i4 count, then keylen-based i4 offsets
+        table = struct.pack(">i", nev) + (offsets + keylen).astype(">i4").tobytes()
+        payload = content + table
+        nev_size = 4
+    basket_hdr = struct.pack(
+        ">hiiii", 3, len(payload) + keylen, nev_size, nev, flast
+    ) + b"\x00"
+    return _tkey(
+        "TBasket", branch, tree, payload, seekkey,
+        extra_header=basket_hdr,
+        compression=compression,
+    )
+
+
+def _column_arrays(name, values):
+    """Normalize one column to (flat big-endian values, counts or None)."""
+    s = values
+    if len(s) and isinstance(s[0], (list, np.ndarray)):
+        counts = np.asarray([len(x) for x in s], dtype=np.int32)
+        flat = np.concatenate([np.asarray(x) for x in s]) if counts.sum() else np.asarray([], dtype=np.float64)
+        return flat, counts
+    return np.asarray(s), None
+
+
+def _dtype_key(arr: np.ndarray) -> str:
+    if arr.dtype == bool:
+        return "b1"
+    k = f"{arr.dtype.kind}{arr.dtype.itemsize}"
+    if k not in _LEAF_FOR_DTYPE:
+        raise RootWriteError(
+            f"unsupported column dtype {arr.dtype} (supported: "
+            f"{sorted(_LEAF_FOR_DTYPE)})"
+        )
+    return k
+
+
+def serialize_root_file(
+    columns: dict[str, "np.ndarray | list"],
+    tree: str = "Events",
+    title: str = "",
+    counts_map: dict[str, str] | None = None,
+    basket_rows: int = 65536,
+    compression: int = 1,
+) -> bytes:
+    """Serialize named columns (numpy arrays; lists of arrays = jagged)
+    into one in-memory ROOT file. Jagged columns get an Int32 counts
+    branch named ``n_<col>`` unless ``counts_map`` assigns a shared one
+    (columns mapped to the same counts branch must agree on lengths)."""
+    counts_map = dict(counts_map or {})
+    n_entries = None
+    # normalize + derive counts branches
+    flat: dict[str, tuple[np.ndarray, str | None]] = {}
+    counts_data: dict[str, np.ndarray] = {}
+    for name, vals in columns.items():
+        arr, counts = _column_arrays(name, vals)
+        rows = len(counts) if counts is not None else len(arr)
+        if n_entries is None:
+            n_entries = rows
+        elif rows != n_entries:
+            raise RootWriteError(
+                f"column {name}: {rows} rows, expected {n_entries}"
+            )
+        if counts is not None:
+            cname = counts_map.get(name, f"n_{name}")
+            prev = counts_data.get(cname)
+            if prev is not None and not np.array_equal(prev, counts):
+                raise RootWriteError(
+                    f"columns sharing counts branch {cname!r} disagree on "
+                    f"per-entry lengths (first difference at entry "
+                    f"{int(np.argmax(prev != counts))})"
+                )
+            counts_data[cname] = counts
+            flat[name] = (arr, cname)
+        else:
+            flat[name] = (arr, None)
+    n_entries = n_entries or 0
+
+    # branch plan: counts branches first (ROOT requires the count leaf
+    # to pre-exist its users)
+    branch_arrays: dict[str, tuple[np.ndarray, str | None]] = {}
+    for cname, counts in counts_data.items():
+        if cname in flat:
+            raise RootWriteError(
+                f"counts branch name {cname!r} collides with a data column"
+            )
+        branch_arrays[cname] = (counts, None)
+    branch_arrays.update(flat)
+
+    # leaf + branch records
+    branches = []
+    for bname, (arr, cname) in branch_arrays.items():
+        dk = _dtype_key(arr)
+        cls = _LEAF_FOR_DTYPE[dk][0]
+        if cname is not None:
+            leaf_title = f"{bname}[{cname}]"
+            br_title = f"{leaf_title}/{_LEAF_SUFFIX[cls]}"
+        else:
+            leaf_title = bname
+            br_title = f"{bname}/{_LEAF_SUFFIX[cls]}"
+        leaf = _leaf_record(
+            dk, bname, leaf_title, is_range=bname in counts_data
+        )
+        branches.append(_branch_record(bname, br_title, n_entries, leaf))
+
+    tree_payload = (
+        _tnamed(tree, title or tree)
+        + struct.pack(">q", n_entries)
+        + _tobjarray(branches)
+    )
+
+    # assemble the file: header, directory key, baskets, tree key
+    records = []
+    pos = _FBEGIN
+    dir_key = _tkey("TFile", "spark_graft", "", b"", pos, compression=0)
+    records.append(dir_key)
+    pos += len(dir_key)
+
+    for bname, (arr, cname) in branch_arrays.items():
+        counts = counts_data.get(cname) if cname else None
+        # entry starts into the flat array
+        if counts is not None:
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+        for b0 in range(0, max(n_entries, 1), basket_rows):
+            b1 = min(b0 + basket_rows, n_entries)
+            if b1 <= b0 and n_entries > 0:
+                break
+            if counts is not None:
+                vals = arr[starts[b0] : starts[b1]]
+                itemsize = vals.dtype.itemsize
+                offs = (
+                    (starts[b0:b1] - starts[b0]) * itemsize
+                ).astype(np.int64)
+            else:
+                vals = arr[b0:b1]
+                offs = None
+            if vals.dtype == bool:
+                be = vals.astype("u1")
+            else:
+                be = vals.astype(vals.dtype.newbyteorder(">"))
+            rec = _basket_record(
+                bname, tree, be.tobytes(), b1 - b0, pos,
+                offsets=offs, compression=compression,
+            )
+            records.append(rec)
+            pos += len(rec)
+            if n_entries == 0:
+                break
+
+    tree_key = _tkey("TTree", tree, title or tree, tree_payload, pos,
+                     compression=compression)
+    records.append(tree_key)
+    pos += len(tree_key)
+    fend = pos
+
+    header = (
+        b"root"
+        + struct.pack(
+            ">iiiiiiii",
+            63200,          # format version
+            _FBEGIN,
+            fend,           # fEND
+            0, 0, 0,        # fSeekFree, fNbytesFree, nfree
+            len(dir_key),   # fNbytesName (directory record size)
+            4,              # fUnits
+        )
+        + struct.pack(">iii", int(compression), 0, 0)  # fCompress, fSeekInfo, fNbytesInfo
+    )
+    header = header + b"\x00" * (_FBEGIN - len(header))
+    return header + b"".join(records)
+
+
+def write_root_file(
+    df_or_columns,
+    path: str,
+    tree: str = "Events",
+    counts_map: dict[str, str] | None = None,
+    basket_rows: int = 65536,
+    compression: int = 1,
+) -> str:
+    """Write ONE .root file from a (small) DataFrame or a column dict.
+    DataFrame input collects to the driver — use :func:`write_root_dir`
+    for frames that don't fit."""
+    if isinstance(df_or_columns, dict):
+        cols = df_or_columns
+    else:
+        pdf = df_or_columns.toPandas()
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        cols = {
+            c: (list(v) if len(v) and isinstance(v[0], (list, np.ndarray)) else v)
+            for c, v in cols.items()
+        }
+    blob = serialize_root_file(
+        cols, tree=tree, counts_map=counts_map,
+        basket_rows=basket_rows, compression=compression,
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def write_root_dir(
+    df,
+    path: str,
+    tree: str = "Events",
+    counts_map: dict[str, str] | None = None,
+    basket_rows: int = 65536,
+    compression: int = 1,
+) -> list[str]:
+    """Distributed ROOT sink: one part-NNNNN.root per partition (the
+    parquet directory-layout contract), written executor-side — no
+    driver materialization, so the sink scales with the cluster. Returns
+    the written file paths. Read back with ``read_root(spark,
+    f"{path}/part-*.root")``."""
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+    names = [f.name for f in schema.fields]
+    cmap = dict(counts_map or {})
+
+    def _write(pid, rows):
+        buf = {n: [] for n in names}
+        for r in rows:
+            for n in names:
+                buf[n].append(r[n])
+        cols = {}
+        for n in names:
+            v = buf[n]
+            if v and isinstance(v[0], list):
+                cols[n] = [np.asarray(x) for x in v]
+            else:
+                cols[n] = np.asarray(v)
+        if not any(len(v) for v in cols.values()):
+            return []
+        out = os.path.join(path, f"part-{pid:05d}.root")
+        blob = serialize_root_file(
+            cols, tree=tree, counts_map=cmap,
+            basket_rows=basket_rows, compression=compression,
+        )
+        with open(out, "wb") as f:
+            f.write(blob)
+        return [out]
+
+    return (
+        df.rdd.mapPartitionsWithIndex(
+            lambda pid, it: _write(pid, it)
+        ).collect()
+    )

@@ -1,0 +1,118 @@
+"""ROOT-format sink (root_writer.py): round-trip through the native
+reader — reference surface uproot_writeable (schemas/base.py:136-178,
+schemas/nanoaod.py:417-464)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from coffea_spark.root_reader import RootTreeReader, read_root
+from coffea_spark.root_writer import (
+    RootWriteError,
+    write_root_dir,
+    write_root_file,
+)
+
+
+def _cols(n=500, seed=5):
+    rng = np.random.default_rng(seed)
+    pt = [rng.random(k).astype(np.float32) * 50 for k in rng.integers(0, 6, n)]
+    return {
+        "run": np.full(n, 7, dtype=np.int32),
+        "met": (rng.random(n) * 100).astype(np.float32),
+        "weight": rng.random(n),
+        "flag": rng.random(n) > 0.5,
+        "evt": np.arange(n, dtype=np.int64),
+        "Muon_pt": pt,
+        "Muon_eta": [rng.standard_normal(len(x)).astype(np.float32) for x in pt],
+    }
+
+
+def test_roundtrip_all_dtypes(tmp_path):
+    cols = _cols()
+    path = str(tmp_path / "t.root")
+    write_root_file(
+        cols, path,
+        counts_map={"Muon_pt": "nMuon", "Muon_eta": "nMuon"},
+        basket_rows=128,
+    )
+    r = RootTreeReader(path)
+    assert r.entries == 500
+    assert len(r._baskets["met"]) == 4  # multi-basket
+    assert (r.array("run") == cols["run"]).all()
+    assert np.array_equal(r.array("met"), cols["met"])
+    assert np.array_equal(r.array("weight"), cols["weight"])
+    assert (r.array("flag") == cols["flag"]).all()
+    assert (r.array("evt") == cols["evt"]).all()
+    assert (r.array("nMuon") == [len(x) for x in cols["Muon_pt"]]).all()
+    assert np.array_equal(r.array("Muon_pt"), np.concatenate(cols["Muon_pt"]))
+    # entry-range read of an engine-written file, across basket edges
+    full = r.to_arrow(["met", "nMuon", "Muon_pt"])
+    got = RootTreeReader(path).to_arrow(
+        ["met", "nMuon", "Muon_pt"], entry_start=100, entry_stop=400
+    )
+    assert got.equals(full.slice(100, 300))
+
+
+def test_uncompressed_and_empty(tmp_path):
+    path = str(tmp_path / "u.root")
+    write_root_file(
+        {"x": np.arange(10, dtype=np.float64)}, path, compression=0
+    )
+    r = RootTreeReader(path)
+    assert np.array_equal(r.array("x"), np.arange(10.0))
+    path2 = str(tmp_path / "e.root")
+    write_root_file({"x": np.asarray([], dtype=np.float64)}, path2)
+    assert RootTreeReader(path2).entries == 0
+
+
+def test_error_paths(tmp_path):
+    with pytest.raises(RootWriteError, match="rows"):
+        write_root_file(
+            {"a": np.arange(3), "b": np.arange(4)}, str(tmp_path / "x.root")
+        )
+    with pytest.raises(RootWriteError, match="disagree"):
+        write_root_file(
+            {
+                "a": [np.arange(2), np.arange(3)],
+                "b": [np.arange(1), np.arange(3)],
+            },
+            str(tmp_path / "y.root"),
+            counts_map={"a": "n", "b": "n"},
+        )
+    with pytest.raises(RootWriteError, match="collides"):
+        write_root_file(
+            {"a": [np.arange(2)], "n_a": np.arange(1)},
+            str(tmp_path / "z.root"),
+        )
+
+
+def test_distributed_sink_roundtrip(spark, tmp_path):
+    """write_root_dir: one part file per partition, read back losslessly
+    with read_root over the directory glob — the parquet sink contract
+    in ROOT format."""
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("evt"),
+            (F.col("id") % 9).cast("double").alias("met"),
+            F.sequence(F.lit(0), F.col("id") % 4).cast("array<int>").alias("hits"),
+        )
+        .repartition(4)
+    )
+    out = str(tmp_path / "rootdir")
+    files = write_root_dir(df, out, tree="T", basket_rows=64)
+    assert len(files) == 4
+    back = read_root(spark, f"{out}/part-*.root", tree="T")
+    assert back.count() == 400
+    a = back.agg(
+        F.sum("evt").alias("se"),
+        F.sum("met").alias("sm"),
+        F.sum(F.size("hits")).alias("sh"),
+    ).first()
+    e = df.agg(
+        F.sum("evt").alias("se"),
+        F.sum("met").alias("sm"),
+        F.sum(F.size("hits")).alias("sh"),
+    ).first()
+    assert (a["se"], a["sm"], a["sh"]) == (e["se"], e["sm"], e["sh"])
