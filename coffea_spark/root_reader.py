@@ -21,12 +21,18 @@ ATLAS xAOD AuxDyn stores, TreeMaker split ROOT vectors) are also read:
 jaggedness comes from each basket's entry-offset table, element types from
 the leaf's fType or — for object-wise ``std::vector<T>`` branches — from
 the branch's streamed fClassName, stripping the 10-byte per-entry vector
-header.  RNTuple files dispatch to :mod:`coffea_spark.rntuple` through
-:func:`open_tree`/:func:`read_root`.  This replaces the reference's
-uproot mapping (nanoevents/factory.py:267-480 from_root,
-mapping/uproot.py:115-226) for every fixture tree the reference tests
-ship — including ``vector<vector<T>>`` branches (doubly-jagged columns);
-only object-class branches stay on the convert-once path in ``root_io``.
+header.  Object-class branches are typed through the file's own
+TStreamerInfo dictionary (:func:`parse_streamer_infos`): members whose
+C++ type exists nowhere else in the tree buffer (xAOD Aux stores),
+fixed-dim struct members (``covMatrix.values[6]``), and
+``ElementLink`` vectors — both object-wise (bytecount-framed elements)
+and member-wise (0x4000 version flag) streamings — decode to
+``struct<persKey, persIndex>`` columns.  RNTuple files dispatch to
+:mod:`coffea_spark.rntuple` through :func:`open_tree`/:func:`read_root`.
+This replaces the reference's uproot mapping (nanoevents/factory.py:
+267-480 from_root, mapping/uproot.py:115-226) for every fixture tree the
+reference tests ship; the residual unreadables are dataless container
+headers, ``vector<string>``, and triply-nested vectors.
 
 Scale design: the Spark entry point :func:`read_root` distributes one
 task per file via ``mapInPandas`` over a file-list DataFrame — the
@@ -62,7 +68,10 @@ _LEAF_RE = re.compile(rb"\xff\xff\xff\xff(TLeaf[FDILSBOC]|TLeafElement)\x00")
 # TLeafElement fType (TStreamerInfo element type codes) -> numpy dtype
 _STREAMER_DTYPES = {
     1: "i1", 11: "u1", 2: "i2", 12: "u2", 3: "i4", 13: "u4",
-    5: "f4", 8: "f8", 16: "i8", 17: "u8", 18: "u1",  # 18 = bool
+    4: "i8", 14: "u8",          # kLong / kULong (stored 64-bit)
+    6: "i4",                    # kCounter
+    5: "f4", 8: "f8", 9: "f4",  # kDouble32 is stored as float32
+    16: "i8", 17: "u8", 18: "u1",  # 18 = bool
 }
 # std::vector<T> element C++ type -> numpy dtype (object-wise STL branches)
 _VECTOR_DTYPES = {
@@ -93,6 +102,10 @@ class BranchInfo:
     # list nesting depth: 2 for vector<vector<T>> branches (entry = 10-byte
     # outer header, then per inner vector an i4 count + elements)
     depth: int = 1
+    # ElementLink branch (vector<ElementLink<...>> / nested): elements are
+    # bytecount-framed objects whose LAST 8 bytes are (persKey u4,
+    # persIndex u4); decoded to struct columns
+    link: bool = False
 
 
 class RootFileError(ValueError):
@@ -198,6 +211,181 @@ class _Key:
         self.title, p = _read_string(data, p)
         self.off = off
         self.hdrend = p
+
+
+def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
+    """Parse a file's ``StreamerInfo`` record (a streamed TList of
+    TStreamerInfo) into ``{class name: [member dicts]}``, each member
+    ``{"name", "type", "typename", "arraylen"}``.
+
+    This is the dictionary ROOT itself uses to type object-class
+    branches (reference reads it through uproot's full model zoo,
+    nanoevents/mapping/uproot.py:115-226); here only the member tables
+    are extracted — enough to type TBranchElement members whose
+    fClassName carries the PARENT class (e.g. xAOD Aux stores), where
+    the member's C++ type exists nowhere else in the file.
+
+    The walk is bytecount-driven: every streamed object carries a
+    4-byte length, so unknown element subclasses are skipped exactly,
+    and class-tag back-references (0x80000000) resolve through the same
+    displacement arithmetic the leaf parser uses."""
+    pos = 0
+    classes: dict[int, str] = {}  # displacement -> class name
+
+    def rd(fmt):
+        nonlocal pos
+        v = struct.unpack_from(fmt, payload, pos)
+        pos += struct.calcsize(fmt)
+        return v if len(v) > 1 else v[0]
+
+    def rstring():
+        nonlocal pos
+        s, pos2 = _read_string(payload, pos)
+        pos = pos2
+        return s
+
+    def obj_header():
+        """bytecount+version; returns (end, version)."""
+        nonlocal pos
+        bc = rd(">I") & 0x3FFFFFFF
+        end = pos + bc
+        ver = rd(">H")
+        return end, ver
+
+    def skip_tnamed():
+        nonlocal pos
+        end, _ = obj_header()
+        pos = end
+
+    def read_tnamed():
+        nonlocal pos
+        end, _ = obj_header()
+        rd(">HII")  # TObject
+        name = rstring()
+        title = rstring()
+        pos = end
+        return name, title
+
+    def read_class_tag():
+        """Returns class name or None (null pointer); advances pos."""
+        nonlocal pos
+        tag = rd(">I")
+        if tag == 0:
+            return None
+        if tag == 0xFFFFFFFF:
+            start = pos
+            cname = b""
+            while payload[pos] != 0:
+                pos += 1
+            cname = payload[start:pos].decode("latin1")
+            pos += 1
+            classes[start + keylen - 2] = cname
+            return cname
+        if tag & 0x80000000:
+            return classes.get((tag & 0x7FFFFFFF))
+        return None  # object back-reference: caller must skip by bytecount
+
+    def read_object():
+        """One object pointer: (classname, end) with pos at payload;
+        returns (None, None) for null."""
+        nonlocal pos
+        peek = struct.unpack_from(">I", payload, pos)[0]
+        if peek == 0:
+            pos += 4
+            return None, None
+        bc = peek & 0x3FFFFFFF
+        has_bc = bool(peek & 0x40000000)
+        if not has_bc:
+            # bare back-reference to an already-streamed object
+            pos += 4
+            return None, None
+        pos += 4
+        end = pos + bc
+        cname = read_class_tag()
+        return cname, end
+
+    out: dict[str, list[dict]] = {}
+
+    def parse_element(cname, end):
+        nonlocal pos
+        _e_end, _ver = obj_header()  # TStreamerXxx
+        _b_end, _bver = obj_header()  # TStreamerElement base
+        name, _title = read_tnamed()
+        ftype = rd(">i")
+        _size = rd(">i")
+        arraylen = rd(">i")
+        _arraydim = rd(">i")
+        rd(">5i")  # fMaxIndex
+        typename = rstring()
+        pos = end
+        return {
+            "name": name, "type": int(ftype),
+            "typename": typename, "arraylen": int(arraylen),
+        }
+
+    def parse_streamer_info(end):
+        nonlocal pos
+        _o_end, _ver = obj_header()
+        clsname, _ = read_tnamed()
+        rd(">I")  # checksum
+        rd(">i")  # class version
+        acls, aend = read_object()
+        members = []
+        if acls == "TObjArray":
+            _a_end, _aver = obj_header()
+            rd(">HII")  # TObject
+            rstring()  # array name
+            n = rd(">i")
+            rd(">i")  # lower bound
+            for _ in range(n):
+                ecls, eend = read_object()
+                if ecls is None:
+                    continue
+                try:
+                    members.append(parse_element(ecls, eend))
+                except Exception:
+                    pos = eend  # malformed element: skip exactly
+            pos = aend
+        elif aend is not None:
+            pos = aend
+        out[clsname] = members
+        pos = end
+
+    # TList header
+    _l_end, _lver = obj_header()
+    rd(">HII")  # TObject
+    rstring()  # list name
+    n = rd(">i")
+    for _ in range(n):
+        cname, end = read_object()
+        if cname is None:
+            continue
+        if cname == "TStreamerInfo":
+            try:
+                parse_streamer_info(end)
+            except Exception:
+                pos = end
+        else:
+            pos = end
+        # trailing per-entry option string (TList stores one per object)
+        rstring()
+    return out
+
+
+
+def _pa_values(vals):
+    """numpy values -> pyarrow, widening link structs to int64 fields."""
+    import pyarrow as pa
+
+    if vals.dtype.names is not None:
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(vals["persKey"].astype("int64")),
+                pa.array(vals["persIndex"].astype("int64")),
+            ],
+            ["persKey", "persIndex"],
+        )
+    return pa.array(vals)
 
 
 class RootTreeReader:
@@ -319,6 +507,75 @@ class RootTreeReader:
             p += 9 + csize
         return b"".join(out)
 
+    @property
+    def streamers(self) -> dict[str, list[dict]]:
+        """Class member tables from the file's StreamerInfo record
+        (empty when the file carries none)."""
+        if getattr(self, "_streamers", None) is None:
+            self._streamers = {}
+            for k in self._keys:
+                if k.name == "StreamerInfo" and k.cls == "TList":
+                    try:
+                        self._streamers = parse_streamer_infos(
+                            self._payload(k), k.keylen
+                        )
+                    except Exception:
+                        self._streamers = {}
+                    break
+        return self._streamers
+
+    def _member_typename(self, member: str) -> str | None:
+        """The C++ type of a named data member, when every streamer
+        class that declares it agrees (ambiguous names return None)."""
+        if getattr(self, "_member_types", None) is None:
+            mt: dict[str, set] = {}
+            for members in self.streamers.values():
+                for m in members:
+                    if m["typename"] not in ("BASE",):
+                        mt.setdefault(m["name"], set()).add(m["typename"])
+            self._member_types = mt
+        tns = self._member_types.get(member)
+        if tns and len(tns) == 1:
+            return next(iter(tns))
+        return None
+
+    @staticmethod
+    def _typename_branchinfo(name: str, tn: str) -> "BranchInfo | None":
+        """BranchInfo for a member's C++ type name (streamer fallback):
+        plain vectors, doubly-nested vectors, and ElementLink vectors."""
+        tn = re.sub(r"\s*([<>])\s*", r"\1", tn.replace("std::", "")).strip()
+        m = re.fullmatch(r"vector<vector<(.+?)>>", tn)
+        inner2 = m.group(1) if m else None
+        m = re.fullmatch(r"vector<([^<>]+?)>", tn)
+        inner1 = m.group(1) if m else None
+        if inner2 is not None:
+            if inner2.startswith("ElementLink<"):
+                return BranchInfo(
+                    name, "u4", None, 1, is_bool=False,
+                    from_offsets=True, header_bytes=10, depth=2, link=True,
+                )
+            dt = _VECTOR_DTYPES.get(inner2)
+            if dt is None:
+                return None
+            return BranchInfo(
+                name, dt, None, 1, is_bool=(inner2 == "bool"),
+                from_offsets=True, header_bytes=10, depth=2,
+            )
+        if tn.startswith("vector<ElementLink<"):
+            return BranchInfo(
+                name, "u4", None, 1, is_bool=False,
+                from_offsets=True, header_bytes=10, depth=1, link=True,
+            )
+        if inner1 is not None:
+            dt = _VECTOR_DTYPES.get(inner1)
+            if dt is None:
+                return None
+            return BranchInfo(
+                name, dt, None, 1, is_bool=(inner1 == "bool"),
+                from_offsets=True, header_bytes=10,
+            )
+        return None
+
     def _parse_leaves(self) -> dict[str, BranchInfo]:
         """Targeted TLeaf deserialization (see module docstring)."""
         buf = self._tree_buf
@@ -336,6 +593,7 @@ class RootTreeReader:
             pat = re.escape(bytes([len(nb)]) + nb) if len(nb) < 255 else None
             if pat is None:
                 continue
+            branch_rec = None  # pos of this branch's TBranchElement TNamed
             for m in re.finditer(pat, buf):
                 pos = m.start()
                 tpos = pos + 1 + len(nb)
@@ -344,12 +602,16 @@ class RootTreeReader:
                 except Exception:
                     continue
                 # leaflist leaves title as "name[counts]"; member-wise
-                # split leaves (TLeafElement) title only the member suffix
+                # split leaves (TLeafElement) title only the member suffix.
+                # Branch names of fixed-dim members carry the bracket too
+                # ("X.covMatrix.values[6]") — compare on the bracket-free
+                # stems so those branches resolve to their leaf.
                 base = title.split("[", 1)[0]
+                name_stem = name.split("[", 1)[0]
                 if not (
                     title.startswith(name)
-                    or name == base
-                    or name.endswith("." + base)
+                    or name_stem == base
+                    or name_stem.endswith("." + base)
                 ):
                     continue
                 # resolve the class tag written just before this object:
@@ -364,6 +626,10 @@ class RootTreeReader:
                     if tag & 0x80000000:
                         cls = firsts.get(tag & 0x7FFFFFFF)
                 if cls is None:
+                    # most likely the branch record itself (TBranchElement
+                    # TNamed) — remember it: its fClassName TString sits a
+                    # few members after the title
+                    branch_rec = pos
                     continue
                 if cls == "TLeafC":
                     break  # string leaf: unsupported, skip branch
@@ -386,36 +652,48 @@ class RootTreeReader:
                     base = ftype % 20 if 20 < ftype < 40 else ftype
                     dt = _STREAMER_DTYPES.get(base)
                     header = 0
-                    if dt is None and ftype in (-1, 0):
-                        # object-wise STL branch: element type from the
-                        # branch's fClassName ("vector<float>"), which is
-                        # streamed a little further into the same
-                        # TBranchElement record; entries carry a 10-byte
-                        # streamer header.
-                        inner, depth = None, 1
-                        vp = buf.find(b"vector<", after, after + 900)
+                    if dt is None and ftype in (-1, 0, 300):
+                        # object-wise STL branch (fType 300 = kSTL, or
+                        # unset): element type from the branch's
+                        # fClassName ("vector<float>") — a TString a few
+                        # members after the TBranchElement's own name
+                        # record (tracked above); fall back to a forward
+                        # window from the leaf.
+                        vp = -1
+                        if branch_rec is not None:
+                            vp = buf.find(
+                                b"vector<", branch_rec, min(branch_rec + 500, pos)
+                            )
+                        if vp < 0:
+                            vp = buf.find(b"vector<", after, after + 900)
+                        full = None
                         if vp > 0:
                             # fClassName is a length-prefixed TString: use
                             # the FULL string to tell vector<T> from
-                            # vector<vector<T>>
+                            # vector<vector<T>> / ElementLink vectors
                             slen = buf[vp - 1]
                             full = buf[vp : vp - 1 + 1 + slen].decode(
                                 "latin1", "replace"
                             )
-                            if full.endswith(">"):
-                                if full.count("vector<") == 1:
-                                    inner = full[len("vector<") : -1].strip()
-                                elif full.count("vector<") == 2:
-                                    inner = full[2 * len("vector<") : -1].rstrip("> ").strip()
-                                    depth = 2
-                        dt = _VECTOR_DTYPES.get(inner) if inner else None
-                        if dt is None:
-                            break  # deeper nesting / object vector: unsupported
-                        base = 18 if inner == "bool" else 0
-                        out[name] = BranchInfo(
-                            name, dt, None, 1, is_bool=(base == 18),
-                            from_offsets=True, header_bytes=10, depth=depth,
+                            if not full.endswith(">"):
+                                full = None
+                        bi = (
+                            self._typename_branchinfo(name, full)
+                            if full else None
                         )
+                        if bi is None:
+                            # last resort: the member's C++ type from the
+                            # file's StreamerInfo dictionary (xAOD Aux
+                            # stores carry the PARENT class in fClassName;
+                            # the member type exists nowhere else)
+                            member = name_stem.rsplit(".", 1)[-1]
+                            tn = self._member_typename(member)
+                            bi = (
+                                self._typename_branchinfo(name, tn)
+                                if tn else None
+                            )
+                        if bi is not None:
+                            out[name] = bi
                         break
                     if dt is None:
                         break  # object-typed member: unsupported
@@ -452,6 +730,43 @@ class RootTreeReader:
                     name, dt, counts, fixed, is_bool=(cls == "TLeafO")
                 )
                 break
+            if name not in out and branch_rec is not None:
+                # the leaf record carries a member-suffix NAME that never
+                # matched the full branch-name pattern (e.g. leaf
+                # "positionError[6]" under branch "X.positionError[6]",
+                # or a dynamic-attribute leaf named after the attribute):
+                # type the branch from its fClassName window or the
+                # StreamerInfo member table. All member-wise sub-branches
+                # frame entries by the basket offset table, so basic
+                # members read as jagged columns.
+                candidates = []
+                vp = buf.find(b"vector<", branch_rec, branch_rec + 500)
+                if vp > 0:
+                    slen = buf[vp - 1]
+                    full = buf[vp : vp - 1 + 1 + slen].decode(
+                        "latin1", "replace"
+                    )
+                    if full.endswith(">"):
+                        candidates.append(full)
+                member = name.split("[", 1)[0].rsplit(".", 1)[-1]
+                tn = self._member_typename(member)
+                if tn:
+                    candidates.append(tn)
+                for cand in candidates:
+                    bi = self._typename_branchinfo(name, cand)
+                    if bi is None:
+                        tnn = re.sub(
+                            r"\s*([<>])\s*", r"\1", cand.replace("std::", "")
+                        ).strip()
+                        dt = _VECTOR_DTYPES.get(tnn)
+                        if dt is not None:
+                            bi = BranchInfo(
+                                name, dt, None, 1,
+                                is_bool=(tnn == "bool"), from_offsets=True,
+                            )
+                    if bi is not None:
+                        out[name] = bi
+                        break
         return out
 
     # -- public -------------------------------------------------------------
@@ -495,6 +810,8 @@ class RootTreeReader:
         work for both whole-branch and entry-range reads."""
         buf = self._payload(k)
         border = self._basket_last(k) - k.keylen
+        if info.link:
+            return self._basket_links(name, info, k, buf, border)
         if info.depth == 2:
             # vector<vector<T>>: entry = 10-byte outer header with the
             # outer size, then per inner vector an i4 count + elements
@@ -547,8 +864,97 @@ class RootTreeReader:
             return vals, self._entry_counts(k, buf, border, itemsize).astype(np.int64), None
         return vals, None, None
 
+    _LINK_DTYPE = np.dtype([("persKey", "u4"), ("persIndex", "u4")])
+
+    def _basket_links(self, name, info: BranchInfo, k: _Key, buf, border):
+        """ElementLink vectors: entry = 10-byte STL header, then (depth 2:
+        per inner vector an i4 count +) bytecount-framed link objects.
+        Each object's payload ends with (m_persKey u4, m_persIndex u4) —
+        the ElementLinkBase persistent members; version/checksum framing
+        in front varies by dictionary age, so elements are walked by
+        their own bytecounts."""
+        offs = self._entry_offsets(k, buf, border)
+        keys, idxs, outer_counts, inner_counts = [], [], [], []
+
+        def read_links(p, n, end):
+            for _ in range(n):
+                if p + 4 > end:
+                    raise RootFileError(
+                        f"{self.path}:{name}: ElementLink element overruns "
+                        f"its entry"
+                    )
+                bc = struct.unpack_from(">I", buf, p)[0] & 0x3FFFFFFF
+                e2 = p + 4 + bc
+                if e2 > end or bc < 8:
+                    raise RootFileError(
+                        f"{self.path}:{name}: bad ElementLink bytecount {bc}"
+                    )
+                kk, ii = struct.unpack_from(">II", buf, e2 - 8)
+                keys.append(kk)
+                idxs.append(ii)
+                p = e2
+            return p
+
+        for e in range(len(offs) - 1):
+            p, end = int(offs[e]), int(offs[e + 1])
+            ver = struct.unpack_from(">H", buf, p + 4)[0]
+            if ver & 0x4000:
+                # member-wise streamed vector<ElementLink>: element class
+                # version (u2; 0 -> +u4 checksum), count, then all
+                # persKeys followed by all persIndexes
+                if info.depth == 2:
+                    raise RootFileError(
+                        f"{self.path}:{name}: member-wise nested "
+                        "ElementLink vectors unsupported"
+                    )
+                q = p + 6
+                elem_ver = struct.unpack_from(">H", buf, q)[0]
+                q += 2
+                if elem_ver == 0:
+                    q += 4
+                n_outer = struct.unpack_from(">i", buf, q)[0]
+                q += 4
+                if q + 8 * n_outer != end:
+                    raise RootFileError(
+                        f"{self.path}:{name}: member-wise ElementLink "
+                        f"framing mismatch at entry {e}"
+                    )
+                outer_counts.append(n_outer)
+                keys.extend(
+                    np.frombuffer(buf, ">u4", count=n_outer, offset=q)
+                )
+                idxs.extend(
+                    np.frombuffer(buf, ">u4", count=n_outer, offset=q + 4 * n_outer)
+                )
+                continue
+            n_outer = struct.unpack_from(">i", buf, p + 6)[0]
+            outer_counts.append(n_outer)
+            p += 10
+            if info.depth == 2:
+                for _ in range(n_outer):
+                    n_in = struct.unpack_from(">i", buf, p)[0]
+                    inner_counts.append(n_in)
+                    p = read_links(p + 4, n_in, end)
+            else:
+                p = read_links(p, n_outer, end)
+            if p != end:
+                raise RootFileError(
+                    f"{self.path}:{name}: ElementLink framing mismatch "
+                    f"({p} != {end} at entry {e})"
+                )
+        vals = np.empty(len(keys), dtype=self._LINK_DTYPE)
+        vals["persKey"] = keys
+        vals["persIndex"] = idxs
+        return (
+            vals,
+            np.asarray(outer_counts, dtype=np.int64),
+            np.asarray(inner_counts, dtype=np.int64) if info.depth == 2 else None,
+        )
+
     @staticmethod
     def _native(vals: np.ndarray, info: BranchInfo) -> np.ndarray:
+        if vals.dtype.names is not None:  # link struct: already native
+            return vals
         vals = vals.astype(vals.dtype.newbyteorder("="))
         if info.is_bool:
             vals = vals.astype(bool)
@@ -755,7 +1161,7 @@ class RootTreeReader:
                 np.cumsum(outer, out=out_off[1:])
                 arr = pa.ListArray.from_arrays(
                     pa.array(out_off),
-                    pa.ListArray.from_arrays(pa.array(in_off), pa.array(vals)),
+                    pa.ListArray.from_arrays(pa.array(in_off), _pa_values(vals)),
                 )
                 cols.append(arr)
                 fields.append(pa.field(name, arr.type))
@@ -773,16 +1179,16 @@ class RootTreeReader:
                     )
                 offsets = np.zeros(len(cts) + 1, dtype=np.int32)
                 np.cumsum(cts, out=offsets[1:])
-                arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+                arr = pa.ListArray.from_arrays(pa.array(offsets), _pa_values(vals))
             elif info.fixed_len > 1:
                 offsets = np.arange(n + 1, dtype=np.int32) * info.fixed_len
-                arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+                arr = pa.ListArray.from_arrays(pa.array(offsets), _pa_values(vals))
             else:
                 if len(vals) != n:
                     raise RootFileError(
                         f"{self.path}:{name}: {len(vals)} values for {n} entries"
                     )
-                arr = pa.array(vals)
+                arr = _pa_values(vals)
             cols.append(arr)
             fields.append(pa.field(name, arr.type))
         return pa.Table.from_arrays(cols, schema=pa.schema(fields))
@@ -803,7 +1209,7 @@ class RootTreeReader:
                 arr = pa.ListArray.from_arrays(
                     pa.array(out_off, type=pa.int32()),
                     pa.ListArray.from_arrays(
-                        pa.array(in_off, type=pa.int32()), pa.array(vals)
+                        pa.array(in_off, type=pa.int32()), _pa_values(vals)
                     ),
                 )
             elif cts is not None:
@@ -815,7 +1221,7 @@ class RootTreeReader:
                         f"range [{e0},{e1}) ({offsets[-1]} vs {len(vals)})"
                     )
                 arr = pa.ListArray.from_arrays(
-                    pa.array(offsets, type=pa.int32()), pa.array(vals)
+                    pa.array(offsets, type=pa.int32()), _pa_values(vals)
                 )
             else:
                 if len(vals) != n:
@@ -823,7 +1229,7 @@ class RootTreeReader:
                         f"{self.path}:{name}: {len(vals)} values for "
                         f"{n} entries in range [{e0},{e1})"
                     )
-                arr = pa.array(vals)
+                arr = _pa_values(vals)
             cols.append(arr)
             fields.append(pa.field(name, arr.type))
         return pa.Table.from_arrays(cols, schema=pa.schema(fields))
@@ -895,9 +1301,16 @@ def read_root(
         "u4": T.LongType(), "u8": T.LongType(),
     }
     fields = []
+    link_struct = T.StructType([
+        T.StructField("persKey", T.LongType()),
+        T.StructField("persIndex", T.LongType()),
+    ])
     for c in use_cols:
         info = head.branches[c]
-        base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
+        if info.link:
+            base = link_struct
+        else:
+            base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
         if info.depth == 2:
             fields.append(T.StructField(c, T.ArrayType(T.ArrayType(base))))
         elif info.counts is not None or info.fixed_len > 1 or info.from_offsets:
@@ -936,8 +1349,15 @@ def read_root(
             "u1": pa.int16(), "u2": pa.int32(), "u4": pa.int64(), "u8": pa.int64(),
         }
 
+        pa_link = pa.struct(
+            [("persKey", pa.int64()), ("persIndex", pa.int64())]
+        )
+
         def target_field(info):
-            base = pa.bool_() if info.is_bool else _PA[info.dtype]
+            if info.link:
+                base = pa_link
+            else:
+                base = pa.bool_() if info.is_bool else _PA[info.dtype]
             if info.depth == 2:
                 return pa.list_(pa.list_(base))
             if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
