@@ -63,18 +63,25 @@ def main() -> None:
             # broadcasts don't degrade later queries
             spark.sparkContext._jvm.System.gc()
 
+    # stdout: ONE compact JSON line, summary keys first and no spread
+    # dict — the driver's tail capture has truncated long lines from the
+    # HEAD before (BENCH_r04 parsed: null), so keep this line minimal.
+    # Spreads/errors go to stderr for the local evidence trail.
     out = {
         "metric": "total_query_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
-        "spread": spreads,
+        "queries": {k: round(v, 2) for k, v in times.items()},
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    print(
+        json.dumps({"spread": spreads, "errors": errors}, separators=(",", ":")),
+        file=sys.stderr,
+    )
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

