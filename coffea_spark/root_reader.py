@@ -106,6 +106,9 @@ class BranchInfo:
     # bytecount-framed objects whose LAST 8 bytes are (persKey u4,
     # persIndex u4); decoded to struct columns
     link: bool = False
+    # string payloads: 1 = one TString per entry (TLeafC / std::string
+    # member), 2 = vector<string> (10-byte STL header + TStrings)
+    string: int = 0
 
 
 class RootFileError(ValueError):
@@ -374,7 +377,10 @@ def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
 
 
 def _pa_values(vals):
-    """numpy values -> pyarrow, widening link structs to int64 fields."""
+    """numpy values -> pyarrow, widening link structs to int64 fields.
+    Object arrays are always strings here (the only object-typed payload
+    the reader produces) — typed explicitly so empty columns don't infer
+    null."""
     import pyarrow as pa
 
     if vals.dtype.names is not None:
@@ -385,6 +391,8 @@ def _pa_values(vals):
             ],
             ["persKey", "persIndex"],
         )
+    if vals.dtype == object:
+        return pa.array(vals, type=pa.string())
     return pa.array(vals)
 
 
@@ -566,6 +574,11 @@ class RootTreeReader:
                 name, "u4", None, 1, is_bool=False,
                 from_offsets=True, header_bytes=10, depth=1, link=True,
             )
+        if inner1 == "string":
+            return BranchInfo(
+                name, "u1", None, 1, is_bool=False,
+                from_offsets=True, header_bytes=10, string=2,
+            )
         if inner1 is not None:
             dt = _VECTOR_DTYPES.get(inner1)
             if dt is None:
@@ -573,6 +586,11 @@ class RootTreeReader:
             return BranchInfo(
                 name, dt, None, 1, is_bool=(inner1 == "bool"),
                 from_offsets=True, header_bytes=10,
+            )
+        if tn in ("string", "TString"):
+            return BranchInfo(
+                name, "u1", None, 1, is_bool=False,
+                from_offsets=True, string=1,
             )
         return None
 
@@ -632,7 +650,13 @@ class RootTreeReader:
                     branch_rec = pos
                     continue
                 if cls == "TLeafC":
-                    break  # string leaf: unsupported, skip branch
+                    # string leaf: one TString per entry, framed by the
+                    # basket entry-offset table
+                    out[name] = BranchInfo(
+                        name, "u1", None, 1, is_bool=False,
+                        from_offsets=True, string=1,
+                    )
+                    break
                 # leaf body: fLen(i4) fLenType(i4) fOffset(i4) fIsRange(u1)
                 # fIsUnsigned(u1) fLeafCount(objptr)
                 flen, _ltype, _loff = struct.unpack_from(">iii", buf, after)
@@ -652,7 +676,7 @@ class RootTreeReader:
                     base = ftype % 20 if 20 < ftype < 40 else ftype
                     dt = _STREAMER_DTYPES.get(base)
                     header = 0
-                    if dt is None and ftype in (-1, 0, 300):
+                    if dt is None and ftype in (-1, 0, 300, 365, 65):
                         # object-wise STL branch (fType 300 = kSTL, or
                         # unset): element type from the branch's
                         # fClassName ("vector<float>") — a TString a few
@@ -682,16 +706,29 @@ class RootTreeReader:
                             if full else None
                         )
                         if bi is None:
-                            # last resort: the member's C++ type from the
-                            # file's StreamerInfo dictionary (xAOD Aux
-                            # stores carry the PARENT class in fClassName;
-                            # the member type exists nowhere else)
+                            # next: the member's C++ type from the file's
+                            # StreamerInfo dictionary (xAOD Aux stores
+                            # carry the PARENT class in fClassName; the
+                            # member type exists nowhere else)
                             member = name_stem.rsplit(".", 1)[-1]
                             tn = self._member_typename(member)
                             bi = (
                                 self._typename_branchinfo(name, tn)
                                 if tn else None
                             )
+                        if bi is None:
+                            # last resort: DATA probe — some std::string
+                            # branches stream with an EMPTY fClassName, so
+                            # validate TString framing against every entry
+                            # of the first basket
+                            kind = self._probe_string(name)
+                            if kind:
+                                bi = BranchInfo(
+                                    name, "u1", None, 1, is_bool=False,
+                                    from_offsets=True,
+                                    header_bytes=10 if kind == 2 else 0,
+                                    string=kind,
+                                )
                         if bi is not None:
                             out[name] = bi
                         break
@@ -812,6 +849,8 @@ class RootTreeReader:
         border = self._basket_last(k) - k.keylen
         if info.link:
             return self._basket_links(name, info, k, buf, border)
+        if info.string:
+            return self._basket_strings(name, info, k, buf, border)
         if info.depth == 2:
             # vector<vector<T>>: entry = 10-byte outer header with the
             # outer size, then per inner vector an i4 count + elements
@@ -863,6 +902,90 @@ class RootTreeReader:
         if info.from_offsets:
             return vals, self._entry_counts(k, buf, border, itemsize).astype(np.int64), None
         return vals, None, None
+
+    def _probe_string(self, name: str) -> int:
+        """Classify an otherwise-untypeable branch by validating string
+        framing against EVERY entry of its first basket: 1 = one TString
+        per entry, 2 = vector<string>, 0 = neither. Exact-consumption
+        across all entries makes misclassification vanishingly unlikely."""
+        keys = self._baskets.get(name, [])
+        if not keys:
+            return 0
+        k = keys[0]
+        try:
+            buf = self._payload(k)
+            border = self._basket_last(k) - k.keylen
+            offs = self._entry_offsets(k, buf, border)
+        except Exception:
+            return 0
+        if len(offs) < 2:
+            return 0
+
+        def scalar_ok():
+            for e in range(len(offs) - 1):
+                p, end = int(offs[e]), int(offs[e + 1])
+                try:
+                    _, p2 = _read_string(buf, p)
+                except Exception:
+                    return False
+                if p2 != end:
+                    return False
+            return True
+
+        def vector_ok():
+            for e in range(len(offs) - 1):
+                p, end = int(offs[e]), int(offs[e + 1])
+                if p + 10 > end:
+                    return False
+                n = struct.unpack_from(">i", buf, p + 6)[0]
+                if not (0 <= n <= end - p):
+                    return False
+                p += 10
+                for _ in range(n):
+                    try:
+                        _, p = _read_string(buf, p)
+                    except Exception:
+                        return False
+                    if p > end:
+                        return False
+                if p != end:
+                    return False
+            return True
+
+        if scalar_ok():
+            return 1
+        if vector_ok():
+            return 2
+        return 0
+
+    def _basket_strings(self, name, info: BranchInfo, k: _Key, buf, border):
+        """String payloads: scalar (one TString per entry — TLeafC or a
+        std::string member) or vector<string> (10-byte STL header, then
+        TStrings). Values come back as an object array of str."""
+        offs = self._entry_offsets(k, buf, border)
+        vals, counts = [], []
+        for e in range(len(offs) - 1):
+            p, end = int(offs[e]), int(offs[e + 1])
+            if info.string == 2:
+                n = struct.unpack_from(">i", buf, p + 6)[0]
+                p += 10
+                counts.append(n)
+                for _ in range(n):
+                    s, p = _read_string(buf, p)
+                    vals.append(s)
+            else:
+                s, p = _read_string(buf, p)
+                vals.append(s)
+            if p != end:
+                raise RootFileError(
+                    f"{self.path}:{name}: string framing mismatch "
+                    f"({p} != {end} at entry {e})"
+                )
+        return (
+            np.asarray(vals, dtype=object),
+            np.asarray(counts, dtype=np.int64) if info.string == 2 else None,
+            None,
+        )
 
     _LINK_DTYPE = np.dtype([("persKey", "u4"), ("persIndex", "u4")])
 
@@ -953,8 +1076,8 @@ class RootTreeReader:
 
     @staticmethod
     def _native(vals: np.ndarray, info: BranchInfo) -> np.ndarray:
-        if vals.dtype.names is not None:  # link struct: already native
-            return vals
+        if vals.dtype.names is not None or vals.dtype == object:
+            return vals  # link structs / strings: already native
         vals = vals.astype(vals.dtype.newbyteorder("="))
         if info.is_bool:
             vals = vals.astype(bool)
@@ -988,7 +1111,7 @@ class RootTreeReader:
         )
         vals = self._native(vals, info)
         self._cache[name] = vals
-        if count_parts or info.from_offsets or info.depth == 2:
+        if count_parts or (info.from_offsets and info.string != 1) or info.depth == 2:
             self._counts_cache[name] = (
                 np.concatenate(count_parts)
                 if count_parts
@@ -1166,6 +1289,11 @@ class RootTreeReader:
                 cols.append(arr)
                 fields.append(pa.field(name, arr.type))
                 continue
+            if info.string == 1:
+                arr = _pa_values(vals)
+                cols.append(arr)
+                fields.append(pa.field(name, arr.type))
+                continue
             if info.counts is not None or info.from_offsets:
                 cts = (
                     self._counts_cache[name]
@@ -1309,8 +1437,16 @@ def read_root(
         info = head.branches[c]
         if info.link:
             base = link_struct
+        elif info.string:
+            base = T.StringType()
         else:
             base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
+        if info.string == 1:
+            fields.append(T.StructField(c, base))
+            continue
+        if info.string == 2:
+            fields.append(T.StructField(c, T.ArrayType(base)))
+            continue
         if info.depth == 2:
             fields.append(T.StructField(c, T.ArrayType(T.ArrayType(base))))
         elif info.counts is not None or info.fixed_len > 1 or info.from_offsets:
@@ -1356,6 +1492,8 @@ def read_root(
         def target_field(info):
             if info.link:
                 base = pa_link
+            elif info.string:
+                return pa.string() if info.string == 1 else pa.list_(pa.string())
             else:
                 base = pa.bool_() if info.is_bool else _PA[info.dtype]
             if info.depth == 2:

@@ -54,10 +54,11 @@ _LEAF_FOR_DTYPE = {
     "i1": ("TLeafB", ">b", 1, False),
     "u1": ("TLeafB", ">b", 1, True),
     "b1": ("TLeafO", ">b", 1, False),  # bool
+    "str": ("TLeafC", ">i", 1, False),  # one TString per entry
 }
 _LEAF_SUFFIX = {
     "TLeafF": "F", "TLeafD": "D", "TLeafI": "I", "TLeafL": "L",
-    "TLeafS": "S", "TLeafB": "B", "TLeafO": "O",
+    "TLeafS": "S", "TLeafB": "B", "TLeafO": "O", "TLeafC": "C",
 }
 
 
@@ -182,14 +183,22 @@ def _column_arrays(name, values):
     return np.asarray(s), None
 
 
+def _is_string_array(arr: np.ndarray) -> bool:
+    return arr.dtype.kind == "U" or (
+        arr.dtype == object and len(arr) and isinstance(arr[0], str)
+    )
+
+
 def _dtype_key(arr: np.ndarray) -> str:
     if arr.dtype == bool:
         return "b1"
+    if _is_string_array(arr):
+        return "str"
     k = f"{arr.dtype.kind}{arr.dtype.itemsize}"
     if k not in _LEAF_FOR_DTYPE:
         raise RootWriteError(
             f"unsupported column dtype {arr.dtype} (supported: "
-            f"{sorted(_LEAF_FOR_DTYPE)})"
+            f"{sorted(_LEAF_FOR_DTYPE)} + str scalars)"
         )
     return k
 
@@ -294,12 +303,23 @@ def serialize_root_file(
             else:
                 vals = arr[b0:b1]
                 offs = None
-            if vals.dtype == bool:
-                be = vals.astype("u1")
+            if _is_string_array(arr):
+                if counts is not None:
+                    raise RootWriteError(
+                        f"{bname}: jagged string columns are not writable "
+                        "(TLeafC is one string per entry)"
+                    )
+                parts = [_tstring(str(s)) for s in vals]
+                lens = np.asarray([len(b) for b in parts], dtype=np.int64)
+                offs = np.zeros(len(parts), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                payload = b"".join(parts)
+            elif vals.dtype == bool:
+                payload = vals.astype("u1").tobytes()
             else:
-                be = vals.astype(vals.dtype.newbyteorder(">"))
+                payload = vals.astype(vals.dtype.newbyteorder(">")).tobytes()
             rec = _basket_record(
-                bname, tree, be.tobytes(), b1 - b0, pos,
+                bname, tree, payload, b1 - b0, pos,
                 offsets=offs, compression=compression,
             )
             records.append(rec)

@@ -561,3 +561,20 @@ def test_read_root_link_structs(spark):
         F.sum("l.persIndex")
     ).first()[0]
     assert s == int(r.array(name)["persIndex"].astype("int64").sum())
+
+
+def test_pdune_string_branches():
+    """std::string / vector<string> branches read natively (the data
+    probe types branches whose fClassName streams empty): pduneana is
+    now 100% readable."""
+    r = RootTreeReader(f"{SAMPLES}/pduneana.root")
+    assert len(r.branches) == len(r._baskets)
+    info = r.branches["true_beam_endProcess"]
+    assert info.string == 1
+    v = r.array("true_beam_endProcess")
+    assert v.dtype == object and len(v) == r.entries
+    vp = r.branches["true_beam_processes"]
+    assert vp.string == 2
+    t = r.to_arrow(["true_beam_endProcess", "true_beam_processes"])
+    assert str(t.schema.field("true_beam_endProcess").type) == "string"
+    assert str(t.schema.field("true_beam_processes").type) == "list<item: string>"

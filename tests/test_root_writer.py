@@ -116,3 +116,29 @@ def test_distributed_sink_roundtrip(spark, tmp_path):
         F.sum(F.size("hits")).alias("sh"),
     ).first()
     assert (a["se"], a["sm"], a["sh"]) == (e["se"], e["sm"], e["sh"])
+
+
+def test_string_column_roundtrip(tmp_path):
+    """TLeafC string columns: write one TString per entry (offset-table
+    framed), read back through the native reader — including across
+    basket boundaries and via entry ranges."""
+    rng = np.random.default_rng(11)
+    procs = np.array(
+        ["primary", "hIoni", "Decay", "pi+Inelastic", ""], dtype=object
+    )
+    cols = {
+        "evt": np.arange(300, dtype=np.int64),
+        "process": procs[rng.integers(0, 5, 300)],
+    }
+    path = str(tmp_path / "s.root")
+    write_root_file(cols, path, basket_rows=64)
+    r = RootTreeReader(path)
+    assert (r.array("process") == cols["process"]).all()
+    full = r.to_arrow(["evt", "process"])
+    got = r.to_arrow(["evt", "process"], entry_start=50, entry_stop=250)
+    assert got.equals(full.slice(50, 200))
+    with pytest.raises(RootWriteError, match="jagged string"):
+        write_root_file(
+            {"a": [np.array(["x"], dtype=object), np.array(["y", "z"], dtype=object)]},
+            str(tmp_path / "j.root"),
+        )
