@@ -1,28 +1,28 @@
-"""ROOT file ingestion: TTree/RNTuple -> Parquet -> Spark.
+"""ROOT file ingestion: TTree/RNTuple -> Parquet -> Spark (convert-once).
 
 The reference's primary entry point is a direct uproot read of ROOT
 files (nanoevents/factory.py:267-480 from_root; schemas/base.py:136-178
-branch forms). A Spark executor cannot read ROOT natively (no
-datasource for the format, and the scientific Python ROOT stack is not
-a JVM library), so the Spark-first design is a one-time columnar
-conversion at the storage layer:
+branch forms). This engine reads ROOT NATIVELY — the pure-Python
+reader in :mod:`coffea_spark.root_reader` (TKey walk, basket
+decompression, TStreamerInfo-typed object-class branches) distributes
+(file, entry-range) scans through Spark without uproot. This module is
+the complementary STORAGE-LAYER posture for repeated 100 TB querying:
 
-    ROOT TTree --uproot--> awkward --to_arrow--> Parquet --> spark.read
+    ROOT TTree --decode once--> Parquet --> spark.read
 
-This preserves EVERYTHING Spark needs: jagged branches become Parquet
-LIST columns (Spark array<T>), NanoAOD's flat ``Muon_pt``-style naming
-survives as column names, and the schema module's
-``zip_collections``/NanoAODSchemaSpec reassemble struct collections on
-the Spark side exactly as they do for driver-generated parquet. The
-conversion is embarrassingly parallel (one task per ROOT file, no
-shuffle) and runs ONCE per dataset — every subsequent query is a
-parquet scan with pushdown and pruning, which a repeated uproot decode
-could never match.
+Converting once preserves everything Spark needs: jagged branches
+become Parquet LIST columns (Spark array<T>), NanoAOD's flat
+``Muon_pt``-style naming survives as column names, and the schema
+module's ``zip_collections``/NanoAODSchemaSpec reassemble struct
+collections exactly as for driver-generated parquet. The conversion is
+embarrassingly parallel (one task per ROOT file, no shuffle) and runs
+ONCE per dataset — every subsequent query is a parquet scan with
+row-group skipping and pushdown, which a repeated ROOT decode (native
+or uproot) cannot match.
 
-uproot/awkward are not installed in this environment, so the converter
-body is import-gated: the recipe, argument surface, and the pure
-branch-form -> Spark-type mapping (testable without ROOT) are real; the
-decode call raises a clear ImportError until the libraries are present.
+The decode step prefers the native reader; uproot/awkward, when
+installed, are used for anything the native reader declares unsupported
+(dataless container headers, triply-nested vectors).
 """
 
 from __future__ import annotations
