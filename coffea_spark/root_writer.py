@@ -379,6 +379,44 @@ def write_root_file(
     return path
 
 
+def write_events_root(
+    df,
+    path: str,
+    tree: str = "Events",
+    basket_rows: int = 65536,
+    compression: int = 1,
+) -> list[str]:
+    """The reference's ``uproot_writeable`` surface end-to-end
+    (schemas/base.py:136-178, schemas/nanoaod.py:417-464): flatten every
+    ``X: array<struct>`` collection back to flat ``X_member`` branches
+    sharing one NanoAOD-style ``nX`` counts leaf, then write the frame
+    as a directory of .root part files. Events read with
+    ``read_nanoevents`` round-trip: ROOT -> collections -> ROOT."""
+    from pyspark.sql import types as T
+
+    from coffea_spark.schema import unzip_collection
+
+    counts_map: dict[str, str] = {}
+    drop: list[str] = []
+    for f in list(df.schema.fields):
+        if isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StructType
+        ):
+            members = [m.name for m in f.dataType.elementType.fields]
+            df = unzip_collection(df, f.name)
+            drop.append(f"n{f.name}")  # the sink re-derives counts leaves
+            for m in members:
+                counts_map[f"{f.name}_{m}"] = f"n{f.name}"
+        elif isinstance(f.dataType, T.StructType):
+            df = unzip_collection(df, f.name)
+    if drop:
+        df = df.drop(*drop)
+    return write_root_dir(
+        df, path, tree=tree, counts_map=counts_map,
+        basket_rows=basket_rows, compression=compression,
+    )
+
+
 def write_root_dir(
     df,
     path: str,

@@ -142,3 +142,33 @@ def test_string_column_roundtrip(tmp_path):
             {"a": [np.array(["x"], dtype=object), np.array(["y", "z"], dtype=object)]},
             str(tmp_path / "j.root"),
         )
+
+
+def test_uproot_writeable_full_circle(spark, tmp_path):
+    """ROOT -> collections -> ROOT: read the reference's dimuon fixture,
+    zip into Muon collections, write back through write_events_root
+    (the uproot_writeable surface), re-read, and compare values."""
+    import os
+
+    from coffea_spark.root_reader import read_nanoevents
+    from coffea_spark.root_writer import write_events_root
+
+    SAMPLES = "/root/reference/tests/samples"
+    if not os.path.isdir(SAMPLES):
+        pytest.skip("reference fixtures not available")
+    ev = read_nanoevents(
+        spark,
+        [f"{SAMPLES}/nano_dimuon.root"],
+        columns=["run", "nMuon", "Muon_pt", "Muon_charge"],
+    )
+    out = str(tmp_path / "circle")
+    write_events_root(ev.df if hasattr(ev, "df") else ev, out, tree="Events")
+    back = read_root(spark, f"{out}/part-*.root", tree="Events")
+    assert back.count() == 40
+    got = back.agg(
+        F.sum(F.size("Muon_pt")).alias("n"),
+        F.round(F.sum(F.aggregate("Muon_pt", F.lit(0.0), lambda a, x: a + x)), 3).alias("s"),
+    ).first()
+    r = RootTreeReader(f"{SAMPLES}/nano_dimuon.root")
+    assert got["n"] == int(r.array("nMuon").sum())
+    assert got["s"] == round(float(r.array("Muon_pt").astype("float64").sum()), 3)
