@@ -3240,21 +3240,31 @@ def q_systematics_multi(spark, sf_dir):
     )
     up = F.col("systematics.pq_shift.up")
     dn = F.col("systematics.pq_shift.down")
+
+    # sum_rev_* reaches ~8e10 at sf0.01 — the hist3d float-flake class:
+    # round per ROW (absorbs last-ULP association differences between
+    # engines) then accumulate in DECIMAL so the sum is exact and
+    # order-independent on both sides.
+    def dsum(c):
+        return F.round(
+            F.sum(F.round(c, 4).cast("decimal(28,4)")), 2
+        ).cast("double")
+
     return li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(up["l_extendedprice"]), 2).alias("sum_price_up"),
-        F.round(F.sum(dn["l_quantity"]), 2).alias("sum_qty_down"),
-        F.round(F.sum(up["l_extendedprice"] * up["l_quantity"]), 2).alias("sum_rev_up"),
-        F.round(F.sum(dn["l_extendedprice"] * dn["l_quantity"]), 2).alias("sum_rev_down"),
+        dsum(up["l_extendedprice"]).alias("sum_price_up"),
+        dsum(dn["l_quantity"]).alias("sum_qty_down"),
+        dsum(up["l_extendedprice"] * up["l_quantity"]).alias("sum_rev_up"),
+        dsum(dn["l_extendedprice"] * dn["l_quantity"]).alias("sum_rev_down"),
     )
 
 
 SQL_SYSTEMATICS_MULTI = """
 SELECT count(*) AS n,
-       round(sum(l_extendedprice * 1.03), 2) AS sum_price_up,
-       round(sum(l_quantity * 1.01), 2) AS sum_qty_down,
-       round(sum(l_extendedprice * 1.03 * l_quantity * 0.99), 2) AS sum_rev_up,
-       round(sum(l_extendedprice * 0.97 * l_quantity * 1.01), 2) AS sum_rev_down
+       CAST(round(sum(CAST(round(l_extendedprice * 1.03, 4) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_price_up,
+       CAST(round(sum(CAST(round(l_quantity * 1.01, 4) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_qty_down,
+       CAST(round(sum(CAST(round((l_extendedprice * 1.03) * (l_quantity * 0.99), 4) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_rev_up,
+       CAST(round(sum(CAST(round((l_extendedprice * 0.97) * (l_quantity * 1.01), 4) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_rev_down
 FROM lineitem
 """
 
@@ -3772,7 +3782,12 @@ def q_range_gather(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("ng").alias("n_gathered"),
-        F.round(F.sum("sp"), 2).alias("sum_gathered_price"),
+        # ~5.6e9 at sf0.01: round the PER-EVENT partial (within-event
+        # magnitude is small, so 4dp absorbs association differences)
+        # and accumulate in DECIMAL — exact, order-independent
+        F.round(
+            F.sum(F.round(F.col("sp"), 4).cast("decimal(28,4)")), 2
+        ).cast("double").alias("sum_gathered_price"),
     )
 
 
@@ -3786,11 +3801,17 @@ WITH s AS MATERIALIZED (
                             ORDER BY l_linenumber, l_quantity,
                                      l_extendedprice, l_discount, l_suppkey) - 1 AS rn
   FROM lineitem
+), ev AS (
+  SELECT ok,
+         CAST(round(sum(price * (CASE WHEN rn = 0 THEN 1 ELSE 2 END)), 4)
+              AS DECIMAL(28,4)) AS sp,
+         sum(CASE WHEN rn = 0 THEN 1 ELSE 2 END) AS ng
+  FROM s GROUP BY ok
 )
-SELECT (SELECT count(DISTINCT ok) FROM s) AS n_events,
-       (SELECT CAST(sum(CASE WHEN rn = 0 THEN 1 ELSE 2 END) AS BIGINT) FROM s) AS n_gathered,
-       (SELECT round(sum(price * (CASE WHEN rn = 0 THEN 1 ELSE 2 END)), 2) FROM s)
-         AS sum_gathered_price
+SELECT count(*) AS n_events,
+       CAST(sum(ng) AS BIGINT) AS n_gathered,
+       CAST(round(sum(sp), 2) AS DOUBLE) AS sum_gathered_price
+FROM ev
 """
 
 
