@@ -2959,6 +2959,69 @@ SELECT * FROM (VALUES
 """
 
 
+def q_edm4hep_real_links(spark, sf_dir):
+    """REAL podio begin/end relation resolution over the reference's own
+    EDM4HEP binary fixture (reference transforms.py:647-998
+    begin_end_mapping; mapping/uproot.py member-wise branches): the
+    native reader decodes Particle.parents_begin/end and the
+    _Particle_parents.index ObjectID member, and the Spark pipeline
+    gathers each particle's PARENT PDG codes through the two-level
+    index — sequence(begin, end-1) into the link array, link index into
+    the particle collection — all row-local HOFs, no shuffle. Golden
+    values independently derived by a numpy decode of the same file.
+    ``sf_dir`` is unused (the input is the binary fixture)."""
+    from coffea_spark.root_reader import read_root
+
+    path = "/root/reference/tests/samples/p8_ee_WW_ecm240_edm4hep.root"
+    cols = [
+        "Particle.parents_begin", "Particle.parents_end",
+        "_Particle_parents.index", "Particle.PDG",
+    ]
+    ev = read_root(spark, [path], columns=cols)
+    begin = F.col("`Particle.parents_begin`")
+    end = F.col("`Particle.parents_end`")
+    links = F.col("`_Particle_parents.index`")
+    pdg = F.col("`Particle.PDG`")
+    # per particle: its parents' link-array slice -> particle indexes
+    parent_idx = F.zip_with(
+        begin, end,
+        lambda b, e: F.transform(
+            F.when(e > b, F.sequence(b, e - 1)).otherwise(F.array().cast("array<int>")),
+            lambda i: links[i.cast("int")],
+        ),
+    )
+    parent_pdg = F.transform(
+        parent_idx,
+        lambda arr: F.transform(arr, lambda j: pdg[j.cast("int")]),
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size(pdg)).alias("n_particles"),
+        F.sum(F.size(links)).alias("n_links"),
+        F.sum(
+            F.aggregate(
+                F.flatten(parent_idx), F.lit(0).cast("long"),
+                lambda a, x: a + F.lit(1),
+            )
+        ).alias("n_parent_refs"),
+        F.sum(
+            F.aggregate(
+                F.flatten(parent_pdg), F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        ).alias("parent_pdg_sum"),
+    )
+
+
+# golden values: independent numpy decode of the fixture
+SQL_EDM4HEP_REAL_LINKS = """
+SELECT * FROM (VALUES
+  (CAST(10 AS BIGINT), CAST(1813 AS BIGINT), CAST(4275 AS BIGINT),
+   CAST(4275 AS BIGINT), CAST(180595 AS BIGINT))
+) AS t(n_events, n_particles, n_links, n_parent_refs, parent_pdg_sum)
+"""
+
+
 def q_root_sink_scan(spark, sf_dir):
     """ROOT-format SINK round-trip gate (root_writer.py; reference
     surface uproot_writeable, schemas/base.py:136-178): a lineitem
@@ -4740,15 +4803,16 @@ REGISTRY: dict[str, Query] = {
     "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
     "hist3d": Query(q_hist3d, SQL_HIST3D),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
     "cutflow": Query(q_cutflow, SQL_CUTFLOW),
     "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    "quantiles": Query(q_quantiles, SQL_QUANTILES),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     # -- past the driver window: rows-only queries + twice-green veterans --
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
     "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
