@@ -3022,6 +3022,52 @@ SELECT * FROM (VALUES
 """
 
 
+def q_treemaker_real_nesting(spark, sf_dir):
+    """REAL TreeMaker Counts-regrouping over the reference's own binary
+    fixture (reference schemas/treemaker.py subjet nesting +
+    nest_jagged_forms): the native reader decodes the member-wise split
+    TLorentzVector component branch and the per-jet subjetsCounts
+    vector, and nest_by_counts regroups the flat subjets into
+    array<array> under their jets — row-local prefix-sum + slice, no
+    shuffle. The position-weighted sum ((1-based jet index) x that
+    jet's subjet-pt sum) flips on ANY regrouping error. Golden values
+    independently derived by a numpy decode. ``sf_dir`` unused."""
+    from coffea_spark.root_reader import read_root
+    from coffea_spark.schemas_variants import nest_by_counts
+
+    path = "/root/reference/tests/samples/treemaker.root"
+    ev = read_root(
+        spark, [path],
+        columns=["JetsAK8_subjetsCounts", "JetsAK8_subjets.fCoordinates.fPt"],
+    )
+    cnt = F.col("`JetsAK8_subjetsCounts`")
+    pt = F.col("`JetsAK8_subjets.fCoordinates.fPt`")
+    nested = nest_by_counts(pt, cnt)
+    weighted = F.transform(
+        nested,
+        lambda sub, j: (j + 1).cast("double")
+        * F.aggregate(sub, F.lit(0.0), lambda a, x: a + x),
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size(cnt)).alias("n_jets"),
+        F.sum(F.size(pt)).alias("n_subjets"),
+        F.round(F.sum(F.aggregate(pt, F.lit(0.0), lambda a, x: a + x)), 2).alias("sum_pt"),
+        F.round(
+            F.sum(F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)), 2
+        ).alias("pos_weighted"),
+    )
+
+
+# golden values: independent numpy decode of the fixture
+SQL_TREEMAKER_REAL_NESTING = """
+SELECT * FROM (VALUES
+  (CAST(10 AS BIGINT), CAST(20 AS BIGINT), CAST(38 AS BIGINT),
+   CAST(6167.04 AS DOUBLE), CAST(8880.24 AS DOUBLE))
+) AS t(n_events, n_jets, n_subjets, sum_pt, pos_weighted)
+"""
+
+
 def q_root_sink_scan(spark, sf_dir):
     """ROOT-format SINK round-trip gate (root_writer.py; reference
     surface uproot_writeable, schemas/base.py:136-178): a lineitem
@@ -4804,15 +4850,16 @@ REGISTRY: dict[str, Query] = {
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
+    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "hist3d": Query(q_hist3d, SQL_HIST3D),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
     "cutflow": Query(q_cutflow, SQL_CUTFLOW),
     "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     # -- past the driver window: rows-only queries + twice-green veterans --
     "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
     "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
