@@ -3068,6 +3068,48 @@ SELECT * FROM (VALUES
 """
 
 
+def q_fileset_preprocess(spark, sf_dir):
+    """Fileset preprocessing gate (reference dataset_tools/preprocess.py
+    :1148 + get_steps :33-216): discover the sf_dir tables as a fileset,
+    probe every file's metadata distributedly (one Spark task per file),
+    and emit per-dataset num_entries and step counts for a fixed
+    step_size. The oracle recomputes both from DuckDB row counts —
+    num_entries must equal count(*), and steps must tile [0, n) in
+    step_size pieces."""
+    from coffea_spark.dataset_tools import discover_fileset, preprocess
+
+    step = 7000
+    tables = ["lineitem", "orders", "customer", "part"]
+    fs = discover_fileset(
+        {t: os.path.join(sf_dir, f"{t}.parquet") for t in tables}
+    )
+    avail, _updated = preprocess(fs, step_size=step, spark=spark)
+    rows = []
+    for ds in tables:
+        for meta in avail[ds]["files"].values():
+            covered = sum(b - a for a, b in meta["steps"])
+            rows.append(
+                (ds, meta["num_entries"], len(meta["steps"]), covered)
+            )
+    return spark.createDataFrame(
+        rows, "dataset string, num_entries long, n_steps long, covered long"
+    )
+
+
+SQL_FILESET_PREPROCESS = """
+WITH c AS (
+  SELECT 'lineitem' AS dataset, count(*) AS n FROM lineitem
+  UNION ALL SELECT 'orders', count(*) FROM orders
+  UNION ALL SELECT 'customer', count(*) FROM customer
+  UNION ALL SELECT 'part', count(*) FROM part
+)
+SELECT dataset, CAST(n AS BIGINT) AS num_entries,
+       CAST(ceil(n / 7000.0) AS BIGINT) AS n_steps,
+       CAST(n AS BIGINT) AS covered
+FROM c
+"""
+
+
 def q_root_sink_scan(spark, sf_dir):
     """ROOT-format SINK round-trip gate (root_writer.py; reference
     surface uproot_writeable, schemas/base.py:136-178): a lineitem
@@ -4851,13 +4893,14 @@ REGISTRY: dict[str, Query] = {
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
     "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
+    "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),
     "hist3d": Query(q_hist3d, SQL_HIST3D),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
     "cutflow": Query(q_cutflow, SQL_CUTFLOW),
     "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
-    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     # -- past the driver window: rows-only queries + twice-green veterans --
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "quantiles": Query(q_quantiles, SQL_QUANTILES),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
