@@ -184,8 +184,10 @@ def _column_arrays(name, values):
 
 
 def _is_string_array(arr: np.ndarray) -> bool:
+    # an EMPTY object array can only be a string column here (jagged
+    # columns are lists-of-arrays and never reach this as object dtype)
     return arr.dtype.kind == "U" or (
-        arr.dtype == object and len(arr) and isinstance(arr[0], str)
+        arr.dtype == object and (len(arr) == 0 or isinstance(arr[0], str))
     )
 
 

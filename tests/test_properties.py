@@ -113,3 +113,50 @@ def test_gather_local_bounds(spark, idxs):
             assert got["v"] == float(i)
         else:
             assert got is None
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=0, max_size=40,
+    ),
+    st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1), min_size=0, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=7),
+    st.sampled_from([0, 1]),
+)
+def test_root_writer_roundtrip_property(tmp_path_factory, floats, ints, jagged_lens, basket_rows, compression):
+    """Serialize arbitrary scalar + jagged + string + bool columns to an
+    in-memory ROOT file and read them back bit-identical, for any basket
+    granularity and compression setting."""
+    import numpy as np
+
+    from coffea_spark.root_reader import RootTreeReader
+    from coffea_spark.root_writer import write_root_file
+
+    n = min(len(floats), len(ints), len(jagged_lens))
+    floats, ints, jagged_lens = floats[:n], ints[:n], jagged_lens[:n]
+    rng = np.random.default_rng(42)
+    cols = {
+        "f": np.asarray(floats, dtype=np.float32),
+        "i": np.asarray(ints, dtype=np.int32),
+        "flag": np.asarray([v % 2 == 0 for v in ints], dtype=bool),
+        "s": np.asarray([f"x{v}" for v in ints], dtype=object),
+        "jag": [rng.random(k) for k in jagged_lens],
+    }
+    path = str(tmp_path_factory.mktemp("prop") / "p.root")
+    write_root_file(cols, path, basket_rows=basket_rows, compression=compression)
+    r = RootTreeReader(path)
+    assert r.entries == n
+    assert np.array_equal(r.array("f"), cols["f"])
+    assert np.array_equal(r.array("i"), cols["i"])
+    assert (r.array("flag") == cols["flag"]).all()
+    assert (r.array("s") == cols["s"]).all()
+    if n:  # a zero-row jagged column degrades to scalar (data-driven schema)
+        assert (r.array("n_jag") == jagged_lens).all()
+        got = r.array("jag")
+        want = (
+            np.concatenate(cols["jag"]) if sum(jagged_lens) else np.empty(0)
+        )
+        assert np.array_equal(got, want)
