@@ -2576,6 +2576,57 @@ FROM s GROUP BY 1
 """
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (engine extension, §2.10 —
+    Structured Streaming's stream-static join): the event stream joins a
+    small static dimension (customer segment keyed by user) BROADCAST to
+    every micro-batch task — no stream-side shuffle for the join — then
+    aggregates event-time hourly windows per segment with a watermark.
+    The oracle is the identical batch join+window in DuckDB."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    stream = _normalize_event_ts(raw)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select((F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
+    )
+    joined = stream.join(F.broadcast(dim), "user_id", "inner")
+    agg = (
+        joined.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    qname = "stream_enrich_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window.start").cast("long").alias("wstart"),
+        "c_mktsegment", "n", "sum_value",
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS wstart,
+       c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey - 1 = e.user_id AND c.c_custkey <= 150
+GROUP BY 1, 2
+"""
+
+
 def q_stream_windowed_hist(spark, sf_dir):
     """Structured Streaming spelling of the histogram aggregation
     (engine extension; the reference is batch-only, SURVEY.md §2.10):
@@ -4867,6 +4918,7 @@ REGISTRY: dict[str, Query] = {
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
