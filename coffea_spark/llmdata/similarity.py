@@ -514,3 +514,182 @@ def knn_classify(
             "votes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (beyond reference; Jégou et al. 2011 PQ/ADC) —
+# compressed-vector search for the 100 TB embedding store: 64-dim float32
+# (256 B) -> m bytes per vector, scored by table lookups
+# ---------------------------------------------------------------------------
+
+def _kmeans_fixed(sample: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means on an in-memory sample (shared by
+    ivf_train and pq_train; sorted input => order-independent)."""
+    sample = sample[np.lexsort(sample.T[::-1])]
+    rng = np.random.default_rng(seed)
+    cents = [sample[rng.integers(sample.shape[0])]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((sample[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(sample[rng.choice(sample.shape[0], p=p)])
+    cents = np.asarray(cents, dtype=float)
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for i in range(k):
+            m = lab == i
+            new[i] = sample[m].mean(axis=0) if m.any() else sample[d2.min(axis=1).argmax()]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_sample: int = 4096,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train per-subvector codebooks: split the (normalized) vector into
+    ``m`` contiguous subvectors and k-means each on a BOUNDED driver-side
+    sample. Returns (m, n_codes, dim/m) float64 codebooks. Same cost
+    profile as ivf_train: one bounded collect, millisecond training."""
+    sample = np.asarray(
+        [
+            r[0]
+            for r in df.select(F.col(vec_col).cast("array<double>"))
+            .limit(max_sample)
+            .collect()
+        ],
+        dtype=float,
+    )
+    if sample.shape[0] < n_codes:
+        raise ValueError(f"need >= {n_codes} vectors to train, got {sample.shape[0]}")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if normalize:
+        nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+        sample = sample / np.where(nrm == 0, 1.0, nrm)
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans_fixed(sample[:, j * sub : (j + 1) * sub], n_codes, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Distributed PQ encoding: per row, the nearest codebook entry per
+    subvector — an Arrow-batched numpy argmin over the (tiny, broadcast
+    in the UDF closure) codebooks. Output: id + array<int> of m codes
+    (the m-byte compressed representation). One scan, no shuffle."""
+    m, k, sub = codebooks.shape
+    books = codebooks.copy()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.map(np.asarray).to_numpy()).astype(float)
+        if normalize:
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.where(nrm == 0, 1.0, nrm)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            seg = X[:, j * sub : (j + 1) * sub]
+            d2 = ((seg[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query a (m, n_codes) lookup table
+    of query-subvector-to-centroid distances, then every corpus vector
+    scores with m table lookups instead of a dim-wide dot product.
+
+    Scale shape: the query table is TINY (collected once, shipped in
+    the UDF closure); each Arrow batch emits only its per-query local
+    top-k (batch_rows x Q scores reduced before leaving the executor),
+    so the shuffle carries O(batches x Q x k) rows — never the corpus.
+    The final global top-k is a window over that small union."""
+    m, nk, sub = codebooks.shape
+    q_rows = queries.select(qid_col, F.col(qvec_col).cast("array<double>")).collect()
+    if not q_rows:
+        raise ValueError("empty query table")
+    qids = np.asarray([r[0] for r in q_rows])
+    Q = np.asarray([r[1] for r in q_rows], dtype=float)
+    if normalize:
+        nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+        Q = Q / np.where(nrm == 0, 1.0, nrm)
+    # tables[q, j, c] = ||q_sub_j - book_j_c||^2
+    tables = np.stack(
+        [
+            ((Q[:, j * sub : (j + 1) * sub][:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    books_k = k
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf[code_col].map(np.asarray).to_numpy()).astype(int)
+            S = np.zeros((codes.shape[0], len(qids)))
+            for j in range(m):
+                S += tables[:, j, codes[:, j]].T  # (B, Q)
+            out = {"qid": [], id_col: [], "adc": []}
+            top = min(books_k, S.shape[0])
+            for qi in range(len(qids)):
+                part = np.argpartition(S[:, qi], top - 1)[:top]
+                out["qid"].extend([qids[qi]] * len(part))
+                out[id_col].extend(ids[part])
+                out["adc"].extend(S[part, qi])
+            yield pd.DataFrame(out)
+
+    import pyspark.sql.types as TT
+
+    local = encoded.mapInPandas(
+        score,
+        schema=TT.StructType(
+            [
+                TT.StructField("qid", TT.LongType()),
+                TT.StructField(id_col, TT.LongType()),
+                TT.StructField("adc", TT.DoubleType()),
+            ]
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

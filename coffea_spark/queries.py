@@ -2044,6 +2044,25 @@ def q_ivf_recall(spark, sf_dir):
     return _recall_summary(_exact_top1(queries, emb), approx, min_recall=0.9)
 
 
+def q_pq_recall(spark, sf_dir):
+    """Product quantization with a CHECKED recall gate (beyond reference;
+    Jégou et al. 2011 PQ/ADC): codebooks trained on a bounded sample,
+    the corpus PQ-ENCODED once to m small codes per vector (the
+    compressed store a 100 TB embedding table actually keeps), queries
+    scored by asymmetric distance — m table lookups per vector, each
+    Arrow batch emitting only its per-query local top-k. recall@5 >= 0.9
+    hash-compared exactly like ann_recall/ivf_recall."""
+    from coffea_spark.llmdata.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, n_codes=16, seed=42)
+    encoded = pq_encode(emb, books).persist()
+    encoded.count()  # materialize the one-time encoding
+    queries = _planted_queries(emb)
+    approx = pq_adc_topk(queries, encoded, books, k=5)
+    return _recall_summary(_exact_top1(queries, emb), approx, min_recall=0.9)
+
+
 SQL_RECALL_GATE = """
 WITH q AS (
   SELECT vec_id AS qid,
@@ -4931,6 +4950,7 @@ REGISTRY: dict[str, Query] = {
     "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
+    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
     "lang_id": Query(q_lang_id, _sql_lang_id()),
     "text_quality": Query(q_text_quality, _sql_text_quality()),
     "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),

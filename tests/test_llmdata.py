@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyspark.sql.functions as F
+import pytest
 
 from coffea_spark.llmdata import dedup, similarity, text
 from coffea_spark.llmdata.multimodal import (
@@ -481,3 +482,40 @@ def test_duplicate_windows_disjoint_spans(spark):
     # only "a b c" is shared; doc 1 has it at positions 1 and 12 (disjoint)
     assert out[1]["n_dup_windows"] == 2 and out[1]["dup_tokens"] == 6
     assert out[2]["n_dup_windows"] == 1 and out[2]["dup_tokens"] == 3
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ: deterministic codebooks, m-code encoding, and ADC retrieval
+    that finds a planted near-duplicate at rank 1."""
+    import numpy as np
+
+    from coffea_spark.llmdata.similarity import pq_adc_topk, pq_encode, pq_train
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(df, m=4, n_codes=8, seed=1, max_sample=300)
+    assert books.shape == (4, 8, 4)
+    books2 = pq_train(df, m=4, n_codes=8, seed=1, max_sample=300)
+    assert np.array_equal(books, books2)  # deterministic
+
+    enc = pq_encode(df, books)
+    row = enc.filter(F.col("vec_id") == 5).first()
+    assert len(row["pq_code"]) == 4 and all(0 <= c < 8 for c in row["pq_code"])
+
+    # plant a near-duplicate query of vector 7
+    q = spark.createDataFrame(
+        [(7, [float(v * 1.001) for v in X[7]])], "qid long, qvec array<double>"
+    )
+    top = pq_adc_topk(q, enc, books, k=5).collect()
+    assert len(top) == 5
+    best = min(top, key=lambda r: r["adc"])
+    assert best["vec_id"] == 7
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=5, n_codes=8)
+    with pytest.raises(ValueError, match="empty"):
+        pq_adc_topk(q.limit(0), enc, books)
