@@ -2,12 +2,13 @@
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
 mapInPandas signatures) is real, and so is the default image codec:
-:func:`real_image_decoder` contains complete numpy-only BMP (8-bit
-paletted + 24-bit) and PPM/PGM (P5/P6) parsers with matching encoders —
-uncompressed formats need no external library. Compressed formats
-(JPEG/PNG) and audio/video codecs still require PIL/ffmpeg, which this
-container lacks; those go through the same ``decoder=`` hook with a
-deterministic fake for tests, and swapping in a PIL-backed callable
+:func:`real_image_decoder` contains complete numpy-only PNG (8-bit
+gray/RGB/palette/alpha, all five row filters, zlib via the stdlib — a
+real COMPRESSED container), BMP (8-bit paletted + 24-bit), and PPM/PGM
+(P5/P6) parsers with matching encoders — none needs an external
+library. JPEG and audio/video codecs still require PIL/ffmpeg, which
+this container lacks; those go through the same ``decoder=`` hook with
+a deterministic fake for tests, and swapping in a PIL-backed callable
 changes nothing else.
 
 Design for 100 TB of media:
@@ -172,6 +173,133 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + pal + body.tobytes()
 
 
+# -- PNG (numpy + stdlib zlib — a real COMPRESSED container) ---------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct as _st
+    import zlib as _zl
+
+    return (
+        _st.pack(">I", len(body))
+        + tag
+        + body
+        + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 1) -> bytes:
+    """Encode 8-bit grayscale (H,W) or RGB (H,W,3) as a real PNG:
+    IHDR + zlib-deflated, per-row-filtered IDAT + IEND with CRCs.
+    ``filter_type`` 0 (None) or 1 (Sub) — Sub exercises the unfilter
+    path in round trips."""
+    import struct as _st
+    import zlib as _zl
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, channels = 2, 3
+    else:
+        raise ValueError(f"encode_png: need (H,W) or (H,W,3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    raw = arr.reshape(h, w * channels)
+    rows = []
+    for y in range(h):
+        if filter_type == 1:  # Sub: delta vs the pixel to the left
+            line = raw[y].astype(np.int16)
+            prev = np.concatenate([np.zeros(channels, np.int16), line[:-channels]])
+            rows.append(b"\x01" + ((line - prev) % 256).astype(np.uint8).tobytes())
+        else:
+            rows.append(b"\x00" + raw[y].tobytes())
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zl.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (grayscale, RGB, palette,
+    gray+alpha, RGBA) with full filter support (None/Sub/Up/Average/
+    Paeth) — numpy + stdlib zlib only. Alpha is dropped; palette
+    expands through PLTE. Returns (H,W) grayscale or (H,W,3) RGB."""
+    import struct as _st
+    import zlib as _zl
+
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("decode_png: bad signature")
+    p = 8
+    idat, plte = [], None
+    w = h = depth = color = interlace = None
+    while p < len(data):
+        (ln,) = _st.unpack_from(">I", data, p)
+        tag = bytes(data[p + 4 : p + 8])
+        body = bytes(data[p + 8 : p + 8 + ln])
+        p += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = _st.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if depth != 8:
+        raise NotImplementedError(f"decode_png: bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("decode_png: interlaced PNGs unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * channels
+    raw = _zl.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decode_png: IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"decode_png: bad filter {f} on row {y}")
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    img = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("decode_png: palette image without PLTE")
+        return plte[img[:, :, 0]]
+    if color == 4:
+        return img[:, :, 0]
+    if color == 6:
+        return img[:, :, :3]
+    return img[:, :, 0] if channels == 1 else img
+
+
 def synthetic_gray_payloads(ids: pd.Series) -> pd.Series:
     """Deterministic encoded test payloads (pandas-UDF worker): for id d
     a (8 + d%7) x (8 + d%9) grayscale image with pixel i =
@@ -184,25 +312,31 @@ def synthetic_gray_payloads(ids: pd.Series) -> pd.Series:
         d = int(d)
         w, h = 8 + d % 9, 8 + d % 7
         px = ((d * 31 + 7 * np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
-        out.append(encode_bmp(px) if d % 2 else encode_pgm(px))
+        if d % 3 == 0:
+            out.append(encode_png(px, filter_type=d % 2))
+        elif d % 2:
+            out.append(encode_bmp(px))
+        else:
+            out.append(encode_pgm(px))
     return pd.Series(out)
 
 
 def real_image_decoder(data: bytes) -> np.ndarray:
-    """Default image decoder: full numpy-only parsers for the
-    uncompressed container formats (BMP 8/24-bit, PPM/PGM P5/P6),
-    dispatched on magic bytes. Compressed formats still need an
-    external library — raise with an actionable message rather than
-    silently faking a decode."""
+    """Default image decoder: full numpy-only parsers for BMP 8/24-bit,
+    PPM/PGM P5/P6, and non-interlaced 8-bit PNG (a real zlib-compressed
+    container), dispatched on magic bytes. JPEG still needs an external
+    library — raise with an actionable message rather than silently
+    faking a decode."""
     magic = bytes(data[:2])
     if magic == b"BM":
         return decode_bmp(data)
     if magic in (b"P5", b"P6"):
         return decode_ppm(data)
+    if bytes(data[:8]) == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        f"payload magic {magic!r}: only uncompressed BMP/PPM/PGM decode "
-        "without external libraries; pass a PIL-backed decoder= for "
-        "JPEG/PNG"
+        f"payload magic {magic!r}: BMP/PPM/PGM/PNG decode without "
+        "external libraries; pass a PIL-backed decoder= for JPEG"
     )
 
 

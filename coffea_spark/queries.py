@@ -2098,7 +2098,7 @@ def _multimodal_fixture(spark, sf_dir) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(
-        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_multimodal.parquet"
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_multimodal_v2.parquet"
     )
     if not os.path.exists(out):
         enc = F.pandas_udf(synthetic_gray_payloads, "binary")
@@ -2125,7 +2125,7 @@ def q_multimodal_features(spark, sf_dir):
     """REAL image decode through the gate: per document a deterministic
     grayscale image (pixel i = (doc_id*31 + 7i) % 256, size tied to
     doc_id) is encoded ONCE into a parquet fixture of actual containers
-    (BMP with a palette for odd ids, binary PGM for even ids —
+    (PNG for ids %3==0, paletted BMP for other odd ids, binary PGM else —
     _multimodal_fixture), then the measured query SCANS the fixture and
     DECODES with the numpy-only parsers in llmdata/multimodal.py
     (real_image_decoder, the default) via the mapInPandas Arrow-batch

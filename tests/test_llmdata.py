@@ -519,3 +519,74 @@ def test_pq_roundtrip_and_recall(spark):
         pq_train(df, m=5, n_codes=8)
     with pytest.raises(ValueError, match="empty"):
         pq_adc_topk(q.limit(0), enc, books)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Numpy-only PNG: encode/decode round-trips (gray + RGB, both
+    encoder filters), hand-built Up/Average/Paeth rows, palette
+    expansion, and error paths."""
+    import struct
+    import zlib
+
+    from coffea_spark.llmdata.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for ft in (0, 1):
+        g = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(g, filter_type=ft)), g)
+    c = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(c)), c)
+
+    # hand-built file exercising Up/Average/Paeth unfiltering
+    h, w = 4, 6
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    raws, prev = [], np.zeros(w, np.int32)
+    for y, f in zip(range(h), [0, 2, 3, 4]):
+        line = img[y].astype(np.int32)
+        enc = np.empty(w, np.int32)
+        for x in range(w):
+            a = line[x - 1] if x else 0
+            b = prev[x]
+            cc = prev[x - 1] if x else 0
+            pred = {0: 0, 2: b, 3: (a + b) // 2}.get(f)
+            if pred is None:  # paeth
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (line[x] - pred) % 256
+        raws.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = line
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
+
+    # palette
+    plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    pix = rng.integers(0, 4, (3, 5), dtype=np.uint8)
+    rows = b"".join(b"\x00" + pix[y].tobytes() for y in range(3))
+    png2 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png2), plte[pix])
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        bad = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+            + _png_chunk(b"IEND", b"")
+        )
+        decode_png(bad)
