@@ -460,6 +460,95 @@ def fake_audio_decoder(data: bytes, sample_rate: int) -> np.ndarray:
     return np.frombuffer(data[: (len(data) // 2) * 2], dtype=np.int16)
 
 
+# -- WAV (RIFF PCM — numpy + struct only) -----------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM mono (n,) or stereo (n, 2) -> a real RIFF/WAVE file."""
+    import struct as _st
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        ch = 1
+    elif a.ndim == 2 and a.shape[1] in (1, 2):
+        ch = a.shape[1]
+    else:
+        raise ValueError("encode_wav takes (n,) or (n, 1|2) int16")
+    body = a.tobytes()
+    fmt = _st.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    return (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", len(body)) + body
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE PCM payload (8-bit unsigned or 16-bit signed,
+    mono or stereo): returns (samples int16, sample_rate); stereo comes
+    back as (n, 2). Unknown chunks are skipped by size; non-PCM formats
+    raise with the format tag."""
+    import struct as _st
+
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    p = 12
+    fmt = None
+    samples = None
+    rate = None
+    while p + 8 <= len(data):
+        tag = bytes(data[p : p + 4])
+        (ln,) = _st.unpack_from("<I", data, p + 4)
+        body_off = p + 8
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = _st.unpack_from(
+                "<HHIIHH", data, body_off
+            )
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {audio_fmt}: only PCM (1) decodes "
+                    "without external libraries"
+                )
+            fmt = (ch, bits)
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            ch, bits = fmt
+            if bits == 16:
+                samples = np.frombuffer(
+                    data, dtype="<i2", count=ln // 2, offset=body_off
+                ).astype(np.int16)
+            elif bits == 8:
+                samples = (
+                    np.frombuffer(data, dtype=np.uint8, count=ln, offset=body_off)
+                    .astype(np.int16) - 128
+                ) * 256
+            else:
+                raise NotImplementedError(f"{bits}-bit WAV not supported")
+            if ch == 2:
+                samples = samples[: (len(samples) // 2) * 2].reshape(-1, 2)
+            elif ch != 1:
+                raise NotImplementedError(f"{ch}-channel WAV not supported")
+        p = body_off + ln + (ln & 1)  # chunks are word-aligned
+    if samples is None or rate is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    return samples, rate
+
+
+def real_audio_decoder(data: bytes, sample_rate: int) -> np.ndarray:
+    """Default-capable audio decoder: real RIFF/WAVE PCM parsing
+    (numpy + struct); stereo downmixes to mono by averaging so the
+    feature math stays 1-D. Non-WAV payloads fall back to the raw-PCM
+    interpretation (the fake decoder's contract)."""
+    if bytes(data[:4]) == b"RIFF":
+        samples, _rate = decode_wav(data)
+        if samples.ndim == 2:
+            samples = samples.mean(axis=1).astype(np.int16)
+        return samples
+    return fake_audio_decoder(data, sample_rate)
+
+
 def audio_features(
     df: DataFrame,
     audio_col: str = "audio",

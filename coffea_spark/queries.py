@@ -2121,6 +2121,102 @@ def _multimodal_fixture(spark, sf_dir) -> str:
     return out
 
 
+def _audio_fixture(spark, sf_dir) -> str:
+    """Encode deterministic PCM clips (sample i of doc d =
+    ((d*13 + 5i) % 4001) - 2000, n = 400 + d%300, 8 kHz) into REAL
+    RIFF/WAVE containers — 16-bit stereo (L=R) for d%5==0, mono
+    otherwise — once per sf_dir."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_audio.parquet"
+    )
+    if not os.path.exists(out):
+        import numpy as np
+        import pandas as pd
+
+        from coffea_spark.llmdata.multimodal import encode_wav
+
+        def make(ids):
+            clips = []
+            for d in ids:
+                d = int(d)
+                n = 400 + d % 300
+                pcm = (((d * 13 + 5 * np.arange(n)) % 4001) - 2000).astype(np.int16)
+                if d % 5 == 0:
+                    pcm = np.stack([pcm, pcm], axis=1)
+                clips.append(encode_wav(pcm, 8000))
+            return pd.Series(clips)
+
+        enc = F.pandas_udf(make, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.struct(
+                enc("doc_id").alias("data"),
+                F.lit("wav").alias("codec"),
+                F.lit(8000).alias("sample_rate"),
+                (F.lit(400) + F.col("doc_id") % 300).cast("long").alias("n_samples"),
+            ).alias("audio"),
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass
+    return out
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode through the gate (llmdata/multimodal.py
+    real_audio_decoder): formula-derived PCM clips are encoded once into
+    a parquet fixture of actual RIFF/WAVE containers (16-bit mono and
+    stereo), then the measured query scans the fixture, parses the WAV
+    chunks with the numpy-only decoder (stereo downmixed L=R), and
+    aggregates (duration, RMS, peak, zero-crossing rate) per language.
+    The oracle recomputes every statistic from the PCM formula — any
+    chunk-walk, byte-order, bit-depth, or channel bug goes hash-red."""
+    from coffea_spark.llmdata.multimodal import audio_features, real_audio_decoder
+
+    docs = spark.read.parquet(_audio_fixture(spark, sf_dir))
+    feats = audio_features(docs, "audio", decoder=real_audio_decoder)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.sum("duration_s"), 6).alias("sum_dur"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.sum("peak").alias("sum_peak"),
+        F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH d AS (
+  SELECT doc_id, lang, 400 + doc_id % 300 AS n FROM documents
+), pcm AS (
+  SELECT lang, n,
+         list_transform(range(0, n),
+           i -> CAST((doc_id * 13 + 5 * i) % 4001 - 2000 AS DOUBLE)) AS s
+  FROM d
+), st AS (
+  SELECT lang,
+         n / 8000.0 AS dur,
+         sqrt(list_avg(list_transform(s, x -> x * x))) AS rms,
+         list_max(list_transform(s, x -> abs(x))) AS peak,
+         CAST(len(list_filter(range(1, n),
+              i -> (s[i] < 0) <> (s[i + 1] < 0))) AS DOUBLE) / (n - 1) AS zcr
+  FROM pcm
+)
+SELECT lang, count(*) AS n_clips,
+       round(sum(dur), 6) AS sum_dur,
+       round(avg(rms), 6) AS avg_rms,
+       CAST(sum(peak) AS BIGINT) AS sum_peak,
+       round(avg(zcr), 6) AS avg_zcr
+FROM st GROUP BY lang
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """REAL image decode through the gate: per document a deterministic
     grayscale image (pixel i = (doc_id*31 + 7i) % 256, size tied to
@@ -4933,6 +5029,7 @@ REGISTRY: dict[str, Query] = {
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
     "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
+    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
     "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),

@@ -590,3 +590,44 @@ def test_png_codec_roundtrip_and_filters():
             + _png_chunk(b"IEND", b"")
         )
         decode_png(bad)
+
+
+def test_wav_codec_roundtrip():
+    """Numpy-only RIFF/WAVE: mono/stereo 16-bit and 8-bit decode, chunk
+    skipping, and error paths."""
+    import struct
+
+    from coffea_spark.llmdata.multimodal import (
+        decode_wav,
+        encode_wav,
+        real_audio_decoder,
+    )
+
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-3000, 3000, 500, dtype=np.int16)
+    s, r = decode_wav(encode_wav(mono, 16000))
+    assert r == 16000 and np.array_equal(s, mono)
+    stereo = np.stack([mono, mono // 2], axis=1)
+    s2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert s2.shape == (500, 2) and np.array_equal(s2, stereo)
+    # downmix through the decoder hook
+    out = real_audio_decoder(encode_wav(stereo, 8000), 8000)
+    assert out.ndim == 1 and len(out) == 500
+    # 8-bit path: hand-build
+    pcm8 = rng.integers(0, 256, 64, dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm8)) + pcm8.tobytes()
+    )
+    s8, _ = decode_wav(wav8)
+    assert np.array_equal(s8, (pcm8.astype(np.int16) - 128) * 256)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+    with pytest.raises(NotImplementedError, match="format tag"):
+        bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000, 1, 16)
+        decode_wav(
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        )
