@@ -417,16 +417,98 @@ def resize_images(
     return df.mapInPandas(run, schema)
 
 
+# -- Y4M video (YUV4MPEG2 — a real uncompressed video container) ------------
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, H, W) uint8 grayscale frames -> a real YUV4MPEG2 stream
+    (C420jpeg, chroma planes neutral 128 — what ffmpeg/mplayer read).
+    H and W must be even (4:2:0 chroma subsampling)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError("encode_y4m takes (n_frames, H, W) uint8")
+    n, h, w = f.shape
+    if h % 2 or w % 2:
+        raise ValueError("encode_y4m: H and W must be even for C420")
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [hdr]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(uv)
+        out.append(uv)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Parse a YUV4MPEG2 stream (C420*/C444/Cmono, 8-bit): returns the
+    LUMA planes as (n_frames, H, W) uint8 plus the frame rate. Chroma
+    planes are skipped by size; frame-level parameter changes and other
+    chroma taggings raise with the tag."""
+    if not bytes(data[:9]) == b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"
+    for tok in bytes(data[10:eol]).split():
+        t = tok.decode("latin1")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            a, b = t[1:].split(":")
+            fps = (int(a), int(b))
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        chroma_bytes = 2 * (h // 2) * (w // 2)
+    elif chroma == "444":
+        chroma_bytes = 2 * h * w
+    elif chroma == "mono":
+        chroma_bytes = 0
+    else:
+        raise NotImplementedError(f"Y4M chroma C{chroma} unsupported")
+    p = eol + 1
+    frames = []
+    ysize = h * w
+    while p < len(data):
+        nl = data.index(b"\n", p)
+        if bytes(data[p : p + 5]) != b"FRAME":
+            raise ValueError(f"Y4M: bad frame marker at {p}")
+        p = nl + 1
+        frames.append(
+            np.frombuffer(data, np.uint8, count=ysize, offset=p).reshape(h, w)
+        )
+        p += ysize + chroma_bytes
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w), np.uint8),
+        fps,
+    )
+
+
+def real_video_frames(data: bytes) -> np.ndarray:
+    """Decode a Y4M payload to its luma frames; non-Y4M payloads raise
+    (compressed video needs ffmpeg behind the same hook)."""
+    frames, _fps = decode_y4m(data)
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int,
     video_col: str = "video",
     frame_bytes: int = 64,
+    decoder: "Callable[[bytes], np.ndarray] | None" = None,
 ) -> DataFrame:
-    """Frame sampling plumbing for video payloads: emits one row per
-    sampled frame (UDTF shape — one row in, many out). The "frames" are
-    fixed-size byte slices of the payload (a real implementation seeks
-    keyframes via ffmpeg; the partition/batch mechanics are identical)."""
+    """Frame sampling for video payloads: emits one row per sampled
+    frame (UDTF shape — one row in, many out). With ``decoder`` (e.g.
+    :func:`real_video_frames` for Y4M) frames are DECODED planes
+    serialized back to bytes; without one, frames are fixed-size byte
+    slices of the payload (the keyframe-seek stand-in)."""
     schema = T.StructType(
         [f for f in df.schema.fields if f.name != video_col]
         + [
@@ -441,12 +523,20 @@ def sample_frames(
             rows = []
             for _, r in pdf.iterrows():
                 payload = r[video_col]
-                n_frames = max(len(payload) // frame_bytes, 0)
-                for fno in range(0, n_frames, every_n):
-                    base = {k: r[k] for k in keep}
-                    base["frame_no"] = fno
-                    base["frame"] = payload[fno * frame_bytes : (fno + 1) * frame_bytes]
-                    rows.append(base)
+                if decoder is not None:
+                    planes = decoder(payload)
+                    for fno in range(0, len(planes), every_n):
+                        base = {k: r[k] for k in keep}
+                        base["frame_no"] = fno
+                        base["frame"] = planes[fno].tobytes()
+                        rows.append(base)
+                else:
+                    n_frames = max(len(payload) // frame_bytes, 0)
+                    for fno in range(0, n_frames, every_n):
+                        base = {k: r[k] for k in keep}
+                        base["frame_no"] = fno
+                        base["frame"] = payload[fno * frame_bytes : (fno + 1) * frame_bytes]
+                        rows.append(base)
             yield pd.DataFrame(rows, columns=keep + ["frame_no", "frame"]) if rows else pd.DataFrame(
                 columns=keep + ["frame_no", "frame"]
             )

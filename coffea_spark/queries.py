@@ -2217,6 +2217,107 @@ FROM st GROUP BY lang
 """
 
 
+def _video_fixture(spark, sf_dir) -> str:
+    """Encode deterministic video clips into REAL YUV4MPEG2 containers
+    once per sf_dir: doc d gets n = 4 + d%5 frames of (6 + 2*(d%4)) x
+    (8 + 2*(d%5)) luma with pixel i of frame f = (d*17 + f*29 + 3i) %
+    256 (chroma neutral)."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_video.parquet"
+    )
+    if not os.path.exists(out):
+        import numpy as np
+        import pandas as pd
+
+        from coffea_spark.llmdata.multimodal import encode_y4m
+
+        def make(ids):
+            clips = []
+            for d in ids:
+                d = int(d)
+                nf, h, w = 4 + d % 5, 6 + 2 * (d % 4), 8 + 2 * (d % 5)
+                frames = np.stack(
+                    [
+                        ((d * 17 + f * 29 + 3 * np.arange(h * w)) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w)
+                        for f in range(nf)
+                    ]
+                )
+                clips.append(encode_y4m(frames))
+            return pd.Series(clips)
+
+        enc = F.pandas_udf(make, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", enc("doc_id").alias("video")
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass
+    return out
+
+
+def q_video_frames(spark, sf_dir):
+    """REAL video container decode through the gate
+    (llmdata/multimodal.py decode_y4m + sample_frames): formula-derived
+    luma frames are encoded once into a parquet fixture of actual
+    YUV4MPEG2 streams, then the measured query scans the fixture,
+    parses the Y4M header/FRAME markers, samples every 2nd frame
+    (the UDTF one-row-in-many-out shape), and aggregates per-frame luma
+    means per language. The oracle recomputes every mean from the pixel
+    formula — any header, marker, plane-size, or sampling bug goes
+    hash-red."""
+    import numpy as np
+    import pandas as pd
+
+    from coffea_spark.llmdata.multimodal import real_video_frames, sample_frames
+
+    docs = spark.read.parquet(_video_fixture(spark, sf_dir))
+    frames = sample_frames(docs, every_n=2, decoder=real_video_frames)
+
+    @F.pandas_udf("double")
+    def frame_mean(fr):
+        return fr.map(lambda b: float(np.frombuffer(b, np.uint8).mean()))
+
+    return frames.select("lang", "frame_no", frame_mean("frame").alias("m")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_no").cast("bigint").alias("sum_frame_no"),
+        F.round(F.avg("m"), 6).alias("avg_luma"),
+        F.round(F.sum("m"), 2).alias("sum_luma"),
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH d AS (
+  SELECT doc_id, lang, 4 + doc_id % 5 AS nf,
+         (6 + 2 * (doc_id % 4)) * (8 + 2 * (doc_id % 5)) AS npx
+  FROM documents
+), fr AS (
+  SELECT lang, npx, unnest(list_filter(range(0, nf), f -> f % 2 = 0)) AS f,
+         doc_id
+  FROM d
+), m AS (
+  SELECT lang, f,
+         list_avg(list_transform(range(0, npx),
+           i -> CAST((doc_id * 17 + f * 29 + 3 * i) % 256 AS DOUBLE))) AS m
+  FROM fr
+)
+SELECT lang, count(*) AS n_frames,
+       CAST(sum(f) AS BIGINT) AS sum_frame_no,
+       round(avg(m), 6) AS avg_luma,
+       round(sum(m), 2) AS sum_luma
+FROM m GROUP BY lang
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """REAL image decode through the gate: per document a deterministic
     grayscale image (pixel i = (doc_id*31 + 7i) % 256, size tied to
@@ -5030,6 +5131,7 @@ REGISTRY: dict[str, Query] = {
     "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
     "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
+    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
     "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),

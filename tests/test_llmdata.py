@@ -631,3 +631,41 @@ def test_wav_codec_roundtrip():
             b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
         )
+
+
+def test_y4m_codec_roundtrip(spark):
+    """Numpy-only YUV4MPEG2: encode/decode round-trip, chroma-size
+    skipping, decoder-driven frame sampling, and error paths."""
+    from coffea_spark.llmdata.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        real_video_frames,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (5, 6, 8), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=(30, 1))
+    got, fps = decode_y4m(blob)
+    assert fps == (30, 1) and np.array_equal(got, frames)
+    assert np.array_equal(real_video_frames(blob), frames)
+    # mono-chroma stream built by hand
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"
+    y = rng.integers(0, 256, (2, 2, 4), dtype=np.uint8)
+    mono = hdr + b"".join(b"FRAME\n" + y[i].tobytes() for i in range(2))
+    got2, _ = decode_y4m(mono)
+    assert np.array_equal(got2, y)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"nope")
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(rng.integers(0, 256, (1, 3, 4), dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="chroma"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n\x00\x00\x00\x00")
+
+    # sampling through Spark with the real decoder
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, video binary")
+    out = sample_frames(df, every_n=2, decoder=real_video_frames).collect()
+    assert [r["frame_no"] for r in out] == [0, 2, 4]
+    assert np.array_equal(
+        np.frombuffer(out[1]["frame"], np.uint8).reshape(6, 8), frames[2]
+    )
