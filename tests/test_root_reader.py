@@ -578,3 +578,28 @@ def test_pdune_string_branches():
     t = r.to_arrow(["true_beam_endProcess", "true_beam_processes"])
     assert str(t.schema.field("true_beam_endProcess").type) == "string"
     assert str(t.schema.field("true_beam_processes").type) == "list<item: string>"
+
+
+@pytest.mark.parametrize(
+    "fname,rows",
+    [
+        ("PHYSLITE_example.root", 100),
+        ("edm4hep.root", 3),
+        ("p8_ee_WW_ecm240_edm4hep.root", 10),
+        ("pduneana.root", 10),
+        ("treemaker.root", 10),
+        ("test_FCC_Spring2021.root", 100),
+        ("test_FCC_Winter2023.root", 100),
+        ("nano_dy.root", 40),
+        ("nano_dimuon.root", 40),
+    ],
+)
+def test_full_schema_spark_read(spark, fname, rows):
+    """EVERY readable branch of every fixture round-trips through the
+    distributed reader's schema mapping and Arrow casts (links, strings,
+    doubly-jagged, u8 widening) — the whole-schema regression net."""
+    path = f"{SAMPLES}/{fname}"
+    r = RootTreeReader(path)
+    df = read_root(spark, [path], columns=sorted(r.branches))
+    assert df.count() == rows
+    assert len(df.columns) == len(r.branches)
