@@ -172,3 +172,18 @@ def test_uproot_writeable_full_circle(spark, tmp_path):
     r = RootTreeReader(f"{SAMPLES}/nano_dimuon.root")
     assert got["n"] == int(r.array("nMuon").sum())
     assert got["s"] == round(float(r.array("Muon_pt").astype("float64").sum()), 3)
+
+
+def test_u8_overflow_raises_named_error(spark, tmp_path):
+    """Unsigned-64 values >= 2^63 cannot widen to Spark's LongType: the
+    distributed reader must fail with an error NAMING the u8 branches
+    instead of wrapping silently (round-4 advice)."""
+    path = str(tmp_path / "u8.root")
+    write_root_file(
+        {"evt": np.array([1, 2 ** 63 + 5, 3], dtype=np.uint64)}, path
+    )
+    r = RootTreeReader(path)
+    assert r.branches["evt"].dtype == "u8"
+    assert int(r.array("evt")[1]) == 2 ** 63 + 5  # native read is fine
+    with pytest.raises(Exception, match="evt"):
+        read_root(spark, [path], columns=["evt"]).collect()
