@@ -35,6 +35,7 @@ import os
 __all__ = [
     "discover_fileset",
     "preprocess",
+    "read_fileset",
     "split_fileset",
     "missing_files",
 ]
@@ -192,6 +193,54 @@ def preprocess(
             updated[ds]["files"][path] = meta
             available[ds]["files"][path] = meta
     return available, updated
+
+
+def read_fileset(
+    spark,
+    fileset: dict,
+    columns: "list[str] | None" = None,
+    with_dataset_column: bool = True,
+) -> dict:
+    """One DataFrame per dataset from a (raw or preprocessed) fileset —
+    the data half of the reference's ``apply_to_fileset``
+    (dataset_tools/apply_processor.py:31-136). Parquet files scan
+    natively; ``.root`` files go through the distributed native reader
+    (tree name taken from preprocess metadata when present). A dataset
+    mixing both formats unions by column name."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for ds, spec in fileset.items():
+        parquet, root, tree = [], [], None
+        for path, meta in spec["files"].items():
+            fmt = (meta or {}).get("format") if isinstance(meta, dict) else None
+            if fmt == "parquet" or (fmt is None and path.endswith(".parquet")):
+                parquet.append(path)
+            else:
+                root.append(path)
+                if isinstance(meta, dict) and meta.get("object_path"):
+                    tree = meta["object_path"]
+                elif isinstance(meta, str):
+                    tree = meta
+        parts = []
+        if parquet:
+            df = spark.read.parquet(*parquet)
+            if columns:
+                df = df.select(*columns)
+            parts.append(df)
+        if root:
+            from coffea_spark.root_reader import read_root
+
+            parts.append(read_root(spark, root, tree=tree, columns=columns))
+        if not parts:
+            continue
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if with_dataset_column:
+            df = df.withColumn("dataset", F.lit(ds))
+        out[ds] = df
+    return out
 
 
 def split_fileset(fileset: dict, n: int) -> list[dict]:

@@ -72,3 +72,36 @@ def test_split_fileset_round_robin():
     assert max(sizes) - min(sizes) <= 1 and sum(sizes) == nfiles
     with pytest.raises(ValueError):
         split_fileset(fs, 0)
+
+
+def test_read_fileset_mixed_formats(spark):
+    from coffea_spark.dataset_tools import read_fileset
+
+    fs = discover_fileset(
+        {
+            "orders": f"{SF}/orders.parquet",
+            "lineitem": f"{SF}/lineitem.parquet",
+        }
+    )
+    avail, _ = preprocess(fs)
+    dfs = read_fileset(spark, avail)
+    assert set(dfs) == {"orders", "lineitem"}
+    meta = next(iter(avail["orders"]["files"].values()))
+    assert dfs["orders"].count() == meta["num_entries"]
+    assert dfs["orders"].select("dataset").first()[0] == "orders"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SAMPLES), reason="reference fixtures not available"
+)
+def test_read_fileset_root(spark):
+    from pyspark.sql import functions as F
+
+    from coffea_spark.dataset_tools import read_fileset
+
+    fs = discover_fileset({"dy": f"{SAMPLES}/nano_dimuon.root"})
+    avail, _ = preprocess(fs)
+    dfs = read_fileset(spark, avail, columns=["run", "nMuon"])
+    df = dfs["dy"]
+    assert df.count() == 40
+    assert df.agg(F.sum("nMuon")).first()[0] == 84
