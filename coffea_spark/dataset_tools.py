@@ -211,27 +211,37 @@ def read_fileset(
 
     out = {}
     for ds, spec in fileset.items():
-        parquet, root, tree = [], [], None
+        parquet: list[str] = []
+        root_by_tree: dict = {}  # tree name (or None) -> [paths]
         for path, meta in spec["files"].items():
             fmt = (meta or {}).get("format") if isinstance(meta, dict) else None
             if fmt == "parquet" or (fmt is None and path.endswith(".parquet")):
                 parquet.append(path)
             else:
-                root.append(path)
                 if isinstance(meta, dict) and meta.get("object_path"):
                     tree = meta["object_path"]
                 elif isinstance(meta, str):
                     tree = meta
+                else:
+                    tree = None
+                root_by_tree.setdefault(tree, []).append(path)
         parts = []
         if parquet:
             df = spark.read.parquet(*parquet)
             if columns:
                 df = df.select(*columns)
             parts.append(df)
-        if root:
+        if root_by_tree:
             from coffea_spark.root_reader import read_root
 
-            parts.append(read_root(spark, root, tree=tree, columns=columns))
+            # per-file tree names are honored by grouping — one read per
+            # distinct tree, unioned below
+            for tree, paths in sorted(
+                root_by_tree.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            ):
+                parts.append(
+                    read_root(spark, sorted(paths), tree=tree, columns=columns)
+                )
         if not parts:
             continue
         df = parts[0]

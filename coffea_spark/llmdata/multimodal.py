@@ -464,7 +464,9 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             chroma = t[1:]
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
-    if chroma.startswith("420"):
+    # exact tags only: C420p10/C420p12 are 2 bytes/sample and would
+    # silently mis-frame under an 8-bit plane-size guess
+    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
         chroma_bytes = 2 * (h // 2) * (w // 2)
     elif chroma == "444":
         chroma_bytes = 2 * h * w

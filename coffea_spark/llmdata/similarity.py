@@ -675,12 +675,13 @@ def pq_adc_topk(
 
     import pyspark.sql.types as TT
 
+    # id types follow the INPUT frames (string doc keys work too)
     local = encoded.mapInPandas(
         score,
         schema=TT.StructType(
             [
-                TT.StructField("qid", TT.LongType()),
-                TT.StructField(id_col, TT.LongType()),
+                TT.StructField("qid", queries.schema[qid_col].dataType),
+                TT.StructField(id_col, encoded.schema[id_col].dataType),
                 TT.StructField("adc", TT.DoubleType()),
             ]
         ),

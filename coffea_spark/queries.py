@@ -2098,7 +2098,7 @@ def _multimodal_fixture(spark, sf_dir) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(
-        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_multimodal_v2.parquet"
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_multimodal_v3.parquet"
     )
     if not os.path.exists(out):
         enc = F.pandas_udf(synthetic_gray_payloads, "binary")
@@ -2107,7 +2107,9 @@ def _multimodal_fixture(spark, sf_dir) -> str:
             "lang",
             F.struct(
                 enc("doc_id").alias("data"),
-                F.when(F.col("doc_id") % 2 == 1, F.lit("bmp")).otherwise(F.lit("pgm")).alias("format"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
+                .when(F.col("doc_id") % 2 == 1, F.lit("bmp"))
+                .otherwise(F.lit("pgm")).alias("format"),
                 (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
                 (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
             ).alias("image"),

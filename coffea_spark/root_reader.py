@@ -343,6 +343,8 @@ def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
             for _ in range(n):
                 ecls, eend = read_object()
                 if ecls is None:
+                    if eend is not None:
+                        pos = eend  # tag-unresolved object: skip exactly
                     continue
                 try:
                     members.append(parse_element(ecls, eend))
@@ -361,15 +363,15 @@ def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
     n = rd(">i")
     for _ in range(n):
         cname, end = read_object()
-        if cname is None:
-            continue
         if cname == "TStreamerInfo":
             try:
                 parse_streamer_info(end)
             except Exception:
                 pos = end
-        else:
-            pos = end
+        elif end is not None:
+            pos = end  # unknown / tag-unresolved object: skip exactly
+        # null pointers and bare back-references consumed only their
+        # 4-byte tag — nothing further to skip
         # trailing per-entry option string (TList stores one per object)
         rstring()
     return out

@@ -113,12 +113,17 @@ def _branch_record(name: str, title: str, entries: int, leaf: bytes) -> bytes:
     return b"\xff\xff\xff\xffTBranch\x00" + _bc(body, 13)
 
 
-def _compress(payload: bytes, level: int) -> bytes:
-    """ROOT multi-frame zlib stream ('ZL' + method + 3-byte sizes)."""
+def _compress(payload: bytes, level: int) -> "bytes | None":
+    """ROOT multi-frame zlib stream ('ZL' + method + 3-byte sizes).
+    Returns None when a frame's COMPRESSED size exceeds the 3-byte field
+    (zlib expands incompressible data past 0xFFFFFF) — the caller then
+    stores the payload raw instead of crashing."""
     out = []
     for i in range(0, len(payload), _MAXFRAME):
         chunk = payload[i : i + _MAXFRAME]
         comp = zlib.compress(chunk, level)
+        if len(comp) > _MAXFRAME:
+            return None
         out.append(
             b"ZL" + bytes([8])
             + len(comp).to_bytes(3, "little")
@@ -137,9 +142,15 @@ def _tkey(cls: str, name: str, title: str, payload: bytes, seekkey: int,
     stored = payload
     if compression and len(payload) > 64:
         comp = _compress(payload, compression)
-        if len(comp) < len(payload):
+        if comp is not None and len(comp) < len(payload):
             stored = comp
     nbytes = keylen + len(stored)
+    if seekkey + nbytes >= 1 << 31:
+        raise RootWriteError(
+            "part file would exceed 2 GiB (32-bit TKey offsets); "
+            "repartition the frame into smaller partitions or lower "
+            "basket_rows"
+        )
     head = struct.pack(
         ">iHiIhh", nbytes, 4, objlen, 0, keylen, 1
     ) + struct.pack(">ii", seekkey, _FBEGIN)
@@ -174,11 +185,22 @@ def _basket_record(branch: str, tree: str, content: bytes, nev: int,
 
 
 def _column_arrays(name, values):
-    """Normalize one column to (flat big-endian values, counts or None)."""
+    """Normalize one column to (flat values, counts or None). The flat
+    dtype comes from the first NON-EMPTY element — a row with an empty
+    array must not promote an integer/bool column to float64 (numpy's
+    default for np.asarray([]))."""
     s = values
     if len(s) and isinstance(s[0], (list, np.ndarray)):
         counts = np.asarray([len(x) for x in s], dtype=np.int32)
-        flat = np.concatenate([np.asarray(x) for x in s]) if counts.sum() else np.asarray([], dtype=np.float64)
+        parts = [np.asarray(x) for x in s]
+        elem_dtype = next(
+            (p.dtype for p in parts if len(p)), np.dtype(np.float64)
+        )
+        flat = (
+            np.concatenate([p.astype(elem_dtype, copy=False) for p in parts])
+            if counts.sum()
+            else np.asarray([], dtype=elem_dtype)
+        )
         return flat, counts
     return np.asarray(s), None
 
@@ -428,29 +450,49 @@ def write_root_dir(
     compression: int = 1,
 ) -> list[str]:
     """Distributed ROOT sink: one part-NNNNN.root per partition (the
-    parquet directory-layout contract), written executor-side — no
-    driver materialization, so the sink scales with the cluster. Returns
-    the written file paths. Read back with ``read_root(spark,
-    f"{path}/part-*.root")``."""
+    parquet directory-layout contract), written executor-side over the
+    Arrow batch path (``mapInPandas`` — values never cross the Python
+    boundary row-by-row) — no driver materialization, so the sink scales
+    with the cluster. Peak executor memory is one partition's columns
+    plus its serialized blob; size partitions accordingly (part files
+    are capped at 2 GiB by the 32-bit TKey offsets). Returns the written
+    file paths. Read back with ``read_root(spark, f"{path}/part-*.root")``."""
+    import pandas as pd
+
     os.makedirs(path, exist_ok=True)
     schema = df.schema
     names = [f.name for f in schema.fields]
     cmap = dict(counts_map or {})
 
-    def _write(pid, rows):
-        buf = {n: [] for n in names}
-        for r in rows:
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf: dict[str, list] = {n: [] for n in names}
+        jagged = {n: False for n in names}
+        for pdf in batches:
+            if not len(pdf):
+                continue
             for n in names:
-                buf[n].append(r[n])
+                s = pdf[n]
+                if isinstance(s.iloc[0], (list, np.ndarray)):
+                    jagged[n] = True
+                    buf[n].extend(np.asarray(x) for x in s)
+                else:
+                    buf[n].append(s.to_numpy())
         cols = {}
+        n_rows = 0
         for n in names:
-            v = buf[n]
-            if v and isinstance(v[0], list):
-                cols[n] = [np.asarray(x) for x in v]
+            if jagged[n]:
+                cols[n] = buf[n]
+                n_rows = max(n_rows, len(buf[n]))
             else:
-                cols[n] = np.asarray(v)
-        if not any(len(v) for v in cols.values()):
-            return []
+                cols[n] = (
+                    np.concatenate(buf[n]) if buf[n] else np.asarray([])
+                )
+                n_rows = max(n_rows, len(cols[n]))
+        if n_rows == 0:
+            return
         out = os.path.join(path, f"part-{pid:05d}.root")
         blob = serialize_root_file(
             cols, tree=tree, counts_map=cmap,
@@ -458,10 +500,9 @@ def write_root_dir(
         )
         with open(out, "wb") as f:
             f.write(blob)
-        return [out]
+        yield pd.DataFrame({"path": [out]})
 
-    return (
-        df.rdd.mapPartitionsWithIndex(
-            lambda pid, it: _write(pid, it)
-        ).collect()
-    )
+    return [
+        r["path"]
+        for r in df.mapInPandas(_write, schema="path string").collect()
+    ]

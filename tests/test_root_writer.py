@@ -187,3 +187,30 @@ def test_u8_overflow_raises_named_error(spark, tmp_path):
     assert int(r.array("evt")[1]) == 2 ** 63 + 5  # native read is fine
     with pytest.raises(Exception, match="evt"):
         read_root(spark, [path], columns=["evt"]).collect()
+
+
+def test_empty_jagged_row_preserves_dtype(spark, tmp_path):
+    """A row with an empty array must not promote an integer jagged
+    column to float64 (code-review finding: np.asarray([]) is float64)."""
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, []), (2, [3])], "evt long, hits array<long>"
+    ).repartition(1)
+    out = str(tmp_path / "ej")
+    write_root_dir(df, out, tree="T")
+    back = read_root(spark, f"{out}/part-*.root", tree="T")
+    assert dict(back.dtypes)["hits"] == "array<bigint>"
+    got = back.agg(F.sum(F.aggregate("hits", F.lit(0).cast("long"), lambda a, x: a + x))).first()[0]
+    assert got == 6
+
+
+def test_incompressible_payload_stores_raw(tmp_path):
+    """zlib-expanded frames fall back to raw storage instead of
+    overflowing the 3-byte compressed-size field."""
+    rng = np.random.default_rng(12)
+    # incompressible random bytes just over one frame of f8 values
+    n = (1 << 21) + 7
+    cols = {"x": rng.random(n)}
+    path = str(tmp_path / "big.root")
+    write_root_file(cols, path, basket_rows=1 << 22, compression=9)
+    r = RootTreeReader(path)
+    assert np.array_equal(r.array("x"), cols["x"])
