@@ -70,7 +70,11 @@ _STREAMER_DTYPES = {
     1: "i1", 11: "u1", 2: "i2", 12: "u2", 3: "i4", 13: "u4",
     4: "i8", 14: "u8",          # kLong / kULong (stored 64-bit)
     6: "i4",                    # kCounter
-    5: "f4", 8: "f8", 9: "f4",  # kDouble32 is stored as float32
+    # kDouble32 (9) maps to the no-range-spec form (stored float32); a
+    # [min,max,nbits] packing spec would store packed ints — such
+    # branches mis-frame their basket sizes and raise, rather than
+    # decode, because itemsize no longer divides the entry spans
+    5: "f4", 8: "f8", 9: "f4",
     16: "i8", 17: "u8", 18: "u1",  # 18 = bool
 }
 # std::vector<T> element C++ type -> numpy dtype (object-wise STL branches)
