@@ -2087,8 +2087,9 @@ FROM ranked WHERE rn = 1
 
 
 def _multimodal_fixture(spark, sf_dir) -> str:
-    """Encode the deterministic per-document images (BMP for odd ids,
-    binary PGM for even) into a parquet FIXTURE once per sf_dir — the
+    """Encode the deterministic per-document images (PNG for ids with
+    doc_id %3==0, paletted BMP for other odd ids, binary PGM otherwise)
+    into a parquet FIXTURE once per sf_dir — the
     real pipeline scans already-encoded media; only decode belongs in
     the measured path (round-4 advice: half the gate's cost was in-query
     fixture encoding)."""

@@ -70,10 +70,11 @@ _STREAMER_DTYPES = {
     1: "i1", 11: "u1", 2: "i2", 12: "u2", 3: "i4", 13: "u4",
     4: "i8", 14: "u8",          # kLong / kULong (stored 64-bit)
     6: "i4",                    # kCounter
-    # kDouble32 (9) maps to the no-range-spec form (stored float32); a
-    # [min,max,nbits] packing spec would store packed ints — such
-    # branches mis-frame their basket sizes and raise, rather than
-    # decode, because itemsize no longer divides the entry spans
+    # kDouble32 (9) maps to the no-range-spec form (stored float32). A
+    # [min,max,nbits] packing spec stores packed uint32 at the SAME
+    # itemsize, so it would decode silently wrong — _parse_leaves
+    # consults the streamer member title and SKIPS branches whose
+    # Double32 comment carries a packing spec
     5: "f4", 8: "f8", 9: "f4",
     16: "i8", 17: "u8", 18: "u1",  # 18 = bool
 }
@@ -317,7 +318,7 @@ def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
         nonlocal pos
         _e_end, _ver = obj_header()  # TStreamerXxx
         _b_end, _bver = obj_header()  # TStreamerElement base
-        name, _title = read_tnamed()
+        name, title = read_tnamed()
         ftype = rd(">i")
         _size = rd(">i")
         arraylen = rd(">i")
@@ -326,7 +327,7 @@ def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
         typename = rstring()
         pos = end
         return {
-            "name": name, "type": int(ftype),
+            "name": name, "type": int(ftype), "title": title,
             "typename": typename, "arraylen": int(arraylen),
         }
 
@@ -553,6 +554,22 @@ class RootTreeReader:
             return next(iter(tns))
         return None
 
+    def _member_title(self, member: str) -> str | None:
+        """The streamer comment string of a named member (where ROOT
+        records Double32 packing specs like ``//[0,100,16]``)."""
+        if getattr(self, "_member_titles", None) is None:
+            mt: dict[str, set] = {}
+            for members in self.streamers.values():
+                for m in members:
+                    t = m.get("title")
+                    if t:
+                        mt.setdefault(m["name"], set()).add(t)
+            self._member_titles = mt
+        ts = self._member_titles.get(member)
+        if ts and len(ts) == 1:
+            return next(iter(ts))
+        return None
+
     @staticmethod
     def _typename_branchinfo(name: str, tn: str) -> "BranchInfo | None":
         """BranchInfo for a member's C++ type name (streamer fallback):
@@ -681,6 +698,15 @@ class RootTreeReader:
                     ftype = struct.unpack_from(">i", buf, body + 4)[0]
                     base = ftype % 20 if 20 < ftype < 40 else ftype
                     dt = _STREAMER_DTYPES.get(base)
+                    if base == 9 and dt is not None:
+                        # Double32 with a [min,max,nbits] packing spec is
+                        # stored as packed uint32 (same itemsize as f4):
+                        # it would decode silently wrong — skip it
+                        mtitle = self._member_title(
+                            name_stem.rsplit(".", 1)[-1].split("[", 1)[0]
+                        )
+                        if mtitle and "[" in mtitle:
+                            break
                     header = 0
                     if dt is None and ftype in (-1, 0, 300, 365, 65):
                         # object-wise STL branch (fType 300 = kSTL, or

@@ -193,9 +193,12 @@ def _column_arrays(name, values):
     if len(s) and isinstance(s[0], (list, np.ndarray)):
         counts = np.asarray([len(x) for x in s], dtype=np.int32)
         parts = [np.asarray(x) for x in s]
-        elem_dtype = next(
-            (p.dtype for p in parts if len(p)), np.dtype(np.float64)
-        )
+        # dtype: numpy promotion over the NON-EMPTY parts only — an
+        # empty row's float64 default must not promote an int column,
+        # but genuine mixed dtypes (e.g. a null-bearing cell arriving
+        # as float64) still promote rather than truncate
+        non_empty = [p.dtype for p in parts if len(p)]
+        elem_dtype = np.result_type(*non_empty) if non_empty else np.dtype(np.float64)
         flat = (
             np.concatenate([p.astype(elem_dtype, copy=False) for p in parts])
             if counts.sum()
@@ -458,10 +461,26 @@ def write_root_dir(
     are capped at 2 GiB by the 32-bit TKey offsets). Returns the written
     file paths. Read back with ``read_root(spark, f"{path}/part-*.root")``."""
     import pandas as pd
+    from pyspark.sql import types as ST
 
     os.makedirs(path, exist_ok=True)
     schema = df.schema
     names = [f.name for f in schema.fields]
+    # jaggedness and integral-ness come from the SPARK schema, never
+    # from sniffing batch values (a NULL first cell must not
+    # misclassify a column)
+    is_jagged = {
+        f.name: isinstance(f.dataType, ST.ArrayType) for f in schema.fields
+    }
+    int_np = {
+        ST.ByteType(): np.int8, ST.ShortType(): np.int16,
+        ST.IntegerType(): np.int32, ST.LongType(): np.int64,
+    }
+    scalar_int = {
+        f.name: int_np.get(f.dataType)
+        for f in schema.fields
+        if not is_jagged[f.name]
+    }
     cmap = dict(counts_map or {})
 
     def _write(batches):
@@ -469,21 +488,37 @@ def write_root_dir(
 
         pid = TaskContext.get().partitionId()
         buf: dict[str, list] = {n: [] for n in names}
-        jagged = {n: False for n in names}
         for pdf in batches:
             if not len(pdf):
                 continue
             for n in names:
                 s = pdf[n]
-                if isinstance(s.iloc[0], (list, np.ndarray)):
-                    jagged[n] = True
+                if is_jagged[n]:
+                    if s.isna().any():
+                        raise RootWriteError(
+                            f"column {n!r} contains NULL arrays; ROOT "
+                            "branches cannot store null collections — "
+                            "coalesce to empty arrays before writing"
+                        )
                     buf[n].extend(np.asarray(x) for x in s)
                 else:
-                    buf[n].append(s.to_numpy())
+                    a = s.to_numpy()
+                    want = scalar_int.get(n)
+                    if want is not None and a.dtype.kind == "f":
+                        # pandas turns int-with-null into float64/NaN;
+                        # nulls have no leaflist representation — fail
+                        # loudly, and cast null-free batches back
+                        if np.isnan(a).any():
+                            raise RootWriteError(
+                                f"column {n!r} contains NULLs; ROOT "
+                                "leaflist branches cannot store nulls"
+                            )
+                        a = a.astype(want)
+                    buf[n].append(a)
         cols = {}
         n_rows = 0
         for n in names:
-            if jagged[n]:
+            if is_jagged[n]:
                 cols[n] = buf[n]
                 n_rows = max(n_rows, len(buf[n]))
             else:

@@ -214,3 +214,35 @@ def test_incompressible_payload_stores_raw(tmp_path):
     write_root_file(cols, path, basket_rows=1 << 22, compression=9)
     r = RootTreeReader(path)
     assert np.array_equal(r.array("x"), cols["x"])
+
+
+def test_mixed_dtype_jagged_promotes(tmp_path):
+    """Mixed-dtype jagged parts promote via numpy rules instead of
+    truncating to the first part's dtype (second-pass review finding)."""
+    path = str(tmp_path / "mix.root")
+    write_root_file(
+        {"x": [np.array([1, 2], dtype=np.int64), np.array([0.5])]}, path
+    )
+    r = RootTreeReader(path)
+    got = r.array("x")
+    assert got.dtype == np.float64
+    assert np.array_equal(got, [1.0, 2.0, 0.5])
+
+
+def test_null_scalar_int_raises(spark, tmp_path):
+    """NULLs in an integer scalar column fail loudly instead of silently
+    writing a float64 branch of NaNs."""
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,)], "evt long"
+    ).repartition(1)
+    with pytest.raises(Exception, match="NULL"):
+        write_root_dir(df, str(tmp_path / "n"), tree="T")
+
+
+def test_null_array_cell_raises(spark, tmp_path):
+    """NULL array cells (not empty arrays) fail loudly."""
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, None)], "evt long, hits array<long>"
+    ).repartition(1)
+    with pytest.raises(Exception, match="NULL"):
+        write_root_dir(df, str(tmp_path / "na"), tree="T")
