@@ -63,25 +63,33 @@ def main() -> None:
             # broadcasts don't degrade later queries
             spark.sparkContext._jvm.System.gc()
 
-    # stdout: ONE compact JSON line, summary keys first and no spread
-    # dict — the driver's tail capture has truncated long lines from the
-    # HEAD before (BENCH_r04 parsed: null), so keep this line minimal.
-    # Spreads/errors go to stderr for the local evidence trail.
-    out = {
+    # stdout contract: the driver tail-captures stdout, and two rounds of
+    # evidence (BENCH_r04/BENCH_r05 "parsed": null) show long lines get
+    # truncated from the HEAD — losing whatever keys sit first. So emit
+    # the full per-query dict on an EARLIER line (local evidence trail),
+    # and make the VERY LAST stdout line a short summary-only JSON object
+    # (metric/value/unit/sf/reps, ~100 bytes) that survives any tail cut.
+    summary = {
         "metric": "total_query_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
-        "queries": {k: round(v, 2) for k, v in times.items()},
+        "n_queries": len(times),
+        "n_errors": len(errors),
     }
+    full = dict(summary)
+    full["queries"] = {k: round(v, 2) for k, v in times.items()}
     if errors:
-        out["errors"] = {k: v[:80] for k, v in errors.items()}
+        full["errors"] = {k: v[:80] for k, v in errors.items()}
     print(
         json.dumps({"spread": spreads, "errors": errors}, separators=(",", ":")),
         file=sys.stderr,
     )
-    print(json.dumps(out, separators=(",", ":")))
+    print(json.dumps(full, separators=(",", ":")))
+    sys.stdout.flush()
+    # LAST line: short summary only — must stay well under any tail cap.
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -69,13 +69,21 @@ def discover_fileset(
 
 
 def _file_uuid(path: str) -> str:
-    """Stable content fingerprint: md5 of (size, first 64 KiB). The
-    reference records ROOT's embedded fUUID; a content hash serves the
-    same change-detection purpose and also covers parquet."""
+    """Stable content fingerprint: md5 of (size, first 64 KiB, last
+    64 KiB). The reference records ROOT's embedded fUUID; a content hash
+    serves the same change-detection purpose and also covers parquet.
+    The TAIL matters: both formats keep trailing metadata (ROOT's key
+    directory + fEND, parquet's footer) that changes whenever baskets or
+    row groups are rewritten anywhere in the file, so a same-size rewrite
+    past the head still flips the fingerprint."""
+    size = os.path.getsize(path)
     h = hashlib.md5()
-    h.update(str(os.path.getsize(path)).encode())
+    h.update(str(size).encode())
     with open(path, "rb") as f:
         h.update(f.read(65536))
+        if size > 65536:
+            f.seek(max(65536, size - 65536))
+            h.update(f.read(65536))
     return h.hexdigest()
 
 

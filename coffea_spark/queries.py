@@ -2086,6 +2086,13 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _fixture_ready(out: str) -> bool:
+    """A media fixture is usable only when its Spark parquet dir exists
+    AND carries the _SUCCESS marker — a stale partial dir from an
+    interrupted run must trigger regeneration, not be read as-is."""
+    return os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def _multimodal_fixture(spark, sf_dir) -> str:
     """Encode the deterministic per-document images (PNG for ids with
     doc_id %3==0, paletted BMP for other odd ids, binary PGM otherwise)
@@ -2101,7 +2108,7 @@ def _multimodal_fixture(spark, sf_dir) -> str:
     out = os.path.join(
         tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_multimodal_v3.parquet"
     )
-    if not os.path.exists(out):
+    if not _fixture_ready(out):
         enc = F.pandas_udf(synthetic_gray_payloads, "binary")
         docs = _t(spark, sf_dir, "documents").select(
             "doc_id",
@@ -2120,7 +2127,13 @@ def _multimodal_fixture(spark, sf_dir) -> str:
         try:
             os.rename(tmp, out)
         except OSError:
-            pass  # a concurrent writer won the rename; theirs is identical
+            # a concurrent writer winning the rename is fine (identical
+            # deterministic contents) — but only if the destination really
+            # exists; any other rename failure (cross-device tmp, stale
+            # partial destination removed by a cleaner) must not hand the
+            # gate a missing/stale fixture path
+            if not _fixture_ready(out):
+                raise
     return out
 
 
@@ -2135,7 +2148,7 @@ def _audio_fixture(spark, sf_dir) -> str:
     out = os.path.join(
         tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_audio.parquet"
     )
-    if not os.path.exists(out):
+    if not _fixture_ready(out):
         import numpy as np
         import pandas as pd
 
@@ -2168,7 +2181,8 @@ def _audio_fixture(spark, sf_dir) -> str:
         try:
             os.rename(tmp, out)
         except OSError:
-            pass
+            if not _fixture_ready(out):
+                raise
     return out
 
 
@@ -2231,7 +2245,7 @@ def _video_fixture(spark, sf_dir) -> str:
     out = os.path.join(
         tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_video.parquet"
     )
-    if not os.path.exists(out):
+    if not _fixture_ready(out):
         import numpy as np
         import pandas as pd
 
@@ -2262,7 +2276,8 @@ def _video_fixture(spark, sf_dir) -> str:
         try:
             os.rename(tmp, out)
         except OSError:
-            pass
+            if not _fixture_ready(out):
+                raise
     return out
 
 

@@ -557,6 +557,14 @@ class RootTreeReader:
     def _member_title(self, member: str) -> str | None:
         """The streamer comment string of a named member (where ROOT
         records Double32 packing specs like ``//[0,100,16]``)."""
+        ts = self._member_title_set(member)
+        if ts and len(ts) == 1:
+            return next(iter(ts))
+        return None
+
+    def _member_title_set(self, member: str) -> set:
+        """ALL streamer comment strings recorded for a member name across
+        the file's classes (empty when unknown / no StreamerInfo)."""
         if getattr(self, "_member_titles", None) is None:
             mt: dict[str, set] = {}
             for members in self.streamers.values():
@@ -565,10 +573,21 @@ class RootTreeReader:
                     if t:
                         mt.setdefault(m["name"], set()).add(t)
             self._member_titles = mt
-        ts = self._member_titles.get(member)
-        if ts and len(ts) == 1:
-            return next(iter(ts))
-        return None
+        return self._member_titles.get(member) or set()
+
+    def _double32_is_plain(self, member: str) -> bool:
+        """True only when the streamer evidence POSITIVELY shows a
+        Double32 member has no [min,max,nbits] packing spec (packed
+        Double32 shares f4's itemsize, so a wrong guess decodes raw
+        packed bits as floats with no error — fail closed on ambiguity:
+        no StreamerInfo record, member unknown, or any candidate title
+        carrying a spec)."""
+        if not self.streamers:
+            return False
+        ts = self._member_title_set(member)
+        if not ts:
+            return False
+        return not any("[" in t for t in ts)
 
     @staticmethod
     def _typename_branchinfo(name: str, tn: str) -> "BranchInfo | None":
@@ -701,11 +720,12 @@ class RootTreeReader:
                     if base == 9 and dt is not None:
                         # Double32 with a [min,max,nbits] packing spec is
                         # stored as packed uint32 (same itemsize as f4):
-                        # it would decode silently wrong — skip it
-                        mtitle = self._member_title(
+                        # it would decode silently wrong. Fail CLOSED —
+                        # only accept f4 when the streamer title is
+                        # uniquely resolved and positively lacks a spec.
+                        if not self._double32_is_plain(
                             name_stem.rsplit(".", 1)[-1].split("[", 1)[0]
-                        )
-                        if mtitle and "[" in mtitle:
+                        ):
                             break
                     header = 0
                     if dt is None and ftype in (-1, 0, 300, 365, 65):
@@ -935,25 +955,26 @@ class RootTreeReader:
             return vals, self._entry_counts(k, buf, border, itemsize).astype(np.int64), None
         return vals, None, None
 
+    # Baskets checked by _probe_string before accepting a classification.
+    # One basket leaves a misclassification window (a non-string payload
+    # whose first basket happens to frame as valid TStrings would raise
+    # mid-scan at a LATER basket rather than at schema time); validating
+    # exact framing consumption across several independent baskets closes
+    # it for practical purposes while keeping the probe O(few baskets).
+    _PROBE_BASKETS = 4
+
     def _probe_string(self, name: str) -> int:
         """Classify an otherwise-untypeable branch by validating string
-        framing against EVERY entry of its first basket: 1 = one TString
-        per entry, 2 = vector<string>, 0 = neither. Exact-consumption
-        across all entries makes misclassification vanishingly unlikely."""
+        framing against EVERY entry of its first few baskets (up to
+        ``_PROBE_BASKETS``): 1 = one TString per entry, 2 =
+        vector<string>, 0 = neither. A candidate kind must validate on
+        ALL probed baskets; exact-consumption across all their entries
+        makes misclassification vanishingly unlikely."""
         keys = self._baskets.get(name, [])
         if not keys:
             return 0
-        k = keys[0]
-        try:
-            buf = self._payload(k)
-            border = self._basket_last(k) - k.keylen
-            offs = self._entry_offsets(k, buf, border)
-        except Exception:
-            return 0
-        if len(offs) < 2:
-            return 0
 
-        def scalar_ok():
+        def scalar_ok(buf, offs):
             for e in range(len(offs) - 1):
                 p, end = int(offs[e]), int(offs[e + 1])
                 try:
@@ -964,7 +985,7 @@ class RootTreeReader:
                     return False
             return True
 
-        def vector_ok():
+        def vector_ok(buf, offs):
             for e in range(len(offs) - 1):
                 p, end = int(offs[e]), int(offs[e + 1])
                 if p + 10 > end:
@@ -984,9 +1005,27 @@ class RootTreeReader:
                     return False
             return True
 
-        if scalar_ok():
+        scalar = vector = True
+        probed = 0
+        for k in keys[: self._PROBE_BASKETS]:
+            try:
+                buf = self._payload(k)
+                border = self._basket_last(k) - k.keylen
+                offs = self._entry_offsets(k, buf, border)
+            except Exception:
+                return 0
+            if len(offs) < 2:
+                continue
+            probed += 1
+            scalar = scalar and scalar_ok(buf, offs)
+            vector = vector and vector_ok(buf, offs)
+            if not (scalar or vector):
+                return 0
+        if not probed:
+            return 0
+        if scalar:
             return 1
-        if vector_ok():
+        if vector:
             return 2
         return 0
 

@@ -360,17 +360,21 @@ def serialize_root_file(
     pos += len(tree_key)
     fend = pos
 
+    # Published TFile header layout (ROOT io/io/src/TFile.cxx, small-file
+    # form): fVersion fBEGIN fEND fSeekFree fNbytesFree nfree fNbytesName
+    # are 4-byte ints, then fUnits is ONE byte, then fCompress fSeekInfo
+    # fNbytesInfo. Packing fUnits as an int would shift every later field.
     header = (
         b"root"
         + struct.pack(
-            ">iiiiiiii",
+            ">iiiiiii",
             63200,          # format version
             _FBEGIN,
             fend,           # fEND
             0, 0, 0,        # fSeekFree, fNbytesFree, nfree
             len(dir_key),   # fNbytesName (directory record size)
-            4,              # fUnits
         )
+        + struct.pack(">B", 4)  # fUnits: one byte
         + struct.pack(">iii", int(compression), 0, 0)  # fCompress, fSeekInfo, fNbytesInfo
     )
     header = header + b"\x00" * (_FBEGIN - len(header))
