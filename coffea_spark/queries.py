@@ -21,6 +21,7 @@ ids / single rows.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -109,6 +110,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _FACT_TABLES:
         df = _parallelism_floor(spark, df, path)
     return df
+
+
+@_contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Cap shuffle partitions around a stateful streaming gate: each
+    micro-batch pays per-partition state-store create/commit/snapshot
+    overhead (stores == shuffle partitions, fixed at query start), and
+    the gates' keyspaces (150 users / a few dozen windows) nowhere near
+    justify 32 stores — the session-window gate spent most of its wall
+    in store churn, not work. Production sizing guidance lives in
+    SCALE.md: stores should track key cardinality x executor count, not
+    default to the batch shuffle width. Restores the session value so
+    batch queries keep their width."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -2838,14 +2858,15 @@ def q_stream_enrich(spark, sf_dir):
         )
     )
     qname = "stream_enrich_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         F.col("window.start").cast("long").alias("wstart"),
         "c_mktsegment", "n", "sum_value",
@@ -2884,14 +2905,15 @@ def q_stream_windowed_hist(spark, sf_dir):
         weight=F.col("value"),
     )
     qname = "stream_hist_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         F.col("window.start").cast("long").alias("wstart"),
         "bin",
@@ -4077,11 +4099,12 @@ def q_stream_cutflow(spark, sf_dir):
         ts_col="ts", window="6 hours", watermark="12 hours",
     )
     qname = "stream_cutflow_gate"
-    q = (
-        agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         F.col("window.start").cast("long").alias("wstart"),
         "initial", "onecut_mid", "cutflow_mid", "onecut_high", "cutflow_high",
@@ -4103,8 +4126,10 @@ def q_stream_sessions(spark, sf_dir):
     """Streaming session windows (streaming.sessionized,
     F.session_window 30-min gap) — checked against the relational
     lag-based island oracle with EXACT (fractional-second) gap
-    comparison; a session closes when the next event is >= gap after
-    the last (session_window end is exclusive)."""
+    comparison; Spark's session merge is INCLUSIVE — an event exactly
+    gap after the last still extends the session (verified empirically
+    on a 300s-grid fixture in test_streaming_ml_runner) — so a session
+    closes only when the next event is > gap after the last."""
     from coffea_spark.streaming import sessionized
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4116,11 +4141,12 @@ def q_stream_sessions(spark, sf_dir):
     agg = sessionized(stream, key="user_id", ts_col="ts", gap="30 minutes",
                       watermark="1 hour")
     qname = "stream_sessions_gate"
-    q = (
-        agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         "user_id",
         F.col("session_window.start").cast("long").alias("sstart"),
@@ -4133,7 +4159,7 @@ SQL_STREAM_SESSIONS = """
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN epoch(ts) - lag(epoch(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800.0
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS ns
   FROM events
@@ -5048,11 +5074,12 @@ def q_stream_ewma(spark, sf_dir):
     agg = stateful_ewma(stream, "user_id", alpha=0.25, watermark="1 hour",
                         tiebreak_cols=["event_id"])
     qname = "stream_ewma_gate"
-    q = (
-        agg.writeStream.format("memory").queryName(qname)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(qname)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     # update mode appends one row per key per batch: keep each key's last
     latest = spark.table(qname).groupBy("user_id").agg(
         F.max_by(F.struct("n_events", "ewma"), "n_events").alias("s")

@@ -1434,18 +1434,46 @@ class RootTreeReader:
         return pa.Table.from_arrays(cols, schema=pa.schema(fields))
 
 
-def open_tree(path: str, tree: str | None = None):
+# Process-level reader LRU: opening a tree parses the TKey directory,
+# StreamerInfo tables, and branch-typing probes — fixed per-call work
+# that repeated gate/planner calls over the same small files paid again
+# and again (root_scan spent seconds of its wall here). Keyed by
+# (path, tree, size, mtime_ns) so any rewrite invalidates. Capacity is
+# small: entries hold an mmap plus the reader's payload LRU, and reuse
+# only matters for the same files hit repeatedly (driver planning,
+# reused Python workers). Not thread-safe; Spark Python workers and the
+# driver planner are single-threaded per process.
+_TREE_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_TREE_CACHE_MAX = 8
+
+
+def open_tree(path: str, tree: str | None = None, cache: bool = True):
     """Open a columnar tree regardless of on-disk format: TTree via
     :class:`RootTreeReader`, RNTuple via
-    :class:`coffea_spark.rntuple.RNTupleReader` (same API)."""
+    :class:`coffea_spark.rntuple.RNTupleReader` (same API). Readers are
+    memoized per process (see ``_TREE_CACHE``); pass ``cache=False``
+    for a fresh instance."""
+    key = None
+    if cache:
+        st = os.stat(path)
+        key = (path, tree, st.st_size, st.st_mtime_ns)
+        r = _TREE_CACHE.get(key)
+        if r is not None:
+            _TREE_CACHE.move_to_end(key)
+            return r
     try:
-        return RootTreeReader(path, tree)
+        r = RootTreeReader(path, tree)
     except RootFileError as exc:
         if "RNTuple" not in str(exc):
             raise
         from coffea_spark.rntuple import RNTupleReader
 
-        return RNTupleReader(path, tree)
+        r = RNTupleReader(path, tree)
+    if key is not None:
+        _TREE_CACHE[key] = r
+        while len(_TREE_CACHE) > _TREE_CACHE_MAX:
+            _TREE_CACHE.popitem(last=False)
+    return r
 
 
 def root_to_arrow(path: str, tree: str | None = None, columns: list[str] | None = None):

@@ -84,6 +84,45 @@ def sessionized(
     )
 
 
+def start_sessionized(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    output: str = "append",
+    query_name: str = "sessions",
+    sink_format: str = "memory",
+    trigger_available_now: bool = False,
+    checkpoint: str | None = None,
+):
+    """Start the session aggregation with an explicit output mode.
+
+    ``output="append"`` is the PRODUCTION shape: a session row is emitted
+    exactly once, when the watermark passes its end (no event can extend
+    it anymore), and its state is evicted — per-trigger output is
+    O(sessions closed this trigger) and state is O(open sessions), both
+    independent of stream history. ``output="complete"`` re-emits the
+    ENTIRE result table every trigger and (with a memory sink) collects
+    it on the driver — at 100x scale that is a per-trigger full-result
+    broadcast, so it is reserved for bounded gate runs where the final
+    table must include sessions the watermark never closed.
+
+    Returns the started StreamingQuery.
+    """
+    agg = sessionized(stream, key=key, ts_col=ts_col, gap=gap, watermark=watermark)
+    writer = (
+        agg.writeStream.format(sink_format)
+        .queryName(query_name)
+        .outputMode(output)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_foreach_batch(
     stream: DataFrame,
     pipeline: Callable[[DataFrame], dict],

@@ -96,6 +96,69 @@ def test_sessionized_stream(spark, stream_dir):
     assert rows and all(r.n_events >= 1 for r in rows)
 
 
+def test_start_sessionized_append_matches_batch_islands(spark, stream_dir):
+    """Append-mode sessions (the production path: one emit per
+    watermark-closed session, state evicted) must agree exactly with the
+    batch lag-based island computation on every session they emit."""
+    from coffea_spark.streaming import start_sessionized
+
+    # single time-ordered file -> one micro-batch: cross-batch watermark
+    # drops would otherwise make the emitted set depend on file order
+    d = stream_dir + "_single"
+    spark.read.parquet(stream_dir).orderBy("ts").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = _read_stream(spark, d)
+    q = start_sessionized(
+        stream, key="user_id", gap="5 minutes", watermark="10 minutes",
+        output="append", query_name="ss_append", trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    # epoch via SQL cast on BOTH sides: naive datetime.timestamp() is
+    # local-tz-dependent and would skew keys against the pandas epochs
+    got = {
+        (r.user_id, r.sstart): (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql(
+            "select user_id, cast(session_window.start as long) sstart,"
+            " n_events, sum_value from ss_append"
+        ).collect()
+    }
+    assert got, "append mode emitted no closed sessions"
+
+    # batch islands: Spark's merge is INCLUSIVE (an event exactly gap
+    # after the last still extends the session — verified on a 300s-grid
+    # fixture), so a new session starts only when delta > gap
+    pdf = (
+        spark.read.parquet(d)
+        .withColumn("ts", F.col("ts").cast("long"))
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+    )
+    want, ends = {}, {}
+    for uid, g in pdf.groupby("user_id"):
+        start, n, sv, last = None, 0, 0.0, None
+        for _, row in g.iterrows():
+            t = float(row["ts"])
+            if last is None or t - last > 300.0:
+                if start is not None:
+                    want[(uid, int(start))] = (n, round(sv, 6))
+                    ends[(uid, int(start))] = last + 300.0
+                start, n, sv = t, 0, 0.0
+            n += 1
+            sv += float(row["value"])
+            last = t
+        if start is not None:
+            want[(uid, int(start))] = (n, round(sv, 6))
+            ends[(uid, int(start))] = last + 300.0
+    for key, val in got.items():
+        assert key in want and want[key] == val
+    # append must emit every session the FINAL watermark closed: session
+    # end (last event + gap) strictly before max event time - watermark
+    max_ts = float(pdf["ts"].max())
+    closed = {k for k, e in ends.items() if e < max_ts - 600.0}
+    assert closed <= set(got)
+
+
 def test_foreach_batch_accumulate(spark, stream_dir):
     stream = _read_stream(spark, stream_dir)
 
