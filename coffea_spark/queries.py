@@ -3266,6 +3266,54 @@ SELECT * FROM (VALUES
 """
 
 
+def q_physlite_triple_nested(spark, sf_dir):
+    """REAL triply-nested STL decode over the reference's own PHYSLITE
+    binary fixture: the native reader types and decodes the
+    ``vector<vector<vector<T>>>`` MET-association members
+    (``METAssoc_AnalysisMETAux.overlapIndices`` u8 /
+    ``overlapTypes`` u1) into ``array<array<array<...>>>`` columns
+    (reference reads the same shape via uproot AsObjects; 3-deep index
+    semantics: nanoevents/transforms.py:881-922). The Spark pipeline
+    reduces all three nesting levels with row-local HOFs — no shuffle
+    until the final 1-row agg. Golden values independently derived by a
+    sequential byte-level decode of the same baskets (outer count from
+    the 10-byte STL header, i4 per middle vector, i4+elements per inner
+    vector). ``sf_dir`` is unused (the input is the binary fixture)."""
+    from coffea_spark.root_reader import read_root
+
+    path = "/root/reference/tests/samples/PHYSLITE_example.root"
+    idx_col = "METAssoc_AnalysisMETAux.overlapIndices"
+    typ_col = "METAssoc_AnalysisMETAux.overlapTypes"
+    ev = read_root(spark, [path], columns=[idx_col, typ_col])
+    idx = F.col(f"`{idx_col}`")
+    typ = F.col(f"`{typ_col}`")
+    flat_mid = F.flatten(idx)        # array<array<long>> per event
+    flat_idx = F.flatten(flat_mid)   # array<long> per event
+    flat_typ = F.flatten(F.flatten(typ))
+    lsum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size(idx)).alias("n_assocs"),
+        F.sum(F.size(flat_mid)).alias("n_overlap_lists"),
+        F.sum(F.size(flat_idx)).alias("n_indices"),
+        F.sum(lsum(flat_idx)).alias("sum_indices"),
+        F.sum(lsum(flat_typ)).alias("sum_types"),
+    )
+
+
+# golden values: sequential byte-level decode of the fixture's baskets
+# (independent of the reader/pipeline under test)
+SQL_PHYSLITE_TRIPLE_NESTED = """
+SELECT * FROM (VALUES
+  (CAST(100 AS BIGINT), CAST(981 AS BIGINT), CAST(338 AS BIGINT),
+   CAST(224 AS BIGINT), CAST(128 AS BIGINT), CAST(1792 AS BIGINT))
+) AS t(n_events, n_assocs, n_overlap_lists, n_indices, sum_indices,
+       sum_types)
+"""
+
+
 def q_edm4hep_real_links(spark, sf_dir):
     """REAL podio begin/end relation resolution over the reference's own
     EDM4HEP binary fixture (reference transforms.py:647-998
@@ -5207,6 +5255,7 @@ REGISTRY: dict[str, Query] = {
     "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
     "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
     "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),

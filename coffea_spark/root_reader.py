@@ -592,8 +592,24 @@ class RootTreeReader:
     @staticmethod
     def _typename_branchinfo(name: str, tn: str) -> "BranchInfo | None":
         """BranchInfo for a member's C++ type name (streamer fallback):
-        plain vectors, doubly-nested vectors, and ElementLink vectors."""
+        plain, doubly- and triply-nested vectors, and ElementLink
+        vectors."""
         tn = re.sub(r"\s*([<>])\s*", r"\1", tn.replace("std::", "")).strip()
+        m = re.fullmatch(r"vector<vector<vector<([^<>]+?)>>>", tn)
+        if m is not None:
+            # vector<vector<vector<T>>> (e.g. xAOD MET overlapIndices):
+            # entry = 10-byte outer header + n1, each middle vector an i4
+            # count, each inner vector an i4 count + raw elements —
+            # verified byte-level against PHYSLITE_example
+            # (reference reads these via uproot's AsObjects interpretation;
+            # 3-deep index semantics: nanoevents/transforms.py:881-922)
+            dt = _VECTOR_DTYPES.get(m.group(1))
+            if dt is None:
+                return None
+            return BranchInfo(
+                name, dt, None, 1, is_bool=(m.group(1) == "bool"),
+                from_offsets=True, header_bytes=10, depth=3,
+            )
         m = re.fullmatch(r"vector<vector<(.+?)>>", tn)
         inner2 = m.group(1) if m else None
         m = re.fullmatch(r"vector<([^<>]+?)>", tn)
@@ -903,6 +919,46 @@ class RootTreeReader:
             return self._basket_links(name, info, k, buf, border)
         if info.string:
             return self._basket_strings(name, info, k, buf, border)
+        if info.depth == 3:
+            # vector<vector<vector<T>>>: entry = 10-byte outer header
+            # with n1, then per middle vector an i4 count, then per inner
+            # vector an i4 count + elements (no headers below the outer)
+            vals, outer_counts, mid_counts, inner_counts = [], [], [], []
+            offs = self._entry_offsets(k, buf, border)
+            for e in range(len(offs) - 1):
+                p, end = int(offs[e]), int(offs[e + 1])
+                n_outer = struct.unpack_from(">i", buf, p + 6)[0]
+                outer_counts.append(n_outer)
+                q = p + 10
+                for _ in range(n_outer):
+                    n_mid = struct.unpack_from(">i", buf, q)[0]
+                    mid_counts.append(n_mid)
+                    q += 4
+                    for _ in range(n_mid):
+                        n_in = struct.unpack_from(">i", buf, q)[0]
+                        inner_counts.append(n_in)
+                        vals.append(
+                            np.frombuffer(
+                                buf, dtype=">" + info.dtype, count=n_in, offset=q + 4
+                            )
+                        )
+                        q += 4 + n_in * itemsize
+                if q != end:
+                    raise RootFileError(
+                        f"{self.path}:{name}: triple-nested framing mismatch "
+                        f"({q} != {end} at entry {e})"
+                    )
+            flat = (
+                np.concatenate(vals) if vals else np.empty(0, dtype=">" + info.dtype)
+            )
+            return (
+                flat,
+                np.asarray(outer_counts, dtype=np.int64),
+                (
+                    np.asarray(mid_counts, dtype=np.int64),
+                    np.asarray(inner_counts, dtype=np.int64),
+                ),
+            )
         if info.depth == 2:
             # vector<vector<T>>: entry = 10-byte outer header with the
             # outer size, then per inner vector an i4 count + elements
@@ -1182,13 +1238,21 @@ class RootTreeReader:
         )
         vals = self._native(vals, info)
         self._cache[name] = vals
-        if count_parts or (info.from_offsets and info.string != 1) or info.depth == 2:
+        if count_parts or (info.from_offsets and info.string != 1) or info.depth >= 2:
             self._counts_cache[name] = (
                 np.concatenate(count_parts)
                 if count_parts
                 else np.empty(0, dtype=np.int64)
             )
-        if info.depth == 2:
+        if info.depth == 3:
+            # per-basket (mid, inner) tuples -> concatenated levels
+            self._inner_counts_cache[name] = (
+                np.concatenate([t[0] for t in inner_parts])
+                if inner_parts else np.empty(0, dtype=np.int64),
+                np.concatenate([t[1] for t in inner_parts])
+                if inner_parts else np.empty(0, dtype=np.int64),
+            )
+        elif info.depth == 2:
             self._inner_counts_cache[name] = (
                 np.concatenate(inner_parts)
                 if inner_parts
@@ -1241,6 +1305,28 @@ class RootTreeReader:
             else np.empty(0, dtype=">" + info.dtype)
         )
         s0, s1 = e0 - B0, e1 - B0
+        if info.depth == 3:
+            outer = np.concatenate(cparts) if cparts else np.empty(0, dtype=np.int64)
+            mid = (
+                np.concatenate([t[0] for t in iparts])
+                if iparts else np.empty(0, dtype=np.int64)
+            )
+            inner = (
+                np.concatenate([t[1] for t in iparts])
+                if iparts else np.empty(0, dtype=np.int64)
+            )
+            o_cum = np.concatenate([[0], np.cumsum(outer, dtype=np.int64)])
+            m_cum = np.concatenate([[0], np.cumsum(mid, dtype=np.int64)])
+            i_cum = np.concatenate([[0], np.cumsum(inner, dtype=np.int64)])
+            vals = vals[i_cum[m_cum[o_cum[s0]]] : i_cum[m_cum[o_cum[s1]]]]
+            return (
+                self._native(vals, info),
+                outer[s0:s1],
+                (
+                    mid[o_cum[s0] : o_cum[s1]],
+                    inner[m_cum[o_cum[s0]] : m_cum[o_cum[s1]]],
+                ),
+            )
         if info.depth == 2:
             outer = np.concatenate(cparts) if cparts else np.empty(0, dtype=np.int64)
             inner = np.concatenate(iparts) if iparts else np.empty(0, dtype=np.int64)
@@ -1276,9 +1362,11 @@ class RootTreeReader:
         )
         return self._native(vals, info), cts, None
 
-    def inner_counts(self, name: str) -> np.ndarray | None:
-        """Per-inner-vector element counts of a depth-2 branch."""
-        if self.branches[name].depth != 2:
+    def inner_counts(self, name: str) -> np.ndarray | tuple | None:
+        """Sub-entry counts of a nested branch: depth 2 returns the
+        per-inner-vector element counts; depth 3 returns the
+        ``(per-middle-vector, per-inner-vector)`` count pair."""
+        if self.branches[name].depth < 2:
             return None
         if name not in self._inner_counts_cache:
             self.array(name)
@@ -1346,17 +1434,22 @@ class RootTreeReader:
         for name in names:
             info = self.branches[name]
             vals = self.array(name)
-            if info.depth == 2:
-                inner = self._inner_counts_cache[name]
+            if info.depth >= 2:
                 outer = self._counts_cache[name]
+                if info.depth == 3:
+                    mid, inner = self._inner_counts_cache[name]
+                else:
+                    mid, inner = None, self._inner_counts_cache[name]
                 in_off = np.zeros(len(inner) + 1, dtype=np.int32)
                 np.cumsum(inner, out=in_off[1:])
+                arr = pa.ListArray.from_arrays(pa.array(in_off), _pa_values(vals))
+                if mid is not None:
+                    m_off = np.zeros(len(mid) + 1, dtype=np.int32)
+                    np.cumsum(mid, out=m_off[1:])
+                    arr = pa.ListArray.from_arrays(pa.array(m_off), arr)
                 out_off = np.zeros(len(outer) + 1, dtype=np.int32)
                 np.cumsum(outer, out=out_off[1:])
-                arr = pa.ListArray.from_arrays(
-                    pa.array(out_off),
-                    pa.ListArray.from_arrays(pa.array(in_off), _pa_values(vals)),
-                )
+                arr = pa.ListArray.from_arrays(pa.array(out_off), arr)
                 cols.append(arr)
                 fields.append(pa.field(name, arr.type))
                 continue
@@ -1400,16 +1493,25 @@ class RootTreeReader:
         for name in names:
             info = self.branches[name]
             vals, cts, inner = self._range_column(name, e0, e1)
-            if info.depth == 2:
+            if info.depth >= 2:
+                mid = None
+                if info.depth == 3:
+                    mid, inner = inner
                 in_off = np.zeros(len(inner) + 1, dtype=np.int64)
                 np.cumsum(inner, out=in_off[1:])
+                arr = pa.ListArray.from_arrays(
+                    pa.array(in_off, type=pa.int32()), _pa_values(vals)
+                )
+                if mid is not None:
+                    m_off = np.zeros(len(mid) + 1, dtype=np.int64)
+                    np.cumsum(mid, out=m_off[1:])
+                    arr = pa.ListArray.from_arrays(
+                        pa.array(m_off, type=pa.int32()), arr
+                    )
                 out_off = np.zeros(len(cts) + 1, dtype=np.int64)
                 np.cumsum(cts, out=out_off[1:])
                 arr = pa.ListArray.from_arrays(
-                    pa.array(out_off, type=pa.int32()),
-                    pa.ListArray.from_arrays(
-                        pa.array(in_off, type=pa.int32()), _pa_values(vals)
-                    ),
+                    pa.array(out_off, type=pa.int32()), arr
                 )
             elif cts is not None:
                 offsets = np.zeros(len(cts) + 1, dtype=np.int64)
@@ -1546,7 +1648,11 @@ def read_root(
         if info.string == 2:
             fields.append(T.StructField(c, T.ArrayType(base)))
             continue
-        if info.depth == 2:
+        if info.depth == 3:
+            fields.append(
+                T.StructField(c, T.ArrayType(T.ArrayType(T.ArrayType(base))))
+            )
+        elif info.depth == 2:
             fields.append(T.StructField(c, T.ArrayType(T.ArrayType(base))))
         elif info.counts is not None or info.fixed_len > 1 or info.from_offsets:
             fields.append(T.StructField(c, T.ArrayType(base)))
@@ -1595,6 +1701,8 @@ def read_root(
                 return pa.string() if info.string == 1 else pa.list_(pa.string())
             else:
                 base = pa.bool_() if info.is_bool else _PA[info.dtype]
+            if info.depth == 3:
+                return pa.list_(pa.list_(pa.list_(base)))
             if info.depth == 2:
                 return pa.list_(pa.list_(base))
             if info.counts is not None or info.fixed_len > 1 or info.from_offsets:

@@ -603,3 +603,49 @@ def test_full_schema_spark_read(spark, fname, rows):
     df = read_root(spark, [path], columns=sorted(r.branches))
     assert df.count() == rows
     assert len(df.columns) == len(r.branches)
+
+
+def test_triple_nested_vectors():
+    """vector<vector<vector<T>>> branches (xAOD MET overlapIndices u8 /
+    overlapTypes u1) decode with EXACT content equality against an
+    independent sequential byte parse of the same baskets."""
+    import struct
+
+    r = RootTreeReader(f"{SAMPLES}/PHYSLITE_example.root")
+    for name, itemsize, fmt in [
+        ("METAssoc_AnalysisMETAux.overlapTypes", 1, ">B"),
+        ("METAssoc_AnalysisMETAux.overlapIndices", 8, ">Q"),
+    ]:
+        info = r.branches[name]
+        assert info.depth == 3 and info.header_bytes == 10
+        got = r.to_arrow([name]).column(0).to_pylist()
+
+        want = []
+        for k in r._baskets[name]:
+            buf = r._payload(k)
+            border = r._basket_last(k) - k.keylen
+            offs = r._entry_offsets(k, buf, border)
+            for e in range(len(offs) - 1):
+                p, end = int(offs[e]), int(offs[e + 1])
+                n1 = struct.unpack_from(">i", buf, p + 6)[0]
+                q = p + 10
+                entry = []
+                for _ in range(n1):
+                    n2 = struct.unpack_from(">i", buf, q)[0]
+                    q += 4
+                    mid = []
+                    for _ in range(n2):
+                        n3 = struct.unpack_from(">i", buf, q)[0]
+                        q += 4
+                        mid.append(
+                            [struct.unpack_from(fmt, buf, q + j * itemsize)[0]
+                             for j in range(n3)]
+                        )
+                        q += n3 * itemsize
+                    entry.append(mid)
+                assert q == end
+                want.append(entry)
+        assert got == want
+        # entry-range path agrees with the full read
+        sub = r.to_arrow([name], entry_start=37, entry_stop=73).column(0).to_pylist()
+        assert sub == want[37:73]
