@@ -321,12 +321,33 @@ def synthetic_gray_payloads(ids: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def synthetic_jpeg_payloads(ids: pd.Series) -> pd.Series:
+    """Deterministic REAL-JPEG test payloads (pandas-UDF worker): for id
+    d a (8*(1+d%3)) x (8*(1+d%4)) grayscale image whose 8x8 block (i,j)
+    is the constant (d*37 + i*16 + j*5) % 256, pushed through the real
+    baseline encoder (jpeg.py). Block-constant images survive the codec
+    EXACTLY (DC-only blocks, all-ones quant table), so an oracle can
+    recompute every pixel statistic from the formula alone — the same
+    trick synthetic_gray_payloads plays for PNG/BMP/PGM."""
+    from coffea_spark.llmdata.jpeg import encode_gray_jpeg
+
+    out = []
+    for d in ids:
+        d = int(d)
+        bh, bw = 1 + d % 3, 1 + d % 4
+        i, j = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+        blocks = ((d * 37 + i * 16 + j * 5) % 256).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        out.append(encode_gray_jpeg(img))
+    return pd.Series(out)
+
+
 def real_image_decoder(data: bytes) -> np.ndarray:
     """Default image decoder: full numpy-only parsers for BMP 8/24-bit,
-    PPM/PGM P5/P6, and non-interlaced 8-bit PNG (a real zlib-compressed
-    container), dispatched on magic bytes. JPEG still needs an external
-    library — raise with an actionable message rather than silently
-    faking a decode."""
+    PPM/PGM P5/P6, non-interlaced 8-bit PNG (a real zlib-compressed
+    container), and baseline-sequential grayscale JPEG (jpeg.py —
+    progressive/color JPEG still needs an external library and raises
+    there), dispatched on magic bytes."""
     magic = bytes(data[:2])
     if magic == b"BM":
         return decode_bmp(data)
@@ -334,9 +355,14 @@ def real_image_decoder(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if bytes(data[:8]) == _PNG_SIG:
         return decode_png(data)
+    if magic == b"\xff\xd8":
+        from coffea_spark.llmdata.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"payload magic {magic!r}: BMP/PPM/PGM/PNG decode without "
-        "external libraries; pass a PIL-backed decoder= for JPEG"
+        f"payload magic {magic!r}: BMP/PPM/PGM/PNG/baseline-gray-JPEG "
+        "decode without external libraries; pass a PIL-backed decoder= "
+        "for other formats"
     )
 
 

@@ -669,3 +669,51 @@ def test_y4m_codec_roundtrip(spark):
     assert np.array_equal(
         np.frombuffer(out[1]["frame"], np.uint8).reshape(6, 8), frames[2]
     )
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG codec: block-constant images round-trip EXACTLY
+    (DC-only blocks, all-ones quant); arbitrary images within |err|<=1
+    (FDCT rounding only); guards reject non-baseline streams."""
+    import numpy as np
+    import pytest
+
+    from coffea_spark.llmdata.jpeg import decode_jpeg, encode_gray_jpeg
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (3, 4)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    assert (decode_jpeg(encode_gray_jpeg(img)) == img).all()
+
+    # non-multiple-of-8 sizes: edge padding must crop back exactly
+    for h, w in [(5, 13), (17, 9), (40, 40)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_jpeg(encode_gray_jpeg(img))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    # a coarser quant table still decodes (lossy but bounded-ish)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    dec = decode_jpeg(encode_gray_jpeg(img, quant=q))
+    assert dec.shape == img.shape
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    d = bytearray(encode_gray_jpeg(img))
+    d[bytes(d).find(b"\xff\xc0") + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(d))
+
+
+def test_jpeg_through_image_decoder():
+    """real_image_decoder dispatches JPEG magic to the baseline codec."""
+    import numpy as np
+
+    from coffea_spark.llmdata.jpeg import encode_gray_jpeg
+    from coffea_spark.llmdata.multimodal import real_image_decoder
+
+    img = np.kron(
+        np.arange(6, dtype=np.uint8).reshape(2, 3) * 40,
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    assert (real_image_decoder(encode_gray_jpeg(img)) == img).all()
