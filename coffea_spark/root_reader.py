@@ -89,6 +89,17 @@ _VECTOR_DTYPES = {
 }
 _VECTOR_RE = re.compile(rb"vector<([a-zA-Z_ 0-9]{3,24})>")
 
+# plain leaflist scalar titles ("eventNumber/l") and their dtypes; the
+# packed codes f (Float16) and d (Double32) are deliberately absent
+_LEAFLIST_TITLE_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)/([A-Za-z])")
+_LEAFLIST_CODES = {
+    "B": ("i1", False), "b": ("u1", False), "S": ("i2", False),
+    "s": ("u2", False), "I": ("i4", False), "i": ("u4", False),
+    "F": ("f4", False), "D": ("f8", False), "L": ("i8", False),
+    "l": ("u8", False), "G": ("i8", False), "g": ("u8", False),
+    "O": ("u1", True),
+}
+
 
 @dataclass
 class BranchInfo:
@@ -689,6 +700,24 @@ class RootTreeReader:
                     or name_stem == base
                     or name_stem.endswith("." + base)
                 ):
+                    # AuxDyn/AuxInfo SCALAR members (xAOD EventInfo etc.)
+                    # are plain TBranches whose TITLE is the leaflist
+                    # spec for the SHORT member name ("eventNumber/l")
+                    # while the TLeaf record carries only that short
+                    # name — which this full-branch-name scan never
+                    # finds. Type directly from the spec. Only the plain
+                    # scalar form (no "[counter]") matches; Float16 "f"
+                    # and Double32 "d" codes stay excluded (fail closed,
+                    # packed encodings).
+                    m_ll = _LEAFLIST_TITLE_RE.fullmatch(title)
+                    if (
+                        m_ll is not None
+                        and name_stem.rsplit(".", 1)[-1] == m_ll.group(1)
+                        and m_ll.group(2) in _LEAFLIST_CODES
+                    ):
+                        dt, isb = _LEAFLIST_CODES[m_ll.group(2)]
+                        out[name] = BranchInfo(name, dt, None, 1, is_bool=isb)
+                        break
                     continue
                 # resolve the class tag written just before this object:
                 # first-use: ...[ff ff ff ff][classname\0][hdrs(28)][name...]
@@ -1623,11 +1652,15 @@ def read_root(
 
     head = open_tree(paths[0], tree)
     use_cols = columns if columns is not None else sorted(head.branches)
+    # unsigned types widen to the next signed Spark type; u8 has no
+    # signed container, so it maps to DecimalType(20,0) — the same
+    # convention Spark's parquet reader uses for UINT64 (values like
+    # xAOD pileUpMixtureID genuinely exceed int64)
     _ARROW_TO_SPARK = {
         "f4": T.FloatType(), "f8": T.DoubleType(),
         "i1": T.ByteType(), "i2": T.ShortType(), "i4": T.IntegerType(),
         "i8": T.LongType(), "u1": T.ShortType(), "u2": T.IntegerType(),
-        "u4": T.LongType(), "u8": T.LongType(),
+        "u4": T.LongType(), "u8": T.DecimalType(20, 0),
     }
     fields = []
     link_struct = T.StructType([
@@ -1687,7 +1720,8 @@ def read_root(
         _PA = {
             "f4": pa.float32(), "f8": pa.float64(),
             "i1": pa.int8(), "i2": pa.int16(), "i4": pa.int32(), "i8": pa.int64(),
-            "u1": pa.int16(), "u2": pa.int32(), "u4": pa.int64(), "u8": pa.int64(),
+            "u1": pa.int16(), "u2": pa.int32(), "u4": pa.int64(),
+            "u8": pa.decimal128(20, 0),
         }
 
         pa_link = pa.struct(
@@ -1723,20 +1757,10 @@ def read_root(
                 for b0 in range(int(start), int(stop), batch_rows) or [0]:
                     b1 = min(b0 + batch_rows, int(stop))
                     tbl = r.to_arrow(use_cols, entry_start=b0, entry_stop=b1)
-                    try:
-                        # widen unsigned types to Spark's signed equivalents;
-                        # safe cast raises on u8 values >= 2^63
-                        tbl = tbl.cast(cast_schema)
-                    except pa.lib.ArrowInvalid as exc:
-                        u8 = [
-                            c for c in use_cols if r.branches[c].dtype == "u8"
-                        ]
-                        raise RootFileError(
-                            f"{path}: unsigned-64 value out of int64 range "
-                            f"(u8 branches: {u8}); read these branches via "
-                            f"root_to_arrow and cast explicitly ({exc})"
-                        ) from exc
-                    yield tbl.to_pandas()
+                    # widen unsigned types to Spark's signed equivalents;
+                    # u8 goes to decimal128(20,0) (lossless — values like
+                    # xAOD pileUpMixtureID genuinely exceed int64)
+                    yield tbl.cast(cast_schema).to_pandas()
 
     chunks_df = spark.createDataFrame(
         chunks, "path string, start long, stop long"

@@ -174,10 +174,12 @@ def test_uproot_writeable_full_circle(spark, tmp_path):
     assert got["s"] == round(float(r.array("Muon_pt").astype("float64").sum()), 3)
 
 
-def test_u8_overflow_raises_named_error(spark, tmp_path):
+def test_u8_reads_lossless_as_decimal(spark, tmp_path):
     """Unsigned-64 values >= 2^63 cannot widen to Spark's LongType: the
-    distributed reader must fail with an error NAMING the u8 branches
-    instead of wrapping silently (round-4 advice)."""
+    distributed reader maps u8 to DecimalType(20,0) — Spark's own
+    parquet convention for UINT64 — so the full unsigned range reads
+    losslessly (supersedes the round-4 fail-loud behavior: xAOD
+    pileUpMixtureID branches genuinely carry such values)."""
     path = str(tmp_path / "u8.root")
     write_root_file(
         {"evt": np.array([1, 2 ** 63 + 5, 3], dtype=np.uint64)}, path
@@ -185,8 +187,10 @@ def test_u8_overflow_raises_named_error(spark, tmp_path):
     r = RootTreeReader(path)
     assert r.branches["evt"].dtype == "u8"
     assert int(r.array("evt")[1]) == 2 ** 63 + 5  # native read is fine
-    with pytest.raises(Exception, match="evt"):
-        read_root(spark, [path], columns=["evt"]).collect()
+    df = read_root(spark, [path], columns=["evt"])
+    assert dict(df.dtypes)["evt"] == "decimal(20,0)"
+    vals = sorted(int(row.evt) for row in df.collect())
+    assert vals == [1, 3, 2 ** 63 + 5]
 
 
 def test_empty_jagged_row_preserves_dtype(spark, tmp_path):
