@@ -4792,6 +4792,73 @@ FROM h GROUP BY 1
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary training (llmdata/bpe.py): learn the
+    first 6 merges over the documents corpus using the scale-correct
+    word-frequency formulation — ONE corpus shuffle builds the distinct
+    (word, freq) table, then every merge iteration runs over that
+    vocabulary-sized table only (pair-count aggregation + 1-row argmax
+    + row-local F.aggregate greedy fold, all JVM-side). The oracle
+    replays the identical algorithm as 6 staged CTEs in DuckDB
+    (list_reduce fold with a unit-separator accumulator), so the merge
+    SEQUENCE — including merges of already-merged symbols — must match
+    exactly, tie-broken on (count desc, p1, p2)."""
+    from coffea_spark.llmdata.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = train_bpe(docs, "text", num_merges=6)
+    rows = [
+        (i + 1, p1, p2, cnt) for i, (p1, p2, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, p1 string, p2 string, pair_count long"
+    )
+
+
+def _sql_bpe_train(k: int = 6) -> str:
+    """Staged-CTE mirror of train_bpe: stage n computes pair counts over
+    words_n, takes the (count desc, p1, p2) argmax, and applies the
+    merge with a list_reduce fold — the accumulator is a chr(31)-joined
+    symbol string, and ``ends_with(acc, sep || p1)`` tests that the
+    LAST full symbol equals p1 (greedy left-to-right, no re-merge
+    through a just-merged symbol — byte-identical semantics to the
+    Spark F.aggregate fold)."""
+    sql = r"""
+WITH words_0 AS (
+  SELECT word, count(*)::BIGINT AS freq,
+         list_filter(string_split(word, ''), s -> s <> '') AS syms
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+)"""
+    for n in range(k):
+        sql += f""",
+pc_{n} AS (
+  SELECT p[1] AS p1, p[2] AS p2, CAST(sum(freq) AS BIGINT) AS c
+  FROM (
+    SELECT freq, unnest(list_zip(syms, syms[2:])) AS p FROM words_{n}
+  ) WHERE p[2] IS NOT NULL GROUP BY 1, 2
+),
+best_{n} AS (SELECT p1, p2, c FROM pc_{n} ORDER BY c DESC, p1, p2 LIMIT 1),
+words_{n + 1} AS (
+  SELECT freq,
+         string_split(ltrim(
+           list_reduce(list_prepend('', w.syms), (acc, x) ->
+             CASE WHEN ends_with(acc, chr(31) || b.p1) AND x = b.p2
+                  THEN acc || b.p2
+                  ELSE acc || chr(31) || x END),
+           chr(31)), chr(31)) AS syms
+  FROM words_{n} w CROSS JOIN best_{n} b
+)"""
+    sql += "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({n + 1} AS INTEGER) AS merge_rank, p1, p2,"
+        f" c AS pair_count FROM best_{n}"
+        for n in range(k)
+    ) + "\n) ORDER BY merge_rank"
+    return sql
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (llmdata/packing.py): concat docs per
     language in doc_id order, cut every 256 tokens; report sequences,
@@ -5348,7 +5415,10 @@ REGISTRY: dict[str, Query] = {
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
-    # -- past the driver window: round-5-verified gates + rows-only tail --
+    # -- past the driver window: bpe_train (new this round, local-sweep
+    # verified; leads the round-7 rotation) + round-5-verified gates +
+    # rows-only tail --
+    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -717,3 +717,49 @@ def test_jpeg_through_image_decoder():
         np.ones((8, 8), dtype=np.uint8),
     )
     assert (real_image_decoder(encode_gray_jpeg(img)) == img).all()
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training must reproduce an INDEPENDENT in-memory
+    reference implementation (dict-based Sennrich algorithm) merge for
+    merge on real document text, and encode_bpe must apply the learned
+    merges consistently."""
+    from collections import Counter
+
+    from coffea_spark.llmdata.bpe import encode_bpe, train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.filter(F.col("doc_id") % 3 == 0).select("text")
+    K = 5
+    got = train_bpe(docs, "text", num_merges=K)
+
+    # reference: plain-Python word-freq BPE, greedy left-to-right apply
+    texts = [r.text for r in docs.collect()]
+    freq = Counter(w for t in texts for w in t.split())
+    words = {w: tuple(w) for w in freq}
+    expect = []
+    for _ in range(K):
+        pc = Counter()
+        for w, syms in words.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (p1, p2), cnt = best
+        expect.append((p1, p2, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    assert got == expect
+
+    # encoding round-trip: concatenated tokens reproduce the words
+    enc = encode_bpe(docs.limit(20), got, "text")
+    for r in enc.collect():
+        assert "".join(r.tokens) == "".join(r.text.split())
