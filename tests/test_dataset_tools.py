@@ -105,3 +105,104 @@ def test_read_fileset_root(spark):
     df = dfs["dy"]
     assert df.count() == 40
     assert df.agg(F.sum("nMuon")).first()[0] == 84
+
+
+def _demo_catalog(tmp_path):
+    """Catalog over REAL testdata parquet: two 'sites' expose the same
+    physical files (a local catalog's common shape)."""
+    import glob
+
+    files = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))[:4]
+    cat = {}
+    for i, name in enumerate(["mc_dy_2018", "mc_tt_2018", "data_egamma_2018A", "data_mu_2018B"]):
+        cat[name] = {
+            "files": [
+                {"lfn": f"store/{name}/f{j}.parquet",
+                 "replicas": {"SITE_A": files[j], "SITE_B": files[j],
+                              **({"SITE_C": files[j]} if j % 2 else {})}}
+                for j in range(len(files))
+            ],
+            "metadata": {"era": "2018", "is_mc": name.startswith("mc")},
+        }
+    return cat
+
+
+def test_data_discovery_query_select_replicas(tmp_path):
+    """Local-catalog DataDiscovery: wildcard query, range select with
+    metadata merge, deterministic replica strategies, site filters
+    (reference dataset_query.py:109-889 minus the grid network)."""
+    import json
+
+    import pytest as _pytest
+
+    from coffea_spark.dataset_query import DataDiscovery, parse_selection
+
+    cat = _demo_catalog(tmp_path)
+    # also exercise the JSON-file path
+    p = tmp_path / "catalog.json"
+    p.write_text(json.dumps(cat))
+    dd = DataDiscovery(str(p))
+
+    assert dd.do_query("mc_*") == ["mc_dy_2018", "mc_tt_2018"]
+    dd.do_select("1", metadata={"xsec": 6077.22})
+    assert dd.selected_datasets == ["mc_dy_2018"]
+    assert dd.selected_datasets_metadata[0]["xsec"] == 6077.22
+    assert dd.selected_datasets_metadata[0]["is_mc"] is True  # catalog meta kept
+
+    dd.do_query("data_*_2018*")
+    dd.do_select("1-2")
+    assert len(dd.selected_datasets) == 3
+
+    # round-robin is deterministic: same pick twice
+    r1 = dd.do_replicas("round-robin", "all")
+    picks1 = {ds: list(v["files"]) for ds, v in r1.items()}
+    r2 = DataDiscovery(cat)
+    r2.do_query("*"); r2.do_select("all")
+    assert {ds: list(v["files"]) for ds, v in
+            r2.do_replicas("round-robin", "all").items()} | picks1 == \
+           {ds: list(v["files"]) for ds, v in
+            r2.do_replicas("round-robin", "all").items()} | picks1
+
+    # site filters: blocklist removes a site; regex keeps only A/B
+    dd.do_blocklist_sites(["SITE_C"])
+    dd.do_regex_sites(r"SITE_[AB]")
+    out = dd.do_replicas("first", "all")
+    for info in out.values():
+        assert set(info["site_counts"]) <= {"SITE_A", "SITE_B"}
+
+    # choose mode honors preference order and errors when impossible
+    out = dd.do_replicas("choose", "1", choose_sites=["SITE_B", "SITE_A"])
+    assert out  # picked from SITE_B (identical paths here, shape check)
+    dd.do_allowlist_sites(["SITE_A"])
+    with _pytest.raises(ValueError, match="SITE_Z"):
+        dd.do_replicas("choose", "1", choose_sites=["SITE_Z"])
+
+    # selection parser
+    assert parse_selection("all", 3) == [0, 1, 2]
+    assert parse_selection("1 3", 3) == [0, 2]
+    assert parse_selection("2-3", 3) == [1, 2]
+    with _pytest.raises(ValueError):
+        parse_selection("0", 3)
+    with _pytest.raises(ValueError):
+        parse_selection("4", 3)
+
+
+def test_data_discovery_fileset_preprocess(spark, tmp_path):
+    """End-to-end: dataset definition -> fileset -> the engine's
+    distributed preprocess over REAL parquet (load_dataset_definition,
+    reference :721-889)."""
+    from coffea_spark.dataset_query import DataDiscovery
+
+    dd = DataDiscovery(_demo_catalog(tmp_path))
+    fs = dd.load_dataset_definition({"mc_*": {"campaign": "RunIISummer20"}})
+    assert set(fs) == {"mc_dy_2018", "mc_tt_2018"}
+    for info in fs.values():
+        assert info["metadata"]["campaign"] == "RunIISummer20"
+        assert all(v == "Events" for v in info["files"].values())
+
+    out, updated = dd.do_preprocess(spark, step_size=500)
+    assert set(out) == set(fs)
+    for ds, info in out.items():
+        for f, finfo in info["files"].items():
+            assert finfo["num_entries"] > 0
+            assert finfo["steps"][0][0] == 0
