@@ -643,6 +643,17 @@ class RootTreeReader:
                 name, "u4", None, 1, is_bool=False,
                 from_offsets=True, header_bytes=10, depth=1, link=True,
             )
+        if tn.startswith("ElementLink<"):
+            # SCALAR link member (one ElementLink object per entry, e.g.
+            # EventInfo hardScatterVertexLink): depth 0 = no list axis;
+            # per-entry record is bytecount(4) version(2)
+            # [checksum(4) if version==0] persKey(4) persIndex(4).
+            # Callers must validate the framing against real data before
+            # accepting (_probe_scalar_link) — a split parent carries
+            # the same fClassName but a counts-only payload.
+            return BranchInfo(
+                name, "u4", None, 1, is_bool=False, depth=0, link=True,
+            )
         if inner1 == "string":
             return BranchInfo(
                 name, "u1", None, 1, is_bool=False,
@@ -787,6 +798,20 @@ class RootTreeReader:
                             )
                         if vp < 0:
                             vp = buf.find(b"vector<", after, after + 900)
+                        if vp < 0:
+                            # scalar ElementLink members carry a bare
+                            # "ElementLink<...>" fClassName (no vector<);
+                            # it sits FORWARD of the leaf in the record,
+                            # like the vector< fallback above. A false
+                            # hit is harmless: scalar-link typing is only
+                            # accepted after _probe_scalar_link validates
+                            # the framing against every basket.
+                            vp = buf.find(b"ElementLink<", after, after + 900)
+                            if vp < 0 and branch_rec is not None:
+                                vp = buf.find(
+                                    b"ElementLink<", branch_rec,
+                                    min(branch_rec + 500, pos),
+                                )
                         full = None
                         if vp > 0:
                             # fClassName is a length-prefixed TString: use
@@ -813,6 +838,16 @@ class RootTreeReader:
                                 self._typename_branchinfo(name, tn)
                                 if tn else None
                             )
+                        if (
+                            bi is not None
+                            and bi.link
+                            and bi.depth == 0
+                            and not self._probe_scalar_link(name)
+                        ):
+                            # same fClassName appears on SPLIT parents
+                            # whose payload is counts, not link records —
+                            # accept only when the framing walks clean
+                            bi = None
                         if bi is None:
                             # last resort: DATA probe — some std::string
                             # branches stream with an EMPTY fClassName, so
@@ -1048,6 +1083,44 @@ class RootTreeReader:
     # it for practical purposes while keeping the probe O(few baskets).
     _PROBE_BASKETS = 4
 
+    @staticmethod
+    def _walk_scalar_links(buf, border: int):
+        """Walk fixed scalar-ElementLink records: yields (persKey,
+        persIndex) per entry; raises on any framing inconsistency."""
+        p = 0
+        while p < border:
+            bc = struct.unpack_from(">I", buf, p)[0]
+            if not bc & 0x40000000:
+                raise RootFileError("scalar link record missing bytecount")
+            end = p + 4 + (bc & 0x3FFFFFFF)
+            if end > border:
+                raise RootFileError("scalar link record overruns basket")
+            ver = struct.unpack_from(">H", buf, p + 4)[0]
+            q = p + 6 + (4 if ver == 0 else 0)  # version 0 -> +checksum
+            if q + 8 != end:
+                raise RootFileError("scalar link record has wrong size")
+            yield struct.unpack_from(">II", buf, q)
+            p = end
+
+    def _probe_scalar_link(self, name: str) -> bool:
+        """True when every basket of the branch frames cleanly as one
+        scalar ElementLink record per entry (validated against ALL
+        baskets — a split parent shares the fClassName but carries a
+        counts payload that fails this walk)."""
+        keys = self._baskets.get(name, [])
+        if not keys:
+            return False
+        for k in keys:
+            try:
+                buf = self._payload(k)
+                border = self._basket_last(k) - k.keylen
+                n = sum(1 for _ in self._walk_scalar_links(buf, border))
+            except Exception:
+                return False
+            if n != self._basket_nev(k):
+                return False
+        return True
+
     def _probe_string(self, name: str) -> int:
         """Classify an otherwise-untypeable branch by validating string
         framing against EVERY entry of its first few baskets (up to
@@ -1151,7 +1224,14 @@ class RootTreeReader:
         Each object's payload ends with (m_persKey u4, m_persIndex u4) —
         the ElementLinkBase persistent members; version/checksum framing
         in front varies by dictionary age, so elements are walked by
-        their own bytecounts."""
+        their own bytecounts. Depth 0 = SCALAR link member (one record
+        per entry, no STL header, no offset table)."""
+        if info.depth == 0:
+            pairs = list(self._walk_scalar_links(buf, border))
+            vals = np.empty(len(pairs), dtype=self._LINK_DTYPE)
+            vals["persKey"] = [p[0] for p in pairs]
+            vals["persIndex"] = [p[1] for p in pairs]
+            return vals, None, None
         offs = self._entry_offsets(k, buf, border)
         keys, idxs, outer_counts, inner_counts = [], [], [], []
 

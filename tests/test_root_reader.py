@@ -649,3 +649,36 @@ def test_triple_nested_vectors():
         # entry-range path agrees with the full read
         sub = r.to_arrow([name], entry_start=37, entry_stop=73).column(0).to_pylist()
         assert sub == want[37:73]
+
+
+def test_scalar_element_link_member():
+    """SCALAR ElementLink members (one link object per entry, xAOD
+    EventInfo hardScatterVertexLink) decode as plain struct columns,
+    verified against an independent byte walk; split parents sharing
+    the ElementLink fClassName stay rejected by the framing probe."""
+    import struct
+
+    r = RootTreeReader(f"{SAMPLES}/PHYSLITE_example.root")
+    name = "EventInfoAuxDyn.hardScatterVertexLink"
+    info = r.branches[name]
+    assert info.link and info.depth == 0
+
+    got = r.to_arrow([name]).column(0).to_pylist()
+    want = []
+    for k in r._baskets[name]:
+        buf = r._payload(k)
+        border = r._basket_last(k) - k.keylen
+        p = 0
+        while p < border:
+            bc = struct.unpack_from(">I", buf, p)[0] & 0x3FFFFFFF
+            ver = struct.unpack_from(">H", buf, p + 4)[0]
+            q = p + 6 + (4 if ver == 0 else 0)
+            key, idx = struct.unpack_from(">II", buf, q)
+            want.append({"persKey": key, "persIndex": idx})
+            p = p + 4 + bc
+    assert got == want and len(got) == r.entries
+
+    # split parents carry the same fClassName but a counts payload —
+    # the probe must keep them unreadable (their data is in children)
+    assert "AnalysisElectronsAuxDyn.truthParticleLink" not in r.branches
+    assert "AnalysisElectronsAuxDyn.truthParticleLink.m_persKey" in r.branches
