@@ -321,3 +321,108 @@ def bm25_scores(
             tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avg_len)))
         )
     return df.withColumn("bm25", score)
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_sizes: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 — the public repetition
+    filters most corpus pipelines reuse). Per document:
+
+    - ``dup_line_frac``: fraction of lines occurring more than once
+    - ``dup_line_char_frac``: fraction of line characters in such lines
+    - per n in ``gram_sizes``:
+      ``top_{n}gram_char_frac`` = occurrences(top n-gram) * len(top
+      n-gram) / len(text) for the most frequent n-gram (ties broken on
+      the lexicographically smallest gram; grams are words joined with
+      one space), and ``dup_{n}gram_char_frac`` = sum over n-grams
+      occurring >1 of occurrences * len(gram) / len(text).
+
+    Scale shape: line signals are row-local HOF math; n-gram signals
+    take ONE explode -> groupBy((doc, n, gram)) -> per-(doc, n) reduce
+    over token rows — corpus-token-linear with map-side combine, then a
+    broadcast-eligible join back onto the document table. No step is
+    quadratic in document count or vocabulary.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+
+    # -- row-local line signals (L^2 in lines-per-doc, tiny) ----------
+    dist = F.array_distinct(lines)
+    dup_lines = F.filter(
+        dist, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    )
+    dup_cnt = F.aggregate(
+        dup_lines,
+        F.lit(0),
+        lambda a, l: a + F.size(F.filter(lines, lambda x: x == l)),
+    )
+    dup_chars = F.aggregate(
+        dup_lines,
+        F.lit(0),
+        lambda a, l: a
+        + F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
+    )
+    tot_line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    base = df.withColumn(
+        "dup_line_frac",
+        F.when(F.size(lines) > 0, dup_cnt / F.size(lines)).otherwise(0.0),
+    ).withColumn(
+        "dup_line_char_frac",
+        F.when(tot_line_chars > 0, dup_chars / tot_line_chars).otherwise(0.0),
+    )
+
+    # -- relational n-gram signals ------------------------------------
+    gram_cols = []
+    for n in gram_sizes:
+        g = words
+        for k in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        g = F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+        gram_cols.append(
+            F.struct(F.lit(n).alias("n"), g.alias("grams"))
+        )
+    exploded = (
+        df.select(F.col(id_col), F.explode(F.array(*gram_cols)).alias("gs"))
+        .select(id_col, F.col("gs.n").alias("n"), F.explode("gs.grams").alias("gram"))
+    )
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = counts.groupBy(id_col, "n").agg(
+        # argmax by (cnt desc, gram asc) == min of (-cnt, gram)
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dupch"),
+    ).select(
+        id_col,
+        "n",
+        ((-F.col("top.nc")) * F.length("top.gram")).alias("topch"),
+        "dupch",
+    )
+    wide = per_doc.groupBy(id_col).pivot(
+        "n", [str(n) for n in gram_sizes] if False else list(gram_sizes)
+    ).agg(F.first("topch").alias("topch"), F.first("dupch").alias("dupch"))
+    out = base.join(wide, id_col, "left")
+    tlen = F.length(text).cast("double")
+    for n in gram_sizes:
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.when(tlen > 0, F.coalesce(F.col(f"{n}_topch"), F.lit(0)) / tlen)
+            .otherwise(0.0),
+        ).withColumn(
+            f"dup_{n}gram_char_frac",
+            F.when(tlen > 0, F.coalesce(F.col(f"{n}_dupch"), F.lit(0)) / tlen)
+            .otherwise(0.0),
+        ).drop(f"{n}_topch", f"{n}_dupch")
+    return out

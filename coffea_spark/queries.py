@@ -4792,6 +4792,92 @@ FROM h GROUP BY 1
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition quality filters (llmdata/text.py
+    repetition_signals; Rae et al. 2021 App. A1.1): per-document
+    duplicate-line fractions plus top/duplicate n-gram character
+    fractions for n=2,3, aggregated per language. The n-gram side is
+    ONE explode -> groupBy((doc, n, gram)) -> per-doc reduce over token
+    rows (corpus-token-linear, map-side combined) joined back onto the
+    document table; the oracle replays the same definitions with
+    unnest/group-by CTEs, tie-breaking the top gram on (count desc,
+    gram asc) on both sides."""
+    from coffea_spark.llmdata.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sig = repetition_signals(docs)
+    return sig.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("top_2gram_char_frac"), 6).alias("avg_top2"),
+        F.round(F.avg("dup_2gram_char_frac"), 6).alias("avg_dup2"),
+        F.round(F.avg("top_3gram_char_frac"), 6).alias("avg_top3"),
+        F.round(F.avg("dup_3gram_char_frac"), 6).alias("avg_dup3"),
+        F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line"),
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH w AS (
+  SELECT doc_id, lang, length(text) AS tlen,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+  FROM w
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT doc_id, n, cnt * length(gram) AS topch,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram) AS rn
+  FROM c
+),
+dup AS (
+  SELECT doc_id, n,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dupch
+  FROM c GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT w.doc_id, w.lang,
+         CASE WHEN w.tlen > 0
+              THEN coalesce(t2.topch, 0) / w.tlen ELSE 0.0 END AS top2,
+         CASE WHEN w.tlen > 0
+              THEN coalesce(d2.dupch, 0) / w.tlen ELSE 0.0 END AS dup2,
+         CASE WHEN w.tlen > 0
+              THEN coalesce(t3.topch, 0) / w.tlen ELSE 0.0 END AS top3,
+         CASE WHEN w.tlen > 0
+              THEN coalesce(d3.dupch, 0) / w.tlen ELSE 0.0 END AS dup3,
+         CASE WHEN len(w.lines) > 0 THEN (
+           SELECT coalesce(sum(c2.c), 0) FROM (
+             SELECT count(*) AS c FROM unnest(w.lines) AS u(l) GROUP BY l
+             HAVING count(*) > 1
+           ) c2
+         ) * 1.0 / len(w.lines) ELSE 0.0 END AS dup_line
+  FROM w
+  LEFT JOIN ranked t2 ON t2.doc_id = w.doc_id AND t2.n = 2 AND t2.rn = 1
+  LEFT JOIN dup d2 ON d2.doc_id = w.doc_id AND d2.n = 2
+  LEFT JOIN ranked t3 ON t3.doc_id = w.doc_id AND t3.n = 3 AND t3.rn = 1
+  LEFT JOIN dup d3 ON d3.doc_id = w.doc_id AND d3.n = 3
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(top2), 6) AS avg_top2,
+       round(avg(dup2), 6) AS avg_dup2,
+       round(avg(top3), 6) AS avg_top3,
+       round(avg(dup3), 6) AS avg_dup3,
+       round(avg(dup_line), 6) AS avg_dup_line
+FROM per_doc GROUP BY lang
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary training (llmdata/bpe.py): learn the
     first 6 merges over the documents corpus using the scale-correct
@@ -5419,6 +5505,7 @@ REGISTRY: dict[str, Query] = {
     # verified; leads the round-7 rotation) + round-5-verified gates +
     # rows-only tail --
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
+    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

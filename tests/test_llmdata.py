@@ -763,3 +763,29 @@ def test_bpe_train_matches_reference(spark):
     enc = encode_bpe(docs.limit(20), got, "text")
     for r in enc.collect():
         assert "".join(r.tokens) == "".join(r.text.split())
+
+
+def test_repetition_signals_hand_values(spark):
+    """Gopher repetition filters against hand-computed values: overlap
+    counting, lexicographic top-gram tie-break, duplicate-line
+    fractions, empty-doc conventions."""
+    from coffea_spark.llmdata.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z"), (2, "l1\nl1\nl2"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # doc 0: 2-grams {a b:2, b a:2} -> top "a b" (tie-break), 2*3/9
+    assert got[0].top_2gram_char_frac == pytest.approx(6 / 9)
+    assert got[0].dup_2gram_char_frac == pytest.approx(12 / 9)
+    assert got[0].top_3gram_char_frac == pytest.approx(10 / 9)
+    # doc 1: all grams unique
+    assert got[1].dup_2gram_char_frac == 0.0
+    assert got[1].top_2gram_char_frac == pytest.approx(3 / 5)
+    # doc 2: line l1 duplicated (2 of 3 lines, 4 of 6 chars)
+    assert got[2].dup_line_frac == pytest.approx(2 / 3)
+    assert got[2].dup_line_char_frac == pytest.approx(4 / 6)
+    # doc 3: empty -> all zero, no nulls
+    for c in ("dup_line_frac", "top_2gram_char_frac", "dup_3gram_char_frac"):
+        assert got[3][c] == 0.0
