@@ -4792,6 +4792,92 @@ FROM h GROUP BY 1
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (llmdata/dsir.py; Xie et al. 2023):
+    score every document against the English-subset target domain with
+    hashed-bigram unigram models (portable char-fold hash, 1009
+    buckets, add-one smoothing), then report per-language weight
+    aggregates plus an exact top-5 integer checksum. Scale shape: two
+    explode->groupBy bucket tables, one broadcast join of the exploded
+    corpus grams against the bucket-sized log-ratio table, one per-doc
+    sum. The oracle replays hash, smoothing, and summation exactly."""
+    from coffea_spark.llmdata.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, buckets=1009, gram_sizes=(1, 2))
+    top5 = (
+        w.orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(5)
+        .agg(F.sum("doc_id").alias("s"))
+        .collect()[0]["s"]
+    )
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dsir_weight"), 6).alias("avg_w"),
+        F.round(F.max("dsir_weight"), 6).alias("max_w"),
+        F.round(F.min("dsir_weight"), 6).alias("min_w"),
+    ).withColumn("top5_id_sum", F.lit(int(top5)).cast("long"))
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH grams AS (
+  SELECT doc_id, lang, gram FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS gram
+    FROM documents
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 0) + 1),
+             i -> w[i] || ' ' || w[i + 1])) AS gram
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents)
+  )
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(list_filter(string_split(gram, ''), c -> c <> ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 1000003) % 1009 AS bucket
+  FROM grams
+),
+src AS (SELECT bucket, count(*) AS sc FROM bucketed GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS tc FROM bucketed WHERE lang = 'en' GROUP BY 1),
+ratios AS (
+  SELECT b.bucket,
+         ln((coalesce(t.tc, 0) + 1.0)
+            / ((SELECT count(*) FROM bucketed WHERE lang = 'en') + 1009))
+         - ln((coalesce(s.sc, 0) + 1.0)
+              / ((SELECT count(*) FROM bucketed) + 1009)) AS log_ratio
+  FROM (SELECT unnest(range(0, 1009)) AS bucket) b
+  LEFT JOIN src s ON s.bucket = b.bucket
+  LEFT JOIN tgt t ON t.bucket = b.bucket
+),
+weights AS (
+  SELECT d.doc_id, d.lang, coalesce(w.wt, 0.0) AS dsir_weight
+  FROM documents d LEFT JOIN (
+    SELECT bk.doc_id, sum(r.log_ratio) AS wt
+    FROM bucketed bk JOIN ratios r ON r.bucket = bk.bucket
+    GROUP BY 1
+  ) w ON w.doc_id = d.doc_id
+),
+top5 AS (
+  SELECT CAST(sum(doc_id) AS BIGINT) AS s FROM (
+    SELECT doc_id FROM weights ORDER BY dsir_weight DESC, doc_id LIMIT 5
+  )
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(dsir_weight), 6) AS avg_w,
+       round(max(dsir_weight), 6) AS max_w,
+       round(min(dsir_weight), 6) AS min_w,
+       (SELECT s FROM top5) AS top5_id_sum
+FROM weights GROUP BY lang
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher repetition quality filters (llmdata/text.py
     repetition_signals; Rae et al. 2021 App. A1.1): per-document
@@ -5506,6 +5592,7 @@ REGISTRY: dict[str, Query] = {
     # rows-only tail --
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -789,3 +789,36 @@ def test_repetition_signals_hand_values(spark):
     # doc 3: empty -> all zero, no nulls
     for c in ("dup_line_frac", "top_2gram_char_frac", "dup_3gram_char_frac"):
         assert got[3][c] == 0.0
+
+
+def test_dsir_weights_and_select(spark):
+    """DSIR importance weights: target-domain docs must outscore
+    off-domain docs on average; selection keeps exactly the top set;
+    empty/zero-gram docs weigh 0; xxhash64 production path runs."""
+    from coffea_spark.llmdata.dsir import dsir_select, dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, buckets=509, gram_sizes=(1, 2))
+    rows = w.select("lang", "dsir_weight").collect()
+    en = [r.dsir_weight for r in rows if r.lang == "en"]
+    other = [r.dsir_weight for r in rows if r.lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+    kept = dsir_select(docs, target, keep_frac=0.2, buckets=509)
+    n = docs.count()
+    assert kept.count() == int(n * 0.2)
+    # kept set = the top-weighted rows of the full weighting
+    thr = sorted((r.dsir_weight for r in rows), reverse=True)[int(n * 0.2) - 1]
+    assert all(r.dsir_weight >= thr - 1e-12 for r in kept.collect())
+
+    # production hash path (engine-specific, shape check)
+    w2 = dsir_weights(docs, target, buckets=509, hash_fn="xxhash64")
+    assert w2.filter(F.col("dsir_weight").isNull()).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsir_select(docs, target, keep_frac=0.0)
+    with _pytest.raises(ValueError):
+        dsir_weights(docs, target, hash_fn="nope")
