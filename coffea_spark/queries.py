@@ -4314,6 +4314,58 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming.stream_interval_join,
+    §2.10): rare high-value events join ALL events of the same user
+    within ±10 minutes of event time, both sides watermarked so join
+    state stays bounded; inner matches emit append-mode as they arrive.
+    The oracle is the identical batch self-join with the same range
+    predicate (the left row matches itself — included on both sides)."""
+    from coffea_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    raw_l = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    raw_r = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    left = _normalize_event_ts(raw_l).filter(F.col("value") > 300.0)
+    right = _normalize_event_ts(raw_r)
+    joined = stream_interval_join(
+        left, right, key="user_id", ts_col="ts",
+        lower="10 minutes", upper="10 minutes", watermark="30 minutes",
+    )
+    qname = "stream_ij_gate"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).groupBy(
+        (F.col("user_id") % 7).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(F.sum(F.col("value") * F.col("value_r")), 2).alias("sum_vv"),
+        F.sum(
+            F.abs(F.col("ts").cast("double") - F.col("ts_r").cast("double"))
+        ).cast("long").alias("sum_absdt"),
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT l.user_id % 7 AS grp, count(*) AS n_matches,
+       round(sum(l.value * r.value), 2) AS sum_vv,
+       CAST(sum(abs(epoch(l.ts) - epoch(r.ts))) AS BIGINT) AS sum_absdt
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts + INTERVAL 10 MINUTE
+WHERE l.value > 300.0
+GROUP BY 1
+"""
+
+
 def q_masked_filter(spark, sf_dir):
     """Null-preserving object mask (reference ak.mask: keep the array
     shape, null out failures — SURVEY §2.3): prove shape preservation
@@ -5593,6 +5645,7 @@ REGISTRY: dict[str, Query] = {
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

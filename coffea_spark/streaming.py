@@ -123,6 +123,39 @@ def start_sessionized(
     return writer.start()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lower: str = "10 minutes",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream INNER join on ``key`` within an event-time interval
+    (right.ts in [left.ts - lower, left.ts + upper]) — the streaming
+    form of the batch as-of/interval join family. Both sides carry the
+    watermark plus the time-range condition, which is what lets Spark
+    bound the join STATE on each side (a side's row is dropped once the
+    other side's watermark passes its interval); without the range
+    condition state grows without bound. Inner matches emit as they
+    arrive (append mode), so output latency is not gated on the
+    watermark — only state eviction is. Right-side columns are suffixed
+    with ``right_suffix``."""
+    l = left.withWatermark(ts_col, watermark)
+    r = right.withWatermark(ts_col, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, c + right_suffix)
+    rts = ts_col + right_suffix
+    cond = (
+        (F.col(key) == F.col(key + right_suffix))
+        & (F.col(rts) >= F.expr(f"{ts_col} - interval {lower}"))
+        & (F.col(rts) <= F.expr(f"{ts_col} + interval {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_foreach_batch(
     stream: DataFrame,
     pipeline: Callable[[DataFrame], dict],

@@ -405,3 +405,40 @@ def test_numpy_mlp_wrapper_loads_real_weights(spark):
     rows = df.select("i", scorer(F.col("emb")).alias("s")).orderBy("i").collect()
     got = np.array([r["s"] for r in rows])
     assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dir):
+    """Stream-stream interval join must reproduce the batch self-join
+    with the same key + event-time-range predicate (single-batch
+    bounded source; inner matches emit append-mode)."""
+    from coffea_spark.streaming import stream_interval_join
+
+    left = _read_stream(spark, stream_dir).filter(F.col("value") > 80)
+    right = _read_stream(spark, stream_dir)
+    joined = stream_interval_join(
+        left, right, key="user_id", ts_col="ts",
+        lower="5 minutes", upper="5 minutes", watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("sij")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select count(*) n, sum(event_id) s, sum(event_id_r) sr from sij"
+    ).collect()[0]
+
+    b = spark.read.parquet(stream_dir)
+    l = b.filter(F.col("value") > 80)
+    r = b.select([F.col(c).alias(c + "_r") for c in b.columns])
+    cond = (
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.expr("ts - interval 5 minutes"))
+        & (F.col("ts_r") <= F.expr("ts + interval 5 minutes"))
+    )
+    want = l.join(r, cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("s"),
+        F.sum("event_id_r").alias("sr"),
+    ).collect()[0]
+    assert (got.n, got.s, got.sr) == (want.n, want.s, want.sr) and got.n > 0
