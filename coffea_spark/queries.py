@@ -5639,9 +5639,10 @@ REGISTRY: dict[str, Query] = {
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
-    # -- past the driver window: bpe_train (new this round, local-sweep
-    # verified; leads the round-7 rotation) + round-5-verified gates +
-    # rows-only tail --
+    # -- past the driver window: the four gates NEW this round
+    # (bpe_train, repetition_signals, dsir_weights,
+    # stream_interval_join — local-sweep verified; they lead the
+    # round-7 rotation) + round-5-verified gates + rows-only tail --
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
