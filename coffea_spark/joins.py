@@ -101,46 +101,44 @@ def nearest(
 
 
 def combinations(collection: Column, n: int = 2, fields: list[str] | None = None) -> Column:
-    """Distinct n-choose-k combinations (k=2 or 3) of objects within an
-    event, preserving order (i<j[<k]): array of struct<f0,f1[,f2]>.
-    Reference: ak.combinations, exercised by the dimuon pipeline
-    (processor/test_items/NanoEventsProcessor.py:62-70).
+    """Distinct n-choose-k combinations (ANY n >= 1) of objects within
+    an event, preserving order (i0 < i1 < ... < i_{n-1}): array of
+    struct<f0..f{n-1}>. Reference: ak.combinations, exercised by the
+    dimuon pipeline (processor/test_items/NanoEventsProcessor.py:62-70).
 
-    Flat HOF composition — no explode, no shuffle: for each element i,
-    pair it with the tail slice, then flatten.
+    Flat HOF composition — no explode, no shuffle: a recursive builder
+    emits n nested transform-over-tail-slice levels (the n=2/3 shapes
+    written out by hand in earlier rounds are exactly its expansions),
+    flattened at each level. Expression depth grows linearly with n;
+    combination COUNT grows as C(len, n) — per-row work, so the usual
+    cardinality guidance applies (see pairs_exploded for the relational
+    fallback when inner lists are huge).
     """
+    if n < 1:
+        raise ValueError("combinations needs n >= 1")
     if fields is None:
         fields = [f"f{i}" for i in range(n)]
-    if n == 2:
-        pairs = F.transform(
-            collection,
-            lambda x, i: F.transform(
-                F.slice(collection, i + F.lit(2), F.greatest(F.size(collection) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias(fields[0]), y.alias(fields[1])),
-            ),
+    if len(fields) != n:
+        raise ValueError(f"need {n} field names, got {len(fields)}")
+
+    def rec(chosen: list, start, depth: int):
+        # start: 1-based slice position of the next candidate element
+        count = F.greatest(F.size(collection) - start + 1, F.lit(0))
+        if depth == n - 1:
+            return F.transform(
+                F.slice(collection, start, count),
+                lambda y: F.struct(
+                    *[c.alias(f) for c, f in zip(chosen + [y], fields)]
+                ),
+            )
+        return F.flatten(
+            F.transform(
+                F.slice(collection, start, count),
+                lambda y, j: rec(chosen + [y], start + j + 1, depth + 1),
+            )
         )
-        return F.flatten(pairs)
-    if n == 3:
-        triples = F.transform(
-            collection,
-            lambda x, i: F.flatten(
-                F.transform(
-                    F.slice(collection, i + F.lit(2), F.greatest(F.size(collection) - i - 1, F.lit(0))),
-                    lambda y, j: F.transform(
-                        F.slice(
-                            collection,
-                            i + j + F.lit(3),
-                            F.greatest(F.size(collection) - i - j - 2, F.lit(0)),
-                        ),
-                        lambda z: F.struct(
-                            x.alias(fields[0]), y.alias(fields[1]), z.alias(fields[2])
-                        ),
-                    ),
-                )
-            ),
-        )
-        return F.flatten(triples)
-    raise NotImplementedError("combinations supports n=2 or n=3")
+
+    return rec([], F.lit(1), 0)
 
 
 def argcombinations(collection: Column, n: int = 2) -> Column:

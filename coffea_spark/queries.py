@@ -3992,6 +3992,69 @@ def q_quantiles_approx(spark, sf_dir):
     )
 
 
+def q_quads_metric(spark, sf_dir):
+    """4-combinations within events through the GENERIC recursive
+    combinations builder (reference ak.combinations with arbitrary n;
+    rounds 1-5 only hand-wrote n=2,3) — per order, all C(len,4) item
+    quadruples reduced row-locally: count, sum of the max price in each
+    quadruple, and how many quadruples use four distinct suppliers.
+    Oracle: 4-way self-join on linenumber order. Scale: per-row HOF
+    work, C(7,4)=35 max on TPC-H orders; the relational fallback
+    (pairs_exploded family) covers pathological inner lists."""
+    orders = _order_items(spark, sf_dir)
+    quad = combinations(F.col("items"), 4)
+    acc = F.aggregate(
+        quad,
+        F.struct(F.lit(0).alias("n"), F.lit(0.0).alias("smax"), F.lit(0).alias("nd")),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["smax"] + F.greatest(
+                t["f0"]["l_extendedprice"], t["f1"]["l_extendedprice"],
+                t["f2"]["l_extendedprice"], t["f3"]["l_extendedprice"],
+            )).alias("smax"),
+            (a["nd"] + (
+                F.size(F.array_distinct(F.array(
+                    t["f0"]["l_suppkey"], t["f1"]["l_suppkey"],
+                    t["f2"]["l_suppkey"], t["f3"]["l_suppkey"],
+                ))) == 4
+            ).cast("int")).alias("nd"),
+        ),
+    )
+    return orders.select(acc.alias("q")).agg(
+        F.sum("q.n").alias("n_quads"),
+        F.round(F.sum("q.smax"), 2).alias("sum_max_price"),
+        F.sum("q.nd").alias("n_distinct_supp_quads"),
+    )
+
+
+SQL_QUADS_METRIC = """
+WITH s AS MATERIALIZED (
+  SELECT l_orderkey AS ok, l_extendedprice AS price, l_suppkey AS supp,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity,
+                                     l_extendedprice, l_discount, l_suppkey) AS rn
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_quads,
+       round(sum(greatest(a.price, b.price, c.price, d.price)), 2)
+         AS sum_max_price,
+       CAST(sum(CASE WHEN a.supp <> b.supp AND a.supp <> c.supp
+                      AND a.supp <> d.supp AND b.supp <> c.supp
+                      AND b.supp <> d.supp AND c.supp <> d.supp
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_supp_quads
+FROM s a
+JOIN s b ON b.ok = a.ok AND b.rn > a.rn
+JOIN s c ON c.ok = a.ok AND c.ok = b.ok AND c.rn > b.rn
+JOIN s d ON d.ok = a.ok AND d.ok = b.ok AND d.ok = c.ok AND d.rn > c.rn
+"""
+# Two oracle-shape constraints learned the hard way: (1) l_linenumber is NOT
+# unique within an order in the synthetic data, so ordering must use the same
+# full tie-break as array_sort's lexicographic struct order (row_number over
+# all collected fields) or strict `>` undercounts; (2) the redundant pairwise
+# ok equalities keep every DuckDB join order hash-joinable — without them the
+# 1.0.0 planner picks a nested-loop order that never terminates at sf0.001.
+
+
 def q_triples_metric(spark, sf_dir):
     """3-combinations within events + the all-pairs metric_table
     (reference ak.combinations(n=3) and methods/vector.py metric_table):
@@ -5647,6 +5710,7 @@ REGISTRY: dict[str, Query] = {
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

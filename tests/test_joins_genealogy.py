@@ -74,6 +74,40 @@ def test_combinations_counts_and_pairs(spark, nano, nano_rows):
         assert [(p["i0"], p["i1"]) for p in (row.idx or [])] == want
 
 
+def test_combinations_generic_n(spark, nano, nano_rows):
+    """The recursive builder must emit exactly itertools.combinations
+    order for any n, including n=1 and n>3 (reference ak.combinations
+    takes arbitrary n)."""
+    import itertools
+
+    import pytest
+
+    got = nano.select(
+        "event",
+        *[
+            F.transform(
+                combinations(F.col("Muon.pt"), k),
+                (lambda _k: lambda s: F.array(*[s[f"f{i}"] for i in range(_k)]))(k),
+            ).alias(f"c{k}")
+            for k in (1, 4, 5)
+        ],
+    ).orderBy("event").collect()
+    for row, ref in zip(got, nano_rows):
+        pts = [m["pt"] for m in ref["Muon"]]
+        for k in (1, 4, 5):
+            want = [list(t) for t in itertools.combinations(pts, k)]
+            have = [
+                [pytest.approx(v, rel=1e-6) for v in c] for c in (row[f"c{k}"] or [])
+            ]
+            assert len(have) == len(want)
+            for h, w in zip(have, want):
+                assert w == h
+    with pytest.raises(ValueError):
+        combinations(F.col("Muon"), 0)
+    with pytest.raises(ValueError):
+        combinations(F.col("Muon"), 2, fields=["only_one"])
+
+
 def test_pairs_exploded_matches_hof(spark, nano):
     hof = nano.select(F.explode(combinations(F.col("Muon"), 2)).alias("p")).count()
     rel = pairs_exploded(nano, "Muon").count()
