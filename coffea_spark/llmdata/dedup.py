@@ -727,3 +727,102 @@ def duplicate_windows(
             F.aggregate(gaps, F.lit(0), lambda s, x: s + x).alias("dup_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def bucket_mean_centroids(
+    df: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic, SQL-replicable coarse centroids: the component-wise
+    mean of vectors bucketed by ``id % n_clusters``, snapped to float32.
+
+    NOT a quality quantizer (the buckets are arbitrary) — this exists so
+    a gate's DuckDB oracle can reproduce the cluster assignment bit-for-
+    bit; production ``semdedup`` trains real k-means via
+    ``similarity.ivf_train``. Computed distributively: posexplode ->
+    (bucket, pos) partial-agg avg (shuffle carries n_clusters x dim
+    rows), then one bounded collect of n_clusters centroid rows.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(
+            (F.col(id_col) % n_clusters).alias("bucket"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        .groupBy("bucket", "pos")
+        .agg(F.avg(F.col("val").cast("double")).cast("float").alias("cv"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select("bucket", F.transform("s", lambda t: t["cv"].cast("double")).alias("centroid"))
+        .orderBy("bucket")
+        .collect()
+    )
+    return np.asarray([r.centroid for r in rows], dtype=float)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    centroids=None,
+    seed: int = 42,
+    max_sample: int = 65536,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embedding space, then within each cluster flag every vector whose
+    cosine similarity to a LOWER-id vector in the same cluster is
+    >= threshold (the paper's eps is 1 - threshold; "keep the earliest"
+    is its deterministic keeper policy). Returns df + (cluster, is_dup);
+    filter ``is_dup = 0`` to keep.
+
+    Spark shape: bounded-sample k-means on the driver (``ivf_train`` —
+    a coarse quantizer needs O(100) points/cluster, not the corpus),
+    scan-stage literal-centroid assignment (pure column math, no UDF,
+    no shuffle), then ONE self-join keyed on cluster id. Within-cluster
+    pairwise cost is the paper's own design point: n_clusters scales
+    with the corpus so N/k stays bounded; at 100 TB raise n_clusters
+    (the paper uses 50k clusters for LAION) or pre-split hot clusters
+    with ``similarity.hyperplane_bucket`` as a secondary block key.
+    Norms are computed once per vector BEFORE the pair join.
+    """
+    from coffea_spark.llmdata.similarity import dot, ivf_assign, ivf_train, norm
+
+    if centroids is None:
+        centroids = ivf_train(
+            df, n_lists=n_clusters, vec_col=vec_col, seed=seed, max_sample=max_sample
+        )
+    asg = df.withColumn("cluster", ivf_assign(F.col(vec_col), centroids))
+    a = asg.select(
+        "cluster",
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).alias("_av"),
+        norm(F.col(vec_col)).alias("_an"),
+    )
+    b = asg.select(
+        "cluster",
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        norm(F.col(vec_col)).alias("_bn"),
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("_aid") < F.col("_bid"))
+        .filter(
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return asg.join(dup_ids, id_col, "left").na.fill({"is_dup": 0})

@@ -1968,6 +1968,61 @@ GROUP BY a.label
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, flag
+    within-cluster cosine near-duplicates against lower-id keepers.
+    Gate variant uses the DETERMINISTIC bucket-mean quantizer (id % 8
+    component means, float32-snapped) so the DuckDB oracle reproduces
+    the assignment exactly; production uses k-means (ivf_train). The
+    0.42 threshold sits >= 1e-3 from every pair cosine at sf0.001/0.01
+    (engine float divergence is ~1e-15) and flags a nonzero dup set."""
+    from coffea_spark.llmdata.dedup import bucket_mean_centroids, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = bucket_mean_centroids(emb, 8)
+    out = semdedup(emb, n_clusters=8, threshold=0.42, centroids=cents)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+    )
+
+
+SQL_SEMDEDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+comp AS (
+  SELECT vec_id % 8 AS bucket, t.pos AS pos, ev[t.pos] AS val
+  FROM v, generate_series(1, 64) t(pos)
+),
+cm AS (
+  SELECT bucket, pos, CAST(CAST(avg(val) AS FLOAT) AS DOUBLE) AS cv
+  FROM comp GROUP BY bucket, pos
+),
+cent AS (SELECT bucket, list(cv ORDER BY pos) AS c FROM cm GROUP BY bucket),
+asg AS (
+  SELECT v.vec_id, c.bucket,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_inner_product(c.c, c.c) - 2 * list_inner_product(v.ev, c.c),
+                    c.bucket) AS rk
+  FROM v, cent c
+),
+cl AS (SELECT vec_id, bucket AS cluster FROM asg WHERE rk = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_inner_product(va.ev, vb.ev)
+        / (sqrt(list_inner_product(va.ev, va.ev))
+           * sqrt(list_inner_product(vb.ev, vb.ev))) >= 0.42
+)
+SELECT cl.vec_id, CAST(cl.cluster AS INT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+FROM cl LEFT JOIN dup d ON d.vec_id = cl.vec_id
+"""
+
+
 def _planted_queries(emb: DataFrame) -> DataFrame:
     """Query table for the ANN/IVF recall gates: every 25th corpus
     vector, elementwise-perturbed (factor 1 + 0.001*((i + vec_id) % 7),
@@ -5739,6 +5794,7 @@ REGISTRY: dict[str, Query] = {
     "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
+    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),

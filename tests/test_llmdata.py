@@ -822,3 +822,54 @@ def test_dsir_weights_and_select(spark):
         dsir_select(docs, target, keep_frac=0.0)
     with _pytest.raises(ValueError):
         dsir_weights(docs, target, hash_fn="nope")
+
+
+def test_semdedup_kmeans_path(spark):
+    """SemDeDup end-to-end with real k-means centroids on a planted
+    corpus: 3 well-separated directions, each with a near-duplicate
+    copy. The lower-id member of each near-dup pair is kept, the
+    higher-id one flagged; all singletons kept."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for b in base:
+        rows.append((vid, [float(x) for x in b])); vid += 1
+        near = b + rng.normal(scale=1e-3, size=16)
+        rows.append((vid, [float(x) for x in near])); vid += 1
+        far = rng.normal(size=16)
+        far -= (far @ b) * b  # orthogonal to the cluster direction
+        far /= np.linalg.norm(far)
+        rows.append((vid, [float(x) for x in far])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.semdedup(
+        df, n_clusters=3, threshold=0.95, seed=1, max_sample=100
+    ).select("vec_id", "is_dup").collect()
+    flags = {r.vec_id: r.is_dup for r in out}
+    assert len(flags) == 9
+    # each planted near-dup (ids 1, 4, 7) is flagged; everything else kept
+    assert {v for v, f in flags.items() if f == 1} == {1, 4, 7}
+
+
+def test_semdedup_deterministic_centroids(spark):
+    """bucket_mean_centroids is the id%k component mean (float32-
+    snapped), and semdedup with those centroids assigns each vector to
+    its argmin-L2 centroid — checked against numpy."""
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    k = 4
+    cents = dedup.bucket_mean_centroids(df, k)
+    want = np.stack(
+        [V[np.arange(40) % k == j].astype(np.float64).mean(axis=0).astype(np.float32)
+         for j in range(k)]
+    ).astype(np.float64)
+    assert np.allclose(cents, want, atol=1e-7)
+    out = dedup.semdedup(df, n_clusters=k, threshold=0.99, centroids=cents)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    lab = ((V[:, None, :].astype(np.float64) - want[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert got == {i: int(lab[i]) for i in range(40)}
