@@ -3459,6 +3459,48 @@ SELECT * FROM (VALUES
 """
 
 
+def q_physlite_map_strings(spark, sf_dir):
+    """map<string,string> members over the REAL PHYSLITE fixture
+    (EventInfoAuxDyn.detDescrTags): ROOT splits the map into
+    member-wise .first/.second string sub-branches (bytecount+version
+    entry headers) which the native reader decodes as paired
+    array<string> columns; Spark zips them back into a MapType column.
+    Golden oracle: the fixture's 100 maps are all EMPTY (the split
+    parent's counts are 0 — verified by byte-level decode), so the
+    invariants are n_events=100, zero keys/values, and key/value
+    cardinalities equal on every entry. The NON-empty decode path is
+    exercised by test_map_string_sub_branches on synthetic baskets with
+    the same framing. ``sf_dir`` unused (binary fixture input)."""
+    from coffea_spark.root_reader import read_root
+
+    path = "/root/reference/tests/samples/PHYSLITE_example.root"
+    kcol, vcol = (
+        "EventInfoAuxDyn.detDescrTags.first",
+        "EventInfoAuxDyn.detDescrTags.second",
+    )
+    ev = read_root(spark, [path], columns=[kcol, vcol])
+    m = F.map_from_arrays(F.col(f"`{kcol}`"), F.col(f"`{vcol}`"))
+    return ev.select(
+        F.size(f"`{kcol}`").alias("nk"),
+        F.size(f"`{vcol}`").alias("nv"),
+        F.size(m).alias("nm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("nk").alias("n_keys"),
+        F.sum("nv").alias("n_values"),
+        F.sum((F.col("nk") == F.col("nv")).cast("long")).alias("n_balanced"),
+        F.sum("nm").alias("n_map_entries"),
+    )
+
+
+SQL_PHYSLITE_MAP_STRINGS = """
+SELECT * FROM (VALUES
+  (CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+   CAST(100 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(n_events, n_keys, n_values, n_balanced, n_map_entries)
+"""
+
+
 def q_edm4hep_real_links(spark, sf_dir):
     """REAL podio begin/end relation resolution over the reference's own
     EDM4HEP binary fixture (reference transforms.py:647-998
@@ -5766,6 +5808,7 @@ REGISTRY: dict[str, Query] = {
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
+    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -123,7 +123,11 @@ class BranchInfo:
     # persIndex u4); decoded to struct columns
     link: bool = False
     # string payloads: 1 = one TString per entry (TLeafC / std::string
-    # member), 2 = vector<string> (10-byte STL header + TStrings)
+    # member), 2 = vector<string> (10-byte STL header + TStrings), 3 =
+    # member-wise split STL string payload (map<string,string> .first /
+    # .second sub-branches: entry = bytecount|kByteCountMask u4 +
+    # version u2, then TStrings to the entry end; element count lives in
+    # the split parent, recovered here from exact framing)
     string: int = 0
 
 
@@ -858,7 +862,7 @@ class RootTreeReader:
                                 bi = BranchInfo(
                                     name, "u1", None, 1, is_bool=False,
                                     from_offsets=True,
-                                    header_bytes=10 if kind == 2 else 0,
+                                    header_bytes={1: 0, 2: 10, 3: 6}[kind],
                                     string=kind,
                                 )
                         if bi is not None:
@@ -1125,9 +1129,13 @@ class RootTreeReader:
         """Classify an otherwise-untypeable branch by validating string
         framing against EVERY entry of its first few baskets (up to
         ``_PROBE_BASKETS``): 1 = one TString per entry, 2 =
-        vector<string>, 0 = neither. A candidate kind must validate on
-        ALL probed baskets; exact-consumption across all their entries
-        makes misclassification vanishingly unlikely."""
+        vector<string>, 3 = member-wise split STL strings (bytecount +
+        version header, map<string,string> sub-branches), 0 = none. A
+        candidate kind must validate on ALL probed baskets; exact-
+        consumption across all their entries makes misclassification
+        vanishingly unlikely. Kind 3 is only accepted when 1 and 2 fail
+        (its bytecount self-describes the entry, so the check is
+        byte-exact too)."""
         keys = self._baskets.get(name, [])
         if not keys:
             return 0
@@ -1163,7 +1171,25 @@ class RootTreeReader:
                     return False
             return True
 
-        scalar = vector = True
+        def memberwise_ok(buf, offs):
+            for e in range(len(offs) - 1):
+                p, end = int(offs[e]), int(offs[e + 1])
+                if p + 6 > end:
+                    return False
+                bc = struct.unpack_from(">I", buf, p)[0]
+                if not (bc & 0x40000000) or p + 4 + (bc & 0x3FFFFFFF) != end:
+                    return False
+                p += 6
+                while p < end:
+                    try:
+                        _, p = _read_string(buf, p)
+                    except Exception:
+                        return False
+                    if p > end:
+                        return False
+            return True
+
+        scalar = vector = member = True
         probed = 0
         for k in keys[: self._PROBE_BASKETS]:
             try:
@@ -1177,7 +1203,8 @@ class RootTreeReader:
             probed += 1
             scalar = scalar and scalar_ok(buf, offs)
             vector = vector and vector_ok(buf, offs)
-            if not (scalar or vector):
+            member = member and memberwise_ok(buf, offs)
+            if not (scalar or vector or member):
                 return 0
         if not probed:
             return 0
@@ -1185,6 +1212,8 @@ class RootTreeReader:
             return 1
         if vector:
             return 2
+        if member:
+            return 3
         return 0
 
     def _basket_strings(self, name, info: BranchInfo, k: _Key, buf, border):
@@ -1202,6 +1231,19 @@ class RootTreeReader:
                 for _ in range(n):
                     s, p = _read_string(buf, p)
                     vals.append(s)
+            elif info.string == 3:
+                bc = struct.unpack_from(">I", buf, p)[0]
+                if not (bc & 0x40000000) or p + 4 + (bc & 0x3FFFFFFF) != end:
+                    raise RootFileError(
+                        f"{self.path}:{name}: member-wise string header "
+                        f"mismatch at entry {e}"
+                    )
+                p += 6
+                before = len(vals)
+                while p < end:
+                    s, p = _read_string(buf, p)
+                    vals.append(s)
+                counts.append(len(vals) - before)
             else:
                 s, p = _read_string(buf, p)
                 vals.append(s)
@@ -1212,7 +1254,7 @@ class RootTreeReader:
                 )
         return (
             np.asarray(vals, dtype=object),
-            np.asarray(counts, dtype=np.int64) if info.string == 2 else None,
+            np.asarray(counts, dtype=np.int64) if info.string >= 2 else None,
             None,
         )
 
@@ -1758,7 +1800,7 @@ def read_root(
         if info.string == 1:
             fields.append(T.StructField(c, base))
             continue
-        if info.string == 2:
+        if info.string >= 2:
             fields.append(T.StructField(c, T.ArrayType(base)))
             continue
         if info.depth == 3:

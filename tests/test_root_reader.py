@@ -682,3 +682,67 @@ def test_scalar_element_link_member():
     # the probe must keep them unreadable (their data is in children)
     assert "AnalysisElectronsAuxDyn.truthParticleLink" not in r.branches
     assert "AnalysisElectronsAuxDyn.truthParticleLink.m_persKey" in r.branches
+
+
+def test_map_string_sub_branches():
+    """map<string,string> members split to .first/.second sub-branches
+    (PHYSLITE EventInfoAuxDyn.detDescrTags): member-wise entries =
+    bytecount|mask u4 + version u2, then TStrings. The real fixture's
+    maps are all EMPTY (the split parent's counts are 0), so the content
+    path is exercised on a synthetic basket with the same framing."""
+    import struct as _s
+
+    import numpy as np
+
+    from coffea_spark.root_reader import (
+        BranchInfo,
+        RootFileError,
+        RootTreeReader,
+    )
+
+    # real fixture: classification + 100 empty maps
+    r = RootTreeReader("/root/reference/tests/samples/PHYSLITE_example.root")
+    for n in (
+        "EventInfoAuxDyn.detDescrTags.first",
+        "EventInfoAuxDyn.detDescrTags.second",
+    ):
+        assert r.branches[n].string == 3
+        t = r.to_arrow([n])
+        lst = t.column(0).to_pylist()
+        assert len(lst) == 100 and all(x == [] for x in lst)
+
+    # synthetic basket: non-empty maps through the same decode path
+    def ts(s):
+        b = s.encode()
+        if len(b) >= 255:  # long TString: 0xFF prefix + u4 length
+            return b"\xff" + _s.pack(">I", len(b)) + b
+        return bytes([len(b)]) + b
+
+    def entry(strings):
+        body = b"".join(ts(s) for s in strings)
+        return _s.pack(">I", 0x40000000 | (2 + len(body))) + _s.pack(">H", 9) + body
+
+    entries = [entry([]), entry(["GeoAtlas", "ATLAS-R3"]), entry(["k" * 300])]
+    buf = b"".join(entries)
+    offs = np.cumsum([0] + [len(e) for e in entries])
+
+    fake = object.__new__(RootTreeReader)
+    fake.path = "<synthetic>"
+    fake._entry_offsets = lambda k, b, border: offs
+    info = BranchInfo(
+        "m.first", "u1", None, 1, is_bool=False,
+        from_offsets=True, header_bytes=6, string=3,
+    )
+    vals, counts, _ = fake._basket_strings("m.first", info, None, buf, len(buf))
+    assert list(counts) == [0, 2, 1]
+    assert list(vals) == ["GeoAtlas", "ATLAS-R3", "k" * 300]
+
+    # corrupted bytecount fails loud, not silently wrong
+    bad = bytearray(buf)
+    bad[0:4] = _s.pack(">I", 2 + 1)  # mask bit missing
+    try:
+        fake._basket_strings("m.first", info, None, bytes(bad), len(bad))
+    except RootFileError:
+        pass
+    else:
+        raise AssertionError("expected RootFileError for bad header")
