@@ -151,3 +151,54 @@ def triton_wrapper(url: str, model: str, name: str = "triton-model") -> BatchInf
         "tritonclient not installed; triton_wrapper would wrap BatchInferencer "
         "with an HTTP predict callable against " + url + "/" + model
     )
+
+
+def logreg_train(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 1.0,
+    iters: int = 3,
+    l2: float = 0.0,
+) -> list[float]:
+    """Full-batch logistic-regression training, Spark-first: each
+    gradient-descent step is ONE narrow aggregation — per-row gradient
+    components (sigmoid(w.x) - y) * x_j summed map-side, a single
+    (1 + n_features)-value row reaching the driver, weights fed back as
+    literals into the next step's expression. The classic distributed
+    linear-model recipe (Spark MLlib's own LogisticRegression trains
+    exactly this way via treeAggregate); the corpus is scanned `iters`
+    times, so cache the feature projection for multi-pass training.
+
+    This is the training half of the fasttext-style quality-classifier
+    stage in LLM data pipelines (GPT-3/CCNet-style quality filtering) —
+    inference over the trained weights is a pure column expression.
+    Returns [w_bias, w_1, ..., w_n] as Python floats.
+    """
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    n = df.count()
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for wi, x in zip(w[1:], feats):
+            z = z + F.lit(wi) * x
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = p - F.col(label_col).cast("double")
+        row = df.agg(
+            F.sum(r).alias("g0"),
+            *[F.sum(r * x).alias(f"g{j + 1}") for j, x in enumerate(feats)],
+        ).collect()[0]
+        w = [
+            wj - lr * (float(gj) / n + l2 * wj)
+            for wj, gj in zip(w, row)
+        ]
+    return w
+
+
+def logreg_predict(w: list[float], feature_cols: list[str]) -> Column:
+    """P(y=1 | x) for logreg_train weights as a pure column expression
+    (scan-stage inference, no UDF)."""
+    z = F.lit(float(w[0]))
+    for wi, c in zip(w[1:], feature_cols):
+        z = z + F.lit(float(wi)) * F.col(c).cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -5243,6 +5243,92 @@ words_{n + 1} AS (
     return sql
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Distributed quality-classifier TRAINING (the fasttext-style
+    quality-filter stage of GPT-3/CCNet-style LLM data pipelines, here
+    as full-batch logistic regression — mltools.logreg_train): each of
+    3 gradient steps is ONE narrow aggregation (per-row gradient
+    components map-side-summed, a 4-value row to the driver, weights
+    fed back as literals), the MLlib treeAggregate recipe. Features are
+    deterministic column math over documents (clipped length, digit
+    fraction, whitespace fraction); label = (lang = 'en'). Inference
+    with the trained weights is a pure column expression (logreg_predict,
+    scan-stage). Oracle: the identical 3 steps as staged CTEs — weight
+    recurrences match to ~1e-13 (engine partial-sum order), rounded to
+    6 decimals. The feature projection is cached once; at 100 TB the
+    k-pass cost is k cached-columnar scans, shuffle-free."""
+    from coffea_spark.mltools import logreg_predict, logreg_train
+
+    docs = _t(spark, sf_dir, "documents")
+    L = F.length("text")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.least(L, F.lit(2000)) / F.lit(2000.0)).alias("x1"),
+        (
+            (L - F.length(F.regexp_replace("text", "[0-9]", "")))
+            / F.greatest(L, F.lit(1)).cast("double")
+        ).alias("x2"),
+        (
+            (L - F.length(F.regexp_replace("text", " ", "")))
+            / F.greatest(L, F.lit(1)).cast("double")
+        ).alias("x3"),
+    ).cache()
+    w = logreg_train(feats, ["x1", "x2", "x3"], "y", lr=1.0, iters=3)
+    p = logreg_predict(w, ["x1", "x2", "x3"])
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_len"),
+        F.round(F.lit(w[2]), 6).alias("w_digit"),
+        F.round(F.lit(w[3]), 6).alias("w_space"),
+        F.round(F.avg(p), 6).alias("avg_p"),
+    )
+
+
+def _sql_quality_classifier(iters: int = 3) -> str:
+    """Staged-CTE mirror of logreg_train: w_{t+1} selects from w_t and
+    the gradient CTE over the shared feature projection; the sigmoid
+    expression keeps the same left-to-right association as the Spark
+    column fold."""
+    sql = """
+WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         least(length(text), 2000) / 2000.0 AS x1,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           / greatest(length(text), 1)::DOUBLE AS x2,
+         (length(text) - length(regexp_replace(text, ' ', '', 'g')))
+           / greatest(length(text), 1)::DOUBLE AS x3
+  FROM documents
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM f),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    for t in range(iters):
+        sql += f""",
+g{t} AS (
+  SELECT sum(p - y) AS g0, sum((p - y) * x1) AS g1,
+         sum((p - y) * x2) AS g2, sum((p - y) * x3) AS g3
+  FROM (
+    SELECT y, x1, x2, x3,
+           1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) AS p
+    FROM f, w{t} w
+  )
+),
+w{t + 1} AS (
+  SELECT w.b - g.g0 / nn.n AS b, w.w1 - g.g1 / nn.n AS w1,
+         w.w2 - g.g2 / nn.n AS w2, w.w3 - g.g3 / nn.n AS w3
+  FROM w{t} w, g{t} g, nn
+)"""
+    sql += f"""
+SELECT CAST(nn.n AS BIGINT) AS n,
+       round(w.b, 6) AS w_bias, round(w.w1, 6) AS w_len,
+       round(w.w2, 6) AS w_digit, round(w.w3, 6) AS w_space,
+       round((SELECT avg(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+                                            + w.w3 * x3)))) FROM f), 6) AS avg_p
+FROM w{iters} w, nn
+"""
+    return sql
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (llmdata/packing.py): concat docs per
     language in doc_id order, cut every 256 tokens; report sequences,
@@ -5809,6 +5895,7 @@ REGISTRY: dict[str, Query] = {
     "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
+    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
