@@ -123,3 +123,36 @@ def sample_per_stratum(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row gets key u^(1/w) with u derived from the portable id hash, and
+    the global top-k keys are the sample — inclusion probability
+    proportional to weight, exactly one pass.
+
+    Spark shape: the key is scan-stage column math; top-k is
+    TakeOrderedAndProject (per-partition heads only — no global sort,
+    no full shuffle). Deterministic and partitioning-independent: the
+    same (id, salt) always draws the same u, so reruns and executors
+    agree — the property df.sample cannot give. u is mapped into
+    ((h+1)/(2^32+1)) in (0,1) so log(u) is finite; zero/negative
+    weights are excluded (their key would be 0 = never sampled first,
+    but excluding them keeps log/pow well-defined)."""
+    u = (portable_hash32(F.col(id_col), salt) + 1) / F.lit(float(_M32 + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_skey")
+    )

@@ -5329,6 +5329,109 @@ FROM w{iters} w, nn
     return sql
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (llmdata/sketch.py): the sketch
+    build is ONE shuffle keyed on (depth, bucket) — at most 4*256
+    distinct keys, so map-side combine collapses each partition before
+    the wire regardless of term-domain size; estimation broadcasts the
+    ~1k-row sketch and probes row-locally. The gate estimates the top-10
+    exact terms and asserts the CMS one-sided guarantee column-wise:
+    est >= exact on every row (never_under all true). Hashes are the
+    engine-portable Rabin-Karp bases, so the DuckDB oracle replays the
+    sketch bit-for-bit."""
+    from coffea_spark.llmdata.sketch import countmin_build, countmin_estimate
+    from coffea_spark.llmdata.text import term_table
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = term_table(docs, "text").select("term", "count")
+    sketch = countmin_build(terms, "term", "count", depth=4, width=256)
+    top = (
+        terms.orderBy(F.col("count").desc(), "term")
+        .limit(10)
+        .select("term", F.col("count").alias("exact"))
+    )
+    est = countmin_estimate(top, sketch, "term", depth=4, width=256)
+    return est.select(
+        "term",
+        F.col("exact").cast("long").alias("exact"),
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    )
+
+
+def _sql_heavy_hitters(depth: int = 4, width: int = 256) -> str:
+    from coffea_spark.llmdata.sketch import CMS_BASES
+
+    def bucket(expr: str, base: int) -> str:
+        return (
+            "list_reduce(list_transform(string_split_regex("
+            f"{expr}, ''), c -> CAST(ord(c) AS BIGINT)), "
+            f"(a, x) -> (a * {base} + x) % 2147483647) % {width}"
+        )
+
+    sql = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term
+), terms AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS exact FROM per_doc GROUP BY term
+)"""
+    for d in range(depth):
+        sql += f""",
+cells_{d} AS (
+  SELECT {bucket('term', CMS_BASES[d])} AS bucket,
+         CAST(sum(exact) AS BIGINT) AS c
+  FROM terms GROUP BY 1
+)"""
+    sql += """,
+top AS (SELECT term, exact FROM terms ORDER BY exact DESC, term LIMIT 10)
+SELECT t.term, t.exact,
+       least(""" + ", ".join(
+        f"coalesce(c{d}.c, 0)" for d in range(depth)
+    ) + """) AS est,
+       least(""" + ", ".join(
+        f"coalesce(c{d}.c, 0)" for d in range(depth)
+    ) + """) >= t.exact AS never_under
+FROM top t
+""" + "\n".join(
+        f"LEFT JOIN cells_{d} c{d} ON c{d}.bucket = "
+        + bucket("t.term", CMS_BASES[d])
+        for d in range(depth)
+    )
+    return sql
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis reservoir keys u^(1/w), llmdata/splits.weighted_sample):
+    scan-stage key math + TakeOrderedAndProject top-k — no global sort,
+    no shuffle of the data, reproducible across runs and partitionings
+    (df.sample is neither weighted-without-replacement nor stable).
+    25 orders sampled proportional to o_totalprice; the oracle replays
+    the identical hash->u->key formula."""
+    from coffea_spark.llmdata.splits import weighted_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    samp = weighted_sample(orders, 25, "o_totalprice", "o_orderkey", salt=7)
+    return samp.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("weight")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS weight
+FROM orders
+WHERE CAST(o_totalprice AS DOUBLE) > 0
+ORDER BY pow(
+  ((((o_orderkey + 7) * 2654435761) % 4294967296) + 1) / 4294967297.0,
+  1.0 / CAST(o_totalprice AS DOUBLE)) DESC, o_orderkey
+LIMIT 25
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (llmdata/packing.py): concat docs per
     language in doc_id order, cut every 256 tokens; report sequences,
@@ -5896,6 +5999,8 @@ REGISTRY: dict[str, Query] = {
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
+    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

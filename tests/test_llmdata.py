@@ -873,3 +873,47 @@ def test_semdedup_deterministic_centroids(spark):
     got = {r.vec_id: r.cluster for r in out.collect()}
     lab = ((V[:, None, :].astype(np.float64) - want[None, :, :]) ** 2).sum(-1).argmin(1)
     assert got == {i: int(lab[i]) for i in range(40)}
+
+
+def test_countmin_sketch_invariants(spark):
+    """CMS one-sided guarantee (est >= exact for EVERY term, not just
+    heavy ones) and exactness when the table fits loosely (few terms in
+    a wide sketch -> almost surely no collisions, est == exact)."""
+    from coffea_spark.llmdata.sketch import countmin_build, countmin_estimate
+
+    rows = [(f"t{i % 7}", 1) for i in range(100)] + [("hot", 5)] * 40
+    df = spark.createDataFrame(rows, "term string, c long")
+    terms = df.groupBy("term").agg(F.sum("c").alias("count"))
+    sk = countmin_build(terms, "term", "count", depth=4, width=512)
+    assert sk.count() <= 4 * 512
+    est = countmin_estimate(
+        terms.select("term", F.col("count").alias("exact")), sk,
+        "term", depth=4, width=512,
+    ).collect()
+    assert len(est) == 8
+    for r in est:
+        assert r.est >= r.exact
+    # 8 terms in 512 buckets x 4 rows: min-over-rows kills any single
+    # collision; expect exact recovery
+    assert all(r.est == r.exact for r in est)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        countmin_build(terms, "term", "count", depth=99)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from coffea_spark.llmdata.splits import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = sorted(r.id for r in weighted_sample(df, 20, "w", "id", salt=3).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, 20, "w", "id", salt=3).collect())
+    assert s1 == s2 and len(s1) == 20
+    # the 10 rows with 1000x weight should essentially always be drawn
+    heavy = sum(1 for i in s1 if i < 10)
+    assert heavy >= 9
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], "id long, w double")
+    assert [r.id for r in weighted_sample(df2, 3, "w", "id").collect()] == [3]
