@@ -5404,6 +5404,93 @@ FROM top t
     return sql
 
 
+def _docs_split_fixture(spark, sf_dir, n_files: int = 4) -> str:
+    """documents.parquet repartitioned into n_files once per sf_dir, so
+    file-source streaming gates get REAL multi-batch behavior
+    (maxFilesPerTrigger=1 -> n_files micro-batches)."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_docs_split.parquet"
+    )
+    if not _fixture_ready(out):
+        tmp = out + ".tmp"
+        (
+            _t(spark, sf_dir, "documents")
+            .repartition(n_files, "doc_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not _fixture_ready(out):
+                raise
+    return out
+
+
+def q_stream_heavy_hitters(spark, sf_dir):
+    """STREAMING count-min heavy hitters (streaming.stream_countmin):
+    documents arrive as 4 file micro-batches (maxFilesPerTrigger=1);
+    each batch builds its distributed sketch and the bounded
+    (<= depth*width) per-batch results merge by addition — CMS is
+    linear, so the merged sketch must equal the batch sketch over the
+    full corpus, which is why a STREAMING query can share the exact
+    heavy_hitters oracle (same estimates, same one-sided invariant).
+    Bounded state forever, no watermark: the all-time frequency query
+    windowed aggregation cannot express."""
+    from coffea_spark.llmdata.sketch import countmin_estimate
+    from coffea_spark.llmdata.text import term_table, tokens
+
+    depth, width = 4, 256
+    path = _docs_split_fixture(spark, sf_dir)
+    sch = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    # per-batch rows -> (term, n) happens inside the batch sketch build;
+    # explode terms here so countmin_build sees one weighted row per
+    # distinct term per doc (same shape term_table feeds it in batch)
+    per_doc = raw.select(
+        F.explode(
+            F.transform(
+                F.array_distinct(tokens(F.col("text"))),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(
+                        F.filter(tokens(F.col("text")), lambda x: x == t)
+                    ).alias("n"),
+                ),
+            )
+        ).alias("tc")
+    ).select("tc.term", "tc.n")
+    with _stream_state_partitions(spark):
+        from coffea_spark.streaming import stream_countmin
+
+        acc = stream_countmin(per_doc, "term", "n", depth=depth, width=width)
+    sketch = spark.createDataFrame(
+        [(d, b, int(c)) for (d, b), c in sorted(acc.items())],
+        "d int, bucket long, c long",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        term_table(docs, "text")
+        .orderBy(F.col("count").desc(), "term")
+        .limit(10)
+        .select("term", F.col("count").alias("exact"))
+    )
+    est = countmin_estimate(top, sketch, "term", depth=depth, width=width)
+    return est.select(
+        "term",
+        F.col("exact").cast("long").alias("exact"),
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis reservoir keys u^(1/w), llmdata/splits.weighted_sample):
@@ -6000,6 +6087,7 @@ REGISTRY: dict[str, Query] = {
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),

@@ -327,3 +327,41 @@ def stateful_ewma(
             fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def stream_countmin(
+    stream_df: DataFrame,
+    term_col: str = "term",
+    count_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Incremental count-min sketch over a stream (foreachBatch): every
+    micro-batch builds its own DISTRIBUTED sketch (llmdata.sketch.
+    countmin_build — one bounded-key shuffle per batch), and the
+    <= depth*width resulting rows merge by addition into a driver-side
+    accumulator. The sketch is LINEAR, so the merged result is exactly
+    the batch sketch over the full input — unboundedly long streams
+    carry bounded state (d*w counters) with no watermark needed, the
+    property windowed aggregation cannot give for an all-time frequency
+    query. Returns the merged {(d, bucket): count} dict after the
+    stream drains (availableNow trigger).
+    """
+    from coffea_spark.llmdata.sketch import countmin_build
+
+    acc: dict[tuple[int, int], int] = {}
+
+    def on_batch(bdf: DataFrame, epoch_id: int) -> None:
+        for r in countmin_build(
+            bdf, term_col, count_col, depth=depth, width=width
+        ).collect():
+            key = (r.d, r.bucket)
+            acc[key] = acc.get(key, 0) + r.c
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return acc

@@ -478,3 +478,27 @@ def test_logreg_train_matches_numpy_and_separates(spark):
         ((pcol >= 0.5).cast("double") == F.col("y")).cast("int").alias("ok")
     ).agg(F.avg("ok")).collect()[0][0]
     assert acc > 0.95
+
+
+def test_stream_countmin_equals_batch(spark, tmp_path):
+    """CMS linearity end-to-end: the sketch merged across 3 file
+    micro-batches must equal the batch sketch over the union."""
+    from coffea_spark.llmdata.sketch import countmin_build
+    from coffea_spark.streaming import stream_countmin
+
+    rows = [(f"w{i % 13}", 1 + i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "term string, n long")
+    src = str(tmp_path / "terms")
+    df.repartition(3).write.parquet(src)
+
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    acc = stream_countmin(stream, "term", "n", depth=3, width=64)
+
+    batch = {
+        (r.d, r.bucket): r.c
+        for r in countmin_build(df, "term", "n", depth=3, width=64).collect()
+    }
+    assert acc == batch and len(acc) > 0
