@@ -5814,6 +5814,60 @@ FROM scored GROUP BY lang
 """
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
+    language's documents into head/middle/tail thirds by LM score; the
+    head feeds training, the tail is dropped): per-language unigram LM
+    score (unigram_logprob_score) -> ntile(3) window ordered by
+    (score, doc_id) -> per-(lang, bucket) stats. Scale: the score pass
+    is the lm_quality shape (broadcast vocab, map-side probe); the
+    bucketing is one window shuffle keyed on lang. Ordering is safe
+    cross-engine: adjacent per-lang score gaps (~1e-3) dwarf engine
+    float noise (~1e-15), and exact ties break on doc_id."""
+    from pyspark.sql import Window as W
+
+    from coffea_spark.llmdata.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs, "text", by=["lang"])
+    w = W.partitionBy("lang").orderBy(
+        F.col("logprob").asc(), F.col("doc_id").asc()
+    )
+    b = scored.withColumn("bucket", F.ntile(3).over(w))
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.max("logprob"), 6).alias("max_logprob"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = r"""
+WITH tok AS (
+  SELECT lang, doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tt AS (
+  SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term
+), tot AS (
+  SELECT lang, sum(c) AS total, count(*) AS vocab FROM tt GROUP BY lang
+), vocab AS (
+  SELECT tt.lang, term, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+  FROM tt JOIN tot ON tt.lang = tot.lang
+), scored AS (
+  SELECT t.lang, t.doc_id, avg(v.logp) AS lp
+  FROM tok t JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+  GROUP BY t.lang, t.doc_id
+), bucketed AS (
+  SELECT lang, lp,
+         ntile(3) OVER (PARTITION BY lang ORDER BY lp, doc_id) AS bucket
+  FROM scored
+)
+SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+       round(avg(lp), 6) AS avg_logprob, round(max(lp), 6) AS max_logprob
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
 def q_simhash_portable(spark, sf_dir):
     """SimHash fingerprints hash-compared end-to-end
     (llmdata/dedup.py simhash_portable): 31-bit fingerprints over
@@ -6088,6 +6142,7 @@ REGISTRY: dict[str, Query] = {
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
+    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
