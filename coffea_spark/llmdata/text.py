@@ -426,3 +426,76 @@ def repetition_signals(
             .otherwise(0.0),
         ).drop(f"{n}_topch", f"{n}_dupch")
     return out
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list[str] | None = None,
+    lam: float = 0.7,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next rung of the
+    CCNet-style perplexity ladder above :func:`unigram_logprob_score`:
+    score(doc) = mean over bigram positions of
+    ln( lam * c(w1,w2)/c(w1,*) + (1-lam) * p1(w2) ), with p1 the add-k
+    smoothed unigram model. Documents whose word PAIRS are
+    off-distribution (shuffled text, keyword stuffing) score low even
+    when their unigrams look fine.
+
+    Scale shape — deliberately different from the unigram pass: the
+    bigram table grows ~linearly with corpus size and CANNOT be
+    broadcast, so scoring joins exploded doc bigrams against it keyed
+    on (w1, w2) — a hash-partitioned shuffle join whose keys are the
+    bigrams themselves (both sides co-partition; no corpus bytes beyond
+    the pair stream cross the wire). The unigram vocab stays broadcast.
+    One groupBy on doc_id finishes the per-doc mean."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    groups = by or []
+    gcols = [F.col(c) for c in groups]
+    t = tokens(F.col(text_col))
+    pairs = df.select(
+        *gcols,
+        F.col("doc_id"),
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(*groups, "doc_id", "bg.w1", "bg.w2")
+
+    bigrams = pairs.groupBy(*groups, "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = bigrams.groupBy(*groups, "w1").agg(F.sum("c12").alias("c1"))
+    bigrams = bigrams.join(left, [*groups, "w1"])
+
+    tt = term_table(df, text_col, by=groups)
+    totals = tt.groupBy(*groups).agg(
+        F.sum("count").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    uni = (tt.join(totals, groups) if groups else tt.crossJoin(totals)).select(
+        *groups,
+        F.col("term").alias("w2"),
+        (
+            (F.col("count") + F.lit(smoothing))
+            / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
+        ).alias("p1"),
+    )
+
+    scored = (
+        pairs.join(bigrams, [*groups, "w1", "w2"])
+        .join(F.broadcast(uni), [*groups, "w2"])
+        .withColumn(
+            "_logp",
+            F.log(
+                F.lit(lam) * (F.col("c12") / F.col("c1"))
+                + F.lit(1.0 - lam) * F.col("p1")
+            ),
+        )
+    )
+    return scored.groupBy(*groups, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_logp").alias("logprob"),
+    )

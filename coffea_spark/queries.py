@@ -5814,6 +5814,63 @@ FROM scored GROUP BY lang
 """
 
 
+def q_lm_bigram(spark, sf_dir):
+    """Interpolated bigram LM scoring (text.bigram_logprob_score): the
+    scale shape the unigram pass cannot show — the bigram table grows
+    with the corpus and is NOT broadcast; scoring shuffle-joins exploded
+    doc bigrams against it keyed on (w1, w2) while the unigram model
+    stays broadcast. lam=0.75 keeps 1-lam float-exact in both engines."""
+    from coffea_spark.llmdata.text import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bigram_logprob_score(docs, "text", by=["lang"], lam=0.75)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+        F.round(F.max("logprob"), 6).alias("max_logprob"),
+    )
+
+
+SQL_LM_BIGRAM = r"""
+WITH dt AS (
+  SELECT lang, doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT lang, doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT lang, doc_id, unnest(list_zip(toks, toks[2:])) AS p FROM dt)
+  WHERE p[2] IS NOT NULL
+), bg AS (
+  SELECT lang, w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2, 3
+), lft AS (
+  SELECT lang, w1, sum(c12) AS c1 FROM bg GROUP BY 1, 2
+), tokt AS (
+  SELECT lang, doc_id, unnest(toks) AS term FROM dt
+), tt AS (
+  SELECT lang, term, count(*) AS c FROM tokt GROUP BY 1, 2
+), tot AS (
+  SELECT lang, sum(c) AS total, count(*) AS vocab FROM tt GROUP BY 1
+), uni AS (
+  SELECT tt.lang, term AS w2, (c + 0.5) / (total + 0.5 * vocab) AS p1
+  FROM tt JOIN tot ON tt.lang = tot.lang
+), scored AS (
+  SELECT p.lang, p.doc_id, count(*) AS nb,
+         avg(ln(0.75 * (b.c12 / l.c1) + 0.25 * u.p1)) AS lp
+  FROM pairs p
+  JOIN bg b ON b.lang = p.lang AND b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN lft l ON l.lang = p.lang AND l.w1 = p.w1
+  JOIN uni u ON u.lang = p.lang AND u.w2 = p.w2
+  GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob, round(min(lp), 6) AS min_logprob,
+       round(max(lp), 6) AS max_logprob
+FROM scored GROUP BY lang
+"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
     language's documents into head/middle/tail thirds by LM score; the
@@ -6143,6 +6200,7 @@ REGISTRY: dict[str, Query] = {
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),

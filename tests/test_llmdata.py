@@ -917,3 +917,26 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     # zero/negative weights never sampled
     df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], "id long, w double")
     assert [r.id for r in weighted_sample(df2, 3, "w", "id").collect()] == [3]
+
+
+def test_bigram_logprob_hand_values(spark):
+    """Hand-checked interpolated bigram score on a 2-doc corpus."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.bigram_logprob_score(docs, lam=0.75).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; left counts: a*->3, b*->2
+    # unigrams: a:3 b:3 c:1, total 7, vocab 3, k=0.5 -> p1(b)=3.5/8.5,
+    # p1(a)=3.5/8.5, p1(c)=1.5/8.5
+    p1 = {"a": 3.5 / 8.5, "b": 3.5 / 8.5, "c": 1.5 / 8.5}
+
+    def lp(w1, w2, c12, c1):
+        return math.log(0.75 * (c12 / c1) + 0.25 * p1[w2])
+
+    want0 = (lp("a", "b", 3, 3) + lp("b", "a", 1, 2) + lp("a", "b", 3, 3)) / 3
+    want1 = (lp("a", "b", 3, 3) + lp("b", "c", 1, 2)) / 2
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 2
+    assert abs(out[0].logprob - want0) < 1e-12
+    assert abs(out[1].logprob - want1) < 1e-12
