@@ -1369,6 +1369,48 @@ SELECT * FROM (VALUES
 """
 
 
+def q_root_source_scan(spark, sf_dir):
+    """The SAME dimuon pipeline as root_scan, but ingested through the
+    ``spark.read.format("root")`` Python Data Source (datasource.py) —
+    the DataFrameReader-native surface SURVEY §2.1 originally declared
+    out-of-scope. Shares root_scan's golden oracle row: any divergence
+    between the data-source path and the mapInPandas path (partition
+    planning, Arrow casts, pruning) goes red here. ``sf_dir`` unused
+    (binary fixture input)."""
+    from coffea_spark.datasource import register_root_source
+    from coffea_spark.schema import zip_collections
+    from coffea_spark.vector import invariant_mass
+
+    register_root_source(spark)
+    cols = "run,nMuon,Muon_pt,Muon_eta,Muon_phi,Muon_mass,Muon_charge"
+    ev = zip_collections(
+        spark.read.format("root")
+        .option("columns", cols)
+        .load("/root/reference/tests/samples/nano_dimuon.root")
+    )
+    pairs = combinations(F.col("Muon"), 2)
+    masses = F.filter(
+        F.transform(pairs, lambda p: F.when(
+            p["f0"]["charge"] != p["f1"]["charge"],
+            invariant_mass(p["f0"], p["f1"]),
+        )),
+        lambda m: m.isNotNull() & (m >= 60) & (m <= 120),
+    )
+    return ev.agg(
+        F.lit("ttree").alias("format"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("Muon")).alias("n_muons"),
+        F.sum(F.size(masses)).alias("z_pairs"),
+    )
+
+
+SQL_ROOT_SOURCE_SCAN = """
+SELECT * FROM (VALUES
+  ('ttree', CAST(40 AS BIGINT), CAST(84 AS BIGINT), CAST(6 AS BIGINT))
+) AS t(format, n_events, n_muons, z_pairs)
+"""
+
+
 # ---------------------------------------------------------------------------
 # experiment schema variants (reference nanoevents/schemas/{physlite,
 # delphes,treemaker,fcc,edm4hep,pdune}.py) — each gate builds flat branches
@@ -6201,6 +6243,7 @@ REGISTRY: dict[str, Query] = {
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
+    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),

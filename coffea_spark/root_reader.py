@@ -1739,6 +1739,99 @@ def root_to_arrow(path: str, tree: str | None = None, columns: list[str] | None 
     return r.to_arrow(columns)
 
 
+def spark_field_for(info) -> "object":
+    """Spark DataType for one BranchInfo — the single source of truth
+    for the reader's type mapping (shared by read_root and the
+    ``format("root")`` Python data source). Unsigned types widen to the
+    next signed Spark type; u8 has no signed container, so it maps to
+    DecimalType(20,0) — the same convention Spark's parquet reader uses
+    for UINT64 (values like xAOD pileUpMixtureID genuinely exceed
+    int64)."""
+    from pyspark.sql import types as T
+
+    _ARROW_TO_SPARK = {
+        "f4": T.FloatType(), "f8": T.DoubleType(),
+        "i1": T.ByteType(), "i2": T.ShortType(), "i4": T.IntegerType(),
+        "i8": T.LongType(), "u1": T.ShortType(), "u2": T.IntegerType(),
+        "u4": T.LongType(), "u8": T.DecimalType(20, 0),
+    }
+    link_struct = T.StructType([
+        T.StructField("persKey", T.LongType()),
+        T.StructField("persIndex", T.LongType()),
+    ])
+    if info.link:
+        base = link_struct
+    elif info.string:
+        base = T.StringType()
+    else:
+        base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
+    if info.string == 1:
+        return base
+    if info.string >= 2:
+        return T.ArrayType(base)
+    if info.depth == 3:
+        return T.ArrayType(T.ArrayType(T.ArrayType(base)))
+    if info.depth == 2:
+        return T.ArrayType(T.ArrayType(base))
+    if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
+        return T.ArrayType(base)
+    return base
+
+
+def spark_schema_for(reader, columns: list[str] | None = None):
+    """Spark StructType for a tree's (pruned) column set."""
+    from pyspark.sql import types as T
+
+    use_cols = columns if columns is not None else sorted(reader.branches)
+    return T.StructType(
+        [T.StructField(c, spark_field_for(reader.branches[c])) for c in use_cols]
+    )
+
+
+def arrow_field_for(info):
+    """Arrow type for one BranchInfo, mirroring :func:`spark_field_for`
+    (unsigned widening, u8 -> decimal128(20,0))."""
+    import pyarrow as pa
+
+    _PA = {
+        "f4": pa.float32(), "f8": pa.float64(),
+        "i1": pa.int8(), "i2": pa.int16(), "i4": pa.int32(), "i8": pa.int64(),
+        "u1": pa.int16(), "u2": pa.int32(), "u4": pa.int64(),
+        "u8": pa.decimal128(20, 0),
+    }
+    pa_link = pa.struct([("persKey", pa.int64()), ("persIndex", pa.int64())])
+    if info.link:
+        base = pa_link
+    elif info.string:
+        return pa.string() if info.string == 1 else pa.list_(pa.string())
+    else:
+        base = pa.bool_() if info.is_bool else _PA[info.dtype]
+    if info.depth == 3:
+        return pa.list_(pa.list_(pa.list_(base)))
+    if info.depth == 2:
+        return pa.list_(pa.list_(base))
+    if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
+        return pa.list_(base)
+    return base
+
+
+def plan_chunks(paths: list[str], tree: str | None, split_rows: int,
+                entry_counts: dict[str, int] | None = None):
+    """(path, start, stop) work items, ``split_rows`` entries each — the
+    reference's cluster-aligned chunking (processor/executor.py:110-181)
+    so one multi-GB file fans out across executors."""
+    if entry_counts is None:
+        entry_counts = {p: open_tree(p, tree).entries for p in paths}
+    chunks = []
+    for p in paths:
+        n = entry_counts[p]
+        if n == 0:
+            chunks.append((p, 0, 0))
+        for s in range(0, n, split_rows):
+            chunks.append((p, s, min(s + split_rows, n)))
+    return chunks
+
+
 def read_root(
     spark,
     paths: list[str] | str,
@@ -1762,8 +1855,6 @@ def read_root(
     file-sized.  Equivalent reference surface: NanoEventsFactory.from_root
     over a fileset (factory.py:267-480) — here the fan-out is Spark's.
     """
-    from pyspark.sql import types as T
-
     from coffea_spark.session import ensure_worker_imports
 
     ensure_worker_imports(spark)
@@ -1774,46 +1865,7 @@ def read_root(
 
     head = open_tree(paths[0], tree)
     use_cols = columns if columns is not None else sorted(head.branches)
-    # unsigned types widen to the next signed Spark type; u8 has no
-    # signed container, so it maps to DecimalType(20,0) — the same
-    # convention Spark's parquet reader uses for UINT64 (values like
-    # xAOD pileUpMixtureID genuinely exceed int64)
-    _ARROW_TO_SPARK = {
-        "f4": T.FloatType(), "f8": T.DoubleType(),
-        "i1": T.ByteType(), "i2": T.ShortType(), "i4": T.IntegerType(),
-        "i8": T.LongType(), "u1": T.ShortType(), "u2": T.IntegerType(),
-        "u4": T.LongType(), "u8": T.DecimalType(20, 0),
-    }
-    fields = []
-    link_struct = T.StructType([
-        T.StructField("persKey", T.LongType()),
-        T.StructField("persIndex", T.LongType()),
-    ])
-    for c in use_cols:
-        info = head.branches[c]
-        if info.link:
-            base = link_struct
-        elif info.string:
-            base = T.StringType()
-        else:
-            base = T.BooleanType() if info.is_bool else _ARROW_TO_SPARK[info.dtype]
-        if info.string == 1:
-            fields.append(T.StructField(c, base))
-            continue
-        if info.string >= 2:
-            fields.append(T.StructField(c, T.ArrayType(base)))
-            continue
-        if info.depth == 3:
-            fields.append(
-                T.StructField(c, T.ArrayType(T.ArrayType(T.ArrayType(base))))
-            )
-        elif info.depth == 2:
-            fields.append(T.StructField(c, T.ArrayType(T.ArrayType(base))))
-        elif info.counts is not None or info.fixed_len > 1 or info.from_offsets:
-            fields.append(T.StructField(c, T.ArrayType(base)))
-        else:
-            fields.append(T.StructField(c, base))
-    schema = T.StructType(fields)
+    schema = spark_schema_for(head, use_cols)
     tree_name = head.tree
 
     # metadata pass: entry counts per file -> (path, start, stop) chunks.
@@ -1828,42 +1880,10 @@ def read_root(
         )
     else:
         entry_counts = {p: open_tree(p, tree_name).entries for p in paths}
-    chunks = []
-    for p in paths:
-        n = entry_counts[p]
-        if n == 0:
-            chunks.append((p, 0, 0))
-        for s in range(0, n, split_rows):
-            chunks.append((p, s, min(s + split_rows, n)))
+    chunks = plan_chunks(paths, tree_name, split_rows, entry_counts)
 
     def _read(iterator):
         import pyarrow as pa
-
-        _PA = {
-            "f4": pa.float32(), "f8": pa.float64(),
-            "i1": pa.int8(), "i2": pa.int16(), "i4": pa.int32(), "i8": pa.int64(),
-            "u1": pa.int16(), "u2": pa.int32(), "u4": pa.int64(),
-            "u8": pa.decimal128(20, 0),
-        }
-
-        pa_link = pa.struct(
-            [("persKey", pa.int64()), ("persIndex", pa.int64())]
-        )
-
-        def target_field(info):
-            if info.link:
-                base = pa_link
-            elif info.string:
-                return pa.string() if info.string == 1 else pa.list_(pa.string())
-            else:
-                base = pa.bool_() if info.is_bool else _PA[info.dtype]
-            if info.depth == 3:
-                return pa.list_(pa.list_(pa.list_(base)))
-            if info.depth == 2:
-                return pa.list_(pa.list_(base))
-            if info.counts is not None or info.fixed_len > 1 or info.from_offsets:
-                return pa.list_(base)
-            return base
 
         readers: dict[str, RootTreeReader] = {}
         for pdf in iterator:
@@ -1874,7 +1894,7 @@ def read_root(
                     r = readers[path] = open_tree(path, tree_name)
                     r.payload_cache_size = 2 * len(use_cols) + 8
                 cast_schema = pa.schema(
-                    [pa.field(c, target_field(r.branches[c])) for c in use_cols]
+                    [pa.field(c, arrow_field_for(r.branches[c])) for c in use_cols]
                 )
                 for b0 in range(int(start), int(stop), batch_rows) or [0]:
                     b1 = min(b0 + batch_rows, int(stop))

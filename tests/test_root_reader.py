@@ -746,3 +746,35 @@ def test_map_string_sub_branches():
         pass
     else:
         raise AssertionError("expected RootFileError for bad header")
+
+
+def test_root_datasource_format(spark):
+    """spark.read.format('root') must match read_root exactly, split a
+    file into multiple partitions when split_rows is small, and fail
+    loudly on bad columns/paths."""
+    from coffea_spark.datasource import RootDataSource, register_root_source
+
+    register_root_source(spark)
+    p = f"{SAMPLES}/nano_dimuon.root"
+    cols = "Muon_pt,nMuon,event"
+    df = (
+        spark.read.format("root")
+        .option("columns", cols)
+        .option("split_rows", "16")  # 40 events -> 3 partitions
+        .load(p)
+    )
+    assert df.rdd.getNumPartitions() == 3
+    via_ds = df.orderBy("event").collect()
+    via_mp = (
+        read_root(spark, [p], columns=cols.split(","))
+        .orderBy("event")
+        .collect()
+    )
+    assert [tuple(r) for r in via_ds] == [tuple(r) for r in via_mp]
+
+    import pytest
+
+    with pytest.raises(Exception, match="unreadable columns"):
+        spark.read.format("root").option("columns", "NoSuch").load(p).collect()
+    with pytest.raises(Exception, match="no files match"):
+        spark.read.format("root").load("/nonexistent/*.root").collect()
