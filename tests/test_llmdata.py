@@ -940,3 +940,44 @@ def test_bigram_logprob_hand_values(spark):
     assert out[0].n_bigrams == 3 and out[1].n_bigrams == 2
     assert abs(out[0].logprob - want0) < 1e-12
     assert abs(out[1].logprob - want1) < 1e-12
+
+
+def test_hll_accuracy_and_shape(spark):
+    """Portable HLL: sketch is <= m rows; estimate within ~3 standard
+    errors (sigma ~ 1.04/sqrt(m)) on 20k distinct sequential ids —
+    the avalanche test portable_hash32 fails (Knuth-only hashing was
+    measured ~2x biased here)."""
+    from coffea_spark.llmdata.sketch import hll_add, hll_estimate
+    from coffea_spark.llmdata.splits import portable_mix32
+
+    n, p = 20000, 10
+    df = spark.range(1, n + 1).select((F.col("id") * 7919).alias("x"))
+    sk = hll_add(df, portable_mix32(F.col("x")), p=p)
+    assert sk.count() <= (1 << p)
+    est = hll_estimate(sk, p=p).collect()[0].est
+    sigma = 1.04 / (1 << p) ** 0.5
+    assert abs(est - n) / n < 3 * sigma, est
+
+    # small-range linear counting: 30 distinct -> near-exact
+    small = spark.range(1, 31).select((F.col("id") * 104729).alias("x"))
+    est2 = hll_estimate(hll_add(small, portable_mix32(F.col("x")), p=p), p=p)
+    assert abs(est2.collect()[0].est - 30) < 2
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every built key must probe fully positive (Bloom's one-sided
+    guarantee); unrelated keys mostly negative at low fill."""
+    from coffea_spark.llmdata.sketch import bloom_build, bloom_probe
+
+    members = spark.range(0, 200).select(F.col("id").alias("doc"), (F.col("id") * 31 + 7).alias("key"))
+    bloom = bloom_build(members, F.col("key"), m_bits=1 << 14, k=4)
+    assert bloom.count() <= 4 * 200
+    got = bloom_probe(members, bloom, F.col("key"), "doc", m_bits=1 << 14, k=4)
+    assert got.filter(F.col("n_hit_keys") < F.col("n_keys")).count() == 0
+
+    others = spark.range(0, 500).select(
+        F.col("id").alias("doc"), (F.col("id") * 7919 + 1000003).alias("key")
+    )
+    fp = bloom_probe(others, bloom, F.col("key"), "doc", m_bits=1 << 14, k=4)
+    # fill = 800/16384 -> per-key fp ~ (0.049)^4 ~ 5.7e-6: expect ~0 hits
+    assert fp.filter(F.col("n_hit_keys") > 0).count() <= 2
