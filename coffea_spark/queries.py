@@ -4142,15 +4142,26 @@ def q_quads_metric(spark, sf_dir):
     (pairs_exploded family) covers pathological inner lists."""
     orders = _order_items(spark, sf_dir)
     quad = combinations(F.col("items"), 4)
+    # smax accumulates in DECIMAL(22,2): prices have 2 decimals, so the
+    # per-order and grand sums are EXACT and order-independent — at
+    # sum ~1.3e10 the rounded-double form sits only ~3.5e3 ULP from
+    # flipping the 2nd decimal on partial-agg order (NUMERICS.md class)
     acc = F.aggregate(
         quad,
-        F.struct(F.lit(0).alias("n"), F.lit(0.0).alias("smax"), F.lit(0).alias("nd")),
+        F.struct(
+            F.lit(0).alias("n"),
+            F.lit(0).cast("decimal(22,2)").alias("smax"),
+            F.lit(0).alias("nd"),
+        ),
         lambda a, t: F.struct(
             (a["n"] + 1).alias("n"),
-            (a["smax"] + F.greatest(
-                t["f0"]["l_extendedprice"], t["f1"]["l_extendedprice"],
-                t["f2"]["l_extendedprice"], t["f3"]["l_extendedprice"],
-            )).alias("smax"),
+            (
+                a["smax"]
+                + F.greatest(
+                    t["f0"]["l_extendedprice"], t["f1"]["l_extendedprice"],
+                    t["f2"]["l_extendedprice"], t["f3"]["l_extendedprice"],
+                ).cast("decimal(12,2)")
+            ).cast("decimal(22,2)").alias("smax"),
             (a["nd"] + (
                 F.size(F.array_distinct(F.array(
                     t["f0"]["l_suppkey"], t["f1"]["l_suppkey"],
@@ -4161,7 +4172,7 @@ def q_quads_metric(spark, sf_dir):
     )
     return orders.select(acc.alias("q")).agg(
         F.sum("q.n").alias("n_quads"),
-        F.round(F.sum("q.smax"), 2).alias("sum_max_price"),
+        F.sum("q.smax").cast("double").alias("sum_max_price"),
         F.sum("q.nd").alias("n_distinct_supp_quads"),
     )
 
@@ -4175,8 +4186,8 @@ WITH s AS MATERIALIZED (
   FROM lineitem
 )
 SELECT CAST(count(*) AS BIGINT) AS n_quads,
-       round(sum(greatest(a.price, b.price, c.price, d.price)), 2)
-         AS sum_max_price,
+       CAST(sum(CAST(greatest(a.price, b.price, c.price, d.price)
+                AS DECIMAL(12,2))) AS DOUBLE) AS sum_max_price,
        CAST(sum(CASE WHEN a.supp <> b.supp AND a.supp <> c.supp
                       AND a.supp <> d.supp AND b.supp <> c.supp
                       AND b.supp <> d.supp AND c.supp <> d.supp
