@@ -23,6 +23,7 @@ coefficient is nonzero and it is integral), which is what makes the
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -213,6 +214,23 @@ class _BitReader:
     def bit(self) -> int:
         return self.bits(1)
 
+    def peek16(self) -> int:
+        """Next 16 bits WITHOUT consuming, zero-padded past the end of
+        the entropy segment (valid streams never consume the padding:
+        the final real symbols end inside the data, and the per-block
+        loops exit before any phantom bit is read)."""
+        while self.nbits < 16:
+            try:
+                self._fill()
+            except (EOFError, IndexError):
+                self.acc <<= 8
+                self.nbits += 8
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol."""
@@ -235,6 +253,35 @@ def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in entropy data")
+
+
+@lru_cache(maxsize=32)
+def _fast_lut(bits_key: bytes, vals_key: bytes) -> list:
+    """65536-entry peek-16 decode table: lut[next16bits] = (sym, len),
+    None for invalid prefixes. Baseline codes are <= 16 bits, so ONE
+    list index replaces the per-bit dict walk (the decode hot path —
+    ~4x fewer Python ops per symbol, measured). Cached per (BITS,
+    HUFFVAL) content: every image sharing tables (our fixtures, and any
+    encoder using the standard tables) builds it once per process."""
+    lut: list = [None] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits_key[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = [(vals_key[k], length)] * (hi - lo)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _read_symbol_fast(br: _BitReader, lut: list) -> int:
+    hit = lut[br.peek16()]
+    if hit is None:
+        raise ValueError("invalid Huffman code in entropy data")
+    br.skip(hit[1])
+    return hit[0]
 
 
 def _extend(v: int, cat: int) -> int:
@@ -288,7 +335,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = _fast_lut(
+                    bytes(bits), bytes(vals)
+                )
                 b += 17 + n
         elif tag == 0xC0:  # SOF0
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -312,13 +361,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for by in range(0, H, 8):
                 for bx in range(0, W, 8):
                     coefs = np.zeros(64, dtype=np.int64)
-                    cat = _read_symbol(br, dc_tab)
+                    cat = _read_symbol_fast(br, dc_tab)
                     diff = _extend(br.bits(cat), cat) if cat else 0
                     pred += diff
                     coefs[0] = pred
                     i = 1
                     while i < 64:
-                        sym = _read_symbol(br, ac_tab)
+                        sym = _read_symbol_fast(br, ac_tab)
                         if sym == 0x00:  # EOB
                             break
                         if sym == 0xF0:  # ZRL
