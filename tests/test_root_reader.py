@@ -778,3 +778,21 @@ def test_root_datasource_format(spark):
         spark.read.format("root").option("columns", "NoSuch").load(p).collect()
     with pytest.raises(Exception, match="no files match"):
         spark.read.format("root").load("/nonexistent/*.root").collect()
+
+
+def test_root_datasource_sql_using(spark):
+    """SQL catalog surface: CREATE TEMPORARY VIEW ... USING root routes
+    through the registered Python data source."""
+    from coffea_spark.datasource import register_root_source
+
+    register_root_source(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW nano_sql_gate
+        USING root
+        OPTIONS (path '{SAMPLES}/nano_dimuon.root', columns 'nMuon,Muon_pt')"""
+    )
+    row = spark.sql(
+        "SELECT count(*) AS n, sum(nMuon) AS s,"
+        " sum(size(Muon_pt)) AS sp FROM nano_sql_gate"
+    ).collect()[0]
+    assert (row.n, row.s, row.sp) == (40, 84, 84)
