@@ -204,6 +204,62 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_blamed_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — the relational semi + anti self-join combo:
+    suppliers with a LATE line item (shipped in the last TPC-H year;
+    the synthetic tables carry no receipt/commit dates) on a
+    multi-supplier order where NO other supplier was late. Spark:
+    left_semi (another supplier exists on the order) then left_anti
+    (no OTHER late supplier) against the same fact table — both
+    hash-joins keyed on l_orderkey; at scale they sort-merge co-
+    partitioned on the same key so the two passes reuse one exchange.
+    Top-10 by (count desc, suppkey) keeps the output deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    is_late = F.col("l_shipdate") >= F.lit("1997-06-01")
+    late = li.filter(is_late).select("l_orderkey", "l_suppkey", "l_linenumber")
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    has_other = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_ok"))
+        & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    )
+    other_late = li.filter(is_late).select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    blamed = has_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o_ok"))
+        & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+SQL_BLAMED_SUPPLIERS = """
+SELECT l_suppkey, count(*) AS numwait
+FROM lineitem l1
+WHERE l1.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00')
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey
+LIMIT 10
+"""
+
+
 def q_top_revenue_orders(spark, sf_dir):
     """Join + agg + deterministic top-10 (ties broken by key)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -6423,6 +6479,7 @@ REGISTRY: dict[str, Query] = {
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
+    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
