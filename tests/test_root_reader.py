@@ -772,6 +772,14 @@ def test_root_datasource_format(spark):
     )
     assert [tuple(r) for r in via_ds] == [tuple(r) for r in via_mp]
 
+    # RNTuple files route through the same source (open_tree dispatch)
+    rnt = (
+        spark.read.format("root")
+        .option("columns", "Muon_pt")
+        .load(f"{SAMPLES}/nano_dimuon_rntuple.root")
+    )
+    assert rnt.agg(F.sum(F.size("Muon_pt"))).collect()[0][0] == 84
+
     import pytest
 
     with pytest.raises(Exception, match="unreadable columns"):
