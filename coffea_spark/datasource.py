@@ -25,7 +25,13 @@ Options: ``tree`` (default: most-basketed tree), ``columns``
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class RootPartition(InputPartition):
@@ -70,6 +76,9 @@ class RootDataSource(DataSource):
     def reader(self, schema) -> "RootReader":
         return RootReader(self)
 
+    def writer(self, schema, overwrite: bool) -> "RootWriter":
+        return RootWriter(self.options, schema, overwrite)
+
 
 class RootReader(DataSourceReader):
     def __init__(self, source: RootDataSource):
@@ -111,3 +120,109 @@ class RootReader(DataSourceReader):
 def register_root_source(spark) -> None:
     """Idempotently register ``format("root")`` on a session."""
     spark.dataSource.register(RootDataSource)
+
+
+class RootCommit(WriterCommitMessage):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+class RootWriter(DataSourceWriter):
+    """``df.write.format("root").save(dir)`` — the catalog-integration
+    surface over the same serializer as
+    :func:`coffea_spark.root_writer.write_root_dir` (one
+    part-NNNNN.root per partition, NanoAOD-style counts leaves via the
+    ``counts_map`` option "branch:countsleaf,..."). The Python writer
+    API delivers Rows (not Arrow batches), so bulk sinks should prefer
+    ``write_root_dir``; this surface exists so ROOT round-trips
+    compose with DataFrameWriter semantics (modes, options, SQL)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("format('root') write needs a path")
+        self._tree = options.get("tree", "Events")
+        self._basket_rows = int(options.get("basket_rows", 65536))
+        self._compression = int(options.get("compression", 1))
+        cm = options.get("counts_map", "")
+        self._counts = dict(
+            p.split(":", 1) for p in cm.split(",") if ":" in p
+        )
+        self._schema = schema
+        import glob as _g
+        import os as _os
+
+        _os.makedirs(self._path, exist_ok=True)
+        existing = _g.glob(_os.path.join(self._path, "part-*.root"))
+        if existing and not overwrite:
+            raise ValueError(
+                f"format('root'): {self._path} already contains part files "
+                "(use mode('overwrite'))"
+            )
+        for p in existing:
+            _os.remove(p)
+
+    def write(self, iterator):
+        import os as _os
+
+        import numpy as np
+        from pyspark import TaskContext
+        from pyspark.sql import types as T
+
+        from coffea_spark.root_writer import serialize_root_file
+
+        fields = self._schema.fields
+        jagged = {f.name: isinstance(f.dataType, T.ArrayType) for f in fields}
+        int_np = {
+            T.ByteType(): np.int8, T.ShortType(): np.int16,
+            T.IntegerType(): np.int32, T.LongType(): np.int64,
+        }
+        buf: dict[str, list] = {f.name: [] for f in fields}
+        n = 0
+        for row in iterator:
+            n += 1
+            for f in fields:
+                v = row[f.name]
+                buf[f.name].append(
+                    np.asarray(v if v is not None else [])
+                    if jagged[f.name]
+                    else v
+                )
+        if n == 0:
+            return RootCommit(None)
+        cols = {}
+        for f in fields:
+            if jagged[f.name]:
+                cols[f.name] = buf[f.name]
+            else:
+                want = int_np.get(f.dataType)
+                cols[f.name] = (
+                    np.asarray(buf[f.name], dtype=want)
+                    if want is not None
+                    else np.asarray(buf[f.name])
+                )
+        pid = TaskContext.get().partitionId()
+        out = _os.path.join(self._path, f"part-{pid:05d}.root")
+        blob = serialize_root_file(
+            cols, tree=self._tree, counts_map=self._counts,
+            basket_rows=self._basket_rows, compression=self._compression,
+        )
+        with open(out, "wb") as fh:
+            fh.write(blob)
+        return RootCommit(out)
+
+    def commit(self, messages):
+        import os as _os
+
+        with open(_os.path.join(self._path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and getattr(m, "path", None):
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass

@@ -250,3 +250,50 @@ def test_null_array_cell_raises(spark, tmp_path):
     ).repartition(1)
     with pytest.raises(Exception, match="NULL"):
         write_root_dir(df, str(tmp_path / "na"), tree="T")
+
+
+def test_root_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('root') -> part-NNNNN.root per partition with a
+    _SUCCESS marker; reads back through format('root') with the derived
+    counts leaf intact."""
+    import pyspark.sql.functions as F
+
+    from coffea_spark.datasource import register_root_source
+
+    register_root_source(spark)
+    df = spark.range(0, 300).select(
+        F.col("id").alias("event"),
+        F.transform(
+            F.sequence(F.lit(1), (F.col("id") % 5).cast("int")),
+            lambda i: (i * 0.5).cast("float"),
+        ).alias("jet_pt"),
+    )
+    out = str(tmp_path / "rootsink")
+    (
+        df.repartition(2)
+        .write.format("root")
+        .mode("overwrite")
+        .option("counts_map", "jet_pt:njet")
+        .save(out)
+    )
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names and sum(n.endswith(".root") for n in names) == 2
+
+    back = spark.read.format("root").load(out + "/part-*.root")
+    got = back.agg(
+        F.count("*").alias("n"),
+        F.sum("njet").alias("s"),
+        F.round(
+            F.sum(F.aggregate("jet_pt", F.lit(0.0), lambda a, x: a + x.cast("double"))), 2
+        ).alias("sp"),
+    ).collect()[0]
+    want = df.agg(
+        F.count("*"),
+        F.sum(F.size("jet_pt")),
+        F.round(
+            F.sum(F.aggregate("jet_pt", F.lit(0.0), lambda a, x: a + x.cast("double"))), 2
+        ),
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
