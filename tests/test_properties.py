@@ -160,3 +160,26 @@ def test_root_writer_roundtrip_property(tmp_path_factory, floats, ints, jagged_l
             np.concatenate(cols["jag"]) if sum(jagged_lens) else np.empty(0)
         )
         assert np.array_equal(got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=9),
+    st.integers(min_value=1, max_value=6),
+)
+def test_combinations_generic_matches_itertools(spark, xs, k):
+    """The recursive builder equals itertools.combinations for ANY
+    (list, k): same count, same order, same tuples."""
+    import itertools
+
+    from coffea_spark.joins import combinations
+
+    df = spark.createDataFrame([(xs,)], "c array<int>")
+    got = df.select(
+        F.transform(
+            combinations(F.col("c"), k),
+            (lambda kk: lambda s: F.array(*[s[f"f{i}"] for i in range(kk)]))(k),
+        ).alias("t")
+    ).first().t
+    want = [list(t) for t in itertools.combinations(xs, k)]
+    assert got == want
