@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -47,12 +48,18 @@ class RootDataSource(DataSource):
         return "root"
 
     def _paths(self) -> list[str]:
+        import glob as _g
+        import os as _os
+
         from coffea_spark.root_reader import _expand
 
         raw = self.options.get("path")
         if not raw:
             raise ValueError("format('root') needs a path: .load('/x/*.root')")
-        paths = sorted(_expand(raw))
+        if _os.path.isdir(raw):  # directory = its .root files (parquet-style)
+            paths = sorted(_g.glob(_os.path.join(raw, "*.root")))
+        else:
+            paths = sorted(_expand(raw))
         if not paths:
             raise ValueError(f"format('root'): no files match {raw!r}")
         return paths
@@ -78,6 +85,9 @@ class RootDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "RootWriter":
         return RootWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema) -> "RootStreamReader":
+        return RootStreamReader(self)
 
 
 class RootReader(DataSourceReader):
@@ -226,3 +236,79 @@ class RootWriter(DataSourceWriter):
                     _os.remove(m.path)
                 except OSError:
                     pass
+
+
+class RootStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("root")`` — ROOT files arriving in a
+    directory as a micro-batch stream with exactly-once FILE semantics:
+    the offset is the sorted list of files already ingested; each batch
+    reads the newly-appeared files, and ``readBetweenOffsets`` replays
+    a committed range deterministically on recovery.
+
+    This is the *simple* (driver-prefetch) stream reader: batch data
+    flows through the driver, which suits modest arrival rates (the
+    online-monitoring shape — a DAQ node dropping a .root file per
+    lumisection). For bulk backfills use batch ``format("root")`` /
+    ``read_root`` inside ``foreachBatch`` instead."""
+
+    def __init__(self, source: "RootDataSource"):
+        self._raw = source.options.get("path")
+        if not self._raw:
+            raise ValueError("format('root') stream needs a path/glob")
+        self._tree_opt = source.options.get("tree")
+        self._cols_opt = source.options.get("columns")
+        self._tree = None
+        self._cols = None
+
+    def _list(self) -> list[str]:
+        import glob as _g
+        import os as _os
+
+        if any(ch in self._raw for ch in "*?["):
+            return sorted(_g.glob(self._raw))
+        if _os.path.isdir(self._raw):
+            return sorted(_g.glob(_os.path.join(self._raw, "*.root")))
+        return [self._raw] if _os.path.exists(self._raw) else []
+
+    def _resolve(self, path: str):
+        from coffea_spark.root_reader import open_tree
+
+        head = open_tree(path, self._tree_opt)
+        if self._tree is None:
+            self._tree = head.tree
+        if self._cols is None:
+            if self._cols_opt:
+                self._cols = [
+                    c.strip() for c in self._cols_opt.split(",") if c.strip()
+                ]
+            else:
+                self._cols = sorted(head.branches)
+        return head
+
+    def _rows(self, paths: list[str]) -> list[tuple]:
+        # materialized (not a generator): the simple-reader protocol
+        # pickles the prefetched batch to ship it to executors
+        out: list[tuple] = []
+        for p in paths:
+            r = self._resolve(p)
+            tbl = r.to_arrow(self._cols)
+            cols = [tbl.column(c).to_pylist() for c in self._cols]
+            out.extend(zip(*cols))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        done = set(start.get("files", []))
+        new = [p for p in self._list() if p not in done]
+        end = {"files": sorted(done | set(new))}
+        return iter(self._rows(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        done = set(start.get("files", []))
+        new = [p for p in end.get("files", []) if p not in done]
+        return iter(self._rows(new))
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -502,3 +502,43 @@ def test_stream_countmin_equals_batch(spark, tmp_path):
         for r in countmin_build(df, "term", "n", depth=3, width=64).collect()
     }
     assert acc == batch and len(acc) > 0
+
+
+def test_root_stream_source_incremental(spark, tmp_path):
+    """spark.readStream.format('root'): files are the offset unit —
+    batch 1 ingests the first file, a restart from the same checkpoint
+    ingests ONLY the newly-arrived file while the aggregation state
+    carries over (exactly-once per file)."""
+    import shutil
+
+    from coffea_spark.datasource import register_root_source
+
+    register_root_source(spark)
+    src = tmp_path / "rootstream"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    shutil.copy("/root/reference/tests/samples/nano_dimuon.root", src / "a.root")
+
+    def drain(qname):
+        q = (
+            spark.readStream.format("root")
+            .option("columns", "nMuon,Muon_pt")
+            .load(str(src))
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("nMuon").alias("s"))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).collect()[0]
+
+    b1 = drain("root_stream_b1")
+    assert (b1.n, b1.s) == (40, 84)
+
+    shutil.copy("/root/reference/tests/samples/nano_dy.root", src / "b.root")
+    b2 = drain("root_stream_b2")
+    assert (b2.n, b2.s) == (80, 102)  # +40 events, +18 muons — b.root only
