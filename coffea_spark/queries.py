@@ -5765,6 +5765,58 @@ SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) AS n_train,
 """
 
 
+def q_root_stream_scan(spark, sf_dir):
+    """STREAMING ROOT ingestion gate (datasource.RootStreamReader,
+    ``readStream.format("root")``): the reference fixture pair arrives
+    as a file stream (file-set offsets, exactly-once per file) and the
+    running aggregate over both micro-batched files must equal the
+    batch read — golden values of the public fixtures. ``sf_dir``
+    unused (binary fixture inputs); fresh checkpoint per run so the
+    gate is self-contained."""
+    import shutil
+    import tempfile
+
+    from coffea_spark.datasource import register_root_source
+
+    register_root_source(spark)
+    work = tempfile.mkdtemp(prefix="root_stream_gate_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    for n in ("nano_dimuon.root", "nano_dy.root"):
+        shutil.copy(f"/root/reference/tests/samples/{n}", os.path.join(src, n))
+    qname = "root_stream_gate"
+    with _stream_state_partitions(spark):
+        q = (
+            spark.readStream.format("root")
+            .option("columns", "nMuon,Muon_pt")
+            .load(src)
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("nMuon").alias("n_muons"),
+                F.sum(F.size("Muon_pt")).alias("n_pts"),
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(qname).select("n_events", "n_muons", "n_pts")
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ROOT_STREAM_SCAN = """
+SELECT * FROM (VALUES
+  (CAST(80 AS BIGINT), CAST(102 AS BIGINT), CAST(102 AS BIGINT))
+) AS t(n_events, n_muons, n_pts)
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis reservoir keys u^(1/w), llmdata/splits.weighted_sample):
@@ -6480,6 +6532,7 @@ REGISTRY: dict[str, Query] = {
     "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
+    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
