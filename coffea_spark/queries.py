@@ -5765,6 +5765,104 @@ SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) AS n_train,
 """
 
 
+def _warc_fixture(spark, sf_dir) -> str:
+    """Deterministic WARC files from the documents table (the Common
+    Crawl container layout): 4 files, round-robin by doc_id, every odd
+    file gzip-per-record; even doc_ids are text/plain, odd ones
+    html-wrapped text/html. Written once per sf_dir."""
+    import tempfile
+
+    from coffea_spark.llmdata.warc import write_warc
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_warc"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text", "source")
+            .orderBy("doc_id")
+            .collect()
+        )
+        files: list[list[dict]] = [[] for _ in range(4)]
+        for r in rows:
+            if r.doc_id % 2 == 0:
+                ctype, payload = "text/plain", r.text.encode()
+            else:
+                ctype = "text/html"
+                payload = f"<html><body>{r.text}</body></html>".encode()
+            files[r.doc_id % 4].append(
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"https://example.org/{r.source}/{r.doc_id}",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Record-ID": f"<urn:uuid:{r.doc_id:032d}>",
+                        "Content-Type": ctype,
+                    },
+                    "payload": payload,
+                }
+            )
+        for i, recs in enumerate(files):
+            write_warc(
+                os.path.join(out, f"part-{i:02d}.warc" + (".gz" if i % 2 else "")),
+                recs,
+                compress=bool(i % 2),
+            )
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return out
+
+
+def q_warc_scan(spark, sf_dir):
+    """WARC ingestion (llmdata/warc.py read_warc — the Common Crawl
+    container the reference has no counterpart for, but every web-scale
+    text pipeline starts from): 4 fixture files (2 plain, 2 gzip-per-
+    record) scanned one-task-per-file, per-content-type counts, exact
+    payload byte totals, and a Rabin-Karp checksum over the DECODED
+    payloads — any framing, gzip-member, or header-parse bug shifts a
+    value. Oracle recomputes everything from the documents table."""
+    from coffea_spark.llmdata.text import rolling_hash
+    from coffea_spark.llmdata.warc import read_warc
+
+    fx = _warc_fixture(spark, sf_dir)
+    df = read_warc(spark, os.path.join(fx, "part-*"))
+    return (
+        df.select(
+            "content_type",
+            "length",
+            rolling_hash(F.decode(F.col("payload"), "UTF-8")).alias("h"),
+        )
+        .groupBy("content_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("length").alias("sum_bytes"),
+            F.sum("h").alias("sum_hash"),
+        )
+    )
+
+
+SQL_WARC_SCAN = r"""
+WITH p AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'text/plain' ELSE 'text/html' END
+           AS content_type,
+         CASE WHEN doc_id % 2 = 0 THEN text
+              ELSE '<html><body>' || text || '</body></html>' END AS payload
+  FROM documents
+)
+SELECT content_type, count(*) AS n_records,
+       CAST(sum(octet_length(encode(payload))) AS BIGINT) AS sum_bytes,
+       CAST(sum(CASE WHEN length(payload) > 0 THEN
+         list_reduce(
+           list_transform(string_split_regex(payload, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647)
+         ELSE 0 END) AS BIGINT) AS sum_hash
+FROM p GROUP BY content_type
+"""
+
+
 def q_root_stream_scan(spark, sf_dir):
     """STREAMING ROOT ingestion gate (datasource.RootStreamReader,
     ``readStream.format("root")``): the reference fixture pair arrives
@@ -6533,6 +6631,7 @@ REGISTRY: dict[str, Query] = {
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
+    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

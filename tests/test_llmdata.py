@@ -981,3 +981,53 @@ def test_bloom_no_false_negatives(spark):
     fp = bloom_probe(others, bloom, F.col("key"), "doc", m_bits=1 << 14, k=4)
     # fill = 800/16384 -> per-key fp ~ (0.049)^4 ~ 5.7e-6: expect ~0 hits
     assert fp.filter(F.col("n_hit_keys") > 0).count() <= 2
+
+
+def test_warc_roundtrip_and_errors(spark, tmp_path):
+    """write_warc -> parse_warc_bytes roundtrip (plain and per-record
+    gzip members), distributed read_warc parity, and loud failures on
+    truncation / missing Content-Length."""
+    from coffea_spark.llmdata.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_warc,
+    )
+
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": f"https://x.test/{i}",
+                "Content-Type": "text/plain",
+            },
+            "payload": (f"payload {i} " + "z" * i).encode(),
+        }
+        for i in range(5)
+    ]
+    plain = str(tmp_path / "a.warc")
+    gz = str(tmp_path / "b.warc.gz")
+    write_warc(plain, recs, compress=False)
+    write_warc(gz, recs, compress=True)
+    for path in (plain, gz):
+        got = parse_warc_bytes(open(path, "rb").read())
+        assert [r["payload"] for r in got] == [r["payload"] for r in recs]
+        assert got[0]["warc-target-uri"] == "https://x.test/0"
+
+    df = read_warc(spark, [plain, gz])
+    assert df.count() == 10
+    assert df.filter(F.col("url") == "https://x.test/3").count() == 2
+    assert (
+        df.agg(F.sum("length")).collect()[0][0]
+        == 2 * sum(len(r["payload"]) for r in recs)
+    )
+
+    import pytest
+
+    blob = open(plain, "rb").read()
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(blob[:-20])
+    bad = blob.replace(b"Content-Length", b"X-Nope", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(bad)
+    with pytest.raises(ValueError, match="expected record header"):
+        parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
