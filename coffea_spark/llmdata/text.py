@@ -499,3 +499,26 @@ def bigram_logprob_score(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("_logp").alias("logprob"),
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """C4-class HTML -> text heuristic (Raffel et al. 2020 used exactly
+    this tier of extraction, not a DOM parser): drop script/style
+    blocks, strip tags, decode the five predefined XML entities, and
+    collapse whitespace. Pure RE2-compatible regex chain — scan-stage,
+    engine-portable (each step replays verbatim in any SQL with global
+    regexp_replace). For production-grade boilerplate removal plug a
+    library extractor into a mapInPandas hook like the multimodal
+    ``decoder=`` pattern."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

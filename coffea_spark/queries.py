@@ -5863,6 +5863,81 @@ FROM p GROUP BY content_type
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """C4-style HTML -> text extraction (text.html_to_text): documents
+    wrapped in deterministic HTML carrying script/style blocks,
+    comments, tags, and the five XML entities; the extracted text of
+    every doc must hash-match the whitespace-normalized original — the
+    WARC -> text step of a web-pipeline, scan-stage regex chain, no
+    UDF. Oracle replays the identical RE2 chain in DuckDB."""
+    from coffea_spark.llmdata.text import html_to_text, rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1 &amp;&amp; 2;</script>"
+              "<style>p { color: &quot;red&quot;; }</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- trailing\ncomment --><div>&lt;tail&gt; &#39;q&#39;"
+              "</div></body></html>"),
+    )
+    extracted = html_to_text(html)
+    want = F.concat(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+        F.lit(" <tail> 'q'"),
+    )
+    return docs.select(
+        rolling_hash(extracted).alias("he"),
+        rolling_hash(want).alias("hw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("he").alias("sum_hash"),
+        F.sum((F.col("he") == F.col("hw")).cast("long")).alias("n_exact"),
+    )
+
+
+SQL_HTML_EXTRACT = r"""
+WITH h AS (
+  SELECT '<html><head><script>var x = 1 &amp;&amp; 2;</script>'
+         || '<style>p { color: &quot;red&quot;; }</style></head><body><p>'
+         || text ||
+         '</p><!-- trailing
+comment --><div>&lt;tail&gt; &#39;q&#39;</div></body></html>' AS html,
+         text
+  FROM documents
+), x AS (
+  SELECT trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&amp;', '&'),
+           '\s+', ' ', 'g')) AS extracted,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) || ' <tail> ''q''' AS want
+  FROM h
+), r AS (
+  SELECT CASE WHEN length(extracted) > 0 THEN
+           list_reduce(
+             list_transform(string_split_regex(extracted, ''), c -> CAST(ord(c) AS BIGINT)),
+             (a, v) -> (a * 257 + v) % 2147483647)
+         ELSE 0 END AS he,
+         CASE WHEN length(want) > 0 THEN
+           list_reduce(
+             list_transform(string_split_regex(want, ''), c -> CAST(ord(c) AS BIGINT)),
+             (a, v) -> (a * 257 + v) % 2147483647)
+         ELSE 0 END AS hw
+  FROM x
+)
+SELECT count(*) AS n_docs, CAST(sum(he) AS BIGINT) AS sum_hash,
+       CAST(sum(CASE WHEN he = hw THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM r
+"""
+
+
 def q_root_stream_scan(spark, sf_dir):
     """STREAMING ROOT ingestion gate (datasource.RootStreamReader,
     ``readStream.format("root")``): the reference fixture pair arrives
@@ -6632,6 +6707,7 @@ REGISTRY: dict[str, Query] = {
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
+    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -1031,3 +1031,21 @@ def test_warc_roundtrip_and_errors(spark, tmp_path):
         parse_warc_bytes(bad)
     with pytest.raises(ValueError, match="expected record header"):
         parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_html_to_text_hand_cases(spark):
+    from coffea_spark.llmdata.text import html_to_text
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var a = '<p>';</script>real", "real"),
+        ("<style>p { x: 1 }</style>text", "text"),
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;", "a & b <c> \"d\" 'e'"),
+        ("<!-- note -->keep<!-- multi\nline -->", "keep"),
+        ("  spaced\n\n\tout  ", "spaced out"),
+        ("<SCRIPT TYPE='x'>upper</SCRIPT>ok", "ok"),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    got = df.select(html_to_text(F.col("html")).alias("t"), "want").collect()
+    for r in got:
+        assert r.t == r.want, (r.t, r.want)
