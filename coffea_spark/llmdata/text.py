@@ -522,3 +522,36 @@ def html_to_text(col: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def url_host(col: Column) -> Column:
+    """Registrable host of a URL (scheme://host[:port]/...) — regex
+    extraction (RE2-compatible, engine-portable) rather than
+    ``F.parse_url`` so the SQL oracle replays it and the behavior is
+    engine-pinned. Lower-cased; empty string when no host parses."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: list[str],
+    keep: bool = False,
+) -> DataFrame:
+    """C4/RefinedWeb-style domain filtering: drop (or with ``keep=True``
+    retain only) rows whose url host equals a listed domain or is a
+    subdomain of one. The blocklist travels as a literal array —
+    scan-stage, no join; for blocklists beyond a few thousand entries
+    switch to a broadcast semi-join on the host column."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    host = url_host(F.col(url_col))
+    hit = F.lit(False)
+    for d in blocklist:
+        dl = d.lower()
+        hit = hit | (host == dl) | host.endswith("." + dl)
+    return df.filter(hit if keep else ~hit)

@@ -5863,6 +5863,61 @@ FROM p GROUP BY content_type
 """
 
 
+def q_domain_filter(spark, sf_dir):
+    """URL host extraction + domain blocklist filtering (text.url_host /
+    domain_filter — the C4/RefinedWeb URL-filter stage): deterministic
+    urls synthesized per document (host = {source}.example.{tld},
+    tld by doc_id%3), blocklist ['example.com', 'src3.example.org']
+    exercising both the subdomain-suffix and exact-host rules; per-tld
+    kept-counts plus distinct hosts. Scan-stage literal chain — no
+    join, no UDF."""
+    from coffea_spark.llmdata.text import domain_filter, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example."), tld,
+            F.lit("/page/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    kept = domain_filter(urls, "url", ["example.com", "src3.example.org"])
+    host = url_host(F.col("url"))
+    return (
+        kept.select(F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"), host.alias("h"))
+        .groupBy("tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("h").alias("n_hosts"),
+        )
+    )
+
+
+SQL_DOMAIN_FILTER = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.' ||
+         CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+         || '/page/' || doc_id AS url
+  FROM documents
+), h AS (
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM u
+), kept AS (
+  SELECT host FROM h
+  WHERE NOT (host = 'example.com' OR host LIKE '%.example.com'
+             OR host = 'src3.example.org')
+)
+SELECT regexp_extract(host, '\.([a-z]+)$', 1) AS tld,
+       count(*) AS n_kept, count(DISTINCT host) AS n_hosts
+FROM kept GROUP BY 1
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """C4-style HTML -> text extraction (text.html_to_text): documents
     wrapped in deterministic HTML carrying script/style blocks,
@@ -6708,6 +6763,7 @@ REGISTRY: dict[str, Query] = {
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
+    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -1049,3 +1049,26 @@ def test_html_to_text_hand_cases(spark):
     got = df.select(html_to_text(F.col("html")).alias("t"), "want").collect()
     for r in got:
         assert r.t == r.want, (r.t, r.want)
+
+
+def test_url_host_and_domain_filter(spark):
+    from coffea_spark.llmdata.text import domain_filter, url_host
+
+    rows = [
+        (0, "https://WWW.Example.COM/a?b=1"),
+        (1, "http://sub.bad.net:8080/x"),
+        (2, "ftp://bad.net/file"),
+        (3, "https://ok.org/"),
+        (4, "not a url"),
+        (5, "https://notbad.net/"),  # suffix rule must NOT match
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    hosts = {r.id: r.h for r in df.select("id", url_host(F.col("url")).alias("h")).collect()}
+    assert hosts == {
+        0: "www.example.com", 1: "sub.bad.net", 2: "bad.net",
+        3: "ok.org", 4: "", 5: "notbad.net",
+    }
+    kept = sorted(r.id for r in domain_filter(df, "url", ["bad.net"]).collect())
+    assert kept == [0, 3, 4, 5]
+    only = sorted(r.id for r in domain_filter(df, "url", ["bad.net"], keep=True).collect())
+    assert only == [1, 2]
