@@ -327,3 +327,25 @@ def collection_fields(df: DataFrame, name: str) -> list[str]:
     if isinstance(dtype, T.StructType):
         return [f.name for f in dtype.fields]
     raise ValueError(f"column {name!r} is not a collection (got {dtype})")
+
+
+def pad_none(col: Column, n: int, clip: bool = False) -> Column:
+    """``ak.pad_none`` analog: pad an array column with nulls up to
+    length ``n`` (so positional access like ``element_at(col, 2)`` is
+    total); ``clip=True`` also truncates longer arrays to exactly
+    ``n``. Pure HOF math — per-row, no shuffle. The null filler is
+    derived from the column itself (a never-true ``when`` over its
+    first element), so the element type is preserved for ANY array —
+    structs included — without a cast guess. Reference: ak.pad_none,
+    the leading-object-access idiom (methods/vector.py:388-389
+    ``ak.firsts``)."""
+    filler = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.when(F.lit(False), F.element_at(col, 1)),
+        ),
+        1,
+        F.greatest(F.lit(n) - F.size(col), F.lit(0)),
+    )
+    padded = F.concat(col, filler)
+    return F.slice(padded, 1, n) if clip else padded

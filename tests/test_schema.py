@@ -66,3 +66,35 @@ def test_unzip(spark):
     row = flat.select(F.sum(F.col("nMuon")).alias("s")).collect()[0]
     row2 = native.select(F.sum(F.size("Muon")).alias("s")).collect()[0]
     assert row.s == row2.s
+
+
+def test_pad_none(spark):
+    """ak.pad_none semantics: nulls appended to n, clip truncates, and
+    the element type (incl. structs) is preserved."""
+    import pyspark.sql.functions as F
+
+    from coffea_spark.schema import pad_none
+
+    df = spark.createDataFrame(
+        [([1.0], 1), ([1.0, 2.0, 3.0], 2), ([], 3)], "a array<double>, id int"
+    )
+    rows = {
+        r.id: (r.p, r.c)
+        for r in df.select(
+            "id",
+            pad_none(F.col("a"), 2).alias("p"),
+            pad_none(F.col("a"), 2, clip=True).alias("c"),
+        ).collect()
+    }
+    assert rows[1] == ([1.0, None], [1.0, None])
+    assert rows[2] == ([1.0, 2.0, 3.0], [1.0, 2.0])
+    assert rows[3] == ([None, None], [None, None])
+
+    # struct elements survive (the ak.firsts leading-object idiom)
+    sdf = spark.createDataFrame(
+        [([(30.0, 1)],), ([],)], "mu array<struct<pt:double,q:int>>"
+    )
+    got = sdf.select(
+        F.element_at(pad_none(F.col("mu"), 2), 1)["pt"].alias("lead_pt")
+    ).collect()
+    assert [r.lead_pt for r in got] == [30.0, None]
