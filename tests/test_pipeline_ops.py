@@ -197,3 +197,76 @@ def test_bm25_ranks_matching_docs(spark):
 
     with pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_web_pipeline_end_to_end(spark, tmp_path):
+    """The full web-corpus user story composed from the round-6 pieces:
+    WARC files -> html extraction -> URL domain filter -> quality/lang
+    signals -> exact dedup -> sequence packing. Every stage is the
+    public operator; the assertions pin the stage-by-stage row
+    accounting so a regression in any piece moves a number."""
+    import pyspark.sql.functions as F
+
+    from coffea_spark.llmdata.dedup import drop_exact_duplicates
+    from coffea_spark.llmdata.packing import pack_offsets
+    from coffea_spark.llmdata.text import (
+        domain_filter,
+        html_to_text,
+        token_count,
+    )
+    from coffea_spark.llmdata.warc import read_warc, write_warc
+
+    # 2 WARC files: 8 pages, one exact duplicate body, one blocked domain
+    pages = [
+        (0, "https://a.good.org/x", "<p>alpha beta gamma delta</p>"),
+        (1, "https://b.good.org/y", "<p>epsilon zeta eta theta</p>"),
+        (2, "https://spam.bad.net/z", "<p>blocked page</p>"),
+        (3, "https://c.good.org/w", "<p>alpha beta gamma delta</p>"),  # dup of 0
+        (4, "https://d.good.org/v", "<script>x</script><p>iota kappa</p>"),
+        (5, "https://e.good.org/u", "<p>lambda mu nu xi omicron pi</p>"),
+        (6, "https://sub.spam.bad.net/t", "<p>also blocked</p>"),
+        (7, "https://f.good.org/s", "<p>rho sigma tau</p>"),
+    ]
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "Content-Type": "text/html",
+            },
+            "payload": html.encode(),
+        }
+        for _, url, html in pages
+    ]
+    f1, f2 = str(tmp_path / "a.warc"), str(tmp_path / "b.warc.gz")
+    write_warc(f1, recs[:4], compress=False)
+    write_warc(f2, recs[4:], compress=True)
+
+    raw = read_warc(spark, [f1, f2])
+    assert raw.count() == 8
+
+    docs = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        "url",
+        html_to_text(F.decode(F.col("payload"), "UTF-8")).alias("text"),
+    )
+    kept = domain_filter(docs, "url", ["bad.net"])
+    assert kept.count() == 6  # 2 blocked (incl. the subdomain)
+
+    deduped = drop_exact_duplicates(kept, "text", "doc_id")
+    assert deduped.count() == 5  # the alpha-beta duplicate collapsed
+
+    scored = deduped.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    assert scored.agg(F.sum("n_tok")).collect()[0][0] == 4 + 4 + 2 + 6 + 3
+
+    packed = pack_offsets(
+        scored.withColumn("g", F.lit(0)), "n_tok", seq_len=8,
+        group_cols=["g"], order_col="doc_id",
+    )
+    # concat-and-split at 8: offsets are a partition of [0, 19)
+    stats = packed.agg(
+        F.sum(F.col("tok_end") - F.col("tok_start")).alias("tok"),
+        F.max("seq_last").alias("last_seq"),
+        F.max("tok_end").alias("end"),
+    ).collect()[0]
+    assert stats.tok == 19 and stats.end == 19 and stats.last_seq == 2
