@@ -18,6 +18,8 @@ Scale design (the 100 TB path):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -826,3 +828,67 @@ def semdedup(
         .withColumn("is_dup", F.lit(1))
     )
     return asg.join(dup_ids, id_col, "left").na.fill({"is_dup": 0})
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level deduplication (CCNet's dedup unit)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style paragraph deduplication (Wenzek et al. 2020 dedup
+    lines/paragraphs ACROSS the corpus, not whole documents — the unit
+    that kills boilerplate headers/footers): split each text on
+    ``sep``, keep a paragraph only at its FIRST corpus occurrence
+    (ordered by (id, position) over the normalized-paragraph hash), and
+    reconstruct each document from its surviving paragraphs in order.
+    Returns (id, text, n_paragraphs, n_kept).
+
+    Scale shape: explode to (id, pos, para) -> ONE shuffle keyed on the
+    paragraph fingerprint (64-bit-safe Rabin-Karp — the corpus text
+    never re-shuffles, only (fp, id, pos) triples) with a min-window to
+    elect the keeper, then one keyed shuffle back to (id) for ordered
+    reconstruction. Empty/short paragraphs (< min_chars after trim)
+    pass through untouched — they are separators, not content."""
+    from pyspark.sql import Window as W
+
+    from coffea_spark.llmdata.text import rolling_hash
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "_pos", "_para"
+        ),
+    )
+    norm = F.trim(F.col("_para"))
+    content = F.length(norm) >= min_chars
+    hashed = paras.withColumn("_fp", F.when(content, rolling_hash(norm)))
+    w = W.partitionBy("_fp").orderBy(F.col("_id").asc(), F.col("_pos").asc())
+    kept = hashed.withColumn(
+        "_keep", F.col("_fp").isNull() | (F.row_number().over(w) == 1)
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("_pos", "_para"))
+                )
+            ).alias("_ps"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("_ps"), lambda t: t["_para"]), sep
+            ).alias(text_col),
+            "n_paragraphs",
+            "n_kept",
+        )
+    )

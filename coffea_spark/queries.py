@@ -5863,6 +5863,80 @@ FROM p GROUP BY content_type
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph dedup (llmdata/dedup.paragraph_dedup — the
+    boilerplate-killer stage; Wenzek et al. 2020 dedup paragraphs
+    across the corpus, not documents): every doc wrapped in a
+    per-source header/footer (shared by ~25 docs), so the keeper
+    election must retain each boilerplate line exactly once corpus-wide
+    while unique bodies all survive. One fingerprint-keyed shuffle +
+    one id-keyed rebuild; oracle replays split/hash/window/rebuild."""
+    from coffea_spark.llmdata.dedup import paragraph_dedup
+    from coffea_spark.llmdata.text import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HDR "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nFTR "), F.col("source"),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(docs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_paragraphs").alias("n_paragraphs"),
+        F.sum("n_kept").alias("n_kept"),
+        F.sum(rolling_hash(F.col("text"))).alias("sum_hash"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         'HDR ' || source || chr(10) || text || chr(10) || 'FTR ' || source AS t
+  FROM documents
+), e AS (
+  SELECT doc_id, u.p.pos AS pos, u.p.para AS para
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             string_split(t, chr(10)),
+             (x, i) -> {'pos': i - 1, 'para': x})) AS p
+    FROM d
+  ) u(doc_id, p)
+), h AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(trim(para)) >= 1 THEN
+           list_reduce(
+             list_transform(string_split_regex(trim(para), ''), c -> CAST(ord(c) AS BIGINT)),
+             (a, x) -> (a * 257 + x) % 2147483647)
+         END AS fp
+  FROM e
+), k AS (
+  SELECT doc_id, pos, para,
+         (fp IS NULL OR
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1) AS keep
+  FROM h
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_paragraphs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '')
+           AS text
+  FROM k GROUP BY doc_id
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_paragraphs) AS BIGINT) AS n_paragraphs,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN length(text) > 0 THEN
+         list_reduce(
+           list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647)
+         ELSE 0 END) AS BIGINT) AS sum_hash
+FROM rebuilt
+"""
+
+
 def q_domain_filter(spark, sf_dir):
     """URL host extraction + domain blocklist filtering (text.url_host /
     domain_filter — the C4/RefinedWeb URL-filter stage): deterministic
@@ -6764,6 +6838,7 @@ REGISTRY: dict[str, Query] = {
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
+    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -1072,3 +1072,23 @@ def test_url_host_and_domain_filter(spark):
     assert kept == [0, 3, 4, 5]
     only = sorted(r.id for r in domain_filter(df, "url", ["bad.net"], keep=True).collect())
     assert only == [1, 2]
+
+
+def test_paragraph_dedup_semantics(spark):
+    """First corpus occurrence of each paragraph survives; later copies
+    drop; empty separator lines pass through; document order is
+    preserved on rebuild."""
+    rows = [
+        (0, "header\nalpha beta\nfooter"),
+        (1, "header\ngamma delta\nfooter"),
+        (2, "unique one\n\nunique two"),
+        (3, "gamma delta"),  # body seen in doc 1 -> fully deduped away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[0].text == "header\nalpha beta\nfooter"
+    assert (out[0].n_paragraphs, out[0].n_kept) == (3, 3)
+    assert out[1].text == "gamma delta"
+    assert (out[1].n_paragraphs, out[1].n_kept) == (3, 1)
+    assert out[2].text == "unique one\n\nunique two"  # blank line kept
+    assert out[3].text == "" and out[3].n_kept == 0
