@@ -179,3 +179,55 @@ def portable_mix32(col: Column, salt: int = 0) -> Column:
     h = h.bitwiseXOR(F.shiftright(h, 15))
     h = F.pmod(h * F.lit(_MIX_C2), F.lit(_M32))
     return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def alpha_sampling_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    budget: int | None = None,
+) -> DataFrame:
+    """XLM-R/mT5-style temperature sampling rates: resample groups
+    (languages) with probability proportional to p_g^alpha, flattening
+    the head so low-resource groups are up-weighted. Returns one row
+    per group with its count and target KEEP RATE scaled to ``budget``
+    total rows (default: the corpus size, i.e. pure re-balancing).
+    Rates cap at 1.0 — this operator subsamples, it does not duplicate
+    (pair with weighted_sample for over-sampling small groups).
+    One tiny aggregation; the rate table broadcasts back."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("_total"),
+        F.sum(F.pow(F.col("n"), F.lit(float(alpha)))).alias("_zsum"),
+    )
+    b = F.lit(float(budget)) if budget is not None else F.col("_total")
+    return counts.crossJoin(tot).select(
+        group_col,
+        "n",
+        F.least(
+            F.pow(F.col("n"), F.lit(float(alpha))) / F.col("_zsum") * b
+            / F.col("n"),
+            F.lit(1.0),
+        ).alias("keep_rate"),
+    )
+
+
+def alpha_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    budget: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic alpha-temperature subsample: keep a row when its
+    portable id-hash unit value falls under its group's keep_rate —
+    reproducible under any partitioning (df.sample is not), scan-stage
+    after one broadcast join of the per-group rate table."""
+    rates = alpha_sampling_rates(df, group_col, alpha, budget)
+    u = (portable_hash32(F.col(id_col), salt) + 1) / F.lit(float(_M32 + 1))
+    return (
+        df.join(F.broadcast(rates.select(group_col, "keep_rate")), group_col)
+        .filter(u <= F.col("keep_rate"))
+        .drop("keep_rate")
+    )

@@ -5863,6 +5863,65 @@ FROM p GROUP BY content_type
 """
 
 
+def q_alpha_sample(spark, sf_dir):
+    """XLM-R/mT5 temperature sampling (splits.alpha_sampling_rates /
+    alpha_sample): groups resampled proportional to p^alpha so the head
+    flattens — the multilingual-balancing stage. Synthetic 6:3:1 skew
+    over doc_id, alpha=0.5, budget=250; keep decisions come from the
+    portable id hash so both engines draw identical samples. One tiny
+    aggregation + broadcast rate table, scan-stage filter."""
+    from coffea_spark.llmdata.splits import alpha_sample, alpha_sampling_rates
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("big"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("small")),
+    )
+    rates = alpha_sampling_rates(docs, "grp", alpha=0.5, budget=250)
+    kept = alpha_sample(docs, "grp", "doc_id", alpha=0.5, budget=250)
+    return (
+        rates.join(
+            kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n_kept")),
+            "grp",
+            "left",
+        )
+        .select(
+            "grp",
+            "n",
+            F.round(F.col("keep_rate"), 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+SQL_ALPHA_SAMPLE = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'big'
+              WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS grp
+  FROM documents
+), c AS (
+  SELECT grp, count(*) AS n FROM g GROUP BY grp
+), t AS (
+  SELECT sum(n) AS total, sum(pow(n, 0.5)) AS zsum FROM c
+), r AS (
+  SELECT grp, n,
+         least(pow(n, 0.5) / t.zsum * 250.0 / n, 1.0) AS keep_rate
+  FROM c, t
+), kept AS (
+  SELECT g.grp, count(*) AS n_kept
+  FROM g JOIN r ON r.grp = g.grp
+  WHERE (((doc_id + 0) * 2654435761) % 4294967296 + 1) / 4294967297.0
+        <= r.keep_rate
+  GROUP BY g.grp
+)
+SELECT r.grp, r.n, round(r.keep_rate, 6) AS keep_rate,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN kept k ON k.grp = r.grp
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet-style paragraph dedup (llmdata/dedup.paragraph_dedup — the
     boilerplate-killer stage; Wenzek et al. 2020 dedup paragraphs
@@ -6839,6 +6898,7 @@ REGISTRY: dict[str, Query] = {
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),

@@ -1092,3 +1092,26 @@ def test_paragraph_dedup_semantics(spark):
     assert (out[1].n_paragraphs, out[1].n_kept) == (3, 1)
     assert out[2].text == "unique one\n\nunique two"  # blank line kept
     assert out[3].text == "" and out[3].n_kept == 0
+
+
+def test_alpha_sampling_flattens(spark):
+    """alpha < 1 up-weights small groups: keep rates order inversely
+    with group size, totals track the budget, alpha=1 is proportional
+    (uniform keep rate), and the sample is deterministic."""
+    from coffea_spark.llmdata.splits import alpha_sample, alpha_sampling_rates
+
+    rows = [(i, "big" if i < 600 else ("mid" if i < 900 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+
+    r = {x.grp: x for x in alpha_sampling_rates(df, "grp", 0.3, budget=400).collect()}
+    assert r["small"].keep_rate > r["mid"].keep_rate > r["big"].keep_rate
+    exp_total = sum(x.keep_rate * x.n for x in r.values())
+    assert abs(exp_total - 400) < 1e-6
+
+    r1 = {x.grp: x.keep_rate for x in alpha_sampling_rates(df, "grp", 1.0, budget=400).collect()}
+    assert abs(r1["big"] - 0.4) < 1e-12 and abs(r1["small"] - 0.4) < 1e-12
+
+    s1 = sorted(x.id for x in alpha_sample(df, "grp", "id", 0.3, budget=400).collect())
+    s2 = sorted(x.id for x in alpha_sample(df, "grp", "id", 0.3, budget=400).collect())
+    assert s1 == s2 and 300 < len(s1) < 500
