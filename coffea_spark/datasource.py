@@ -133,8 +133,9 @@ def register_root_source(spark) -> None:
 
 
 class RootCommit(WriterCommitMessage):
-    def __init__(self, path: str | None):
-        self.path = path
+    def __init__(self, temp: str | None, final: str | None = None):
+        self.temp = temp
+        self.final = final
 
 
 class RootWriter(DataSourceWriter):
@@ -211,31 +212,53 @@ class RootWriter(DataSourceWriter):
                     if want is not None
                     else np.asarray(buf[f.name])
                 )
-        pid = TaskContext.get().partitionId()
-        out = _os.path.join(self._path, f"part-{pid:05d}.root")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Tungsten-style task-commit protocol: each attempt writes to a
+        # UNIQUE temp name (attempt id disambiguates speculative /
+        # retried attempts of the same partition — two attempts must
+        # never stream into one path), and only commit() publishes the
+        # winner under the final part name. A task that dies mid-write
+        # leaves only an orphan temp, never a partial part file that
+        # _SUCCESS would bless.
+        attempt = ctx.taskAttemptId()
+        final = _os.path.join(self._path, f"part-{pid:05d}.root")
+        tmp = _os.path.join(self._path, f"_temp-part-{pid:05d}-{attempt}.root")
         blob = serialize_root_file(
             cols, tree=self._tree, counts_map=self._counts,
             basket_rows=self._basket_rows, compression=self._compression,
         )
-        with open(out, "wb") as fh:
+        with open(tmp, "wb") as fh:
             fh.write(blob)
-        return RootCommit(out)
+        return RootCommit(tmp, final)
+
+    def _sweep_temps(self, keep: set[str] | None = None):
+        import glob as _g
+        import os as _os
+
+        for p in _g.glob(_os.path.join(self._path, "_temp-part-*.root")):
+            if keep and p in keep:
+                continue
+            try:
+                _os.remove(p)
+            except OSError:
+                pass
 
     def commit(self, messages):
         import os as _os
 
+        for m in messages:
+            if m is not None and getattr(m, "temp", None):
+                _os.replace(m.temp, m.final)
+        # losing speculative attempts / earlier failed attempts of
+        # since-retried tasks leave orphan temps — clear them before
+        # blessing the directory
+        self._sweep_temps()
         with open(_os.path.join(self._path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages):
-        import os as _os
-
-        for m in messages:
-            if m is not None and getattr(m, "path", None):
-                try:
-                    _os.remove(m.path)
-                except OSError:
-                    pass
+        self._sweep_temps()
 
 
 class RootStreamReader(SimpleDataSourceStreamReader):

@@ -65,6 +65,39 @@ def _merge_fold(syms: Column, p1: str, p2: str) -> Column:
     )
 
 
+def _merge_fold_multi(
+    syms: Column, pairs: list[tuple[str, str]]
+) -> Column:
+    """Apply a batch of SYMBOL-DISJOINT merges in ONE left-to-right
+    fold: at each step the accumulator's last symbol + incoming symbol
+    are tested against every batch pair in a single when-chain.
+    Because batch pairs share no symbols (and no pair equals another's
+    merged result — enforced by the batch builder), merging one pair
+    can neither create nor destroy an adjacency of another, so the
+    simultaneous pass produces exactly the same symbols as applying the
+    merges one fold at a time — without nesting one Catalyst aggregate
+    per merge (which grows the expression tree linearly in batch size
+    and stalls analysis)."""
+    if len(pairs) == 1:
+        return _merge_fold(syms, pairs[0][0], pairs[0][1])
+
+    def step(acc: Column, x: Column) -> Column:
+        w = None
+        for p1, p2 in pairs:
+            cond = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (x == F.lit(p2))
+            )
+            res = F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))
+            )
+            w = F.when(cond, res) if w is None else w.when(cond, res)
+        return w.otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
 def pair_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
     """Frequency-weighted adjacent-pair counts over the word table:
     (p1, p2, count). One aggregation shuffle over word-table rows."""
@@ -84,47 +117,123 @@ def pair_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
     )
 
 
+def _batch_from_snapshot(
+    snap: list, budget: int, max_batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of one round's pair ranking that is PROVABLY equal
+    to applying the merges one at a time (the sequence the Sennrich
+    reference algorithm and the gate oracle produce).
+
+    ``snap`` is the pair table sorted by (count desc, p1, p2) — the
+    sequential tie-break order. A candidate P=(p1, p2, c) joins the
+    batch only if, for every EARLIER batch member A=(a1, a2):
+
+    1. disjoint symbols: {p1, p2} ∩ {a1, a2, a1+a2} = ∅. Then applying
+       A cannot change count(P) — no occurrence of P's adjacency is
+       consumed, and the only new symbol (a1+a2) is not in P.
+    2. no interloper: every NEW pair A creates has the shape (x, a1a2)
+       or (a1a2, y), and each new occurrence comes from an occurrence
+       "x a1 a2" / "a1 a2 y" — so its count is bounded by the SNAPSHOT
+       count of its parent (x, a1) / (a2, y). If every such parent
+       counts STRICTLY below c, no new pair can outrank P (ties break
+       lexicographically, so equality is not safe).
+
+    The scan STOPS at the first unsafe candidate (a skipped pair's
+    count may have changed, so later ranks are unknowable this round).
+    Natural-language early rounds interfere heavily (t-h / h-e share
+    'h') and may batch only 1-2 merges; disjoint tails batch wide —
+    driver round-trips become o(num_merges) without changing output."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    # parents bound: max snapshot count over pairs (x, a1) / (a2, y)
+    # for each selected A, maintained as one running threshold
+    risk = -1
+    left = {}  # symbol s -> max count of snapshot pairs (*, s)
+    right = {}  # symbol s -> max count of snapshot pairs (s, *)
+    for p1, p2, c in snap:
+        left[p2] = max(left.get(p2, -1), c)
+        right[p1] = max(right.get(p1, -1), c)
+    for p1, p2, c in snap:
+        if len(batch) >= min(budget, max_batch):
+            break
+        if batch:
+            if p1 in used or p2 in used or risk >= c:
+                break
+        batch.append((p1, p2, int(c)))
+        used.update((p1, p2, p1 + p2))
+        # new pairs from this merge: (x, p1+p2) bounded by (x, p1)
+        # parents = left[p1]; (p1+p2, y) bounded by (p2, y) = right[p2]
+        risk = max(risk, left.get(p1, -1), right.get(p2, -1))
+    return batch
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
+    max_batch: int = 8,
+    snapshot_rows: int = 8192,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(p1, p2, count), ...]
     in merge order. Deterministic: argmax ties break on (p1, p2)
-    lexicographically."""
+    lexicographically.
+
+    Driver round-trips are batched: each round collects the top
+    ``snapshot_rows`` of the pair table ONCE, selects a provably
+    non-interfering greedy prefix (:func:`_batch_from_snapshot` — the
+    batched sequence equals the one-merge-at-a-time sequence exactly),
+    and applies the whole batch as one composed Catalyst fold chain.
+    ``max_batch=1`` recovers the classic one-round-trip-per-merge loop.
+    Pass ``stats={}`` to receive {"rounds": n} back (test/telemetry
+    hook). A 32k-merge production vocabulary runs in o(num_merges)
+    rounds; the snapshot cap is sound because pairs outside the
+    collected prefix count at most the prefix minimum, which the batch
+    threshold already respects."""
     words = word_freq_table(df, text_col).withColumn(
         "syms", _chars(F.col("word"))
     ).select("freq", "syms")
-    # each iteration's word table is read twice (argmax + next fold):
-    # cache it, and unpersist the previous one as soon as it is replaced
-    words = words.cache()
-    live = [words]
-    try:
-        merges: list[tuple[str, str, int]] = []
-        for _ in range(num_merges):
-            best = (
-                pair_counts(words)
-                .orderBy(F.col("count").desc(), "p1", "p2")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            p1, p2, cnt = best[0]["p1"], best[0]["p2"], int(best[0]["count"])
-            merges.append((p1, p2, cnt))
-            words = words.select(
-                "freq", _merge_fold(F.col("syms"), p1, p2).alias("syms")
-            ).cache()
-            live.append(words)
-            if len(live) > 2:
-                # materialize the new cache before dropping its parent so
-                # the lineage never recomputes more than one fold deep
-                words.count()
-                live.pop(0).unpersist()
-        return merges
-    finally:
-        for w in live:
-            w.unpersist()
+    # each round's word table is read twice (snapshot + next fold), and
+    # round N's plan would otherwise chain through every previous
+    # round's fold: localCheckpoint materializes the table AND truncates
+    # the lineage to a LogicalRDD, so plans (and the driver-side
+    # execution metadata retaining them) stay O(1) per round instead of
+    # O(rounds) — a 32k-merge run must not accumulate 32k nested plans
+    words = words.localCheckpoint(eager=True)
+    rounds = 0
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges:
+        snap = [
+            (r["p1"], r["p2"], int(r["count"]))
+            for r in pair_counts(words)
+            .orderBy(F.col("count").desc(), "p1", "p2")
+            .limit(snapshot_rows + 1)
+            .collect()
+        ]
+        rounds += 1
+        if not snap:
+            break
+        if len(snap) > snapshot_rows:
+            # pairs outside the prefix count <= the overflow row: fold
+            # that bound into the interloper threshold by truncating
+            # the usable prefix at strictly-above rows
+            floor = snap[-1][2]
+            snap = [s for s in snap[:snapshot_rows] if s[2] > floor]
+            if not snap:
+                raise ValueError(
+                    "train_bpe: snapshot_rows too small for this corpus "
+                    "(every collected pair ties the overflow count) — "
+                    "raise snapshot_rows"
+                )
+        batch = _batch_from_snapshot(snap, num_merges - len(merges), max_batch)
+        merges.extend(batch)
+        syms = _merge_fold_multi(F.col("syms"), [(a, b) for a, b, _ in batch])
+        words = words.select("freq", syms.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges
 
 
 def encode_bpe(

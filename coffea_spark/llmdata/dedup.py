@@ -849,14 +849,20 @@ def paragraph_dedup(
     reconstruct each document from its surviving paragraphs in order.
     Returns (id, text, n_paragraphs, n_kept).
 
-    Scale shape: explode to (id, pos, para) -> ONE shuffle keyed on the
-    paragraph fingerprint (64-bit-safe Rabin-Karp — the corpus text
-    never re-shuffles, only (fp, id, pos) triples) with a min-window to
-    elect the keeper, then one keyed shuffle back to (id) for ordered
-    reconstruction. Empty/short paragraphs (< min_chars after trim)
-    pass through untouched — they are separators, not content."""
-    from pyspark.sql import Window as W
-
+    Scale shape: explode to (id, pos, para) -> keeper election is an
+    AGGREGATION, not a window: ``groupBy(_fp).agg(min(struct(_id,
+    _pos)))`` over content rows only. An aggregation gets map-side
+    partial combine, so a hot boilerplate fingerprint (cookie banners,
+    nav footers — exactly what CCNet dedup exists to kill) reduces on
+    every mapper instead of sorting on one reducer, and the corpus text
+    never re-shuffles — only (fp, id, pos) triples. Empty/short
+    paragraphs (< min_chars after trim) get a NULL fingerprint and
+    BYPASS the election entirely (they are separators, not content;
+    null keys never enter the keeper aggregate or match the join), so
+    corpus-wide blank lines cannot funnel through one task. The keeper
+    set (one row per distinct fingerprint) joins back on _fp — AQE
+    skew-join splits any hot probe-side key — then one keyed shuffle
+    back to (id) for ordered reconstruction."""
     from coffea_spark.llmdata.text import rolling_hash
 
     paras = df.select(
@@ -868,9 +874,18 @@ def paragraph_dedup(
     norm = F.trim(F.col("_para"))
     content = F.length(norm) >= min_chars
     hashed = paras.withColumn("_fp", F.when(content, rolling_hash(norm)))
-    w = W.partitionBy("_fp").orderBy(F.col("_id").asc(), F.col("_pos").asc())
-    kept = hashed.withColumn(
-        "_keep", F.col("_fp").isNull() | (F.row_number().over(w) == 1)
+    keepers = (
+        hashed.filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_first"))
+    )
+    kept = hashed.join(keepers, "_fp", "left").withColumn(
+        "_keep",
+        F.col("_fp").isNull()
+        | (
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._pos") == F.col("_pos"))
+        ),
     )
     return (
         kept.groupBy("_id")

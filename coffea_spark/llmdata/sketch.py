@@ -193,7 +193,12 @@ def bloom_probe(
     keys' k bit positions is set. The <= m_bits-row filter is broadcast;
     the probe is a map-side join + per-id counting — no corpus-sized
     shuffle. Returns (id, n_keys, n_hit_keys): n_hit_keys > 0 means
-    some key probed fully positive."""
+    some key probed fully positive. "Fully positive" is judged with
+    ``min(set_flag) == 1`` — every probed bit set — NOT ``sum == k``,
+    so duplicate (id, key) input rows (which would double the sum) and
+    salt-collision duplicate bit positions cannot manufacture a false
+    negative; the filter's no-false-negatives invariant holds on raw,
+    un-deduplicated input."""
     pos = df.select(
         F.col(id_col),
         key_col.alias("_key"),
@@ -203,7 +208,7 @@ def bloom_probe(
         pos.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left")
         .groupBy(id_col, "_key")
         .agg(
-            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k)
+            (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1)
             .cast("int")
             .alias("_full")
         )

@@ -236,6 +236,57 @@ def unigram_logprob_score(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    by: list[str] | None = None,
+    score_col: str = "logprob",
+    n_buckets: int = 3,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3: split
+    each language's documents into thirds by LM score; the head feeds
+    training, the tail is dropped) via per-group quantile THRESHOLDS,
+    not rank. Adds an integer ``bucket`` column (1 = best/head).
+
+    Scale shape: ONE tiny aggregation per group computes the cutoffs
+    (``approx_percentile`` by default — a mergeable sketch, map-side
+    combined, no sort), the cutoff table (|groups| rows x (n_buckets-1)
+    values) is BROADCAST back, and bucket assignment is a scan-stage
+    comparison chain. Deliberately NOT ``ntile(n)`` over
+    ``partitionBy(lang)``: a window makes each language ONE window
+    partition, so at 100 TB the English half of the corpus sorts on a
+    single reducer. Thresholds keep every stage map-side.
+
+    ``exact=True`` swaps in the exact interpolated ``percentile``
+    aggregate (per-group value collection on the agg side) — use only
+    at gate/test scale where cross-engine boundary parity matters;
+    production callers keep the sketch. Ties at a cutoff all land in
+    the lower bucket (threshold semantics; rank-based ntile would split
+    them arbitrarily)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    groups = by or []
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cut = (
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs]))
+        if exact
+        else F.percentile_approx(
+            F.col(score_col), F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        )
+    )
+    cuts = scored.groupBy(*groups).agg(cut.alias("_cuts"))
+    joined = (
+        scored.join(F.broadcast(cuts), groups)
+        if groups
+        else scored.crossJoin(F.broadcast(cuts))
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("_cuts"), lambda t: F.col(score_col) > t)
+    )
+    return joined.withColumn("bucket", bucket).drop("_cuts")
+
+
 #: default scrub patterns (Java-regex and RE2 compatible: no lookaround)
 SCRUB_PATTERNS: dict[str, str] = {
     "url": r"https?://\S+",

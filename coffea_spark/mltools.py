@@ -174,9 +174,24 @@ def logreg_train(
     stage in LLM data pipelines (GPT-3/CCNet-style quality filtering) —
     inference over the trained weights is a pure column expression.
     Returns [w_bias, w_1, ..., w_n] as Python floats.
+
+    Rows with a null label or any null feature are dropped BEFORE the
+    row count, so the gradient divisor matches exactly the rows the
+    sums saw (a null row silently vanishes from ``F.sum`` but would
+    still inflate ``count()``, deflating every gradient); an empty
+    training set raises instead of ZeroDivisionError.
     """
     feats = [F.col(c).cast("double") for c in feature_cols]
+    notnull = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        notnull = notnull & F.col(c).isNotNull()
+    df = df.filter(notnull)
     n = df.count()
+    if n == 0:
+        raise ValueError(
+            "logreg_train: no rows with non-null label and features "
+            f"(label={label_col!r}, features={feature_cols!r})"
+        )
     w = [0.0] * (len(feature_cols) + 1)
     for _ in range(iters):
         z = F.lit(w[0])

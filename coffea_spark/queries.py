@@ -2165,16 +2165,25 @@ def _recall_summary(exact1: DataFrame, approx: DataFrame, min_recall: float) -> 
     top-1 within its top-k for >= ``min_recall`` of queries? The oracle
     emits TRUE as a constant — if the approximate algorithm degrades,
     the Spark side emits FALSE and the value-hash goes red. Approximate
-    operator, exact gate."""
-    hits = exact1.join(
-        approx.withColumnRenamed("vec_id", "top1_id"), ["qid", "top1_id"], "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_hit"))
-    summary = exact1.agg(
+    operator, exact gate.
+
+    ONE pass over ``exact1``: hit flags come from a single left join
+    against the tiny (queries x k) approx result, and every summary
+    column folds into the same aggregation — the brute-force oracle
+    join (the expensive corpus x queries cosine scan) is evaluated
+    exactly once, not once per output branch."""
+    hitmark = (
+        approx.select("qid", F.col("vec_id").alias("top1_id"))
+        .distinct()  # defensive: duplicate approx rows must not double-count
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = exact1.join(F.broadcast(hitmark), ["qid", "top1_id"], "left").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("top1_id").alias("sum_top1_id"),
         F.round(F.avg("top1_cos"), 6).alias("avg_top1_cos"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
     )
-    return summary.crossJoin(hits).select(
+    return agg.select(
         "n_queries",
         "sum_top1_id",
         "avg_top1_cos",
@@ -3705,6 +3714,68 @@ SELECT * FROM (VALUES
   (CAST(10 AS BIGINT), CAST(20 AS BIGINT), CAST(38 AS BIGINT),
    CAST(6167.04 AS DOUBLE), CAST(8880.24 AS DOUBLE))
 ) AS t(n_events, n_jets, n_subjets, sum_pt, pos_weighted)
+"""
+
+
+def q_scouting_real_scan(spark, sf_dir):
+    """REAL ScoutingNanoAOD ingestion over the reference's own binary
+    fixture (reference tests/test_nanoevents_scoutingnano.py +
+    schemas/scouting.py): scouting_nano.root stores EVERY basket
+    embedded inside the TTree record (the one-flush storage form —
+    no loose TBasket file keys), exercising the reader's fBaskets
+    TObjArray path end-to-end: 268 branches, u4/u8 scalars, count
+    branches, and jagged f4 vectors whose entry-offset tables are
+    streamed separately from the data buffer. The gate checks scalar
+    sums, jagged totals, a per-event (1-based index x jet-pt-sum)
+    position weighting that flips on ANY regrouping error, and the
+    njet_match invariant size(ScoutingJet_pt) == nScoutingJet on every
+    event. Golden values independently derived by a from-scratch numpy
+    decode (tests/test_root_reader.py embedded-basket parity test
+    keeps re-deriving them). ``sf_dir`` unused."""
+    from pyspark.sql import Window as W
+
+    from coffea_spark.root_reader import read_root
+
+    path = "/root/reference/tests/samples/scouting_nano.root"
+    ev = read_root(
+        spark, [path],
+        columns=["event", "nScoutingJet", "ScoutingJet_pt",
+                 "nScoutingFatJet", "ScoutingFatJet_pt"],
+    )
+    pt = F.col("ScoutingJet_pt")
+    fpt = F.col("ScoutingFatJet_pt")
+    idx = F.row_number().over(W.orderBy(F.col("event").asc()))
+    per_event = ev.select(
+        "event", "nScoutingJet", "nScoutingFatJet", pt.alias("_pt"),
+        fpt.alias("_fpt"),
+        (F.size(pt) == F.col("nScoutingJet")).alias("_match"),
+        F.aggregate(pt, F.lit(0.0), lambda a, x: a + x.cast("double")).alias("_sumpt"),
+        F.aggregate(fpt, F.lit(0.0), lambda a, x: a + x.cast("double")).alias("_sumfpt"),
+    ).withColumn("_idx", idx)
+    return per_event.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # u8 sums widen to decimal(20,0) in Spark: pin to long
+        F.sum("event").cast("long").alias("sum_event"),
+        F.sum("nScoutingJet").alias("n_jets"),
+        F.sum("nScoutingFatJet").alias("n_fatjets"),
+        F.round(F.sum("_sumpt"), 2).alias("sum_jet_pt"),
+        F.round(F.sum("_sumfpt"), 2).alias("sum_fatjet_pt"),
+        F.round(F.sum(F.col("_idx").cast("double") * F.col("_sumpt")), 2).alias("pos_weighted"),
+        F.min(F.col("_match").cast("int")).cast("boolean").alias("njet_match"),
+    )
+
+
+# golden values: independent from-scratch numpy decode of the embedded
+# baskets (probe documented in tests/test_root_reader.py); event ids are
+# descending in file order, so the position weighting uses the
+# event-ASCENDING rank both here and in the Spark query
+SQL_SCOUTING_REAL_SCAN = """
+SELECT * FROM (VALUES
+  (CAST(40 AS BIGINT), CAST(170327230 AS BIGINT), CAST(337 AS BIGINT),
+   CAST(89 AS BIGINT), CAST(72984.19 AS DOUBLE), CAST(67369.28 AS DOUBLE),
+   CAST(1499211.33 AS DOUBLE), TRUE)
+) AS t(n_events, sum_event, n_jets, n_fatjets, sum_jet_pt, sum_fatjet_pt,
+       pos_weighted, njet_match)
 """
 
 
@@ -6562,22 +6633,21 @@ def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
     language's documents into head/middle/tail thirds by LM score; the
     head feeds training, the tail is dropped): per-language unigram LM
-    score (unigram_logprob_score) -> ntile(3) window ordered by
-    (score, doc_id) -> per-(lang, bucket) stats. Scale: the score pass
-    is the lm_quality shape (broadcast vocab, map-side probe); the
-    bucketing is one window shuffle keyed on lang. Ordering is safe
-    cross-engine: adjacent per-lang score gaps (~1e-3) dwarf engine
-    float noise (~1e-15), and exact ties break on doc_id."""
-    from pyspark.sql import Window as W
-
-    from coffea_spark.llmdata.text import unigram_logprob_score
+    score (unigram_logprob_score) -> per-language tertile THRESHOLDS
+    (one tiny agg, broadcast back) -> scan-stage bucket assignment ->
+    per-(lang, bucket) stats. Scale: the score pass is the lm_quality
+    shape (broadcast vocab, map-side probe); bucketing never sorts a
+    language on one reducer (production uses the approx_percentile
+    sketch; the gate pins exact=True so the interpolated cutoffs match
+    DuckDB's quantile_cont bit-for-band — adjacent per-lang score gaps
+    ~1e-3 dwarf engine float noise ~1e-15, and a cutoff that lands
+    exactly ON a data point is that point's own value in both engines,
+    so <= comparisons agree)."""
+    from coffea_spark.llmdata.text import perplexity_buckets, unigram_logprob_score
 
     docs = _t(spark, sf_dir, "documents")
     scored = unigram_logprob_score(docs, "text", by=["lang"])
-    w = W.partitionBy("lang").orderBy(
-        F.col("logprob").asc(), F.col("doc_id").asc()
-    )
-    b = scored.withColumn("bucket", F.ntile(3).over(w))
+    b = perplexity_buckets(scored, by=["lang"], exact=True)
     return b.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("logprob"), 6).alias("avg_logprob"),
@@ -6601,10 +6671,12 @@ WITH tok AS (
   SELECT t.lang, t.doc_id, avg(v.logp) AS lp
   FROM tok t JOIN vocab v ON t.lang = v.lang AND t.term = v.term
   GROUP BY t.lang, t.doc_id
+), cuts AS (
+  SELECT lang, quantile_cont(lp, [1.0/3, 2.0/3]) AS cs FROM scored GROUP BY lang
 ), bucketed AS (
-  SELECT lang, lp,
-         ntile(3) OVER (PARTITION BY lang ORDER BY lp, doc_id) AS bucket
-  FROM scored
+  SELECT s.lang, s.lp,
+         1 + len(list_filter(c.cs, t -> s.lp > t)) AS bucket
+  FROM scored s JOIN cuts c ON s.lang = c.lang
 )
 SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
        round(avg(lp), 6) AS avg_logprob, round(max(lp), 6) AS max_logprob
@@ -6813,16 +6885,101 @@ class Query:
 # CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
-    # Driver correctness window (first 50): round-6 rotation. Rounds
-    # 1-5 hash-verified every oracle-bearing query at least once, with
-    # the round-5 window freshly green - so this round leads with the
-    # 44 veterans last driver-checked in r4 or earlier, plus this
-    # round's new gates (physlite_triple_nested, jpeg_features) and
-    # four entries re-verified because round-6 changed code under them
-    # (stream_sessions: oracle gap semantics + state partitions;
-    # root_scan / physlite_real_links: reader cache + Double32/probe
-    # guards; multimodal_features: decoder dispatch).
+    # Driver correctness window (first 50): round-7 rotation. Leads
+    # with the 23 round-6 gates that carried only local-sweep evidence
+    # (their first driver hash-verification), the scouting_real_scan
+    # gate NEW this round, and every gate whose code changed in round
+    # 7: paragraph_dedup (groupBy/min_by keeper election),
+    # perplexity_buckets (threshold bucketing), bloom_decontam (min==1
+    # membership), quality_classifier (logreg null/empty guards),
+    # bpe_train (batched merges), ann/ivf/pq_recall (single-pass
+    # recall summary), root_sink_scan + root_source_scan (task-attempt
+    # commit protocol), and the real-binary ROOT gates (root_scan,
+    # physlite_real_links, physlite_triple_nested, edm4hep_real_links,
+    # treemaker_real_nesting) re-verified under the new embedded-
+    # basket scan. The tail slots hold veterans last driver-checked in
+    # r5 or earlier.
     # ------------------------------------------------------------------
+    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
+    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
+    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
+    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
+    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
+    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
+    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
+    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
+    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
+    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
+    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
+    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
+    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
+    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
+    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
+    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
+    "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
+    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
+    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
+    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
+    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
+    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
+    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
+    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
+    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
+    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
+    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
+    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
+    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
+    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
+    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
+    "btag_sf": Query(q_btag_sf, _sql_btag()),
+    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
+    "events_json": Query(q_events_json, SQL_EVENTS_JSON),
+    "ml_score": Query(q_ml_score, _sql_ml_score()),
+    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
+    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
+    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
+    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
+    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
+    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    # -- past the driver window: r6-driver-verified gates + the
+    # remaining r5 veterans + rows-only tail (oracle=None entries stay
+    # last so the weaker rows-only record never occupies a hash slot)
+    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
+    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
+    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
+    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
+    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
+    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
+    "lang_id": Query(q_lang_id, _sql_lang_id()),
+    "text_quality": Query(q_text_quality, _sql_text_quality()),
+    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
+    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
+    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
+    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
+    "hash_split": Query(q_hash_split, _sql_hash_split()),
+    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
+    "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),
+    "hist3d": Query(q_hist3d, SQL_HIST3D),
+    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
+    "cutflow": Query(q_cutflow, SQL_CUTFLOW),
+    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "quantiles": Query(q_quantiles, SQL_QUANTILES),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
@@ -6867,89 +7024,9 @@ REGISTRY: dict[str, Query] = {
     "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
     "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
     "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
-    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
     "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
-    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
-    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
-    # -- past the driver window: the four gates NEW this round
-    # (bpe_train, repetition_signals, dsir_weights,
-    # stream_interval_join — local-sweep verified; they lead the
-    # round-7 rotation) + round-5-verified gates + rows-only tail --
-    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
-    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
-    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
-    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
-    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
-    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
-    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
-    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
-    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
-    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
-    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
-    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
-    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
-    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
-    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
-    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
-    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
-    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
-    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
-    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
-    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
-    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
-    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
-    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
-    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
-    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
-    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
-    "btag_sf": Query(q_btag_sf, _sql_btag()),
-    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
-    "events_json": Query(q_events_json, SQL_EVENTS_JSON),
-    "ml_score": Query(q_ml_score, _sql_ml_score()),
-    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
-    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
-    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
-    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
-    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
-    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
-    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
-    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
-    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
-    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
-    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
-    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
-    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
-    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
-    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
-    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
-    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
-    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
-    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
-    "lang_id": Query(q_lang_id, _sql_lang_id()),
-    "text_quality": Query(q_text_quality, _sql_text_quality()),
-    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
-    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
-    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
-    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
-    "hash_split": Query(q_hash_split, _sql_hash_split()),
-    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
-    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
-    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
-    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
-    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
-    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
-    "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),
-    "hist3d": Query(q_hist3d, SQL_HIST3D),
-    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
-    "cutflow": Query(q_cutflow, SQL_CUTFLOW),
-    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),

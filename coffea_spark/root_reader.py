@@ -236,6 +236,34 @@ class _Key:
         self.hdrend = p
 
 
+class _EmbeddedKey:
+    """A basket stored INSIDE the TTree record (ROOT's fBaskets
+    TObjArray: when a tree is written in one flush — small files,
+    uproot ``mktree`` output, the final write-basket of any tree — the
+    basket is streamed into the tree's own buffer instead of landing as
+    a loose ``TBasket`` file key). Quacks like :class:`_Key` where the
+    basket machinery needs it (name/keylen/nev/last) and carries its
+    payload directly, already re-framed to the FILE-basket layout
+    (data then entry-offset table) so ``_basket_data`` decodes both
+    storage forms through one code path. Reference analogue: uproot's
+    "embedded baskets" path behind coffea's NanoEventsFactory
+    (factory.py:267-480 reads through uproot's TBasket model zoo)."""
+
+    __slots__ = ("name", "title", "cls", "keylen", "cycle", "off", "nev",
+                 "last", "payload")
+
+    def __init__(self, name, title, keylen, off, nev, last, payload):
+        self.name = name
+        self.title = title
+        self.cls = "TBasket"
+        self.keylen = keylen
+        self.cycle = 1
+        self.off = off  # position in the tree buffer: unique cache id
+        self.nev = nev
+        self.last = last
+        self.payload = payload
+
+
 def parse_streamer_infos(payload: bytes, keylen: int) -> dict[str, list[dict]]:
     """Parse a file's ``StreamerInfo`` record (a streamed TList of
     TStreamerInfo) into ``{class name: [member dicts]}``, each member
@@ -479,6 +507,7 @@ class RootTreeReader:
         self.payload_cache_size = 0
         self._payload_lru: "OrderedDict[int, bytes]" = OrderedDict()
         self._tree_buf = self._payload(self._tree_key)
+        self._parse_embedded_baskets()
         self.branches = self._parse_leaves()
         self._entries: int | None = None
         self._cache: dict[str, np.ndarray] = {}
@@ -488,7 +517,109 @@ class RootTreeReader:
 
     # -- low-level ----------------------------------------------------------
 
+    def _parse_embedded_baskets(self) -> None:
+        """Find baskets streamed INSIDE the tree record (fBaskets
+        TObjArray — the storage form of one-flush files and every
+        tree's final write-basket) and register them in ``_baskets``
+        re-framed as :class:`_EmbeddedKey` file-layout payloads.
+
+        Each streamed TBasket is TKey::Streamer first (fNbytes,
+        version, fObjlen, fDatime, fKeylen, fCycle, seeks, then
+        class/name/title strings), then the TBasket members fVersion(h)
+        fBufferSize(i) fNevBufSize(i) fNevBuf(i) fLast(i) flag(B).
+        flag semantics (TBasket::Streamer): %10 != 2 and fNevBuf > 0 →
+        a streamed fEntryOffset array ([n][n x i4], values absolute
+        from buffer start incl. keylen, displacement bits possible for
+        20<flag<40, a displacement array follows for flag>40); flag==1
+        or flag>10 → the raw basket buffer, fLast bytes whose first
+        fKeylen are a copy of the key (skipped when re-framing — and
+        the scan jumps past consumed extents so that inner key copy is
+        never mistaken for another basket record). flag==0/2 with no
+        buffer is the header-only in-memory write basket: no data."""
+        buf = self._tree_buf
+        tag = re.compile(b"\x07TBasket")
+        pos = 0
+        while True:
+            m = tag.search(buf, pos)
+            if m is None:
+                break
+            q = m.start()
+            pos = q + 1
+            parsed = self._parse_one_embedded(buf, q)
+            if parsed is None:
+                continue
+            key, end = parsed
+            pos = end
+            if key is not None:
+                self._baskets.setdefault(key.name, []).append(key)
+
+    def _parse_one_embedded(self, buf: bytes, q: int):
+        """Parse one candidate embedded-basket record whose classname
+        TString starts at ``q``; returns (key-or-None, end) or None if
+        the bytes aren't a well-formed basket record."""
+        # TKey header before the classname: version>1000 → 8-byte seeks
+        # (classname at start+34), else 4-byte (start+26)
+        keylen = None
+        if q >= 34:
+            ver = struct.unpack_from(">H", buf, q - 30)[0]
+            if 1000 < ver < 1100:
+                keylen = struct.unpack_from(">h", buf, q - 20)[0]
+        if keylen is None and q >= 26:
+            ver = struct.unpack_from(">H", buf, q - 22)[0]
+            if 0 < ver <= 1000:
+                keylen = struct.unpack_from(">h", buf, q - 12)[0]
+        if keylen is None or keylen <= 0:
+            return None
+        try:
+            cls, p = _read_string(buf, q)
+            name, p = _read_string(buf, p)
+            title, p = _read_string(buf, p)
+        except Exception:
+            return None
+        if cls != "TBasket" or title != self.tree or not name:
+            return None
+        if p + 19 > len(buf):
+            return None
+        bver, _bufsize, _nevbufsize, nevbuf, last = struct.unpack_from(
+            ">hiiii", buf, p
+        )
+        flag = buf[p + 18]
+        body = p + 19
+        if not (0 < bver < 100) or nevbuf < 0 or flag > 90:
+            return None
+        if (flag == 1 or flag > 10) and last < keylen:
+            return None
+        offsets_blob = b""
+        if flag % 10 != 2 and nevbuf:
+            n = struct.unpack_from(">i", buf, body)[0]
+            if n < nevbuf or body + 4 + 4 * n > len(buf):
+                return None
+            offs = np.frombuffer(buf, dtype=">i4", count=nevbuf, offset=body + 4)
+            if 20 < flag < 40:  # displacement bits folded into offsets
+                offs = (offs.astype(np.int64) & 0x00FFFFFF).astype(">i4")
+            offsets_blob = struct.pack(">i", nevbuf) + offs.tobytes()
+            body += 4 + 4 * n
+            if flag > 40:
+                n2 = struct.unpack_from(">i", buf, body)[0]
+                if n2 < 0 or body + 4 + 4 * n2 > len(buf):
+                    return None
+                body += 4 + 4 * n2  # displacement array: unused
+        data = b""
+        if flag == 1 or flag > 10:
+            if body + last > len(buf):
+                return None
+            data = buf[body + keylen : body + last]
+            body += last
+        if nevbuf == 0 or (not data and not offsets_blob):
+            return (None, body)  # header-only write basket: no entries
+        key = _EmbeddedKey(
+            name, title, keylen, q, nevbuf, last, data + offsets_blob
+        )
+        return (key, body)
+
     def _payload(self, key: _Key) -> bytes:
+        if isinstance(key, _EmbeddedKey):
+            return key.payload
         if self.payload_cache_size > 0:
             hit = self._payload_lru.get(key.off)
             if hit is not None:
@@ -972,9 +1103,13 @@ class RootTreeReader:
     def _basket_nev(self, key: _Key) -> int:
         # TBasket members after the TKey header: fVersion(h) fBufferSize(i)
         # fNevBufSize(i) fNevBuf(i) fLast(i)
+        if isinstance(key, _EmbeddedKey):
+            return key.nev
         return struct.unpack_from(">hiii", self._data, key.hdrend)[3]
 
     def _basket_last(self, key: _Key) -> int:
+        if isinstance(key, _EmbeddedKey):
+            return key.last
         return struct.unpack_from(">hiiii", self._data, key.hdrend)[4]
 
     def _basket_data(self, name, info: BranchInfo, itemsize: int, k: _Key):

@@ -346,15 +346,27 @@ def stream_countmin(
     property windowed aggregation cannot give for an all-time frequency
     query. Returns the merged {(d, bucket): count} dict after the
     stream drains (availableNow trigger).
+
+    ``foreachBatch`` has AT-LEAST-ONCE semantics: a failed/retried
+    micro-batch is redelivered with the SAME ``epoch_id``, so the merge
+    tracks processed epochs and skips re-deliveries (the standard
+    foreachBatch idempotency pattern) — otherwise a retried batch would
+    be added twice and estimates could exceed the CMS upper bound the
+    linearity contract promises.
     """
     from coffea_spark.llmdata.sketch import countmin_build
 
     acc: dict[tuple[int, int], int] = {}
+    seen_epochs: set[int] = set()
 
     def on_batch(bdf: DataFrame, epoch_id: int) -> None:
-        for r in countmin_build(
+        if epoch_id in seen_epochs:
+            return
+        rows = countmin_build(
             bdf, term_col, count_col, depth=depth, width=width
-        ).collect():
+        ).collect()
+        seen_epochs.add(epoch_id)  # only after the batch fully collected
+        for r in rows:
             key = (r.d, r.bucket)
             acc[key] = acc.get(key, 0) + r.c
 

@@ -1,5 +1,7 @@
 """LLM-data operators: dedup, similarity, text analysis, multimodal."""
 
+import re
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -765,6 +767,38 @@ def test_bpe_train_matches_reference(spark):
         assert "".join(r.tokens) == "".join(r.text.split())
 
 
+def test_bpe_batched_rounds_and_equality(spark):
+    """Merge batching: non-interfering merges apply in one driver round
+    (>=10x fewer round-trips on a 100-merge vocabulary) and the batched
+    merge SEQUENCE equals the one-at-a-time sequence exactly — on both
+    a disjoint synthetic corpus and real interfering text."""
+    from coffea_spark.llmdata.bpe import train_bpe
+
+    # 100 two-symbol words over disjoint alphabets, strictly decreasing
+    # frequency: every merge is independent, so batches go wide
+    rows = []
+    for i in range(100):
+        w = chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1)
+        rows.append((" ".join([w] * 2),))  # word twice per row
+    # strictly decreasing counts via row multiplicity
+    data = [(rows[i][0],) for i in range(100) for _ in range(100 - i)]
+    df = spark.createDataFrame(data, "text string")
+    st_b: dict = {}
+    batched = train_bpe(df, "text", num_merges=100, max_batch=32, stats=st_b)
+    st_s: dict = {}
+    seq = train_bpe(df, "text", num_merges=100, max_batch=1, stats=st_s)
+    assert batched == seq and len(batched) == 100
+    assert st_s["rounds"] >= 100
+    assert st_b["rounds"] * 10 <= st_s["rounds"]  # >=10x fewer rounds
+
+    # real text (heavy interference: shared letters) — sequence parity
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    b = train_bpe(docs, "text", num_merges=8, max_batch=8)
+    s = train_bpe(docs, "text", num_merges=8, max_batch=1)
+    assert b == s
+
+
 def test_repetition_signals_hand_values(spark):
     """Gopher repetition filters against hand-computed values: overlap
     counting, lexicographic top-gram tie-break, duplicate-line
@@ -982,6 +1016,13 @@ def test_bloom_no_false_negatives(spark):
     # fill = 800/16384 -> per-key fp ~ (0.049)^4 ~ 5.7e-6: expect ~0 hits
     assert fp.filter(F.col("n_hit_keys") > 0).count() <= 2
 
+    # duplicate (id, key) input rows must NOT break membership: the
+    # full-hit test is min(set)==1, not sum==k (a duplicated row would
+    # make the sum 2k and silently turn a present key into a miss)
+    dup = members.unionAll(members)
+    got_dup = bloom_probe(dup, bloom, F.col("key"), "doc", m_bits=1 << 14, k=4)
+    assert got_dup.filter(F.col("n_hit_keys") < F.col("n_keys")).count() == 0
+
 
 def test_warc_roundtrip_and_errors(spark, tmp_path):
     """write_warc -> parse_warc_bytes roundtrip (plain and per-record
@@ -1092,6 +1133,48 @@ def test_paragraph_dedup_semantics(spark):
     assert (out[1].n_paragraphs, out[1].n_kept) == (3, 1)
     assert out[2].text == "unique one\n\nunique two"  # blank line kept
     assert out[3].text == "" and out[3].n_kept == 0
+
+
+def test_paragraph_dedup_no_window(spark):
+    """Keeper election must be an aggregation (map-side combinable),
+    never a window over the fingerprint: `row_number() over
+    partitionBy(_fp)` puts every NULL-fp separator paragraph — and any
+    hot boilerplate fingerprint — into ONE window partition, a
+    single-reducer sort at 100 TB."""
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a\nc")], "doc_id long, text string"
+    )
+    plan = (
+        dedup.paragraph_dedup(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan and "row_number" not in plan
+
+
+def test_perplexity_buckets_threshold_semantics(spark):
+    """Threshold bucketing (CCNet head/middle/tail): per-group cutoffs
+    via one tiny agg + scan-stage assignment — the plan has NO window
+    (ntile over partitionBy(lang) sorts each whole language on one
+    reducer); ties at a cutoff land in the lower bucket; groups split
+    ~into thirds."""
+    from coffea_spark.llmdata.text import perplexity_buckets
+
+    rows = [("en", i, float(i)) for i in range(9)] + [
+        ("fr", 100 + i, float(i % 3)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, logprob double")
+    for exact in (True, False):
+        out = perplexity_buckets(df, by=["lang"], exact=exact)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+        assert not re.search(r"\bntile\(", plan)  # \b: skip percentile(
+        got = {(r.lang, r.doc_id): r.bucket for r in out.collect()}
+        # en: 0..8 -> exact tertile cutoffs ~ (2.667, 5.333)
+        if exact:
+            assert [got[("en", i)] for i in range(9)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+            # fr: scores 0,1,2 twice -> cutoffs land ON tied data points;
+            # ties go to the LOWER bucket in both engines
+            assert got[("fr", 100)] == got[("fr", 103)]  # identical scores agree
+        assert set(got.values()) <= {1, 2, 3}
 
 
 def test_alpha_sampling_flattens(spark):

@@ -109,12 +109,107 @@ def test_nested_vector_branches(spark):
 
 def test_empty_and_corrupt_files():
     # empty Events tree: no baskets -> zero readable branches, zero rows
-    r = RootTreeReader(f"{SAMPLES}/scouting_nano.root")
+    r = RootTreeReader(f"{SAMPLES}/nano_dy_empty.root")
     assert r.tree == "Events" and r.entries == 0 and not r.branches
     # truncated/corrupt fixture (the reference's bad_delphes.root) must
     # fail with a clear error, not a parse crash
     with pytest.raises(RootFileError):
         RootTreeReader(f"{SAMPLES}/bad_delphes.root")
+
+
+def test_embedded_baskets_scouting_parity():
+    """scouting_nano.root stores every basket INSIDE the TTree record
+    (no loose TBasket keys — the one-flush storage form). The reader's
+    fBaskets scan must agree branch-for-branch with an independent
+    from-scratch decode of the embedded records (these derived the
+    scouting_real_scan gate goldens)."""
+    import re as _re
+    import struct as _struct
+    import zlib as _zlib
+
+    path = f"{SAMPLES}/scouting_nano.root"
+    r = RootTreeReader(path)
+    assert r.tree == "Events" and r.entries == 40
+    assert len(r.branches) >= 260
+
+    # independent decode: walk file keys, decompress the Events record,
+    # walk TBasket tags with the long-form TKey layout
+    data = open(path, "rb").read()
+    fbegin = _struct.unpack_from(">i", data, 8)[0]
+    fend = _struct.unpack_from(">i", data, 12)[0]
+    off, tree_key = fbegin, None
+    while off < fend:
+        nbytes, ver = _struct.unpack_from(">iH", data, off)
+        if nbytes == 0:
+            break
+        if nbytes < 0:
+            off += -nbytes
+            continue
+        objlen, _dt, keylen, _cyc = _struct.unpack_from(">iIhh", data, off + 6)
+        p = off + 18 + (16 if ver > 1000 else 8)
+
+        def rs(p):
+            n = data[p]
+            return data[p + 1 : p + 1 + n].decode(), p + 1 + n
+
+        cls, p = rs(p)
+        nm, p = rs(p)
+        _ti, p = rs(p)
+        if cls == "TTree" and nm == "Events":
+            tree_key = (off, nbytes, objlen, keylen)
+        off += nbytes
+    off, nbytes, objlen, keylen = tree_key
+    out, p, total = [], off + keylen, 0
+    while p < off + nbytes and total < objlen:
+        csize = data[p + 3] | (data[p + 4] << 8) | (data[p + 5] << 16)
+        blob = _zlib.decompress(data[p + 9 : p + 9 + csize])
+        out.append(blob)
+        total += len(blob)
+        p += 9 + csize
+    buf = b"".join(out)
+
+    def embedded(branch):
+        for m in _re.finditer(b"\x07TBasket", buf):
+            q = m.start()
+            kv = _struct.unpack_from(">H", buf, q - 30)[0]
+            if not (1000 < kv < 1100):
+                continue
+            klen = _struct.unpack_from(">h", buf, q - 20)[0]
+            p = q + 8
+            n1 = buf[p]
+            name = buf[p + 1 : p + 1 + n1].decode()
+            p += 1 + n1
+            n2 = buf[p]
+            title = buf[p + 1 : p + 1 + n2].decode()
+            p += 1 + n2
+            if name != branch or title != "Events":
+                continue
+            _bv, _bs, _nbs, nevbuf, last = _struct.unpack_from(">hiiii", buf, p)
+            flag = buf[p + 18]
+            body = p + 19
+            if nevbuf == 0 or flag == 0:
+                continue
+            if flag % 10 != 2 and nevbuf:
+                n = _struct.unpack_from(">i", buf, body)[0]
+                body += 4 + 4 * n
+            if flag == 1 or flag > 10:
+                return buf[body + klen : body + last], nevbuf
+        return None, 0
+
+    for br, dt in [("run", ">u4"), ("event", ">u8"), ("nScoutingJet", ">i4"),
+                   ("ScoutingJet_pt", ">f4"), ("ScoutingFatJet_pt", ">f4"),
+                   ("ScoutingMuon_pt", ">f4")]:
+        blob, nev = embedded(br)
+        want = np.frombuffer(blob, dtype=dt)
+        got = np.asarray(r.array(br))
+        assert got.dtype.itemsize == want.dtype.itemsize
+        assert len(got) == len(want) and (got == want.astype(got.dtype)).all(), br
+
+    # jagged framing: per-event counts come from the streamed
+    # entry-offset table and must match the count branch exactly
+    cnt = np.asarray(r.array("nScoutingJet"))
+    offs_counts = np.asarray(r.counts("ScoutingJet_pt"))
+    assert (cnt == offs_counts).all()
 
 
 def test_error_paths():

@@ -280,6 +280,24 @@ def test_root_datasource_writer_roundtrip(spark, tmp_path):
 
     names = sorted(os.listdir(out))
     assert "_SUCCESS" in names and sum(n.endswith(".root") for n in names) == 2
+    # task-commit protocol: tasks write _temp-part-<pid>-<attempt>.root
+    # and commit() publishes via rename — no temp may survive a commit
+    assert not [n for n in names if n.startswith("_temp-")]
+
+    # an orphan temp from a crashed/speculative attempt must be swept
+    # by the next commit, not blessed by _SUCCESS
+    with open(os.path.join(out, "_temp-part-99999-42.root"), "wb") as fh:
+        fh.write(b"partial garbage")
+    (
+        df.repartition(2)
+        .write.format("root")
+        .mode("overwrite")
+        .option("counts_map", "jet_pt:njet")
+        .save(out)
+    )
+    names = sorted(os.listdir(out))
+    assert not [n for n in names if n.startswith("_temp-")]
+    assert sum(n.endswith(".root") for n in names) == 2
 
     back = spark.read.format("root").load(out + "/part-*.root")
     got = back.agg(

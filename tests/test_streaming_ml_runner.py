@@ -480,6 +480,30 @@ def test_logreg_train_matches_numpy_and_separates(spark):
     assert acc > 0.95
 
 
+def test_logreg_train_null_rows_and_empty(spark):
+    """Null-label / null-feature rows must be excluded from BOTH the
+    gradient sums and the divisor n (they vanish from F.sum but would
+    still inflate count(), deflating gradients); an empty training set
+    raises a clear error, not ZeroDivisionError."""
+    from coffea_spark.mltools import logreg_train
+
+    clean = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (-1.0, 0.0), (-2.0, 0.0)],
+        "x double, y double",
+    )
+    dirty = clean.unionAll(
+        spark.createDataFrame(
+            [(None, 1.0), (5.0, None), (None, None)], "x double, y double"
+        )
+    )
+    w_clean = logreg_train(clean, ["x"], "y", lr=1.0, iters=4)
+    w_dirty = logreg_train(dirty, ["x"], "y", lr=1.0, iters=4)
+    assert w_clean == w_dirty
+
+    with pytest.raises(ValueError, match="no rows"):
+        logreg_train(clean.filter("x > 100"), ["x"], "y")
+
+
 def test_stream_countmin_equals_batch(spark, tmp_path):
     """CMS linearity end-to-end: the sketch merged across 3 file
     micro-batches must equal the batch sketch over the union."""
