@@ -231,3 +231,72 @@ def alpha_sample(
         .filter(u <= F.col("keep_rate"))
         .drop("keep_rate")
     )
+
+
+def unimax_rates(
+    df: DataFrame,
+    group_col: str,
+    budget: float,
+    epochs_cap: float = 1.0,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023: distribute a total
+    training budget as UNIFORMLY as possible across groups, capping
+    every group at ``epochs_cap`` repetitions of its data — fairer than
+    alpha-temperature sampling for low-resource languages and the
+    allocation used by the mT5-successor multilingual corpora).
+
+    The allocation is the classic water-fill: each group's capacity is
+    c_g = n_g * epochs_cap; ascending by capacity, every group receives
+    min(c_g, remaining_budget / remaining_groups). Returns one row per
+    group: (group, n, budget_alloc, epochs, keep_rate). ``epochs`` is
+    b_g / n_g (can exceed 1 when a duplicating sampler should repeat
+    the group); ``keep_rate`` caps at 1.0 for subsampling.
+
+    Scale shape: the per-group count is ONE tiny map-combined
+    aggregation; the water-fill runs driver-side over the
+    group-cardinality table (languages — hundreds of rows, the same
+    bounded-collect contract as IVF's quantizer training) and the rate
+    table broadcasts back. Nothing corpus-sized leaves the executors."""
+    rows = sorted(
+        (
+            (r["n"] * float(epochs_cap), r["n"], r[group_col])
+            for r in df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+    )
+    spark = df.sparkSession
+    remaining = float(budget)
+    out = []
+    k = len(rows)
+    for cap, n, g in rows:
+        share = remaining / k
+        b = min(cap, share)
+        remaining -= b
+        k -= 1
+        out.append((g, int(n), float(b), float(b / n), min(1.0, b / n)))
+    return spark.createDataFrame(
+        out, f"{group_col} string, n long, budget_alloc double, "
+        "epochs double, keep_rate double"
+    )
+
+
+def unimax_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget: float,
+    epochs_cap: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic UniMax subsample: keep a row when its portable
+    id-hash unit value falls under its group's water-filled keep_rate
+    (same reproducible-under-any-partitioning contract as
+    :func:`alpha_sample`); scan-stage after one broadcast join."""
+    rates = unimax_rates(df, group_col, budget, epochs_cap)
+    u = (portable_hash32(F.col(id_col), salt) + 1) / F.lit(float(_M32 + 1))
+    return (
+        df.join(F.broadcast(rates.select(group_col, "keep_rate")), group_col)
+        .filter(u <= F.col("keep_rate"))
+        .drop("keep_rate")
+    )

@@ -4559,6 +4559,56 @@ SELECT
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming ingest deduplication (streaming.stream_dedup — the
+    continuous form of exact dedup for pipelines where the corpus
+    arrives as a stream): events keyed on a duplicate-heavy synthetic
+    fingerprint (event_id % 211), first arrival emitted, replays
+    dropped. The gate checks key-level facts that do not depend on
+    WHICH duplicate wins (kept-key count, key checksum) plus the
+    exactly-once invariant max-emissions-per-key == 1, computed on the
+    Spark side and a constant TRUE-shape in the oracle — arrival order
+    is engine-specific, key-set identity is not. Exact all-time mode
+    (no watermark eviction) so the kept set equals batch DISTINCT."""
+    from coffea_spark.streaming import stream_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(os.path.join(sf_dir, "events.*"))
+    stream = _normalize_event_ts(raw).withColumn(
+        "dup_key", F.col("event_id") % 211
+    )
+    out = stream_dedup(
+        stream, ["dup_key"], ts_col="ts", within_watermark=False
+    )
+    qname = "stream_dedup_gate"
+    with _stream_state_partitions(spark):
+        q = (
+            out.select("dup_key")
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    per_key = spark.table(qname).groupBy("dup_key").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("dup_key").alias("sum_key"),
+        F.max("_c").alias("max_per_key"),
+    )
+
+
+SQL_STREAM_DEDUP = """
+WITH k AS (SELECT DISTINCT event_id % 211 AS dup_key FROM events)
+SELECT count(*) AS n_keys, CAST(sum(dup_key) AS BIGINT) AS sum_key,
+       CAST(1 AS BIGINT) AS max_per_key
+FROM k
+"""
+
+
 def q_stream_cutflow(spark, sf_dir):
     """Streaming cutflow (streaming.windowed_cutflow): the
     PackedSelection conditional-agg pass over event-time windows,
@@ -5934,6 +5984,74 @@ FROM p GROUP BY content_type
 """
 
 
+def q_unimax_sample(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023; splits.unimax_rates
+    / unimax_sample): a total budget water-filled as uniformly as
+    possible across languages with a per-language epoch cap — the
+    fairer successor to alpha-temperature sampling. The oracle replays
+    the SAME iterative recurrence (ascending-capacity fill, remaining /
+    remaining-groups share) as a recursive CTE so every float op
+    matches; keep decisions come from the portable id hash so both
+    engines draw identical samples. One tiny agg + driver water-fill
+    over the language table + broadcast rate join (bounded-collect
+    contract, languages-cardinality rows only)."""
+    from coffea_spark.llmdata.splits import unimax_rates, unimax_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = unimax_rates(docs, "lang", budget=300.0, epochs_cap=2.0)
+    kept = unimax_sample(docs, "lang", "doc_id", budget=300.0, epochs_cap=2.0)
+    return (
+        rates.join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n",
+            F.round("budget_alloc", 6).alias("budget_alloc"),
+            F.round("epochs", 6).alias("epochs"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+SQL_UNIMAX_SAMPLE = """
+WITH RECURSIVE c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), ordered AS (
+  SELECT lang, n, n * 2.0 AS cap,
+         row_number() OVER (ORDER BY n * 2.0, lang) AS rk,
+         count(*) OVER () AS m
+  FROM c
+), fill AS (
+  SELECT rk, lang, n, cap, m,
+         least(cap, 300.0 / m) AS b,
+         300.0 - least(cap, 300.0 / m) AS rem
+  FROM ordered WHERE rk = 1
+  UNION ALL
+  SELECT o.rk, o.lang, o.n, o.cap, o.m,
+         least(o.cap, f.rem / (o.m - o.rk + 1)),
+         f.rem - least(o.cap, f.rem / (o.m - o.rk + 1))
+  FROM ordered o JOIN fill f ON o.rk = f.rk + 1
+), r AS (
+  SELECT lang, n, b, b / n AS epochs, least(1.0, b / n) AS keep_rate
+  FROM fill
+), kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN r ON r.lang = d.lang
+  WHERE ((d.doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0
+        <= r.keep_rate
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n, round(r.b, 6) AS budget_alloc,
+       round(r.epochs, 6) AS epochs, round(r.keep_rate, 6) AS keep_rate,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN kept k ON k.lang = r.lang
+"""
+
+
 def q_alpha_sample(spark, sf_dir):
     """XLM-R/mT5 temperature sampling (splits.alpha_sampling_rates /
     alpha_sample): groups resampled proportional to p^alpha so the head
@@ -6924,6 +7042,8 @@ REGISTRY: dict[str, Query] = {
     "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
     "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
+    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
+    "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -1135,6 +1135,43 @@ def test_paragraph_dedup_semantics(spark):
     assert out[3].text == "" and out[3].n_kept == 0
 
 
+def test_unimax_waterfill(spark):
+    """UniMax (Chung et al. 2023): budget water-fills uniformly with a
+    per-group epoch cap — small groups saturate at cap x their size,
+    the rest split the remainder evenly; total allocation == budget
+    (when capacity allows); epochs never exceed the cap."""
+    from coffea_spark.llmdata.splits import unimax_rates, unimax_sample
+
+    rows = (
+        [(i, "big") for i in range(600)]
+        + [(600 + i, "mid") for i in range(300)]
+        + [(900 + i, "small") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    r = {x.grp: x for x in unimax_rates(df, "grp", budget=400, epochs_cap=1.0).collect()}
+    # water level: small (30) saturates at 30; remaining 370 splits
+    # 185/185 between mid and big (both capacities exceed the level)
+    assert r["small"].budget_alloc == 30.0 and r["small"].epochs == 1.0
+    assert r["mid"].budget_alloc == r["big"].budget_alloc == 185.0
+    assert abs(sum(x.budget_alloc for x in r.values()) - 400) < 1e-9
+    assert all(x.epochs <= 1.0 + 1e-12 for x in r.values())
+
+    # epoch cap > 1: small may be over-allocated for duplicating
+    # samplers (epochs > 1) but the subsampling keep_rate caps at 1
+    r2 = {x.grp: x for x in unimax_rates(df, "grp", budget=400, epochs_cap=2.0).collect()}
+    assert r2["small"].budget_alloc == 60.0 and r2["small"].epochs == 2.0
+    assert r2["small"].keep_rate == 1.0
+
+    # budget above total capacity: everything saturates
+    r3 = {x.grp: x for x in unimax_rates(df, "grp", budget=5000, epochs_cap=1.0).collect()}
+    assert all(x.budget_alloc == x.n for x in r3.values())
+
+    # deterministic sample: same call -> identical kept ids
+    a = sorted(x.id for x in unimax_sample(df, "grp", "id", budget=400).collect())
+    b = sorted(x.id for x in unimax_sample(df, "grp", "id", budget=400).collect())
+    assert a == b and len(a) > 0
+
+
 def test_paragraph_dedup_no_window(spark):
     """Keeper election must be an aggregation (map-side combinable),
     never a window over the fingerprint: `row_number() over
