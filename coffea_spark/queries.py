@@ -3765,6 +3765,48 @@ def q_scouting_real_scan(spark, sf_dir):
     )
 
 
+def q_scouting_objects(spark, sf_dir):
+    """REAL ScoutingNanoAOD through the OBJECT schema (reference
+    schemas/nanoaod.py:511-557 ScoutingNanoAODSchema + the nanoevents
+    zip): read_nanoevents over the embedded-basket fixture builds
+    ScoutingJet as array<struct> with the schema's constant-fill
+    ``charge`` column and the MET_pt -> MET_fiducialGenPt alias. Gate:
+    leading-jet pt sum (intra-event order preserved by the zip),
+    |eta| sum over the struct field, the charge fill identically 0,
+    and the aliased MET sum. Goldens from the same independent numpy
+    decode as scouting_real_scan. ``sf_dir`` unused."""
+    from coffea_spark.root_reader import read_nanoevents
+    from coffea_spark.schema import ScoutingNanoAODSchema
+
+    path = "/root/reference/tests/samples/scouting_nano.root"
+    ev = read_nanoevents(spark, [path], spec=ScoutingNanoAODSchema)
+    jets = F.col("ScoutingJet")
+    lead_pt = F.element_at(jets, 1)["pt"].cast("double")
+    abs_eta = F.aggregate(
+        jets, F.lit(0.0), lambda a, j: a + F.abs(j["eta"].cast("double"))
+    )
+    charge = F.aggregate(
+        jets, F.lit(0.0), lambda a, j: a + F.abs(j["charge"].cast("double"))
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.size(jets) > 0, F.lit(1)).otherwise(F.lit(0))).alias("n_with_jet"),
+        F.round(F.sum(lead_pt), 2).alias("sum_leading_pt"),
+        F.round(F.sum(abs_eta), 2).alias("sum_abs_eta"),
+        (F.sum(charge) == 0.0).alias("charge_all_zero"),
+        F.round(F.sum(F.col("MET")["pt"].cast("double")), 2).alias("sum_met"),
+    )
+
+
+SQL_SCOUTING_OBJECTS = """
+SELECT * FROM (VALUES
+  (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(33124.57 AS DOUBLE),
+   CAST(563.42 AS DOUBLE), TRUE, CAST(281.0 AS DOUBLE))
+) AS t(n_events, n_with_jet, sum_leading_pt, sum_abs_eta, charge_all_zero,
+       sum_met)
+"""
+
+
 # golden values: independent from-scratch numpy decode of the embedded
 # baskets (probe documented in tests/test_root_reader.py); event ids are
 # descending in file order, so the position weighting uses the
@@ -7044,6 +7086,7 @@ REGISTRY: dict[str, Query] = {
     "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
     "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
+    "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
