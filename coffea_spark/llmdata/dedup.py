@@ -731,6 +731,111 @@ def duplicate_windows(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate REMOVAL (the second half of Lee
+    et al. 2022: not just flagging duplicated spans —
+    :func:`duplicate_windows` — but cutting them out of the corpus):
+    for every k-token window occurring in >= ``min_docs`` distinct
+    documents, the FIRST corpus occurrence (min (id, pos)) survives and
+    every later occurrence's [pos, pos+k) token span is deleted; each
+    document is rebuilt from its surviving tokens. Returns
+    (id, text, n_tokens, n_removed). The rebuilt text is the
+    space-joined token sequence (token-level surgery, the unit Lee et
+    al. operate on — original inter-token whitespace is not preserved).
+
+    Scale shape: windows explode corpus-linear (one row per token);
+    keeper election is ``groupBy(win).agg(min(struct(id, pos)))`` — an
+    AGGREGATION with map-side partial combine, so a hot boilerplate
+    window never single-reducer-sorts (same shape as paragraph_dedup);
+    removal spans shuffle back keyed on the document id; interval
+    merging and token surgery are row-local Catalyst folds. At 100 TB
+    hash windows to xxhash64 first so the two shuffles carry 8-byte
+    keys (the gate keeps raw strings for oracle parity)."""
+    toks_col = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text).alias("_text"),
+        toks_col.alias("_tk"),
+    )
+    n = F.size("_tk")
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.concat_ws(" ", F.slice("_tk", i, k)).alias("win"),
+                ),
+            )
+        ).alias("w"),
+    ).select("_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    keepers = (
+        wins.groupBy("win")
+        .agg(
+            F.count_distinct("_id").alias("_nd"),
+            F.min(F.struct("_id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("win", "_first")
+    )
+    spans = (
+        wins.join(keepers, "win")
+        .filter(
+            (F.col("_first._id") != F.col("_id"))
+            | (F.col("_first.pos") != F.col("pos"))
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
+    )
+    # merge sorted fixed-length spans into disjoint [s, e) intervals
+    merged = F.aggregate(
+        F.col("_ps"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["e"] >= p),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(
+                        F.element_at(acc, -1)["e"], p + F.lit(k)
+                    ).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                p.alias("s"), (p + F.lit(k)).alias("e")
+            )))
+        ),
+    )
+    joined = base.join(spans, "_id", "left").withColumn(
+        "_iv", F.coalesce(merged, F.array().cast("array<struct<s:int,e:int>>"))
+    )
+    # token j (1-based) survives unless a merged interval covers it
+    kept = F.filter(
+        F.col("_tk"),
+        lambda t, j: ~F.exists(
+            F.col("_iv"),
+            lambda iv: ((j + 1) >= iv["s"]) & ((j + 1) < iv["e"]),
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias(text),
+        F.size("_tk").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------------

@@ -5723,26 +5723,15 @@ def q_stream_heavy_hitters(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(path)
     )
-    # per-batch rows -> (term, n) happens inside the batch sketch build;
-    # explode terms here so countmin_build sees one weighted row per
-    # distinct term per doc (same shape term_table feeds it in batch)
-    per_doc = raw.select(
-        F.explode(
-            F.transform(
-                F.array_distinct(tokens(F.col("text"))),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(
-                        F.filter(tokens(F.col("text")), lambda x: x == t)
-                    ).alias("n"),
-                ),
-            )
-        ).alias("tc")
-    ).select("tc.term", "tc.n")
+    # one row per token occurrence, weight 1 — the sketch sums
+    # occurrences, so this equals the per-doc (term, n) weighted form
+    # while staying LINEAR in doc length (a per-distinct-term count
+    # would rescan the token list per term: quadratic in long docs)
+    per_doc = raw.select(F.explode(tokens(F.col("text"))).alias("term"))
     with _stream_state_partitions(spark):
         from coffea_spark.streaming import stream_countmin
 
-        acc = stream_countmin(per_doc, "term", "n", depth=depth, width=width)
+        acc = stream_countmin(per_doc, "term", None, depth=depth, width=width)
     sketch = spark.createDataFrame(
         [(d, b, int(c)) for (d, b), c in sorted(acc.items())],
         "d int, bucket long, c long",
@@ -6023,6 +6012,59 @@ SELECT content_type, count(*) AS n_records,
            (a, x) -> (a * 257 + x) % 2147483647)
          ELSE 0 END) AS BIGINT) AS sum_hash
 FROM p GROUP BY content_type
+"""
+
+
+def q_substring_removal(spark, sf_dir):
+    """Substring-level duplicate REMOVAL (Lee et al. 2022 second half;
+    llmdata/dedup.remove_duplicate_spans): every 8-token window shared
+    by >= 2 documents keeps its first corpus occurrence and is CUT from
+    all later ones; documents rebuilt from surviving tokens. The oracle
+    replays window construction, keeper election (integer-encoded
+    (id, pos) min — order-equivalent to the operator's struct min for
+    pos < 2^20), and token surgery; rebuilt TEXT compares exactly.
+    Scale shape in the operator docstring (aggregation-elected keepers,
+    corpus-linear shuffles)."""
+    from coffea_spark.llmdata.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, k=8, min_docs=2)
+    return out.filter(F.col("n_removed") > 0).select(
+        "doc_id", "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+SQL_SUBSTRING_REMOVAL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(tk, i, i + 7), ' ') AS win
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)
+  WHERE len(tk) >= 8
+), keep AS (
+  SELECT win, min(doc_id * 1048576 + pos) AS kk
+  FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+), rm AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN keep k ON k.win = w.win
+  WHERE w.doc_id * 1048576 + w.pos <> k.kk
+), ps AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM rm GROUP BY doc_id
+), rebuilt AS (
+  SELECT t.doc_id,
+         list_filter(t.tk, (x, j) ->
+           len(list_filter(p.ps, q -> j >= q AND j < q + 8)) = 0) AS kept,
+         len(t.tk) AS n_tokens
+  FROM toks t JOIN ps p ON p.doc_id = t.doc_id
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed
+FROM rebuilt WHERE n_tokens - len(kept) > 0
 """
 
 
@@ -7087,6 +7129,7 @@ REGISTRY: dict[str, Query] = {
     "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
     "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
+    "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -1135,6 +1135,39 @@ def test_paragraph_dedup_semantics(spark):
     assert out[3].text == "" and out[3].n_kept == 0
 
 
+def test_remove_duplicate_spans(spark):
+    """Lee et al. span REMOVAL: later occurrences of a shared k-window
+    are cut (first corpus occurrence survives), overlapping windows
+    merge into one cut, non-duplicated text is untouched, and a fully
+    duplicated doc empties."""
+    from coffea_spark.llmdata.dedup import remove_duplicate_spans
+
+    rows = [
+        (0, "a b c d e unique tail here"),
+        (1, "prefix a b c d e suffix words"),  # shares "a b c d e"? k=5
+        (2, "totally different content in this document"),
+        (3, "a b c d e"),  # fully duplicated -> emptied
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=5).collect()}
+    # doc 0 is the first occurrence of the shared window: untouched
+    assert out[0].text == rows[0][1] and out[0].n_removed == 0
+    # doc 1 loses exactly the 5-token span, keeps its own words
+    assert out[1].text == "prefix suffix words" and out[1].n_removed == 5
+    assert out[2].text == rows[2][1] and out[2].n_removed == 0
+    assert out[3].text == "" and out[3].n_removed == 5
+
+    # overlapping shared windows merge into one contiguous cut
+    rows2 = [
+        (10, "x1 x2 x3 x4 x5 x6 mid y1 y2"),
+        (11, "pre x1 x2 x3 x4 x5 x6 post"),  # windows at pos 2 and 3 overlap
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r.doc_id: r for r in remove_duplicate_spans(df2, k=5).collect()}
+    assert out2[10].n_removed == 0
+    assert out2[11].text == "pre post" and out2[11].n_removed == 6
+
+
 def test_unimax_waterfill(spark):
     """UniMax (Chung et al. 2023): budget water-fills uniformly with a
     per-group epoch cap — small groups saturate at cap x their size,
