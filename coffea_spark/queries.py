@@ -3765,6 +3765,73 @@ def q_scouting_real_scan(spark, sf_dir):
     )
 
 
+def q_pfnano_real_xref(spark, sf_dir):
+    """REAL PFNano cross-reference resolution over the reference's own
+    LZMA-compressed binary fixture (reference schemas/pfnano.py: the
+    JetPFCands link table carries (jetIdx, pFCandsIdx) pairs tying jets
+    to their particle-flow candidates): the native reader decodes the
+    link branches, and ``joins.gather_local`` resolves every
+    pFCandsIdx into the same-event PFCands_pt list — the engine's FK
+    gather, row-local, no shuffle. The (jetIdx+1)-weighted sum flips on
+    ANY misresolution or event misalignment; a no-null invariant
+    certifies every link resolved in range. Goldens independently
+    derived by a numpy decode. ``sf_dir`` unused."""
+    from coffea_spark.joins import gather_local
+    from coffea_spark.root_reader import read_root
+
+    path = "/root/reference/tests/samples/pfnano.root"
+    ev = read_root(
+        spark, [path], tree="Events",
+        columns=["JetPFCands_jetIdx", "JetPFCands_pFCandsIdx",
+                 "PFCands_pt", "Jet_pt"],
+    )
+    pf = F.col("PFCands_pt")
+    linked = F.zip_with(
+        F.col("JetPFCands_pFCandsIdx"),
+        F.col("JetPFCands_jetIdx"),
+        lambda pi, ji: F.struct(
+            gather_local(pf, pi).cast("double").alias("pt"),
+            ji.alias("jet"),
+        ),
+    )
+    per_event = ev.select(
+        F.size("JetPFCands_pFCandsIdx").alias("_nl"),
+        F.size("Jet_pt").alias("_nj"),
+        F.aggregate(
+            linked, F.lit(0.0), lambda a, x: a + F.coalesce(x["pt"], F.lit(0.0))
+        ).alias("_sum_linked"),
+        F.aggregate(
+            linked, F.lit(0.0),
+            lambda a, x: a
+            + (x["jet"].cast("double") + 1.0) * F.coalesce(x["pt"], F.lit(0.0)),
+        ).alias("_sum_weighted"),
+        F.exists(linked, lambda x: x["pt"].isNull()).alias("_any_null"),
+        F.aggregate(
+            F.col("Jet_pt"), F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("_sum_jet"),
+    )
+    return per_event.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_nl").alias("n_links"),
+        F.sum("_nj").alias("n_jets"),
+        F.round(F.sum("_sum_linked"), 2).alias("sum_linked_pt"),
+        F.round(F.sum("_sum_weighted"), 2).alias("sum_weighted"),
+        F.round(F.sum("_sum_jet"), 2).alias("sum_jet_pt"),
+        (~F.max("_any_null")).alias("all_resolved"),
+    )
+
+
+# golden values: independent numpy decode of the fixture's link tables
+SQL_PFNANO_REAL_XREF = """
+SELECT * FROM (VALUES
+  (CAST(10 AS BIGINT), CAST(1801 AS BIGINT), CAST(64 AS BIGINT),
+   CAST(30012.77 AS DOUBLE), CAST(50935.16 AS DOUBLE),
+   CAST(31819.21 AS DOUBLE), TRUE)
+) AS t(n_events, n_links, n_jets, sum_linked_pt, sum_weighted, sum_jet_pt,
+       all_resolved)
+"""
+
+
 def q_scouting_objects(spark, sf_dir):
     """REAL ScoutingNanoAOD through the OBJECT schema (reference
     schemas/nanoaod.py:511-557 ScoutingNanoAODSchema + the nanoevents
@@ -7130,6 +7197,7 @@ REGISTRY: dict[str, Query] = {
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
     "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
+    "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
