@@ -108,6 +108,59 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _emit_block(bw: "_BitWriter", plane: np.ndarray, by: int, bx: int,
+                q: np.ndarray, pred: int) -> int:
+    """FDCT + quantize + Huffman-code one 8x8 block of ``plane``
+    (level-shifted float64); returns the new DC predictor."""
+    Fc = _A @ plane[by:by + 8, bx:bx + 8] @ _A.T
+    coefs = np.round(Fc / q).astype(np.int64).ravel()[_ZIGZAG]
+    dc = int(coefs[0])
+    diff = dc - pred
+    cat = _category(diff)
+    code, length = _DC_CODES[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    # AC: run-length of zeros + category, ZRL for 16-runs, EOB
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_CODES[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = _AC_CODES[(run << 4) | cat]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        code, length = _AC_CODES[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _marker(tag: int, body: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(body) + 2) + body
+
+
+def _dqt_dht(q: np.ndarray) -> bytes:
+    zz_q = q.ravel()[_ZIGZAG]
+    if (zz_q < 1).any() or (zz_q > 255).any():
+        raise ValueError("8-bit quantization values must be in [1, 255]")
+    out = _marker(0xFFDB, b"\x00" + bytes(int(v) for v in zz_q))
+    out += _marker(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    return out
+
+
 def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     """Encode a uint8 grayscale image as baseline-sequential JFIF. The
     default quantization table is all ones (max fidelity: only FDCT
@@ -127,54 +180,114 @@ def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     pred = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
-            F = _A @ pad[by:by + 8, bx:bx + 8] @ _A.T
-            coefs = np.round(F / q).astype(np.int64).ravel()[_ZIGZAG]
-            dc = int(coefs[0])
-            diff = dc - pred
-            pred = dc
-            cat = _category(diff)
-            code, length = _DC_CODES[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            # AC: run-length of zeros + category, ZRL for 16-runs, EOB
-            run = 0
-            last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
-            for i in range(1, last_nz + 1):
-                v = int(coefs[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = _AC_CODES[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                cat = _category(v)
-                code, length = _AC_CODES[(run << 4) | cat]
-                bw.write(code, length)
-                bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if last_nz < 63:
-                code, length = _AC_CODES[0x00]  # EOB
-                bw.write(code, length)
+            pred = _emit_block(bw, pad, by, bx, q, pred)
     bw.flush()
 
-    def marker(tag: int, body: bytes) -> bytes:
-        return struct.pack(">HH", tag, len(body) + 2) + body
-
-    zz_q = q.ravel()[_ZIGZAG]
-    if (zz_q < 1).any() or (zz_q > 255).any():
-        raise ValueError("8-bit quantization values must be in [1, 255]")
     out = b"\xff\xd8"  # SOI
-    out += marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += marker(0xFFDB, b"\x00" + bytes(int(v) for v in zz_q))
-    out += marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += marker(
-        0xFFC4,
-        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
-    )
-    out += marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_dht(q)
+    out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF RGB -> YCbCr, rounded to uint8 (the integer planes a
+    baseline encoder actually codes)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB, rounded to uint8."""
+    y = planes[..., 0].astype(np.float64)
+    cb = planes[..., 1].astype(np.float64) - 128.0
+    cr = planes[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_color_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "4:2:0",
+) -> bytes:
+    """Encode a uint8 RGB (h, w, 3) image as baseline-sequential JFIF
+    YCbCr — the storage form of essentially every web photo. ``4:2:0``
+    (2x2 luma blocks per MCU, chroma averaged over 2x2 pixels) or
+    ``4:4:4`` (no subsampling). All components share the Annex K
+    luminance Huffman tables and one quantization table (spec-legal —
+    the tables are declared, chroma-optimized tables are a rate
+    optimization, not a conformance requirement).
+
+    Exactness contract (mirrors the grayscale note): with the default
+    all-ones quantization, images whose YCbCr planes are constant per
+    8x8 coded block (16x16 RGB pixels for 4:2:0) round-trip the CODED
+    PLANES exactly — only integral DC coefficients survive — so
+    ``decode_jpeg(..., color_space="ycbcr")`` returns exactly
+    ``rgb_to_ycbcr(img)`` (RGB round-trips up to the +-1 YCbCr<->RGB
+    rounding, which is why the gate compares in YCbCr space)."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_color_jpeg wants an (h, w, 3) uint8 array")
+    if subsampling not in ("4:2:0", "4:4:4"):
+        raise NotImplementedError(f"subsampling {subsampling!r}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    ycc = rgb_to_ycbcr(img)
+    if subsampling == "4:2:0":
+        sy, mcu = (2, 2), 16
+    else:
+        sy, mcu = (1, 1), 8
+    # pad the luma plane to whole MCUs by edge replication
+    H = (h + mcu - 1) // mcu * mcu
+    W = (w + mcu - 1) // mcu * mcu
+    planes = [
+        np.pad(ycc[..., i], ((0, H - h), (0, W - w)), mode="edge").astype(np.float64)
+        for i in range(3)
+    ]
+    if subsampling == "4:2:0":
+        # chroma: mean over 2x2 pixel quads, rounded (the common decimator)
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                / 4.0
+            )
+    samp = [sy, (1, 1), (1, 1)]
+    shifted = [p - 128.0 for p in planes]
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(0, H // mcu):
+        for mx in range(0, W // mcu):
+            for c in range(3):
+                vmax, hmax = samp[c]
+                for v in range(vmax):
+                    for u in range(hmax):
+                        by = (my * vmax + v) * 8
+                        bx = (mx * hmax + u) * 8
+                        preds[c] = _emit_block(bw, shifted[c], by, bx, q, preds[c])
+    bw.flush()
+
+    out = b"\xff\xd8"  # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_dht(q)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (v, hh) in zip((1, 2, 3), samp):
+        sof += bytes([cid, (hh << 4) | v, 0])
+    out += _marker(0xFFC0, sof)
+    out += _marker(0xFFDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
     return out
@@ -288,11 +401,50 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential GRAYSCALE JPEG to a uint8 array.
-    Progressive scans, color images, 12-bit precision, arithmetic
-    coding, and restart intervals raise ``NotImplementedError`` — route
-    those through a library-backed ``decoder=`` hook."""
+def _read_block(br: "_BitReader", dc_tab, ac_tab, pred: int):
+    """Huffman-decode one 8x8 block; returns (zigzag coefs, new pred)."""
+    coefs = np.zeros(64, dtype=np.int64)
+    cat = _read_symbol_fast(br, dc_tab)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    pred += diff
+    coefs[0] = pred
+    i = 1
+    while i < 64:
+        sym = _read_symbol_fast(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += sym >> 4
+        cat = sym & 0x0F
+        if i > 63:
+            raise ValueError("AC coefficient index overflow")
+        coefs[i] = _extend(br.bits(cat), cat)
+        i += 1
+    return coefs, pred
+
+
+def _idct_into(out: np.ndarray, by: int, bx: int, coefs: np.ndarray,
+               q: np.ndarray) -> None:
+    F = np.zeros(64, dtype=np.float64)
+    F[_ZIGZAG] = coefs
+    out[by:by + 8, bx:bx + 8] = _A.T @ (F.reshape(8, 8) * q) @ _A
+
+
+def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
+    """Decode a baseline-sequential JPEG: grayscale (1 component) to a
+    (h, w) uint8 array, YCbCr color (3 components, any sampling factors
+    in {1, 2} — 4:4:4 / 4:2:2 / 4:2:0) to (h, w, 3) uint8.
+    ``color_space="rgb"`` (default) applies the JFIF YCbCr->RGB
+    transform with chroma replication upsampling; ``"ycbcr"`` returns
+    the coded planes untouched (the exactness surface the gate checks —
+    the RGB transform rounds). Progressive scans, 12-bit precision,
+    arithmetic coding, and restart intervals raise
+    ``NotImplementedError`` — route those through a library-backed
+    ``decoder=`` hook."""
+    if color_space not in ("rgb", "ycbcr"):
+        raise ValueError("color_space must be 'rgb' or 'ycbcr'")
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -300,7 +452,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_tq = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -343,46 +495,74 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component (color) JPEG: grayscale only"
+                    f"{ncomp}-component JPEG: 1 (grayscale) or 3 (YCbCr)"
                 )
-            comp_tq = body[8]
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hs, vs = body[7 + 3 * c] >> 4, body[7 + 3 * c] & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hs}x{vs}: only 1 and 2 supported"
+                    )
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
         elif tag == 0xDA:  # SOS: entropy data follows
             if h is None:
                 raise ValueError("SOS before SOF0")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-            q = qt[comp_tq]
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("partial-component scans")
+            tabs = {}
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                tabs[cs] = (huff[(0, tdta >> 4)], huff[(1, tdta & 0x0F)])
             br = _BitReader(data, pos)
-            H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-            out = np.empty((H, W), dtype=np.float64)
-            pred = 0
-            for by in range(0, H, 8):
-                for bx in range(0, W, 8):
-                    coefs = np.zeros(64, dtype=np.int64)
-                    cat = _read_symbol_fast(br, dc_tab)
-                    diff = _extend(br.bits(cat), cat) if cat else 0
-                    pred += diff
-                    coefs[0] = pred
-                    i = 1
-                    while i < 64:
-                        sym = _read_symbol_fast(br, ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            i += 16
-                            continue
-                        i += sym >> 4
-                        cat = sym & 0x0F
-                        if i > 63:
-                            raise ValueError("AC coefficient index overflow")
-                        coefs[i] = _extend(br.bits(cat), cat)
-                        i += 1
-                    F = np.zeros(64, dtype=np.float64)
-                    F[_ZIGZAG] = coefs
-                    blk = _A.T @ (F.reshape(8, 8) * q) @ _A
-                    out[by:by + 8, bx:bx + 8] = blk
-            return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            if len(comps) == 1:
+                _cid, _hs, _vs, tq = comps[0]
+                dc_tab, ac_tab = tabs[_cid]
+                q = qt[tq]
+                H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+                out = np.empty((H, W), dtype=np.float64)
+                pred = 0
+                for by in range(0, H, 8):
+                    for bx in range(0, W, 8):
+                        coefs, pred = _read_block(br, dc_tab, ac_tab, pred)
+                        _idct_into(out, by, bx, coefs, q)
+                return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            # interleaved 3-component scan: MCU = hmax*8 x vmax*8 pixels
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + hmax * 8 - 1) // (hmax * 8)
+            mcuy = (h + vmax * 8 - 1) // (vmax * 8)
+            planes = []
+            for _cid, hs, vs, _tq in comps:
+                planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8)))
+            preds = [0] * len(comps)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (cid, hs, vs, tq) in enumerate(comps):
+                        dc_tab, ac_tab = tabs[cid]
+                        q = qt[tq]
+                        for v in range(vs):
+                            for u in range(hs):
+                                coefs, preds[ci] = _read_block(
+                                    br, dc_tab, ac_tab, preds[ci]
+                                )
+                                _idct_into(
+                                    planes[ci],
+                                    (my * vs + v) * 8, (mx * hs + u) * 8,
+                                    coefs, q,
+                                )
+            full = np.empty((h, w, 3), dtype=np.uint8)
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+                # replication upsampling to full resolution
+                p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+                full[..., ci] = p[:h, :w].astype(np.uint8)
+            if color_space == "ycbcr":
+                return full
+            return ycbcr_to_rgb(full)
         # APPn / COM / others: skipped
     raise ValueError("no SOS marker: truncated JPEG")

@@ -342,12 +342,89 @@ def synthetic_jpeg_payloads(ids: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def synthetic_color_jpeg_payloads(ids: pd.Series) -> pd.Series:
+    """Deterministic REAL-COLOR-JPEG test payloads (pandas-UDF worker):
+    for id d a (16*(1+d%2)) x (16*(1+d%3)) RGB image whose 16x16 tile
+    (i, j) is the constant color (4*((d*37+i*16+j*5)%64),
+    4*((d*53+i*8+j*3)%64), 4*((d*29+i*4+j*7)%64)), pushed through the
+    real 4:2:0 baseline color encoder (jpeg.py). Tile-constant images
+    survive the codec exactly IN YCbCr SPACE (DC-only luma and chroma
+    blocks, all-ones quant, constant 2x2 chroma means), and the
+    multiples-of-4 channel values keep every YCbCr component >= 1.1e-3
+    away from a .5 rounding boundary (domain-scanned), so a SQL oracle
+    with half-away round() reproduces numpy's half-even round()
+    bit-for-bit."""
+    from coffea_spark.llmdata.jpeg import encode_color_jpeg
+
+    out = []
+    for d in ids:
+        d = int(d)
+        bh, bw = 1 + d % 2, 1 + d % 3
+        i, j = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+        tiles = np.stack(
+            [
+                4 * ((d * 37 + i * 16 + j * 5) % 64),
+                4 * ((d * 53 + i * 8 + j * 3) % 64),
+                4 * ((d * 29 + i * 4 + j * 7) % 64),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        img = np.kron(tiles, np.ones((16, 16, 1), dtype=np.uint8))
+        out.append(encode_color_jpeg(img, subsampling="4:2:0"))
+    return pd.Series(out)
+
+
+def color_image_features(
+    df: DataFrame,
+    image_col: str = "image",
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Decode + per-CHANNEL summary features for color images via
+    mapInPandas (one decode per image): width/height plus mean of each
+    of the three planes. Default decoder returns the coded YCbCr planes
+    (the exactness surface — RGB conversion rounds); pass a custom
+    decoder for RGB-space features."""
+    if decoder is None:
+        from coffea_spark.llmdata.jpeg import decode_jpeg
+
+        def decoder(data):  # noqa: F811 — default: coded planes
+            return decode_jpeg(data, color_space="ycbcr")
+
+    out_fields = [f for f in df.schema.fields if f.name != image_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("img_width", T.IntegerType()),
+            T.StructField("img_height", T.IntegerType()),
+            T.StructField("mean_c0", T.DoubleType()),
+            T.StructField("mean_c1", T.DoubleType()),
+            T.StructField("mean_c2", T.DoubleType()),
+            T.StructField("sum_pixels", T.LongType()),
+        ]
+    )
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[image_col].map(lambda s: decoder(s["data"]))
+            out = pdf[keep].copy()
+            out["img_width"] = imgs.map(lambda a: int(a.shape[1]))
+            out["img_height"] = imgs.map(lambda a: int(a.shape[0]))
+            for c in range(3):
+                out[f"mean_c{c}"] = imgs.map(lambda a, c=c: float(a[..., c].mean()))
+            out["sum_pixels"] = imgs.map(lambda a: int(a.sum(dtype=np.int64)))
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def real_image_decoder(data: bytes) -> np.ndarray:
     """Default image decoder: full numpy-only parsers for BMP 8/24-bit,
     PPM/PGM P5/P6, non-interlaced 8-bit PNG (a real zlib-compressed
-    container), and baseline-sequential grayscale JPEG (jpeg.py —
-    progressive/color JPEG still needs an external library and raises
-    there), dispatched on magic bytes."""
+    container), and baseline-sequential JPEG — grayscale to (h, w),
+    YCbCr color (4:4:4/4:2:2/4:2:0) to (h, w, 3) RGB (jpeg.py;
+    progressive/arithmetic JPEG still needs an external library and
+    raises there), dispatched on magic bytes."""
     magic = bytes(data[:2])
     if magic == b"BM":
         return decode_bmp(data)

@@ -2633,6 +2633,100 @@ FROM stats GROUP BY lang
 """
 
 
+def _jpeg_color_fixture(spark, sf_dir) -> str:
+    """Encode the deterministic tile-constant RGB images through the
+    REAL 4:2:0 baseline color JPEG encoder (llmdata/jpeg.py) into a
+    parquet fixture once per sf_dir — the measured query pays only the
+    decode."""
+    import tempfile
+
+    from coffea_spark.llmdata.multimodal import synthetic_color_jpeg_payloads
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_jpeg_color.parquet"
+    )
+    if not _fixture_ready(out):
+        enc = F.pandas_udf(synthetic_color_jpeg_payloads, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.struct(
+                enc("doc_id").alias("data"),
+                F.lit("jpeg").alias("format"),
+                (F.lit(16) * (1 + F.col("doc_id") % 3)).cast("int").alias("width"),
+                (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("height"),
+            ).alias("image"),
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not _fixture_ready(out):
+                raise
+    return out
+
+
+def q_jpeg_color_features(spark, sf_dir):
+    """REAL COLOR JPEG decode through the gate (llmdata/jpeg.py
+    encode_color_jpeg/decode_jpeg — baseline-sequential YCbCr 4:2:0,
+    the storage form of essentially every web photo): tile-constant RGB
+    images encoded once into a fixture, then the measured query runs
+    the full 3-component MCU-interleaved decode — per-component
+    predictors/tables, chroma subsample framing, replication upsample —
+    via the mapInPandas Arrow-batch path. Features compare in YCbCr
+    space, where tile-constant images survive the codec EXACTLY (the
+    RGB transform rounds); the generator's multiples-of-4 channels keep
+    every YCbCr value >= 1e-3 from a .5 boundary so numpy half-even and
+    SQL half-away rounding agree (domain-scanned). sum_pixels is an
+    exact integer checksum of all three coded planes."""
+    from coffea_spark.llmdata.multimodal import color_image_features
+
+    docs = spark.read.parquet(_jpeg_color_fixture(spark, sf_dir))
+    feats = color_image_features(docs, "image")
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("img_width").alias("sum_w"),
+        F.sum("img_height").alias("sum_h"),
+        F.round(F.avg("mean_c0"), 6).alias("avg_y"),
+        F.round(F.avg("mean_c1"), 6).alias("avg_cb"),
+        F.round(F.avg("mean_c2"), 6).alias("avg_cr"),
+        F.sum("sum_pixels").alias("sum_pixels"),
+    )
+
+
+SQL_JPEG_COLOR_FEATURES = """
+WITH d AS (
+  SELECT doc_id, lang, 1 + doc_id % 2 AS bh, 1 + doc_id % 3 AS bw
+  FROM documents
+), tiles AS (
+  SELECT doc_id, lang, bh, bw,
+         4 * ((doc_id * 37 + i * 16 + j * 5) % 64) AS r,
+         4 * ((doc_id * 53 + i * 8 + j * 3) % 64) AS g,
+         4 * ((doc_id * 29 + i * 4 + j * 7) % 64) AS b
+  FROM d, UNNEST(range(0, bh)) AS ui(i), UNNEST(range(0, bw)) AS uj(j)
+), ycc AS (
+  SELECT doc_id, lang, bh, bw,
+         round(0.299 * r + 0.587 * g + 0.114 * b) AS y,
+         round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b) AS cb,
+         round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b) AS cr
+  FROM tiles
+), stats AS (
+  SELECT doc_id, lang, 16 * bw AS w, 16 * bh AS h,
+         avg(y) AS my, avg(cb) AS mcb, avg(cr) AS mcr,
+         CAST(256 * sum(y + cb + cr) AS BIGINT) AS ps
+  FROM ycc GROUP BY doc_id, lang, bh, bw
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+       round(avg(my), 6) AS avg_y, round(avg(mcb), 6) AS avg_cb,
+       round(avg(mcr), 6) AS avg_cr,
+       CAST(sum(ps) AS BIGINT) AS sum_pixels
+FROM stats GROUP BY lang
+"""
+
+
 SQL_MULTIMODAL = """
 WITH d AS (
   SELECT doc_id, lang, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
@@ -7198,6 +7292,7 @@ REGISTRY: dict[str, Query] = {
     "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
     "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
+    "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
