@@ -1,4 +1,4 @@
-"""Numpy-only baseline JPEG (ITU-T T.81) codec — grayscale, sequential.
+"""Numpy-only baseline JPEG (ITU-T T.81) codec — gray + YCbCr color.
 
 The multimodal pipeline treats media as opaque binary columns and
 decodes inside ``mapInPandas`` (multimodal.py); JPEG was the one format
@@ -6,18 +6,23 @@ the brief implies that previously required an external library. This
 module implements the REAL baseline-sequential coding chain with no
 dependencies beyond numpy: 8x8 FDCT/IDCT, quantization, zigzag,
 category/run-length symbol coding, canonical Huffman tables (the public
-Annex K luminance tables), byte stuffing, and the SOI/DQT/SOF0/DHT/SOS
-marker structure.
+Annex K luminance tables), byte stuffing, the SOI/DQT/SOF0/DHT/SOS
+marker structure, 3-component YCbCr with MCU-interleaved 4:4:4 / 4:2:2
+/ 4:2:0 sampling (JFIF color transforms, chroma decimation /
+replication upsampling), and DRI restart intervals (RSTm markers,
+per-interval predictor reset — the error-resilience framing most
+camera/web encoders produce).
 
-Scope is deliberately the baseline-grayscale subset: progressive
-(SOF2), multi-component color (chroma subsampling), arithmetic coding,
-12-bit precision, and restart intervals raise ``NotImplementedError``
-with the reason — a PIL/turbojpeg-backed ``decoder=`` hook remains the
-path for arbitrary photos. Lossiness note: with an all-ones
-quantization table the only error source is FDCT rounding (|err| <= 1);
-images that are constant per 8x8 block round-trip EXACTLY (only the DC
-coefficient is nonzero and it is integral), which is what makes the
-``jpeg_features`` gate oracle-checkable from the generator formula.
+Remaining out of scope: progressive (SOF2), arithmetic coding, and
+12-bit precision raise ``NotImplementedError`` with the reason — a
+PIL/turbojpeg-backed ``decoder=`` hook remains the path for those.
+Lossiness note: with an all-ones quantization table the only error
+source is FDCT rounding (|err| <= 1); images that are constant per
+coded block round-trip EXACTLY (only the DC coefficient is nonzero and
+it is integral) — grayscale pixels for 8x8-constant images, the coded
+YCbCr planes for 16x16-tile-constant color — which is what makes the
+``jpeg_features`` / ``jpeg_color_features`` gates oracle-checkable
+from the generator formula.
 """
 
 from __future__ import annotations
@@ -103,6 +108,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align and emit RSTm (restart-interval boundary)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
+
 
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
@@ -161,10 +171,17 @@ def _dqt_dht(q: np.ndarray) -> bytes:
     return out
 
 
-def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_gray_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode a uint8 grayscale image as baseline-sequential JFIF. The
     default quantization table is all ones (max fidelity: only FDCT
-    rounding is lossy; per-8x8-constant images are exact)."""
+    rounding is lossy; per-8x8-constant images are exact).
+    ``restart_interval`` > 0 emits a DRI segment and RSTm markers every
+    that many blocks (the error-resilience framing most camera/web
+    encoders produce)."""
     img = np.asarray(img)
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("encode_gray_jpeg wants a 2-D uint8 array")
@@ -178,15 +195,23 @@ def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 
     bw = _BitWriter()
     pred = 0
+    n_mcu = rst = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst = (rst + 1) % 8
+                pred = 0
             pred = _emit_block(bw, pad, by, bx, q, pred)
+            n_mcu += 1
     bw.flush()
 
     out = b"\xff\xd8"  # SOI
     out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt_dht(q)
     out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
     out += _marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
@@ -220,6 +245,7 @@ def encode_color_jpeg(
     img: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 RGB (h, w, 3) image as baseline-sequential JFIF
     YCbCr — the storage form of essentially every web photo. ``4:2:0``
@@ -269,8 +295,14 @@ def encode_color_jpeg(
     shifted = [p - 128.0 for p in planes]
     bw = _BitWriter()
     preds = [0, 0, 0]
+    n_mcu = rst = 0
     for my in range(0, H // mcu):
         for mx in range(0, W // mcu):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            n_mcu += 1
             for c in range(3):
                 vmax, hmax = samp[c]
                 for v in range(vmax):
@@ -287,6 +319,8 @@ def encode_color_jpeg(
     for cid, (v, hh) in zip((1, 2, 3), samp):
         sof += bytes([cid, (hh << 4) | v, 0])
     out += _marker(0xFFC0, sof)
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
     out += _marker(0xFFDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
@@ -343,6 +377,23 @@ class _BitReader:
     def skip(self, n: int) -> None:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
+
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker at a restart-interval boundary: the
+        encoder byte-aligned with padding bits before it, so any
+        buffered bits (real padding, or phantom zeros a peek16 near the
+        marker synthesized) are discarded; ``pos`` still points at the
+        0xFF because ``_fill`` refuses to step over markers."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + m
+        ):
+            got = self.data[self.pos : self.pos + 2].hex()
+            raise ValueError(f"expected RST{m} marker, found 0x{got}")
+        self.pos += 2
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -452,6 +503,7 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
+    ri = 0  # restart interval in MCUs (0 = none)
     comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -468,8 +520,8 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
                 f"SOF marker 0xFF{tag:02X}: only baseline sequential "
                 "(SOF0) is supported"
             )
-        if tag == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) unsupported")
+        if tag == 0xDD:  # DRI: restart every `ri` MCUs
+            ri = struct.unpack_from(">H", body, 0)[0]
         if tag == 0xDB:  # DQT (may hold several tables)
             b = 0
             while b < len(body):
@@ -526,10 +578,16 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
                 H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
                 out = np.empty((H, W), dtype=np.float64)
                 pred = 0
+                n_mcu = rst = 0
                 for by in range(0, H, 8):
                     for bx in range(0, W, 8):
+                        if ri and n_mcu and n_mcu % ri == 0:
+                            br.restart(rst)  # non-interleaved MCU = 1 block
+                            rst = (rst + 1) % 8
+                            pred = 0
                         coefs, pred = _read_block(br, dc_tab, ac_tab, pred)
                         _idct_into(out, by, bx, coefs, q)
+                        n_mcu += 1
                 return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
             # interleaved 3-component scan: MCU = hmax*8 x vmax*8 pixels
             hmax = max(c[1] for c in comps)
@@ -540,8 +598,14 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
             for _cid, hs, vs, _tq in comps:
                 planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8)))
             preds = [0] * len(comps)
+            n_mcu = rst = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    if ri and n_mcu and n_mcu % ri == 0:
+                        br.restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * len(comps)
+                    n_mcu += 1
                     for ci, (cid, hs, vs, tq) in enumerate(comps):
                         dc_tab, ac_tab = tabs[cid]
                         q = qt[tq]

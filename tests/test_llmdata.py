@@ -768,6 +768,48 @@ def test_jpeg_color_codec():
     assert out4.shape == (13, 21, 3)
 
 
+def test_jpeg_restart_intervals():
+    """DRI/RSTm framing: restart markers byte-align, reset predictors,
+    and round-trip exactly for gray and color at several intervals; a
+    wrong restart index fails loudly."""
+    import numpy as np
+    import pytest
+
+    from coffea_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+        rgb_to_ycbcr,
+    )
+
+    rng = np.random.default_rng(3)
+    img = np.kron(
+        rng.integers(0, 256, (5, 7)).astype(np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    for ri in (1, 2, 5, 100):
+        assert (decode_jpeg(encode_gray_jpeg(img, restart_interval=ri)) == img).all()
+
+    g = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    for ri in (1, 4):
+        dec = decode_jpeg(encode_gray_jpeg(g, restart_interval=ri))
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+
+    cimg = np.zeros((48, 64, 3), dtype=np.uint8)
+    for by in range(0, 48, 16):
+        for bx in range(0, 64, 16):
+            cimg[by:by + 16, bx:bx + 16] = rng.integers(0, 256, 3)
+    for ri in (1, 2, 5):
+        d = encode_color_jpeg(cimg, restart_interval=ri)
+        assert (decode_jpeg(d, color_space="ycbcr") == rgb_to_ycbcr(cimg)).all()
+
+    bad = bytearray(encode_gray_jpeg(img, restart_interval=2))
+    i = bytes(bad).find(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(bad))
+
+
 def test_bpe_train_matches_reference(spark):
     """Distributed BPE training must reproduce an INDEPENDENT in-memory
     reference implementation (dict-based Sennrich algorithm) merge for
