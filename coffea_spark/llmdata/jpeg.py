@@ -265,20 +265,22 @@ def encode_color_jpeg(
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_color_jpeg wants an (h, w, 3) uint8 array")
-    if subsampling not in ("4:2:0", "4:4:4"):
+    if subsampling not in ("4:2:0", "4:2:2", "4:4:4"):
         raise NotImplementedError(f"subsampling {subsampling!r}")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
     ycc = rgb_to_ycbcr(img)
-    if subsampling == "4:2:0":
-        sy, mcu = (2, 2), 16
-    else:
-        sy, mcu = (1, 1), 8
+    # luma (v, h) sampling and MCU pixel size per subsampling mode
+    sy, mcu_h, mcu_w = {
+        "4:2:0": ((2, 2), 16, 16),
+        "4:2:2": ((1, 2), 8, 16),
+        "4:4:4": ((1, 1), 8, 8),
+    }[subsampling]
     # pad the luma plane to whole MCUs by edge replication
-    H = (h + mcu - 1) // mcu * mcu
-    W = (w + mcu - 1) // mcu * mcu
+    H = (h + mcu_h - 1) // mcu_h * mcu_h
+    W = (w + mcu_w - 1) // mcu_w * mcu_w
     planes = [
         np.pad(ycc[..., i], ((0, H - h), (0, W - w)), mode="edge").astype(np.float64)
         for i in range(3)
@@ -291,13 +293,18 @@ def encode_color_jpeg(
                 (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
                 / 4.0
             )
+    elif subsampling == "4:2:2":
+        # chroma: horizontal 1x2 means only (rows keep full resolution)
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = np.round((p[:, 0::2] + p[:, 1::2]) / 2.0)
     samp = [sy, (1, 1), (1, 1)]
     shifted = [p - 128.0 for p in planes]
     bw = _BitWriter()
     preds = [0, 0, 0]
     n_mcu = rst = 0
-    for my in range(0, H // mcu):
-        for mx in range(0, W // mcu):
+    for my in range(0, H // mcu_h):
+        for mx in range(0, W // mcu_w):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 bw.restart_marker(rst)
                 rst = (rst + 1) % 8

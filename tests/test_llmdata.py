@@ -756,6 +756,14 @@ def test_jpeg_color_codec():
     d444 = encode_color_jpeg(img2, subsampling="4:4:4")
     assert (decode_jpeg(d444, color_space="ycbcr") == rgb_to_ycbcr(img2)).all()
 
+    # 4:2:2 (horizontal-only chroma subsampling): 8x16 tile constants
+    img22 = np.zeros((24, 64, 3), dtype=np.uint8)
+    for by in range(0, 24, 8):
+        for bx in range(0, 64, 16):
+            img22[by:by + 8, bx:bx + 16] = rng.integers(0, 256, 3)
+    d422 = encode_color_jpeg(img22, subsampling="4:2:2")
+    assert (decode_jpeg(d422, color_space="ycbcr") == rgb_to_ycbcr(img22)).all()
+
     # smooth gradient: subsampled decode stays close away from edges
     yy, xx = np.mgrid[0:32, 0:48]
     img3 = np.stack([yy * 4, xx * 3, yy * 2 + xx], axis=-1).astype(np.uint8)
