@@ -3926,6 +3926,64 @@ SELECT * FROM (VALUES
 """
 
 
+def q_pfnano_objects(spark, sf_dir):
+    """REAL PFNano through the OBJECT schema (reference
+    schemas/nanoaod.py:467-508 PFNanoAODSchema + the nanoevents zip):
+    read_nanoevents builds JetPFCands / PFCands / Jet as array<struct>
+    collections from the LZMA binary fixture, and ``joins.matched``
+    resolves the link collection's pFCandsIdx / jetIdx cross-references
+    object-to-object — the schema-level spelling of pfnano_real_xref's
+    raw-column gather (same independent numpy goldens; the two gates
+    must agree, proving the zip preserves alignment). ``sf_dir``
+    unused."""
+    from coffea_spark.joins import matched
+    from coffea_spark.root_reader import read_nanoevents
+    from coffea_spark.schema import PFNanoAODSchema
+
+    path = "/root/reference/tests/samples/pfnano.root"
+    ev = read_nanoevents(
+        spark, [path], tree="Events",
+        columns=["JetPFCands_jetIdx", "JetPFCands_pFCandsIdx",
+                 "PFCands_pt", "PFCands_eta", "Jet_pt",
+                 "nJetPFCands", "nPFCands", "nJet"],
+        spec=PFNanoAODSchema,
+    )
+    links = F.col("JetPFCands")
+    pf = matched(links, "pFCandsIdx", F.col("PFCands"))
+    weighted = F.zip_with(
+        links, pf,
+        lambda lk, c: (lk["jetIdx"].cast("double") + 1.0)
+        * F.coalesce(c["pt"].cast("double"), F.lit(0.0)),
+    )
+    per_event = ev.select(
+        F.size(links).alias("_nl"),
+        F.size("Jet").alias("_nj"),
+        F.aggregate(
+            pf, F.lit(0.0),
+            lambda a, c: a + F.coalesce(c["pt"].cast("double"), F.lit(0.0)),
+        ).alias("_sum_linked"),
+        F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x).alias("_sum_weighted"),
+        F.exists(pf, lambda c: c.isNull()).alias("_any_null"),
+    )
+    return per_event.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_nl").alias("n_links"),
+        F.sum("_nj").alias("n_jets"),
+        F.round(F.sum("_sum_linked"), 2).alias("sum_linked_pt"),
+        F.round(F.sum("_sum_weighted"), 2).alias("sum_weighted"),
+        (~F.max("_any_null")).alias("all_resolved"),
+    )
+
+
+# same independent numpy goldens as pfnano_real_xref (minus sum_jet_pt)
+SQL_PFNANO_OBJECTS = """
+SELECT * FROM (VALUES
+  (CAST(10 AS BIGINT), CAST(1801 AS BIGINT), CAST(64 AS BIGINT),
+   CAST(30012.77 AS DOUBLE), CAST(50935.16 AS DOUBLE), TRUE)
+) AS t(n_events, n_links, n_jets, sum_linked_pt, sum_weighted, all_resolved)
+"""
+
+
 def q_scouting_objects(spark, sf_dir):
     """REAL ScoutingNanoAOD through the OBJECT schema (reference
     schemas/nanoaod.py:511-557 ScoutingNanoAODSchema + the nanoevents
@@ -7292,6 +7350,7 @@ REGISTRY: dict[str, Query] = {
     "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
     "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
+    "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
