@@ -945,6 +945,7 @@ def paragraph_dedup(
     text_col: str = "text",
     sep: str = "\n",
     min_chars: int = 1,
+    normalize: bool = False,
 ) -> DataFrame:
     """CCNet-style paragraph deduplication (Wenzek et al. 2020 dedup
     lines/paragraphs ACROSS the corpus, not whole documents — the unit
@@ -968,7 +969,7 @@ def paragraph_dedup(
     set (one row per distinct fingerprint) joins back on _fp — AQE
     skew-join splits any hot probe-side key — then one keyed shuffle
     back to (id) for ordered reconstruction."""
-    from coffea_spark.llmdata.text import rolling_hash
+    from coffea_spark.llmdata.text import ccnet_normalize, rolling_hash
 
     paras = df.select(
         F.col(id_col).alias("_id"),
@@ -976,7 +977,7 @@ def paragraph_dedup(
             "_pos", "_para"
         ),
     )
-    norm = F.trim(F.col("_para"))
+    norm = ccnet_normalize(F.col("_para")) if normalize else F.trim(F.col("_para"))
     content = F.length(norm) >= min_chars
     hashed = paras.withColumn("_fp", F.when(content, rolling_hash(norm)))
     keepers = (

@@ -141,6 +141,21 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def ccnet_normalize(col: Column) -> Column:
+    """CCNet's dedup normalization (Wenzek et al. 2020 §4.1: paragraphs
+    are hashed AFTER lowercasing, replacing every digit with zero, and
+    stripping punctuation/accents so trivial variants collide): this is
+    the portable subset — lowercase, digits -> 0, Unicode
+    punctuation/symbol strip, whitespace collapse — as one scan-stage
+    RE2-compatible regex chain (no UDF; accent folding needs ICU and
+    stays out so both engines agree byte-for-byte). Feed the result to
+    :func:`rolling_hash` / ``paragraph_dedup(normalize=True)``."""
+    out = F.lower(col)
+    out = F.regexp_replace(out, r"[0-9]", "0")
+    out = F.regexp_replace(out, r"[\p{P}\p{S}]", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def rolling_hash(col: Column, base: int = 257, mod: int = 2147483647) -> Column:
     """Rabin-Karp polynomial fingerprint over unicode codepoints:
     h = fold(chars, 0, (a, c) -> (a*base + ord(c)) % mod). Pure column

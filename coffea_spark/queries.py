@@ -6488,6 +6488,94 @@ FROM rebuilt
 """
 
 
+def q_paragraph_dedup_norm(spark, sf_dir):
+    """NORMALIZED CCNet paragraph dedup (paragraph_dedup(normalize=True)
+    + text.ccnet_normalize — Wenzek et al. 2020 §4.1 hash paragraphs
+    after lowercase / digits->0 / punctuation strip so trivial variants
+    collide): headers carry per-doc punctuation+case variants ("HDR
+    src!" vs "hdr src.") that raw hashing keeps apart but normalized
+    hashing dedups to one corpus-wide keeper. The oracle replays the
+    identical RE2-compatible normalization chain (byte-for-byte parity
+    verified over the whole corpus) plus the keeper election and
+    original-text rebuild."""
+    from coffea_spark.llmdata.dedup import paragraph_dedup
+    from coffea_spark.llmdata.text import rolling_hash
+
+    hdr_case = F.when(F.col("doc_id") % 2 == 0, F.lit("HDR ")).otherwise(
+        F.lit("hdr ")
+    )
+    punct = F.when(F.col("doc_id") % 3 == 0, F.lit("!")).otherwise(F.lit("."))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            hdr_case, F.col("source"), punct, F.lit("\n"),
+            F.col("text"),
+            F.lit("\nFTR "), F.col("source"),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(docs, normalize=True)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_paragraphs").alias("n_paragraphs"),
+        F.sum("n_kept").alias("n_kept"),
+        F.sum(rolling_hash(F.col("text"))).alias("sum_hash"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP_NORM = r"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HDR ' ELSE 'hdr ' END) || source ||
+         (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '.' END) || chr(10) ||
+         text || chr(10) || 'FTR ' || source AS t
+  FROM documents
+), e AS (
+  SELECT doc_id, u.p.pos AS pos, u.p.para AS para
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             string_split(t, chr(10)),
+             (x, i) -> {'pos': i - 1, 'para': x})) AS p
+    FROM d
+  ) u(doc_id, p)
+), nrm AS (
+  SELECT doc_id, pos, para,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           lower(para), '[0-9]', '0', 'g'), '[\p{P}\p{S}]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm
+  FROM e
+), h AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(norm) >= 1 THEN
+           list_reduce(
+             list_transform(string_split_regex(norm, ''), c -> CAST(ord(c) AS BIGINT)),
+             (a, x) -> (a * 257 + x) % 2147483647)
+         END AS fp
+  FROM nrm
+), k AS (
+  SELECT doc_id, pos, para,
+         (fp IS NULL OR
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1) AS keep
+  FROM h
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_paragraphs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '')
+           AS text
+  FROM k GROUP BY doc_id
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_paragraphs) AS BIGINT) AS n_paragraphs,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN length(text) > 0 THEN
+         list_reduce(
+           list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647)
+         ELSE 0 END) AS BIGINT) AS sum_hash
+FROM rebuilt
+"""
+
+
 def q_domain_filter(spark, sf_dir):
     """URL host extraction + domain blocklist filtering (text.url_host /
     domain_filter — the C4/RefinedWeb URL-filter stage): deterministic
@@ -7351,6 +7439,7 @@ REGISTRY: dict[str, Query] = {
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
     "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
     "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
+    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),

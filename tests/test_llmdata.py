@@ -1302,6 +1302,34 @@ def test_unimax_waterfill(spark):
     assert a == b and len(a) > 0
 
 
+def test_ccnet_normalize_and_normalized_dedup(spark):
+    """CCNet dedup normalization: lowercase, digits->0, punctuation/
+    symbol strip, whitespace collapse — trivially-variant paragraphs
+    hash together under paragraph_dedup(normalize=True) but not under
+    raw hashing."""
+    from coffea_spark.llmdata.text import ccnet_normalize
+
+    df = spark.createDataFrame(
+        [("Hello, World! 2024",), ("hello world 1999",), ("  hello   world 0000 ",)],
+        "t string",
+    )
+    got = [r.n for r in df.select(ccnet_normalize(F.col("t")).alias("n")).collect()]
+    assert got == ["hello world 0000", "hello world 0000", "hello world 0000"]
+
+    docs = spark.createDataFrame(
+        [(0, "Same Line, Please!\nunique zero"),
+         (1, "same line please\nunique one")],
+        "doc_id long, text string",
+    )
+    raw = {r.doc_id: r.n_kept for r in dedup.paragraph_dedup(docs).collect()}
+    assert raw == {0: 2, 1: 2}  # raw spellings differ: nothing deduped
+    norm = {r.doc_id: r for r in
+            dedup.paragraph_dedup(docs, normalize=True).collect()}
+    assert norm[0].n_kept == 2
+    # doc 1 loses its normalized-equal first paragraph, keeps the unique
+    assert norm[1].n_kept == 1 and norm[1].text == "unique one"
+
+
 def test_paragraph_dedup_no_window(spark):
     """Keeper election must be an aggregation (map-side combinable),
     never a window over the fingerprint: `row_number() over
