@@ -7396,18 +7396,21 @@ REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
     # Driver correctness window (first 50): round-7 rotation. Leads
     # with the 23 round-6 gates that carried only local-sweep evidence
-    # (their first driver hash-verification), the scouting_real_scan
-    # gate NEW this round, and every gate whose code changed in round
-    # 7: paragraph_dedup (groupBy/min_by keeper election),
-    # perplexity_buckets (threshold bucketing), bloom_decontam (min==1
-    # membership), quality_classifier (logreg null/empty guards),
-    # bpe_train (batched merges), ann/ivf/pq_recall (single-pass
-    # recall summary), root_sink_scan + root_source_scan (task-attempt
-    # commit protocol), and the real-binary ROOT gates (root_scan,
-    # physlite_real_links, physlite_triple_nested, edm4hep_real_links,
-    # treemaker_real_nesting) re-verified under the new embedded-
-    # basket scan. The tail slots hold veterans last driver-checked in
-    # r5 or earlier.
+    # (their first driver hash-verification), the 10 gates NEW this
+    # round (scouting_real_scan, scouting_objects, pfnano_real_xref,
+    # pfnano_objects, unimax_sample, stream_dedup, substring_removal,
+    # jpeg_color_features, paragraph_dedup_norm — slots 23-31), and
+    # every
+    # gate whose code changed in round 7: paragraph_dedup (groupBy/min
+    # keeper election), perplexity_buckets (threshold bucketing),
+    # bloom_decontam (min==1 membership), quality_classifier (logreg
+    # null/empty guards), bpe_train (batched merges), ann/ivf/pq_recall
+    # (single-pass recall summary), root_sink_scan + root_source_scan
+    # (task-attempt commit protocol), and the real-binary ROOT gates
+    # (root_scan, physlite_real_links, physlite_triple_nested,
+    # edm4hep_real_links, treemaker_real_nesting) re-verified under the
+    # new embedded-basket scan. Remaining slots: veterans last
+    # driver-checked in r5 or earlier.
     # ------------------------------------------------------------------
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
