@@ -13,9 +13,16 @@ replication upsampling), and DRI restart intervals (RSTm markers,
 per-interval predictor reset — the error-resilience framing most
 camera/web encoders produce).
 
-Remaining out of scope: progressive (SOF2), arithmetic coding, and
-12-bit precision raise ``NotImplementedError`` with the reason — a
-PIL/turbojpeg-backed ``decoder=`` hook remains the path for those.
+PROGRESSIVE (SOF2) Huffman streams decode too: multi-scan spectral
+selection AND successive approximation — interleaved/non-interleaved
+DC first+refine scans, per-component AC band scans with EOB-run
+accumulation, and the T.81 G.1.2.3 AC refinement algorithm (correction
+bits, ZRL spans, buffered-bit ordering); a matching
+``encode_progressive_jpeg`` emits the classic libjpeg-style scan
+script so the full path is roundtrip-tested without external tools.
+Remaining out of scope: arithmetic coding and 12-bit precision raise
+``NotImplementedError`` with the reason — a PIL/turbojpeg-backed
+``decoder=`` hook remains the path for those.
 Lossiness note: with an all-ones quantization table the only error
 source is FDCT rounding (|err| <= 1); images that are constant per
 coded block round-trip EXACTLY (only the DC coefficient is nonzero and
@@ -521,11 +528,11 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker 0xFF{tag:02X}: only baseline sequential "
-                "(SOF0) is supported"
+                f"SOF marker 0xFF{tag:02X}: baseline sequential (SOF0) "
+                "and Huffman progressive (SOF2) are supported"
             )
         if tag == 0xDD:  # DRI: restart every `ri` MCUs
             ri = struct.unpack_from(">H", body, 0)[0]
@@ -550,7 +557,7 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
                     bytes(bits), bytes(vals)
                 )
                 b += 17 + n
-        elif tag == 0xC0:  # SOF0
+        elif tag in (0xC0, 0xC2):  # SOF0 (sequential) / SOF2 (progressive)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -567,6 +574,10 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
                         f"sampling factor {hs}x{vs}: only 1 and 2 supported"
                     )
                 comps.append((cid, hs, vs, body[8 + 3 * c]))
+            if tag == 0xC2:
+                return _decode_progressive(
+                    data, pos, h, w, comps, qt, huff, color_space
+                )
         elif tag == 0xDA:  # SOS: entropy data follows
             if h is None:
                 raise ValueError("SOS before SOF0")
@@ -637,3 +648,462 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
             return ycbcr_to_rgb(full)
         # APPn / COM / others: skipped
     raise ValueError("no SOS marker: truncated JPEG")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2), Huffman: spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+# progressive AC Huffman table: the sequential Annex K table has no
+# EOBn (n>1) symbols, so progressive scans declare their own — a flat
+# canonical table carrying ALL 256 symbols (255 at 9 bits + 1 at 10;
+# DHT count bytes max out at 255). Rate-suboptimal, spec-valid, and it
+# exercises the decoder's full EOB-run and ZRL paths.
+_PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_PROG_AC_VALS = list(range(256))
+_PROG_AC_CODES = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter with the progressive extras: an EOB-run accumulator and
+    the buffered-correction-bit (BE) queue that refinement scans append
+    after the next emitted symbol (T.81 G.1.2.3 / libjpeg's BE logic)."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def emit_buffered(self) -> None:
+        for b in self.be:
+            self.write(b, 1)
+        self.be = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = _PROG_AC_CODES[nbits << 4]
+            self.write(code, length)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            self.emit_buffered()
+
+
+def _prog_dc_first(bw, dc_shifted: int, pred: int) -> int:
+    diff = dc_shifted - pred
+    cat = _category(diff)
+    code, length = _DC_CODES[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    return dc_shifted
+
+
+def _prog_ac_first(bw: _ProgWriter, coefs: np.ndarray, ss: int, se: int,
+                   al: int) -> None:
+    """First AC scan for one block's band (Ah=0): run/size coding of the
+    point-transformed values with cross-block EOB runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(coefs[k])
+        t = abs(c) >> al
+        if t == 0:
+            r += 1
+            continue
+        bw.flush_eobrun()
+        while r > 15:
+            code, length = _PROG_AC_CODES[0xF0]
+            bw.write(code, length)
+            r -= 16
+        cat = t.bit_length()
+        code, length = _PROG_AC_CODES[(r << 4) | cat]
+        bw.write(code, length)
+        v = t if c > 0 else -t
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        r = 0
+    if r > 0:
+        bw.eobrun += 1
+        if bw.eobrun == 0x7FFF:
+            bw.flush_eobrun()
+
+
+def _prog_ac_refine(bw: _ProgWriter, coefs: np.ndarray, ss: int, se: int,
+                    al: int) -> None:
+    """Refinement AC scan for one block's band (Ah = Al+1 -> Al):
+    newly-significant coefficients code as (run, 1)+sign; already-
+    significant ones contribute one buffered correction bit apiece,
+    appended after the next symbol (T.81 G.1.2.3)."""
+    absval = [abs(int(coefs[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # 1-based index past the last newly-significant coefficient
+    for i, t in enumerate(absval):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absval):
+        if t == 0:
+            r += 1
+            continue
+        if t > 1:
+            # already significant: buffered correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        while r > 15 and i < eob:
+            bw.flush_eobrun()
+            code, length = _PROG_AC_CODES[0xF0]
+            bw.write(code, length)
+            r -= 16
+            bw.be += br
+            bw.emit_buffered()
+            br = []
+        bw.flush_eobrun()
+        code, length = _PROG_AC_CODES[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(coefs[ss + i]) > 0 else 0, 1)
+        bw.be += br
+        bw.emit_buffered()
+        br = []
+        r = 0
+    if r > 0 or br:
+        bw.eobrun += 1
+        bw.be += br
+        if bw.eobrun == 0x7FFF:
+            bw.flush_eobrun()
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "4:2:0",
+) -> bytes:
+    """Encode gray (h, w) or RGB (h, w, 3) as PROGRESSIVE (SOF2)
+    Huffman JPEG with the classic libjpeg-style scan script: interleaved
+    DC first scan at Al=1, per-component AC bands 1-5 and 6-63 at Al=2,
+    then AC refinements 2->1 and 1->0 and a DC refinement 1->0 — full
+    spectral selection AND successive approximation, so the output
+    exercises the same decode paths as mozjpeg/libjpeg web photos.
+    Coefficient coding is lossless: decoding this stream yields
+    bit-identical coefficients to the sequential encoder with the same
+    quantization table."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if gray:
+        if img.dtype != np.uint8:
+            raise ValueError("encode_progressive_jpeg wants uint8")
+        h, w = img.shape
+        comps = [(1, 1, 1)]
+        mcu_h = mcu_w = 8
+        planes_u8 = [img]
+    else:
+        if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+            raise ValueError("encode_progressive_jpeg wants (h,w) or (h,w,3) uint8")
+        if subsampling not in ("4:2:0", "4:4:4"):
+            raise NotImplementedError(f"subsampling {subsampling!r}")
+        h, w = img.shape[:2]
+        ycc = rgb_to_ycbcr(img)
+        if subsampling == "4:2:0":
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+            mcu_h = mcu_w = 16
+        else:
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+            mcu_h = mcu_w = 8
+        planes_u8 = [ycc[..., i] for i in range(3)]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    H = (h + mcu_h - 1) // mcu_h * mcu_h
+    W = (w + mcu_w - 1) // mcu_w * mcu_w
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # per-component zigzag coefficient grids over the MCU-padded plane
+    coef: list[np.ndarray] = []
+    real_blocks: list[tuple[int, int]] = []
+    for ci, (_cid, hs, vs) in enumerate(comps):
+        p = np.pad(
+            planes_u8[ci] if (gray or subsampling == "4:4:4" or ci == 0)
+            else planes_u8[ci],
+            ((0, H - h), (0, W - w)), mode="edge",
+        ).astype(np.float64)
+        if not gray and subsampling == "4:2:0" and ci > 0:
+            p = np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                / 4.0
+            )
+        p -= 128.0
+        by_n, bx_n = p.shape[0] // 8, p.shape[1] // 8
+        g = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                Fc = _A @ p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ _A.T
+                g[by, bx] = np.round(Fc / q).astype(np.int64).ravel()[_ZIGZAG]
+        coef.append(g)
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        real_blocks.append((-(-ch // 8), -(-cw // 8)))
+
+    mcux, mcuy = W // mcu_w, H // mcu_h
+    segs: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy bytes)
+
+    def dc_scan(ah: int, al: int) -> None:
+        bw = _ProgWriter()
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_cid, hs, vs) in enumerate(comps):
+                    for v in range(vs):
+                        for u in range(hs):
+                            c = int(coef[ci][my * vs + v, mx * hs + u, 0])
+                            if ah == 0:
+                                preds[ci] = _prog_dc_first(bw, c >> al, preds[ci])
+                            else:
+                                bw.write((c >> al) & 1, 1)
+        bw.flush()
+        body = bytes([len(comps)])
+        for cid, _hs, _vs in comps:
+            body += bytes([cid, 0x00])
+        body += bytes([0, 0, (ah << 4) | al])
+        segs.append((body, bytes(bw.out)))
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> None:
+        bw = _ProgWriter()
+        by_n, bx_n = real_blocks[ci]
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    _prog_ac_first(bw, blk, ss, se, al)
+                else:
+                    _prog_ac_refine(bw, blk, ss, se, al)
+        bw.flush_eobrun()
+        bw.flush()
+        cid = comps[ci][0]
+        body = bytes([1, cid, 0x01, ss, se, (ah << 4) | al])
+        segs.append((body, bytes(bw.out)))
+
+    dc_scan(0, 1)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 5, 0, 2)
+        ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 63, 2, 1)
+    dc_scan(1, 0)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 63, 1, 0)
+
+    out = b"\xff\xd8"
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_dht(q)
+    out += _marker(
+        0xFFC4,
+        b"\x11" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += _marker(0xFFC2, sof)
+    for body, entropy in segs:
+        out += _marker(0xFFDA, body) + entropy
+    out += b"\xff\xd9"
+    return out
+
+
+def _prog_read_ac_first(br, dc_tab_unused, ac_tab, coefs, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol_fast(br, ac_tab)
+        r, s_ = sym >> 4, sym & 0x0F
+        if s_ == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow in progressive first scan")
+        coefs[k] = _extend(br.bits(s_), s_) << al
+        k += 1
+    return eobrun
+
+
+def _prog_read_ac_refine(br, ac_tab, coefs, ss, se, al, eobrun):
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol_fast(br, ac_tab)
+            r, s_ = sym >> 4, sym & 0x0F
+            if s_ == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                newval = 0
+            else:
+                if s_ != 1:
+                    raise ValueError("refinement scan symbol size must be 1")
+                newval = p1 if br.bits(1) else m1
+            while k <= se:
+                c = int(coefs[k])
+                if c != 0:
+                    if br.bits(1) and (c & p1) == 0:
+                        coefs[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coefs[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coefs[k])
+            if c != 0 and br.bits(1) and (c & p1) == 0:
+                coefs[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
+                        huff, color_space: str):
+    """Scan loop + final IDCT for SOF2 streams. ``comps`` are (id, hs,
+    vs, tq); ``pos`` sits just past the SOF2 segment. Markers between
+    scans (DHT redefinitions, DRI, APPn) are honored; decoding stops at
+    EOI."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + hmax * 8 - 1) // (hmax * 8)
+    mcuy = (h + vmax * 8 - 1) // (vmax * 8)
+    stores: dict[int, np.ndarray] = {}
+    realb: dict[int, tuple[int, int]] = {}
+    for cid, hs, vs, _tq in comps:
+        stores[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        realb[cid] = (-(-ch // 8), -(-cw // 8))
+    ri = 0
+    by_id = {c[0]: c for c in comps}
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        tag = data[pos + 1]
+        if tag == 0xD9:  # EOI: reconstruct
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if tag == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _fast_lut(
+                    bytes(bits), bytes(body[b + 17 : b + 17 + n])
+                )
+                b += 17 + n
+        elif tag == 0xDD:
+            ri = struct.unpack_from(">H", body, 0)[0]
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans"
+                )
+        elif tag == 0xDA:
+            ns = body[0]
+            sel = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                sel.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            br = _BitReader(data, pos)
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan must have Se = 0")
+                if ns > 1:
+                    preds = {cs: 0 for cs, _t, _a in sel}
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for cs, td, _ta in sel:
+                                _cid, hs, vs, _tq = by_id[cs]
+                                st = stores[cs]
+                                for v in range(vs):
+                                    for u in range(hs):
+                                        blk = st[my * vs + v, mx * hs + u]
+                                        if ah == 0:
+                                            cat = _read_symbol_fast(br, huff[(0, td)])
+                                            d = _extend(br.bits(cat), cat) if cat else 0
+                                            preds[cs] += d
+                                            blk[0] = preds[cs] << al
+                                        else:
+                                            if br.bits(1):
+                                                blk[0] = int(blk[0]) | (1 << al)
+                else:
+                    cs, td, _ta = sel[0]
+                    by_n, bx_n = realb[cs]
+                    st = stores[cs]
+                    pred = 0
+                    for by in range(by_n):
+                        for bx in range(bx_n):
+                            blk = st[by, bx]
+                            if ah == 0:
+                                cat = _read_symbol_fast(br, huff[(0, td)])
+                                d = _extend(br.bits(cat), cat) if cat else 0
+                                pred += d
+                                blk[0] = pred << al
+                            else:
+                                if br.bits(1):
+                                    blk[0] = int(blk[0]) | (1 << al)
+            else:  # AC scan: always one component
+                if ns != 1:
+                    raise ValueError("AC progressive scans are single-component")
+                cs, _td, ta = sel[0]
+                ac_tab = huff[(1, ta)]
+                by_n, bx_n = realb[cs]
+                st = stores[cs]
+                eobrun = 0
+                for by in range(by_n):
+                    for bx in range(bx_n):
+                        blk = st[by, bx]
+                        if ah == 0:
+                            eobrun = _prog_read_ac_first(
+                                br, None, ac_tab, blk, ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _prog_read_ac_refine(
+                                br, ac_tab, blk, ss, se, al, eobrun
+                            )
+            pos = br.pos
+        # other markers (APPn/COM/DQT redefinition): skipped/ignored
+    # reconstruct
+    planes = []
+    for cid, hs, vs, tq in comps:
+        st = stores[cid]
+        q = qt[tq]
+        by_n, bx_n = st.shape[:2]
+        out = np.empty((by_n * 8, bx_n * 8), dtype=np.float64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                _idct_into(out, by * 8, bx * 8, st[by, bx], q)
+        planes.append(out)
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+    full = np.empty((h, w, 3), dtype=np.uint8)
+    for ci, (cid, hs, vs, _tq) in enumerate(comps):
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[..., ci] = p[:h, :w].astype(np.uint8)
+    if color_space == "ycbcr":
+        return full
+    return ycbcr_to_rgb(full)

@@ -4,12 +4,13 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
 mapInPandas signatures) is real, and so is the default image codec:
 :func:`real_image_decoder` contains complete numpy-only PNG (8-bit
 gray/RGB/palette/alpha, all five row filters, zlib via the stdlib — a
-real COMPRESSED container), BMP (8-bit paletted + 24-bit), and PPM/PGM
-(P5/P6) parsers with matching encoders — none needs an external
-library. JPEG and audio/video codecs still require PIL/ffmpeg, which
-this container lacks; those go through the same ``decoder=`` hook with
-a deterministic fake for tests, and swapping in a PIL-backed callable
-changes nothing else.
+real COMPRESSED container), BMP (8-bit paletted + 24-bit), PPM/PGM
+(P5/P6), and JPEG — baseline sequential AND progressive, grayscale AND
+YCbCr color (jpeg.py) — parsers with matching encoders; none needs an
+external library. Compressed audio/video codecs still require ffmpeg,
+which this container lacks; those go through the same ``decoder=``
+hook with a deterministic fake for tests, and swapping in an
+ffmpeg-backed callable changes nothing else.
 
 Design for 100 TB of media:
 - binary payloads stay in parquet; metadata (width/height/duration/codec)
@@ -374,6 +375,33 @@ def synthetic_color_jpeg_payloads(ids: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def synthetic_progressive_jpeg_payloads(ids: pd.Series) -> pd.Series:
+    """The SAME deterministic tile-constant RGB images as
+    :func:`synthetic_color_jpeg_payloads`, encoded PROGRESSIVE (SOF2,
+    spectral selection + successive approximation, 4:2:0): decoding
+    must produce bit-identical YCbCr planes to the sequential stream —
+    progressive coefficient coding is lossless — so the gate shares the
+    sequential gate's oracle verbatim."""
+    from coffea_spark.llmdata.jpeg import encode_progressive_jpeg
+
+    out = []
+    for d in ids:
+        d = int(d)
+        bh, bw = 1 + d % 2, 1 + d % 3
+        i, j = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+        tiles = np.stack(
+            [
+                4 * ((d * 37 + i * 16 + j * 5) % 64),
+                4 * ((d * 53 + i * 8 + j * 3) % 64),
+                4 * ((d * 29 + i * 4 + j * 7) % 64),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        img = np.kron(tiles, np.ones((16, 16, 1), dtype=np.uint8))
+        out.append(encode_progressive_jpeg(img, subsampling="4:2:0"))
+    return pd.Series(out)
+
+
 def color_image_features(
     df: DataFrame,
     image_col: str = "image",
@@ -422,9 +450,10 @@ def real_image_decoder(data: bytes) -> np.ndarray:
     """Default image decoder: full numpy-only parsers for BMP 8/24-bit,
     PPM/PGM P5/P6, non-interlaced 8-bit PNG (a real zlib-compressed
     container), and baseline-sequential JPEG — grayscale to (h, w),
-    YCbCr color (4:4:4/4:2:2/4:2:0) to (h, w, 3) RGB (jpeg.py;
-    progressive/arithmetic JPEG still needs an external library and
-    raises there), dispatched on magic bytes."""
+    YCbCr color (4:4:4/4:2:2/4:2:0) to (h, w, 3) RGB, sequential
+    (SOF0) AND progressive (SOF2) Huffman streams alike (jpeg.py;
+    arithmetic coding still needs an external library and raises
+    there), dispatched on magic bytes."""
     magic = bytes(data[:2])
     if magic == b"BM":
         return decode_bmp(data)

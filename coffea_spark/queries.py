@@ -2696,6 +2696,64 @@ def q_jpeg_color_features(spark, sf_dir):
     )
 
 
+def _jpeg_prog_fixture(spark, sf_dir) -> str:
+    """The tile-constant RGB images encoded PROGRESSIVE (SOF2) into a
+    parquet fixture once per sf_dir."""
+    import tempfile
+
+    from coffea_spark.llmdata.multimodal import synthetic_progressive_jpeg_payloads
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_jpeg_prog.parquet"
+    )
+    if not _fixture_ready(out):
+        enc = F.pandas_udf(synthetic_progressive_jpeg_payloads, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.struct(
+                enc("doc_id").alias("data"),
+                F.lit("jpeg").alias("format"),
+                (F.lit(16) * (1 + F.col("doc_id") % 3)).cast("int").alias("width"),
+                (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("height"),
+            ).alias("image"),
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not _fixture_ready(out):
+                raise
+    return out
+
+
+def q_jpeg_progressive_features(spark, sf_dir):
+    """REAL PROGRESSIVE JPEG decode through the gate (llmdata/jpeg.py
+    SOF2: multi-scan spectral selection + successive approximation with
+    EOB-run accumulation and the T.81 G.1.2.3 AC refinement algorithm —
+    the storage form of most large web photos): the SAME tile-constant
+    images as jpeg_color_features, encoded progressive. Progressive
+    coefficient coding is LOSSLESS, so the decoded YCbCr planes must be
+    bit-identical to the sequential stream's and the gate shares
+    SQL_JPEG_COLOR_FEATURES verbatim — any divergence in any scan type
+    flips the hash."""
+    from coffea_spark.llmdata.multimodal import color_image_features
+
+    docs = spark.read.parquet(_jpeg_prog_fixture(spark, sf_dir))
+    feats = color_image_features(docs, "image")
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("img_width").alias("sum_w"),
+        F.sum("img_height").alias("sum_h"),
+        F.round(F.avg("mean_c0"), 6).alias("avg_y"),
+        F.round(F.avg("mean_c1"), 6).alias("avg_cb"),
+        F.round(F.avg("mean_c2"), 6).alias("avg_cr"),
+        F.sum("sum_pixels").alias("sum_pixels"),
+    )
+
+
 SQL_JPEG_COLOR_FEATURES = """
 WITH d AS (
   SELECT doc_id, lang, 1 + doc_id % 2 AS bh, 1 + doc_id % 3 AS bw
@@ -7444,6 +7502,7 @@ REGISTRY: dict[str, Query] = {
     "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
     "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
+    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

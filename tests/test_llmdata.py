@@ -702,7 +702,7 @@ def test_jpeg_codec_roundtrip():
     with pytest.raises(ValueError):
         decode_jpeg(b"nope")
     d = bytearray(encode_gray_jpeg(img))
-    d[bytes(d).find(b"\xff\xc0") + 1] = 0xC2  # masquerade as progressive
+    d[bytes(d).find(b"\xff\xc0") + 1] = 0xC9  # masquerade as arithmetic
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(d))
 
@@ -774,6 +774,63 @@ def test_jpeg_color_codec():
     img4 = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
     out4 = real_image_decoder(encode_color_jpeg(img4))
     assert out4.shape == (13, 21, 3)
+
+
+def test_jpeg_progressive_codec():
+    """Progressive (SOF2) JPEG: the multi-scan spectral-selection +
+    successive-approximation chain is coefficient-LOSSLESS, so decoding
+    a progressive stream must equal decoding the sequential stream of
+    the same image bit-for-bit — gray and color, any size; the
+    dispatcher handles SOF2 transparently; arithmetic streams still
+    fail loudly."""
+    import numpy as np
+    import pytest
+
+    from coffea_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+        encode_progressive_jpeg,
+        rgb_to_ycbcr,
+    )
+    from coffea_spark.llmdata.multimodal import real_image_decoder
+
+    rng = np.random.default_rng(21)
+    for shape in [(24, 32), (8, 8), (17, 29)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_progressive_jpeg(g))
+            == decode_jpeg(encode_gray_jpeg(g))
+        ).all()
+
+    # block-constant exactness carries over (long EOB runs exercised)
+    img = np.kron(
+        rng.integers(0, 256, (3, 4)).astype(np.uint8),
+        np.ones((8, 8), np.uint8),
+    )
+    assert (decode_jpeg(encode_progressive_jpeg(img)) == img).all()
+
+    cimg = np.zeros((48, 64, 3), dtype=np.uint8)
+    for by in range(0, 48, 16):
+        for bx in range(0, 64, 16):
+            cimg[by:by + 16, bx:bx + 16] = rng.integers(0, 256, 3)
+    got = decode_jpeg(encode_progressive_jpeg(cimg), color_space="ycbcr")
+    assert (got == rgb_to_ycbcr(cimg)).all()
+
+    for sub in ("4:4:4", "4:2:0"):
+        c = rng.integers(0, 256, (30, 42, 3), dtype=np.uint8)
+        seq = decode_jpeg(encode_color_jpeg(c, subsampling=sub), color_space="ycbcr")
+        pro = decode_jpeg(
+            encode_progressive_jpeg(c, subsampling=sub), color_space="ycbcr"
+        )
+        assert (seq == pro).all(), sub
+
+    # dispatcher routes SOF2; arithmetic SOF still raises
+    assert real_image_decoder(encode_progressive_jpeg(cimg)).shape == (48, 64, 3)
+    bad = bytearray(encode_progressive_jpeg(img))
+    bad[bytes(bad).find(b"\xff\xc2") + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
 
 
 def test_jpeg_restart_intervals():
