@@ -730,40 +730,46 @@ def _prog_ac_first(bw: _ProgWriter, coefs: np.ndarray, ss: int, se: int,
 
 def _prog_ac_refine(bw: _ProgWriter, coefs: np.ndarray, ss: int, se: int,
                     al: int) -> None:
-    """Refinement AC scan for one block's band (Ah = Al+1 -> Al):
-    newly-significant coefficients code as (run, 1)+sign; already-
-    significant ones contribute one buffered correction bit apiece,
-    appended after the next symbol (T.81 G.1.2.3)."""
+    """Refinement AC scan for one block's band (Ah = Al+1 -> Al),
+    mirroring libjpeg's encode_mcu_AC_refine exactly — the decoder's
+    advance semantics fix where every correction bit must sit on the
+    wire: ZRL spans are emitted as soon as a nonzero (of EITHER kind)
+    is reached with r > 15 while more newly-significant coefficients
+    remain (beyond the last one, zero runs fold into the EOB run);
+    already-significant coefficients buffer one correction bit apiece,
+    released after the NEXT emitted symbol (ZRL / (r,1) / EOBn)."""
     absval = [abs(int(coefs[k])) >> al for k in range(ss, se + 1)]
     eob = 0  # 1-based index past the last newly-significant coefficient
-    for i, t in enumerate(absval):
-        if t == 1:
+    for i in range(len(absval) - 1, -1, -1):
+        if absval[i] == 1:
             eob = i + 1
+            break
     r = 0
     br: list[int] = []
     for i, t in enumerate(absval):
         if t == 0:
             r += 1
             continue
-        if t > 1:
-            # already significant: buffered correction bit
-            br.append(t & 1)
-            continue
-        # newly significant (t == 1)
+        # emit required ZRLs unless they can fold into the EOB run
         while r > 15 and i < eob:
             bw.flush_eobrun()
             code, length = _PROG_AC_CODES[0xF0]
             bw.write(code, length)
             r -= 16
-            bw.be += br
-            bw.emit_buffered()
+            for b in br:
+                bw.write(b, 1)
             br = []
+        if t > 1:
+            # already significant: buffered correction bit (r unchanged)
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
         bw.flush_eobrun()
         code, length = _PROG_AC_CODES[(r << 4) | 1]
         bw.write(code, length)
         bw.write(1 if int(coefs[ss + i]) > 0 else 0, 1)
-        bw.be += br
-        bw.emit_buffered()
+        for b in br:
+            bw.write(b, 1)
         br = []
         r = 0
     if r > 0 or br:

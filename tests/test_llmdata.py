@@ -833,6 +833,50 @@ def test_jpeg_progressive_codec():
         decode_jpeg(bytes(bad))
 
 
+def test_jpeg_progressive_stress_sparse():
+    """Regression: coarse quantization tables produce sparse
+    coefficients — long EOB runs, ZRL spans interleaved with
+    already-significant correction bits in refinement scans. The
+    original refine encoder emitted buffered correction bits in the
+    wrong position around ZRL spans (decoder desync); this sweep
+    crosses quant scales x image kinds and demands bit-identical
+    progressive == sequential decodes."""
+    import numpy as np
+
+    from coffea_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        qv = int(rng.choice([1, 8, 16, 40, 255]))
+        q = np.full((8, 8), qv, dtype=np.int64)
+        kind = trial % 3
+        if kind == 0:
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            a = decode_jpeg(encode_gray_jpeg(g, quant=q))
+            b = decode_jpeg(encode_progressive_jpeg(g, quant=q))
+        elif kind == 1:
+            c = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            a = decode_jpeg(encode_color_jpeg(c, quant=q), color_space="ycbcr")
+            b = decode_jpeg(
+                encode_progressive_jpeg(c, quant=q), color_space="ycbcr"
+            )
+        else:
+            # mostly flat with spikes: isolated coefficients + ZRL runs
+            g = np.full((h, w), 128, dtype=np.uint8)
+            for _ in range(6):
+                g[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256)
+            a = decode_jpeg(encode_gray_jpeg(g, quant=q))
+            b = decode_jpeg(encode_progressive_jpeg(g, quant=q))
+        assert (a == b).all(), (trial, kind, qv, h, w)
+
+
 def test_jpeg_restart_intervals():
     """DRI/RSTm framing: restart markers byte-align, reset predictors,
     and round-trip exactly for gray and color at several intervals; a
