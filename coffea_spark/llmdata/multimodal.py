@@ -7,7 +7,9 @@ gray/RGB/palette/alpha, all five row filters, zlib via the stdlib — a
 real COMPRESSED container), BMP (8-bit paletted + 24-bit), PPM/PGM
 (P5/P6), and JPEG — baseline sequential AND progressive, grayscale AND
 YCbCr color (jpeg.py) — parsers with matching encoders; none needs an
-external library. Compressed audio/video codecs still require ffmpeg,
+external library; audio adds G.711 mu-law/A-law companded WAV
+(canonical g711.c tables, vectorized). Perceptual audio/video codecs
+(MP3/AAC/H.26x) still require ffmpeg,
 which this container lacks; those go through the same ``decoder=``
 hook with a deterministic fake for tests, and swapping in an
 ffmpeg-backed callable changes nothing else.
@@ -684,7 +686,50 @@ def fake_audio_decoder(data: bytes, sample_rate: int) -> np.ndarray:
     return np.frombuffer(data[: (len(data) // 2) * 2], dtype=np.int16)
 
 
-# -- WAV (RIFF PCM — numpy + struct only) -----------------------------------
+# -- WAV (RIFF PCM + G.711 companding — numpy + struct only) ----------------
+
+def _ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> mu-law byte (ITU-T G.711; the canonical Sun g711.c
+    bias-0x84 segmented encoder, vectorized)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.where(x < 0, -x, x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _ulaw_decode(b: np.ndarray) -> np.ndarray:
+    u = (~b.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> A-law byte (G.711; g711.c segmented encoder with the
+    0x55 even-bit inversion, vectorized)."""
+    x = x.astype(np.int32)
+    pcm = x >> 3  # 13-bit magnitude domain
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    pcm = np.minimum(pcm, 0xFFF)
+    # segment = index of first seg_end >= pcm over {0x1F,0x3F,...,0xFFF}
+    seg = np.zeros_like(pcm)
+    for i, edge in enumerate([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF]):
+        seg = np.where(pcm > edge, i + 1, seg)
+    aval = seg << 4
+    low = np.where(seg < 2, (pcm >> 1) & 0x0F, (pcm >> seg) & 0x0F)
+    return ((aval | low) ^ mask).astype(np.uint8)
+
+
+def _alaw_decode(b: np.ndarray) -> np.ndarray:
+    a = b.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 PCM mono (n,) or stereo (n, 2) -> a real RIFF/WAVE file."""
@@ -708,11 +753,37 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
+def encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                    law: str = "ulaw") -> bytes:
+    """int16 PCM mono -> a G.711-companded RIFF/WAVE file (format tag 7
+    = mu-law, 6 = A-law; 8 bits/sample — the telephony recording
+    format)."""
+    import struct as _st
+
+    a = np.ascontiguousarray(samples, dtype=np.int16)
+    if a.ndim != 1:
+        raise ValueError("encode_wav_g711 takes mono (n,) int16")
+    if law == "ulaw":
+        tag, body = 7, _ulaw_encode(a).tobytes()
+    elif law == "alaw":
+        tag, body = 6, _alaw_encode(a).tobytes()
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    fmt = _st.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", len(body)) + body
+    )
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Parse a RIFF/WAVE PCM payload (8-bit unsigned or 16-bit signed,
-    mono or stereo): returns (samples int16, sample_rate); stereo comes
-    back as (n, 2). Unknown chunks are skipped by size; non-PCM formats
-    raise with the format tag."""
+    """Parse a RIFF/WAVE payload: linear PCM (tag 1; 8-bit unsigned or
+    16-bit signed) plus the G.711 companded forms (tag 6 A-law, tag 7
+    mu-law — 8-bit telephony audio, expanded to int16 through the
+    canonical g711.c tables). Returns (samples int16, sample_rate);
+    stereo comes back as (n, 2). Unknown chunks are skipped by size;
+    other compressed formats raise with the format tag."""
     import struct as _st
 
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
@@ -729,17 +800,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             audio_fmt, ch, rate, _br, _ba, bits = _st.unpack_from(
                 "<HHIIHH", data, body_off
             )
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 6, 7):
                 raise NotImplementedError(
-                    f"WAV format tag {audio_fmt}: only PCM (1) decodes "
-                    "without external libraries"
+                    f"WAV format tag {audio_fmt}: PCM (1), A-law (6) and "
+                    "mu-law (7) decode without external libraries"
                 )
-            fmt = (ch, bits)
+            fmt = (audio_fmt, ch, bits)
         elif tag == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt")
-            ch, bits = fmt
-            if bits == 16:
+            audio_fmt, ch, bits = fmt
+            if audio_fmt in (6, 7):
+                if bits != 8:
+                    raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+                raw = np.frombuffer(data, dtype=np.uint8, count=ln, offset=body_off)
+                samples = (
+                    _alaw_decode(raw) if audio_fmt == 6 else _ulaw_decode(raw)
+                )
+            elif bits == 16:
                 samples = np.frombuffer(
                     data, dtype="<i2", count=ln // 2, offset=body_off
                 ).astype(np.int16)
