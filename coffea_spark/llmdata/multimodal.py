@@ -777,12 +777,157 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int,
     )
 
 
+# -- IMA ADPCM (DVI/Intel, WAV format tag 0x11) -----------------------------
+#
+# A real 4:1 compressed audio codec decodable with integer arithmetic
+# only: each sample is a 4-bit nibble driving an adaptive-step-size
+# delta predictor (step table of 89 entries, index adjusted per
+# nibble). Blocks are self-contained — a 4-byte header stores the
+# exact int16 predictor and the step index — which is precisely the
+# property that makes the format splittable for distributed decode:
+# any block can be decoded without its predecessors. The encoder here
+# resets the step index to 0 at every block header (a valid stream by
+# construction, since the decoder honors whatever the header says),
+# making blocks ENCODE-independent too — embarrassingly parallel in
+# both directions.
+
+IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+], dtype=np.int32)
+
+IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _adpcm_step(nib: np.ndarray, pred: np.ndarray,
+                idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One decoder update, vectorized across blocks: (nibble, pred,
+    idx) -> (new pred, new idx). Shared by encode and decode so the
+    encoder's tracked reconstruction is bit-identical to the decoder."""
+    step = IMA_STEPS[idx]
+    diff = (step >> 3)
+    diff = diff + np.where(nib & 4, step, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    pred = np.where(nib & 8, pred - diff, pred + diff)
+    pred = np.clip(pred, -32768, 32767)
+    idx = np.clip(idx + IMA_INDEX_ADJ[nib & 7], 0, 88)
+    return pred, idx
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     block_align: int = 256) -> bytes:
+    """int16 PCM mono -> IMA ADPCM RIFF/WAVE (format tag 0x11, 4
+    bits/sample). Block layout per the IMA WAV spec: 4-byte header
+    (int16 predictor = the block's first sample, uint8 step index,
+    reserved), then (block_align-4)*2 nibbles packed low-nibble-first;
+    samples/block = (block_align-4)*2 + 1. A ``fact`` chunk records
+    the true sample count (the final block is padded by repeating the
+    last sample). Vectorized ACROSS blocks — the sequential scan is
+    only within a block."""
+    import struct as _st
+
+    a = np.ascontiguousarray(samples, dtype=np.int16)
+    if a.ndim != 1:
+        raise ValueError("encode_wav_adpcm takes mono (n,) int16")
+    if block_align < 8:
+        raise ValueError("block_align must be >= 8")
+    n = len(a)
+    m = (block_align - 4) * 2          # nibbles (= samples) after header
+    spb = m + 1                        # samples per full block
+    nblocks = max(1, -(-n // spb))
+    padded = np.empty(nblocks * spb, dtype=np.int32)
+    padded[:n] = a
+    padded[n:] = int(a[-1]) if n else 0
+    grid = padded.reshape(nblocks, spb)
+    pred = grid[:, 0].copy()           # header predictor = exact sample
+    idx = np.zeros(nblocks, dtype=np.int32)
+    nibs = np.empty((nblocks, m), dtype=np.uint8)
+    for j in range(1, spb):
+        step = IMA_STEPS[idx]
+        delta = grid[:, j] - pred
+        sign = np.where(delta < 0, 8, 0).astype(np.int32)
+        mag = np.abs(delta)
+        n4 = mag >= step
+        mag = mag - np.where(n4, step, 0)
+        n2 = mag >= (step >> 1)
+        mag = mag - np.where(n2, step >> 1, 0)
+        n1 = mag >= (step >> 2)
+        nib = (sign | np.where(n4, 4, 0) | np.where(n2, 2, 0)
+               | np.where(n1, 1, 0)).astype(np.uint8)
+        nibs[:, j - 1] = nib
+        pred, idx = _adpcm_step(nib.astype(np.int32), pred, idx)
+    # pack: low nibble = earlier sample
+    body = bytearray()
+    hdr_pred = grid[:, 0].astype("<i2").tobytes()
+    packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    for b in range(nblocks):
+        body += hdr_pred[2 * b: 2 * b + 2] + b"\x00\x00"
+        body += packed[b].tobytes()
+    fmt = _st.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        (sample_rate * block_align + spb - 1) // spb, block_align, 4,
+        2, spb,
+    )
+    fact = _st.pack("<I", n)
+    return (
+        b"RIFF"
+        + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"fact" + _st.pack("<I", len(fact)) + fact
+        + b"data" + _st.pack("<I", len(body)) + body
+    )
+
+
+def _adpcm_decode_chunk(raw: bytes, block_align: int,
+                        n_samples: int | None) -> np.ndarray:
+    """Decode an IMA ADPCM mono data chunk -> int16. Full blocks are
+    decoded vectorized across blocks; a trailing short block decodes
+    the same way with its own (smaller) nibble count."""
+    out_parts: list[np.ndarray] = []
+    nfull, rem = divmod(len(raw), block_align)
+    for seg, ba in (
+        (raw[: nfull * block_align], block_align),
+        (raw[nfull * block_align:], rem),
+    ):
+        if not seg or ba < 4:
+            continue
+        blocks = np.frombuffer(seg, dtype=np.uint8).reshape(-1, ba)
+        pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+        idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+        packed = blocks[:, 4:]
+        m = packed.shape[1] * 2
+        nibs = np.empty((blocks.shape[0], m), dtype=np.int32)
+        nibs[:, 0::2] = packed & 0x0F
+        nibs[:, 1::2] = packed >> 4
+        dec = np.empty((blocks.shape[0], m + 1), dtype=np.int32)
+        dec[:, 0] = pred
+        for j in range(m):
+            pred, idx = _adpcm_step(nibs[:, j], pred, idx)
+            dec[:, j + 1] = pred
+        out_parts.append(dec.reshape(-1))
+    out = (np.concatenate(out_parts) if out_parts
+           else np.empty(0, dtype=np.int32))
+    if n_samples is not None:
+        out = out[:n_samples]
+    return out.astype(np.int16)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE payload: linear PCM (tag 1; 8-bit unsigned or
-    16-bit signed) plus the G.711 companded forms (tag 6 A-law, tag 7
+    16-bit signed), the G.711 companded forms (tag 6 A-law, tag 7
     mu-law — 8-bit telephony audio, expanded to int16 through the
-    canonical g711.c tables). Returns (samples int16, sample_rate);
-    stereo comes back as (n, 2). Unknown chunks are skipped by size;
+    canonical g711.c tables), and IMA ADPCM (tag 0x11, mono — 4-bit
+    adaptive delta blocks, ``fact``-trimmed). Returns (samples int16,
+    sample_rate); stereo comes back as (n, 2). Unknown chunks are
+    skipped by size;
     other compressed formats raise with the format tag."""
     import struct as _st
 
@@ -792,25 +937,38 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     fmt = None
     samples = None
     rate = None
+    fact_n = None
     while p + 8 <= len(data):
         tag = bytes(data[p : p + 4])
         (ln,) = _st.unpack_from("<I", data, p + 4)
         body_off = p + 8
         if tag == b"fmt ":
-            audio_fmt, ch, rate, _br, _ba, bits = _st.unpack_from(
+            audio_fmt, ch, rate, _br, block_align, bits = _st.unpack_from(
                 "<HHIIHH", data, body_off
             )
-            if audio_fmt not in (1, 6, 7):
+            if audio_fmt not in (1, 6, 7, 0x11):
                 raise NotImplementedError(
-                    f"WAV format tag {audio_fmt}: PCM (1), A-law (6) and "
-                    "mu-law (7) decode without external libraries"
+                    f"WAV format tag {audio_fmt}: PCM (1), A-law (6), "
+                    "mu-law (7) and IMA ADPCM (0x11) decode without "
+                    "external libraries"
                 )
-            fmt = (audio_fmt, ch, bits)
+            fmt = (audio_fmt, ch, bits, block_align)
+        elif tag == b"fact":
+            (fact_n,) = _st.unpack_from("<I", data, body_off)
         elif tag == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt")
-            audio_fmt, ch, bits = fmt
-            if audio_fmt in (6, 7):
+            audio_fmt, ch, bits, block_align = fmt
+            if audio_fmt == 0x11:
+                if ch != 1:
+                    raise NotImplementedError(
+                        "stereo IMA ADPCM not supported (mono only)"
+                    )
+                samples = _adpcm_decode_chunk(
+                    bytes(data[body_off : body_off + ln]), block_align,
+                    fact_n,
+                )
+            elif audio_fmt in (6, 7):
                 if bits != 8:
                     raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
                 raw = np.frombuffer(data, dtype=np.uint8, count=ln, offset=body_off)

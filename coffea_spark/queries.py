@@ -2416,6 +2416,175 @@ FROM st GROUP BY lang
 """
 
 
+def _adpcm_fixture(spark, sf_dir) -> str:
+    """Encode deterministic PCM clips (sample i of doc d =
+    ((d*13 + 5i) % 4001) - 2000, n = 600 + d%500, 8 kHz mono) into
+    REAL IMA ADPCM RIFF/WAVE containers (format tag 0x11, 4:1
+    compression, 256-byte blocks -> 505 samples/block, so every clip
+    spans 2-3 blocks and exercises header re-sync) once per sf_dir."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_adpcm.parquet"
+    )
+    if not _fixture_ready(out):
+        import numpy as np
+        import pandas as pd
+
+        from coffea_spark.llmdata.multimodal import encode_wav_adpcm
+
+        def make(ids):
+            clips = []
+            for d in ids:
+                d = int(d)
+                n = 600 + d % 500
+                pcm = (((d * 13 + 5 * np.arange(n)) % 4001) - 2000).astype(
+                    np.int16
+                )
+                clips.append(encode_wav_adpcm(pcm, 8000))
+            return pd.Series(clips)
+
+        enc = F.pandas_udf(make, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.struct(
+                enc("doc_id").alias("data"),
+                F.lit("ima_adpcm").alias("codec"),
+                F.lit(8000).alias("sample_rate"),
+                (F.lit(600) + F.col("doc_id") % 500).cast("long").alias("n_samples"),
+            ).alias("audio"),
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not _fixture_ready(out):
+                raise
+    return out
+
+
+def q_adpcm_features(spark, sf_dir):
+    """COMPRESSED audio decode through the gate: clips are IMA ADPCM
+    (WAV tag 0x11 — 4-bit adaptive-delta blocks, 4:1 compression;
+    llmdata/multimodal.py `encode_wav_adpcm`/`_adpcm_decode_chunk`),
+    decoded by the numpy-only block decoder and aggregated (duration,
+    RMS, peak, zero-crossing rate) per language. The oracle REPLAYS
+    THE ENTIRE CODEC STATE MACHINE in SQL: a recursive CTE steps the
+    adaptive predictor (89-entry step table, index adjust, int16
+    clamp, per-block header reset) sample by sample from the same PCM
+    formula, so the features must match BIT-EXACTLY — any nibble
+    quantization, step-table, clamp, block-boundary, or `fact`-trim
+    bug in either codec half goes hash-red. Lossy codec, exact gate:
+    the replayed reconstruction is deterministic.
+
+    Reference analogue: coffea has no audio path; this extends the
+    multimodal decode surface the LLM-data brief requires."""
+    from coffea_spark.llmdata.multimodal import audio_features, real_audio_decoder
+
+    docs = spark.read.parquet(_adpcm_fixture(spark, sf_dir))
+    feats = audio_features(docs, "audio", decoder=real_audio_decoder)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.sum("duration_s"), 6).alias("sum_dur"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.sum("peak").alias("sum_peak"),
+        F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+    )
+
+
+def _sql_adpcm_features() -> str:
+    """DuckDB replay of the IMA ADPCM encoder+decoder (they share one
+    state machine: the encoder tracks exactly the decoder's
+    reconstruction). Recursive CTE, one iteration per sample; nested
+    derived tables bind the quantizer intermediates (step, delta,
+    nibble bits, diff) so every value is computed once. NOTE: DuckDB
+    1.0's `list_reduce` mis-evaluates stateful lambdas on long lists
+    (verified: positional CASE branches fire at wrong elements past
+    ~500 entries), so the recursive-CTE spelling is load-bearing."""
+    from coffea_spark.llmdata.multimodal import IMA_STEPS
+
+    steps = "[" + ",".join(str(v) for v in IMA_STEPS.tolist()) + "]"
+    s0 = "(doc_id * 13) % 4001 - 2000"
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, 600 + doc_id % 500 AS n FROM documents
+),
+r AS (
+  SELECT doc_id, lang, n, 0 AS pos,
+         CAST({s0} AS INTEGER) AS pred, 0 AS idx,
+         CAST({s0} AS BIGINT) * ({s0}) AS ssq,
+         abs(CAST({s0} AS INTEGER)) AS peak, 0 AS zc,
+         CAST({s0} AS INTEGER) AS prev
+  FROM d
+  UNION ALL
+  SELECT doc_id, lang, n, i AS pos,
+         rec AS pred, idx2 AS idx,
+         ssq + CAST(rec AS BIGINT) * rec AS ssq,
+         GREATEST(peak, abs(rec)) AS peak,
+         zc + CASE WHEN (rec < 0) <> (prev < 0) THEN 1 ELSE 0 END AS zc,
+         rec AS prev
+  FROM (
+    SELECT t8.*, CASE WHEN hdr THEN s ELSE recn END AS rec,
+           CASE WHEN hdr THEN 0 ELSE GREATEST(0, LEAST(88, idx
+             + ([-1,-1,-1,-1,2,4,6,8])[(CASE WHEN n4 THEN 4 ELSE 0 END
+               + CASE WHEN n2 THEN 2 ELSE 0 END
+               + CASE WHEN n1 THEN 1 ELSE 0 END) + 1])) END AS idx2
+    FROM (
+      SELECT t7.*, GREATEST(-32768, LEAST(32767,
+               CASE WHEN delta < 0 THEN pred - dif ELSE pred + dif END)) AS recn
+      FROM (
+        SELECT t6.*, step // 8 + CASE WHEN n4 THEN step ELSE 0 END
+               + CASE WHEN n2 THEN step // 2 ELSE 0 END
+               + CASE WHEN n1 THEN step // 4 ELSE 0 END AS dif
+        FROM (
+          SELECT t5.*, (m2 - CASE WHEN n2 THEN step // 2 ELSE 0 END)
+                 >= step // 4 AS n1
+          FROM (
+            SELECT t4.*, (m2 >= step // 2) AS n2
+            FROM (
+              SELECT t3.*, (mag - CASE WHEN n4 THEN step ELSE 0 END) AS m2
+              FROM (
+                SELECT t2.*, (mag >= step) AS n4
+                FROM (
+                  SELECT t1.*, abs(delta) AS mag
+                  FROM (
+                    SELECT t0.*, ({steps})[idx + 1] AS step,
+                           s - pred AS delta
+                    FROM (
+                      SELECT r.*, pos + 1 AS i,
+                             CAST((doc_id * 13 + 5 * (pos + 1)) % 4001 - 2000
+                                  AS INTEGER) AS s,
+                             ((pos + 1) % 505 = 0) AS hdr
+                      FROM r WHERE pos + 1 < n
+                    ) t0
+                  ) t1
+                ) t2
+              ) t3
+            ) t4
+          ) t5
+        ) t6
+      ) t7
+    ) t8
+  ) t9
+),
+fin AS (
+  SELECT lang, n / 8000.0 AS dur,
+         sqrt(CAST(ssq AS DOUBLE) / n) AS rms,
+         peak, CAST(zc AS DOUBLE) / (n - 1) AS zcr
+  FROM r WHERE pos = n - 1
+)
+SELECT lang, count(*) AS n_clips,
+       round(sum(dur), 6) AS sum_dur,
+       round(avg(rms), 6) AS avg_rms,
+       CAST(sum(peak) AS BIGINT) AS sum_peak,
+       round(avg(zcr), 6) AS avg_zcr
+FROM fin GROUP BY lang
+"""
+
+
 def _video_fixture(spark, sf_dir) -> str:
     """Encode deterministic video clips into REAL YUV4MPEG2 containers
     once per sf_dir: doc d gets n = 4 + d%5 frames of (6 + 2*(d%4)) x
@@ -7454,11 +7623,11 @@ REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
     # Driver correctness window (first 50): round-7 rotation. Leads
     # with the 23 round-6 gates that carried only local-sweep evidence
-    # (their first driver hash-verification), the 10 gates NEW this
+    # (their first driver hash-verification), the gates NEW this
     # round (scouting_real_scan, scouting_objects, pfnano_real_xref,
     # pfnano_objects, unimax_sample, stream_dedup, substring_removal,
-    # jpeg_color_features, paragraph_dedup_norm — slots 23-31), and
-    # every
+    # jpeg_color_features, jpeg_progressive, paragraph_dedup_norm,
+    # adpcm_features), and every
     # gate whose code changed in round 7: paragraph_dedup (groupBy/min
     # keeper election), perplexity_buckets (threshold bucketing),
     # bloom_decontam (min==1 membership), quality_classifier (logreg
@@ -7503,6 +7672,7 @@ REGISTRY: dict[str, Query] = {
     "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
     "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
+    "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -696,6 +696,80 @@ def test_wav_g711_companding():
         assert real_audio_decoder(wav, 8000).ndim == 1
 
 
+def test_wav_ima_adpcm():
+    """IMA ADPCM WAV (format tag 0x11): the vectorized block decoder
+    exactly matches a scalar transcription of the DVI/Intel reference
+    algorithm; `fact`-trimmed lengths are honored across full, partial
+    and single-sample blocks; reconstruction error is bounded on a
+    smooth signal; the stream really compresses ~4:1."""
+    from coffea_spark.llmdata.multimodal import (
+        IMA_INDEX_ADJ,
+        IMA_STEPS,
+        decode_wav,
+        encode_wav_adpcm,
+        real_audio_decoder,
+    )
+
+    def scalar_decode(body, ba, n):
+        out, pos = [], 0
+        while pos < len(body):
+            blk = body[pos : pos + ba]
+            pos += ba
+            pred = int.from_bytes(blk[:2], "little", signed=True)
+            idx = min(max(blk[2], 0), 88)
+            out.append(pred)
+            nibs = []
+            for byte in blk[4:]:
+                nibs += [byte & 0xF, byte >> 4]
+            for nb in nibs:
+                step = int(IMA_STEPS[idx])
+                diff = step >> 3
+                if nb & 4:
+                    diff += step
+                if nb & 2:
+                    diff += step >> 1
+                if nb & 1:
+                    diff += step >> 2
+                pred = pred - diff if nb & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(IMA_INDEX_ADJ[nb & 7])))
+                out.append(pred)
+        return np.array(out[:n], np.int16)
+
+    import struct
+
+    rng = np.random.default_rng(7)
+    for n in (1, 7, 505, 506, 1200):
+        pcm = rng.integers(-25000, 25000, n).astype(np.int16)
+        wav = encode_wav_adpcm(pcm, 8000)
+        dec, rate = decode_wav(wav)
+        assert rate == 8000 and len(dec) == n
+        # scalar-reference parity on the exact byte stream
+        p, body, ba = 12, None, None
+        while p + 8 <= len(wav):
+            tag = wav[p : p + 4]
+            (ln,) = struct.unpack_from("<I", wav, p + 4)
+            if tag == b"fmt ":
+                ba = struct.unpack_from("<HHIIHH", wav, p + 8)[4]
+            if tag == b"data":
+                body = wav[p + 8 : p + 8 + ln]
+            p += 8 + ln + (ln & 1)
+        assert np.array_equal(dec, scalar_decode(body, ba, n))
+        assert real_audio_decoder(wav, 8000).ndim == 1
+
+    # bounded tracking error on a smooth signal; real 4:1 compression
+    t = np.arange(4000)
+    smooth = (8000 * np.sin(t / 40.0)).astype(np.int16)
+    wav = encode_wav_adpcm(smooth, 16000)
+    dec, _ = decode_wav(wav)
+    err = np.abs(dec.astype(int) - smooth.astype(int))
+    assert err.max() < 2048  # slew-bounded, never unstable
+    assert len(wav) < 0.3 * (2 * len(smooth))
+    # mono-only boundaries are explicit
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(np.zeros((4, 2), np.int16), 8000)
+
+
 def test_y4m_codec_roundtrip(spark):
     """Numpy-only YUV4MPEG2: encode/decode round-trip, chroma-size
     skipping, decoder-driven frame sampling, and error paths."""
