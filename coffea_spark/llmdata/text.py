@@ -602,6 +602,75 @@ def url_host(col: Column) -> Column:
     )
 
 
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of a URL for corpus-level URL deduplication (the
+    CCNet/C4 'same page fetched twice' collapse). Rules, in order:
+    lower-case scheme and host; strip a leading ``www.``; drop the
+    default port (http:80 / https:443) but keep explicit non-default
+    ports; strip the fragment; drop tracking query parameters
+    (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``) while
+    preserving the relative order of the rest; strip trailing slashes
+    from the path. Everything is regex + array HOFs — scan-stage, no
+    UDF, no shuffle — and every rule is replayable verbatim in the SQL
+    oracle. Malformed URLs (no scheme://host) canonicalize to a
+    best-effort string rather than raising: dedup treats them as
+    opaque keys."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$", 1)
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(F.regexp_extract(tail, r"^([^?#]*)", 1), r"/+$", "")
+    query = F.regexp_extract(tail, r"^[^?#]*\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    clean_q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level exact deduplication: canonicalize, then elect one
+    keeper per canonical URL with ``min(id)`` — an aggregation (NOT a
+    window over the url key), so hot URLs get map-side partial combine
+    on every mapper instead of a single-reducer sort, the shape the
+    round-6 paragraph-dedup skew fix established. One shuffle keyed on
+    the canonical URL; returns (canonical_url, keeper_id, n_dupes)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("_id").alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+    )
+
+
 def domain_filter(
     df: DataFrame,
     url_col: str,

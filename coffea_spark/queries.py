@@ -6858,6 +6858,145 @@ FROM kept GROUP BY 1
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (text.canonicalize_url /
+    url_dedup — the CCNet/C4 'same page fetched twice' collapse).
+    Every document gets one of four deterministically-messy spellings
+    of its group's URL (case-mangled scheme+host, explicit default
+    port :443, a www. prefix, a trailing slash, #fragments, and
+    utm_*/fbclid/ref tracking params — with a genuine ``q=1`` param
+    and a non-default :8080 port mixed in on some groups, which MUST
+    survive). All four spellings must canonicalize identically, so
+    each 4-doc group collapses to exactly one URL with min-doc_id
+    keeper election (aggregation, not a window — hot URLs get map-side
+    combine). The oracle replays every canonicalization rule verbatim:
+    any regex, port, param-order, or slash bug goes hash-red.
+    Scan-stage + ONE shuffle keyed on the canonical URL."""
+    from coffea_spark.llmdata.text import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    gid = F.floor(F.col("doc_id") / 4).cast("long")
+    v = (F.col("doc_id") % 4).cast("int")
+    hn = (gid % 7).cast("string")
+    gs = gid.cast("string")
+    qf = gid % 5 == 0
+    pf = gid % 3 == 0
+    port_d = F.when(pf, F.lit(":8080")).otherwise(F.lit(""))
+    port_s = F.when(pf, F.lit(":8080")).otherwise(F.lit(":443"))
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://h"), hn, F.lit(".example.com"), port_d,
+            F.lit("/p/"), gs,
+            F.when(qf, F.lit("?q=1")).otherwise(F.lit("")),
+        ))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://H"), hn, F.lit(".EXAMPLE.COM"), port_s,
+            F.lit("/p/"), gs,
+            F.when(qf, F.lit("?q=1")).otherwise(F.lit("")),
+            F.lit("#frag"), F.col("doc_id").cast("string"),
+        ))
+        .when(v == 2, F.concat(
+            F.lit("https://www.h"), hn, F.lit(".example.com"), port_d,
+            F.lit("/p/"), gs, F.lit("/"),
+            F.when(qf, F.lit("?utm_source=x&q=1&fbclid=1"))
+            .otherwise(F.lit("?utm_source=x&fbclid=1")),
+        ))
+        .otherwise(F.concat(
+            F.lit("https://h"), hn, F.lit(".example.com"), port_s,
+            F.lit("/p/"), gs,
+            F.when(qf, F.lit("?utm_campaign=y&q=1&ref=tw"))
+            .otherwise(F.lit("?utm_campaign=y&ref=tw")),
+        ))
+    )
+    deduped = url_dedup(docs.select("doc_id", url.alias("url")), "url", "doc_id")
+    return deduped.groupBy(
+        F.when(F.col("canonical_url").contains("?q=1"), 1).otherwise(0).alias("has_q"),
+        F.when(F.col("canonical_url").contains(":8080"), 1).otherwise(0).alias("has_port"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("keeper_id").alias("sum_keepers"),
+        F.sum("n_dupes").alias("sum_dupes"),
+    )
+
+
+SQL_URL_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://h' || (gid % 7) || '.example.com' || pd
+                  || '/p/' || gid || CASE WHEN qf THEN '?q=1' ELSE '' END
+      WHEN 1 THEN 'HTTPS://H' || (gid % 7) || '.EXAMPLE.COM' || ps
+                  || '/p/' || gid || CASE WHEN qf THEN '?q=1' ELSE '' END
+                  || '#frag' || doc_id
+      WHEN 2 THEN 'https://www.h' || (gid % 7) || '.example.com' || pd
+                  || '/p/' || gid || '/'
+                  || CASE WHEN qf THEN '?utm_source=x&q=1&fbclid=1'
+                          ELSE '?utm_source=x&fbclid=1' END
+      ELSE 'https://h' || (gid % 7) || '.example.com' || ps
+           || '/p/' || gid
+           || CASE WHEN qf THEN '?utm_campaign=y&q=1&ref=tw'
+                   ELSE '?utm_campaign=y&ref=tw' END
+    END AS url
+  FROM (
+    SELECT doc_id, gid, v, (gid % 5 = 0) AS qf,
+           CASE WHEN gid % 3 = 0 THEN ':8080' ELSE '' END AS pd,
+           CASE WHEN gid % 3 = 0 THEN ':8080' ELSE ':443' END AS ps
+    FROM d
+  ) t
+), c AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END
+         || path
+         || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+  FROM (
+    SELECT t3.*,
+           array_to_string(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)')), '&') AS cq
+    FROM (
+      SELECT t2.*,
+             regexp_replace(regexp_extract(tail, '^([^?#]*)', 1),
+                            '/+$', '') AS path,
+             regexp_extract(tail, '^[^?#]*\?([^#]*)', 1) AS q
+      FROM (
+        SELECT t1.*,
+               regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                              '^www\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        FROM (
+          SELECT t0.*,
+                 regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+                 regexp_extract(rest, '^[^/?#]*(.*)$', 1) AS tail
+          FROM (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$', 1) AS rest
+            FROM u
+          ) t0
+        ) t1
+      ) t2
+    ) t3
+  ) t4
+), dd AS (
+  SELECT canonical_url, min(doc_id) AS keeper_id,
+         count(*) - 1 AS n_dupes
+  FROM c GROUP BY canonical_url
+)
+SELECT CASE WHEN canonical_url LIKE '%?q=1%' THEN 1 ELSE 0 END AS has_q,
+       CASE WHEN canonical_url LIKE '%:8080%' THEN 1 ELSE 0 END AS has_port,
+       count(*) AS n_urls, CAST(sum(keeper_id) AS BIGINT) AS sum_keepers,
+       CAST(sum(n_dupes) AS BIGINT) AS sum_dupes
+FROM dd GROUP BY 1, 2
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """C4-style HTML -> text extraction (text.html_to_text): documents
     wrapped in deterministic HTML carrying script/style blocks,
@@ -7673,6 +7812,7 @@ REGISTRY: dict[str, Query] = {
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
     "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
     "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
+    "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

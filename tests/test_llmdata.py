@@ -1448,6 +1448,47 @@ def test_url_host_and_domain_filter(spark):
     assert only == [1, 2]
 
 
+def test_canonicalize_url_and_dedup(spark):
+    """Every canonicalization rule independently: case, www-strip,
+    default-port drop (http:80 AND https:443) vs non-default keep,
+    fragment strip, tracking-param removal with order-preserved
+    survivors, trailing-slash collapse; url_dedup elects min-id
+    keepers per canonical form."""
+    from coffea_spark.llmdata.text import canonicalize_url, url_dedup
+
+    rows = [
+        (0, "HTTPS://Example.COM/A/b"),            # case: host only
+        (1, "https://www.example.com/A/b"),        # www-strip
+        (2, "https://example.com:443/A/b"),        # default https port
+        (3, "http://example.com:80/x"),            # default http port
+        (4, "http://example.com:8080/x"),          # non-default kept
+        (5, "https://example.com/A/b#sec-2"),      # fragment
+        (6, "https://example.com/A/b?utm_source=a&keep=1&fbclid=z&z=2"),
+        (7, "https://example.com/A/b///"),         # trailing slashes
+        (8, "https://example.com/A/b?gclid=1&ref=x&msclkid=2&utm_y="),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.c for r in
+           df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    base = "https://example.com/A/b"
+    assert got[0] == base
+    assert got[1] == base
+    assert got[2] == base
+    assert got[3] == "http://example.com/x"
+    assert got[4] == "http://example.com:8080/x"
+    assert got[5] == base
+    assert got[6] == base + "?keep=1&z=2"  # order preserved
+    assert got[7] == base
+    assert got[8] == base                  # all params were tracking
+
+    dd = {r.canonical_url: (r.keeper_id, r.n_dupes)
+          for r in url_dedup(df, "url", "id").collect()}
+    assert dd[base] == (0, 5)              # ids 0,1,2,5,7,8 collapse
+    assert dd[base + "?keep=1&z=2"] == (6, 0)
+    assert dd["http://example.com/x"] == (3, 0)
+    assert dd["http://example.com:8080/x"] == (4, 0)
+
+
 def test_paragraph_dedup_semantics(spark):
     """First corpus occurrence of each paragraph survives; later copies
     drop; empty separator lines pass through; document order is
