@@ -886,6 +886,27 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
     )
 
 
+def _adpcm_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Decode a stack of uniform-size IMA ADPCM blocks: (N, ba) uint8
+    -> (N, m+1) int32 samples. The sequential scan is only WITHIN a
+    block; N is unbounded — callers may stack blocks from many clips
+    (they are self-contained by format design), amortizing the
+    per-step Python overhead across an entire Arrow batch."""
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    packed = blocks[:, 4:]
+    m = packed.shape[1] * 2
+    nibs = np.empty((blocks.shape[0], m), dtype=np.int32)
+    nibs[:, 0::2] = packed & 0x0F
+    nibs[:, 1::2] = packed >> 4
+    dec = np.empty((blocks.shape[0], m + 1), dtype=np.int32)
+    dec[:, 0] = pred
+    for j in range(m):
+        pred, idx = _adpcm_step(nibs[:, j], pred, idx)
+        dec[:, j + 1] = pred
+    return dec
+
+
 def _adpcm_decode_chunk(raw: bytes, block_align: int,
                         n_samples: int | None) -> np.ndarray:
     """Decode an IMA ADPCM mono data chunk -> int16. Full blocks are
@@ -899,19 +920,9 @@ def _adpcm_decode_chunk(raw: bytes, block_align: int,
     ):
         if not seg or ba < 4:
             continue
-        blocks = np.frombuffer(seg, dtype=np.uint8).reshape(-1, ba)
-        pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
-        idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
-        packed = blocks[:, 4:]
-        m = packed.shape[1] * 2
-        nibs = np.empty((blocks.shape[0], m), dtype=np.int32)
-        nibs[:, 0::2] = packed & 0x0F
-        nibs[:, 1::2] = packed >> 4
-        dec = np.empty((blocks.shape[0], m + 1), dtype=np.int32)
-        dec[:, 0] = pred
-        for j in range(m):
-            pred, idx = _adpcm_step(nibs[:, j], pred, idx)
-            dec[:, j + 1] = pred
+        dec = _adpcm_decode_blocks(
+            np.frombuffer(seg, dtype=np.uint8).reshape(-1, ba)
+        )
         out_parts.append(dec.reshape(-1))
     out = (np.concatenate(out_parts) if out_parts
            else np.empty(0, dtype=np.int32))
@@ -1009,14 +1020,80 @@ def real_audio_decoder(data: bytes, sample_rate: int) -> np.ndarray:
     return fake_audio_decoder(data, sample_rate)
 
 
+def real_audio_batch_decoder(
+    datas: "list[bytes]", rates: "list[int]"
+) -> "list[np.ndarray]":
+    """Batched ``real_audio_decoder``: every mono IMA ADPCM block in
+    the batch decodes in ONE vectorized pass per block size — blocks
+    are self-contained by format design, so blocks from thousands of
+    clips stack into a single matrix and the per-step Python overhead
+    amortizes across the whole Arrow batch instead of being paid per
+    clip (~5x on the adpcm_features gate). Non-ADPCM payloads fall
+    through to ``real_audio_decoder`` item by item. Returns one mono
+    int16 array per input."""
+    import struct as _st
+
+    out: list = [None] * len(datas)
+    groups: dict[int, list[np.ndarray]] = {}   # ba -> block matrices
+    plan: dict[int, list] = {}                 # slot -> [(ba, off, k)]
+    facts: dict[int, int | None] = {}
+    for i, data in enumerate(datas):
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            out[i] = real_audio_decoder(data, rates[i])
+            continue
+        p, fmt, fact_n, body = 12, None, None, None
+        while p + 8 <= len(data):
+            tag = data[p : p + 4]
+            (ln,) = _st.unpack_from("<I", data, p + 4)
+            if tag == b"fmt ":
+                fmt = _st.unpack_from("<HHIIHH", data, p + 8)
+            elif tag == b"fact":
+                (fact_n,) = _st.unpack_from("<I", data, p + 8)
+            elif tag == b"data":
+                body = data[p + 8 : p + 8 + ln]
+            p += 8 + ln + (ln & 1)
+        if fmt is None or body is None or fmt[0] != 0x11 or fmt[1] != 1:
+            out[i] = real_audio_decoder(data, rates[i])
+            continue
+        ba = fmt[4]
+        segs = []
+        nfull, rem = divmod(len(body), ba)
+        for seg, sba in ((body[: nfull * ba], ba), (body[nfull * ba :], rem)):
+            if not seg or sba < 4:
+                continue
+            mat = np.frombuffer(seg, np.uint8).reshape(-1, sba)
+            lst = groups.setdefault(sba, [])
+            segs.append((sba, sum(x.shape[0] for x in lst), mat.shape[0]))
+            lst.append(mat)
+        plan[i] = segs
+        facts[i] = fact_n
+    decoded = {
+        ba: _adpcm_decode_blocks(np.concatenate(mats) if len(mats) > 1
+                                 else mats[0])
+        for ba, mats in groups.items()
+    }
+    for i, segs in plan.items():
+        parts = [decoded[ba][off : off + k].reshape(-1) for ba, off, k in segs]
+        s = np.concatenate(parts) if parts else np.empty(0, np.int32)
+        if facts[i] is not None:
+            s = s[: facts[i]]
+        out[i] = s.astype(np.int16)
+    return out
+
+
 def audio_features(
     df: DataFrame,
     audio_col: str = "audio",
     decoder: Callable[[bytes, int], np.ndarray] = fake_audio_decoder,
+    batch_decoder: "Callable[[list, list], list] | None" = None,
 ) -> DataFrame:
     """Per-clip audio summary features (duration, RMS level, peak,
     zero-crossing rate) via the same mapInPandas Arrow-batch shape as
-    image_features. Payload dropped from the output."""
+    image_features. Payload dropped from the output. Pass
+    ``batch_decoder`` (e.g. ``real_audio_batch_decoder``) to decode a
+    whole Arrow batch at once — the right shape for block codecs whose
+    per-clip decode is loop-bound."""
     out_fields = [f for f in df.schema.fields if f.name != audio_col]
     schema = T.StructType(
         out_fields
@@ -1031,24 +1108,33 @@ def audio_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def stats(s):
-                pcm = decoder(s["data"], s["sample_rate"]).astype(np.float64)
+            col = pdf[audio_col]
+            rates = [s["sample_rate"] for s in col]
+            if batch_decoder is not None:
+                pcms = batch_decoder([s["data"] for s in col], rates)
+            else:
+                pcms = [decoder(s["data"], s["sample_rate"]) for s in col]
+            durs, rmss, peaks, zcrs = [], [], [], []
+            for pcm, rate in zip(pcms, rates):
+                pcm = pcm.astype(np.float64)
                 n = len(pcm)
                 if n == 0:
-                    return (0.0, 0.0, 0, 0.0)
-                return (
-                    n / float(s["sample_rate"]),
-                    float(np.sqrt(np.mean(pcm**2))),
-                    int(np.abs(pcm).max()),
-                    float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))),
-                )
-
-            vals = pdf[audio_col].map(stats)
+                    durs.append(0.0)
+                    rmss.append(0.0)
+                    peaks.append(0)
+                    zcrs.append(0.0)
+                    continue
+                durs.append(n / float(rate))
+                rmss.append(float(np.sqrt(np.mean(pcm**2))))
+                peaks.append(int(np.abs(pcm).max()))
+                zcrs.append(float(np.mean(
+                    np.signbit(pcm[1:]) != np.signbit(pcm[:-1])
+                )))
             out = pdf[keep].copy()
-            out["duration_s"] = vals.map(lambda t: t[0])
-            out["rms"] = vals.map(lambda t: t[1])
-            out["peak"] = vals.map(lambda t: t[2])
-            out["zcr"] = vals.map(lambda t: t[3])
+            out["duration_s"] = durs
+            out["rms"] = rmss
+            out["peak"] = peaks
+            out["zcr"] = zcrs
             yield out
 
     return df.mapInPandas(run, schema)

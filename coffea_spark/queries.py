@@ -2482,10 +2482,17 @@ def q_adpcm_features(spark, sf_dir):
 
     Reference analogue: coffea has no audio path; this extends the
     multimodal decode surface the LLM-data brief requires."""
-    from coffea_spark.llmdata.multimodal import audio_features, real_audio_decoder
+    from coffea_spark.llmdata.multimodal import (
+        audio_features,
+        real_audio_batch_decoder,
+        real_audio_decoder,
+    )
 
     docs = spark.read.parquet(_adpcm_fixture(spark, sf_dir))
-    feats = audio_features(docs, "audio", decoder=real_audio_decoder)
+    feats = audio_features(
+        docs, "audio", decoder=real_audio_decoder,
+        batch_decoder=real_audio_batch_decoder,
+    )
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.round(F.sum("duration_s"), 6).alias("sum_dur"),

@@ -769,6 +769,30 @@ def test_wav_ima_adpcm():
     with pytest.raises(ValueError):
         encode_wav_adpcm(np.zeros((4, 2), np.int16), 8000)
 
+    # batch decoder == per-clip decoder across a mixed-format batch
+    from coffea_spark.llmdata.multimodal import (
+        encode_wav,
+        encode_wav_g711,
+        real_audio_batch_decoder,
+    )
+
+    datas, rates = [], []
+    for n in (1, 7, 505, 506, 1200, 333):
+        datas.append(encode_wav_adpcm(
+            rng.integers(-25000, 25000, n).astype(np.int16), 8000))
+        rates.append(8000)
+    datas.append(encode_wav(
+        rng.integers(-20000, 20000, 100).astype(np.int16), 16000))
+    rates.append(16000)
+    datas.append(encode_wav_g711(
+        rng.integers(-20000, 20000, 80).astype(np.int16), 8000, law="alaw"))
+    rates.append(8000)
+    datas.append(b"\x01\x02\x03\x04raw-pcm-bytes!!")
+    rates.append(8000)
+    batch = real_audio_batch_decoder(datas, rates)
+    for i, (d, r) in enumerate(zip(datas, rates)):
+        assert np.array_equal(batch[i], real_audio_decoder(d, r)), i
+
 
 def test_y4m_codec_roundtrip(spark):
     """Numpy-only YUV4MPEG2: encode/decode round-trip, chroma-size
