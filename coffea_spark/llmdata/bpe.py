@@ -236,6 +236,64 @@ def train_bpe(
     return merges
 
 
+def apply_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    syms_col: str = "syms",
+) -> DataFrame:
+    """Corpus retokenization by TRAINING REPLAY: fold the learned
+    merges over the distinct-word table in rank order — the same
+    greedy left-to-right fold the trainer used, so the result equals
+    the trainer's final word states exactly. Consecutive rank-order
+    runs that share no symbol (nor a member's merged result — the
+    condition under which a simultaneous pass provably equals
+    sequential application, see ``_merge_fold_multi``) collapse into
+    ONE fold, so a 32k-merge production vocabulary costs far fewer
+    than 32k nested aggregates. All scan-stage; the only shuffle is
+    whatever built ``words``."""
+    out = words
+    i = 0
+    while i < len(merges):
+        batch = [merges[i][:2]]
+        used = {merges[i][0], merges[i][1], merges[i][0] + merges[i][1]}
+        j = i + 1
+        while j < len(merges) and len(batch) < 16:
+            p1, p2 = merges[j][0], merges[j][1]
+            if p1 in used or p2 in used or (p1 + p2) in used:
+                break
+            batch.append((p1, p2))
+            used.update((p1, p2, p1 + p2))
+            j += 1
+        out = out.withColumn(
+            syms_col, _merge_fold_multi(F.col(syms_col), batch)
+        )
+        i = j
+    return out
+
+
+def encode_corpus_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-corpus token counts under a trained merge table: ONE
+    corpus shuffle builds the distinct (word, freq) table, rank-order
+    fold retokenization runs over that vocabulary-sized table only,
+    and counts come back freq-weighted — nothing token-level ever
+    shuffles. This is the scale path for 'tokenize 100 TB and count':
+    the per-document spelling is never materialized. Returns
+    (token, cnt)."""
+    words = word_freq_table(df, text_col).withColumn(
+        "syms", _chars(F.col("word"))
+    )
+    enc = apply_merges(words, merges)
+    return (
+        enc.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 def encode_bpe(
     df: DataFrame,
     merges: list[tuple[str, str, int]],

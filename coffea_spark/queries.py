@@ -5924,14 +5924,18 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
-def _sql_bpe_train(k: int = 6) -> str:
-    """Staged-CTE mirror of train_bpe: stage n computes pair counts over
-    words_n, takes the (count desc, p1, p2) argmax, and applies the
-    merge with a list_reduce fold — the accumulator is a chr(31)-joined
-    symbol string, and ``ends_with(acc, sep || p1)`` tests that the
-    LAST full symbol equals p1 (greedy left-to-right, no re-merge
-    through a just-merged symbol — byte-identical semantics to the
-    Spark F.aggregate fold)."""
+def _sql_bpe_chain(k: int = 6) -> str:
+    """The shared staged-CTE chain replaying train_bpe: stage n
+    computes pair counts over words_n, takes the (count desc, p1, p2)
+    argmax, and applies the merge with a list_reduce fold — the
+    accumulator is a chr(31)-joined symbol string, and
+    ``ends_with(acc, sep || p1)`` tests that the LAST full symbol
+    equals p1 (greedy left-to-right, no re-merge through a just-merged
+    symbol — byte-identical semantics to the Spark F.aggregate fold).
+    Ends with ``words_k`` = every distinct word's final symbol state,
+    which is ALSO the result of rank-order retokenization
+    (``bpe.apply_merges``) — training replay and application are the
+    same fold."""
     sql = r"""
 WITH words_0 AS (
   SELECT word, count(*)::BIGINT AS freq,
@@ -5960,12 +5964,47 @@ words_{n + 1} AS (
            chr(31)), chr(31)) AS syms
   FROM words_{n} w CROSS JOIN best_{n} b
 )"""
-    sql += "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(
+    return sql
+
+
+def _sql_bpe_train(k: int = 6) -> str:
+    """Merge-sequence gate over the shared chain (see _sql_bpe_chain)."""
+    return _sql_bpe_chain(k) + "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(
         f"SELECT CAST({n + 1} AS INTEGER) AS merge_rank, p1, p2,"
         f" c AS pair_count FROM best_{n}"
         for n in range(k)
     ) + "\n) ORDER BY merge_rank"
-    return sql
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Whole-corpus BPE APPLICATION (llmdata/bpe.py apply_merges /
+    encode_corpus_counts): train 6 merges, then retokenize the corpus
+    by folding them in rank order over the distinct (word, freq) table
+    — symbol-disjoint runs collapse into one fold, the 32k-merge scale
+    path — and return the top-20 freq-weighted token counts. The
+    oracle reuses the train gate's staged-CTE chain verbatim: its
+    final words_6 state IS rank-order application, so training replay
+    and corpus encoding are pinned to the same fold semantics; any
+    divergence in merge order, fold greediness, or weighting goes
+    hash-red. The lowest-rank-first per-word encoder (encode_bpe) is
+    parity-tested against this fold in pytest."""
+    from coffea_spark.llmdata.bpe import encode_corpus_counts, train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = train_bpe(docs, "text", num_merges=6)
+    counts = encode_corpus_counts(docs, merges, "text")
+    return counts.orderBy(F.col("cnt").desc(), "token").limit(20)
+
+
+def _sql_bpe_encode(k: int = 6) -> str:
+    """Top-20 token counts from the shared chain's words_k state."""
+    return _sql_bpe_chain(k) + f"""
+SELECT token, cnt FROM (
+  SELECT token, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(syms) AS token FROM words_{k})
+  GROUP BY token
+) ORDER BY cnt DESC, token LIMIT 20
+"""
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -7820,6 +7859,7 @@ REGISTRY: dict[str, Query] = {
     "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
     "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
+    "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

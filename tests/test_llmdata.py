@@ -1156,6 +1156,40 @@ def test_bpe_batched_rounds_and_equality(spark):
     assert b == s
 
 
+def test_bpe_apply_merges_matches_encoders(spark):
+    """Corpus retokenization (apply_merges / encode_corpus_counts):
+    rank-order fold application over the distinct-word table must
+    produce the same token multiset as the per-document
+    lowest-rank-first encoder (encode_bpe) on merges trained from the
+    same corpus, and totals must conserve characters."""
+    from collections import Counter
+
+    from coffea_spark.llmdata.bpe import (
+        encode_bpe,
+        encode_corpus_counts,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.filter(F.col("doc_id") % 5 == 0).select("text")
+    merges = train_bpe(docs, "text", num_merges=7)
+
+    counts = {
+        r.token: r.cnt
+        for r in encode_corpus_counts(docs, merges, "text").collect()
+    }
+    ref = Counter()
+    for r in encode_bpe(docs, merges, "text").collect():
+        ref.update(r.tokens)
+    assert counts == dict(ref)
+    # character conservation: token chars == non-whitespace corpus chars
+    n_chars = sum(len(t) * c for t, c in counts.items())
+    want = docs.select(
+        F.sum(F.length(F.regexp_replace("text", r"\s+", ""))).alias("n")
+    ).head().n
+    assert n_chars == want
+
+
 def test_repetition_signals_hand_values(spark):
     """Gopher repetition filters against hand-computed values: overlap
     counting, lexicographic top-gram tie-break, duplicate-line
