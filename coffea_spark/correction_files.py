@@ -46,7 +46,9 @@ from coffea_spark.lookup import _bin_index_expr, _substitute
 
 __all__ = [
     "read_btag_csv",
+    "read_ea_txt",
     "read_jec_txt",
+    "read_jec_txt_sections",
     "read_junc_txt",
     "read_jersf_txt",
     "read_histo_json",
@@ -259,8 +261,76 @@ class JECTable:
 def read_jec_txt(path: str, name: str | None = None) -> JECTable:
     """Parse a single-level ``*.jec.txt[.gz]`` file (any binning depth)."""
     with _open_text(path) as f:
-        binned, eval_vars, formula = _parse_jme_header(f.readline())
+        return _read_jec_stream(f, name or path.rsplit("/", 1)[-1].split(".")[0])
+
+
+def read_jec_txt_sections(path: str) -> dict[str, JECTable]:
+    """Parse a SECTIONED JEC text file — ``[flavor]`` headers split the
+    file into independent standard JEC tables (the CMS L5Flavor /
+    L7Parton layout; reference txt_converters.py:307-347
+    ``convert_l5flavor_jes_txt_file``). Returns
+    ``{"<stem>_<section>": JECTable}`` with the same names the
+    reference's evaluator exposes (``basename_component``)."""
+    stem = path.rsplit("/", 1)[-1].split(".")[0]
+    sections: list[tuple[str, list[str]]] = []
+    with _open_text(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("#"):
+                continue
+            if s.startswith("[") and s.endswith("]"):
+                sections.append((s[1:-1], []))
+            elif sections:
+                sections[-1][1].append(line)
+    if not sections:
+        return {stem: read_jec_txt(path)}
+    out = {}
+    for comp, lines in sections:
+        out[f"{stem}_{comp}"] = _read_jec_stream(
+            io.StringIO("".join(lines)), f"{stem}_{comp}"
+        )
+    return out
+
+
+def read_ea_txt(path: str) -> dict:
+    """Parse a CMS EGM effective-area file (``*.ea.txt``; reference
+    txt_converters.py:442-534 ``convert_effective_area_file``). Header
+    ``{nBinned <names...> nEval <colnames...>}``; each row is
+    ``lo hi v_1 .. v_nEval``. Every value column becomes an independent
+    1-D :class:`~coffea_spark.lookup.DenseLookup` named
+    ``<stem>_<colname>`` (clamp-to-edge bin semantics, same as the
+    reference's dense_lookup). Only 1-D binning exists in the wild; the
+    reference's converter has the same restriction."""
+    from coffea_spark.lookup import DenseLookup
+
+    stem = path.rsplit("/", 1)[-1].split(".")[0]
+    with _open_text(path) as f:
+        header = f.readline().strip().strip("{}").split()
+        if not header or not header[0].isdigit():
+            raise ValueError(f"malformed EA header in {path!r}")
+        n_binned = int(header[0])
+        if n_binned != 1:
+            raise ValueError("effective-area files are 1-D binned")
+        n_eval = int(header[1 + n_binned])
+        colnames = header[2 + n_binned : 2 + n_binned + n_eval]
+        if len(colnames) != n_eval:
+            raise ValueError(f"EA header names {colnames} != nEval {n_eval}")
         rows = np.loadtxt(f, ndmin=2)
+    if rows.shape[1] != 2 + n_eval:
+        raise ValueError(
+            f"EA rows have {rows.shape[1]} columns, expected {2 + n_eval}"
+        )
+    edges = _edges_from_rows(rows[:, 0], rows[:, 1])
+    order = np.argsort(rows[:, 0], kind="stable")
+    return {
+        f"{stem}_{col}": DenseLookup(rows[order, 2 + i], [edges])
+        for i, col in enumerate(colnames)
+    }
+
+
+def _read_jec_stream(f, name: str) -> JECTable:
+    binned, eval_vars, formula = _parse_jme_header(f.readline())
+    rows = np.loadtxt(f, ndmin=2)
     nb = len(binned)
     ncol = rows[:, 2 * nb].astype(int)
     if not (ncol == ncol[0]).all():
@@ -273,7 +343,7 @@ def read_jec_txt(path: str, name: str | None = None) -> JECTable:
     clamp_hi = [rows[:, pcol0 + 1 + 2 * i] for i in range(ne)]
     params = [rows[:, pcol0 + 2 * ne + k] for k in range(ncol[0] - 2 * ne)]
     return JECTable(
-        name or path.rsplit("/", 1)[-1].split(".")[0],
+        name,
         edges, levels, clamp_lo, clamp_hi, params, _normalize_formula(formula),
         binned, eval_vars,
     )

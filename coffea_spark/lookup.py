@@ -365,7 +365,10 @@ def extractor(path: str):
     the same way on `.json` / `.csv` / `.txt` inputs).
 
     - ``*.btag.csv[.gz]`` / ``*.csv[.gz]`` -> {name: BTagSFTable}
-    - ``*.jec.txt[.gz]``                  -> {name: JECTable}
+    - ``*.ea.txt[.gz]``                   -> {name_col: DenseLookup} (EGM
+      effective areas; one 1-D lookup per value column)
+    - ``*.jec.txt[.gz]``                  -> {name: JECTable}; sectioned
+      ``[flavor]`` files (L5Flavor/L7Parton) -> {name_flavor: JECTable}
     - ``*.junc.txt[.gz]``                 -> {component: JuncTable}
     - ``*.jersf.txt[.gz]``                -> {name: JERSFTable}
     - ``*.histo.json``                    -> {hist: DenseLookup (+_error)}
@@ -401,9 +404,32 @@ def extractor(path: str):
 
         t = read_jersf_txt(path)
         return {t.name: t}
-    if base.endswith(".txt"):
-        from coffea_spark.correction_files import read_jec_txt
+    if base.endswith(".ea.txt"):
+        from coffea_spark.correction_files import read_ea_txt
 
+        return read_ea_txt(path)
+    if base.endswith(".txt"):
+        from coffea_spark.correction_files import (
+            _open_text,
+            read_jec_txt,
+            read_jec_txt_sections,
+        )
+
+        # sniff for a sectioned ([flavor]) file — the L5Flavor/L7Parton
+        # layout; the reference keys this on "_L5Flavor_" in the name
+        # (extractor.py:156), but the first non-comment line is the
+        # authoritative signal and also catches L7 files
+        with _open_text(path) as f:
+            for line in f:
+                s = line.strip()
+                if not s or s.startswith("#"):
+                    continue
+                sectioned = s.startswith("[")
+                break
+            else:
+                sectioned = False
+        if sectioned:
+            return read_jec_txt_sections(path)
         t = read_jec_txt(path)
         return {t.name: t}
     if base.endswith(".histo.json"):

@@ -5625,6 +5625,115 @@ FROM v GROUP BY l_returnflag
 """
 
 
+_EA_PATH = "/root/reference/tests/samples/photon_id.ea.txt"
+_L5_PATH = "/root/reference/tests/samples/Winter14_V8_MC_L5Flavor_AK5Calo.txt"
+
+
+def q_effarea_l5flavor(spark, sf_dir):
+    """EGM effective areas (.ea.txt -> one 1-D dense lookup per value
+    column; reference txt_converters.py:442-534 + the extractor 'ea'
+    dispatch) and sectioned L5Flavor JEC tables ([flavor] headers ->
+    independent standard JEC tables named stem_flavor; reference
+    convert_l5flavor_jes_txt_file, txt_converters.py:307-347), both
+    parsed from the reference's REAL sample files and applied as
+    literal-array scan-stage column math — at 100 TB the tables travel
+    inside the plan, no join, no UDF. The oracle replays the dense
+    lookups as clamp-to-edge CASE chains and the per-eta-bin flavor
+    TFormula, generated from the SAME parsed tables."""
+    from coffea_spark.lookup import extractor
+
+    ea = extractor(_EA_PATH)
+    l5 = extractor(_L5_PATH)
+    gj = l5["Winter14_V8_MC_L5Flavor_AK5Calo_gJ"]
+    bj = l5["Winter14_V8_MC_L5Flavor_AK5Calo_bJ"]
+    li = _t(spark, sf_dir, "lineitem")
+    abseta = F.col("l_discount") * 30.0  # [0, 3] — exercises top-bin clamp
+    eta = F.col("l_discount") * 100.0 - 5.0  # [-5, 5] — full bin range
+    pt = F.col("l_extendedprice") / 500.0  # ~[1.8, 200] — clamps below ptmin
+    return (
+        li.select(
+            "l_returnflag",
+            ea["photon_id_EA_CHad"](abseta).alias("_ch"),
+            ea["photon_id_EA_NHad"](abseta).alias("_nh"),
+            ea["photon_id_EA_Pho"](abseta).alias("_ph"),
+            gj(eta, pt).alias("_gj"),
+            bj(eta, pt).alias("_bj"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("_ch") + F.col("_nh") + F.col("_ph")), 4).alias("sum_ea"),
+            F.round(F.sum("_gj"), 2).alias("sum_gj"),
+            F.round(F.avg("_bj"), 6).alias("avg_bj"),
+        )
+    )
+
+
+def _sql_effarea_l5flavor() -> str:
+    """Oracle generated from the SAME parsed tables: dense lookups as
+    clamp-to-edge CASE chains, flavor corrections as the TFormula per
+    eta bin with pt clamped to the row's validity range."""
+    from coffea_spark.correction_files import read_ea_txt, read_jec_txt_sections
+
+    ea = read_ea_txt(_EA_PATH)
+
+    def ea_case(name: str, var: str) -> str:
+        lk = ea[name]
+        edges, vals = lk.bins[0], lk.values
+        whens = [
+            f"WHEN {var} < {float(edges[i + 1])!r} THEN {float(vals[i])!r}"
+            for i in range(len(vals) - 1)
+        ]
+        return (
+            "CAST(CASE " + " ".join(whens)
+            + f" ELSE {float(vals[-1])!r} END AS DOUBLE)"
+        )
+
+    secs = read_jec_txt_sections(_L5_PATH)
+
+    def l5_case(comp: str) -> str:
+        t = secs[f"Winter14_V8_MC_L5Flavor_AK5Calo_{comp}"]
+        edges = t.edges
+        rows = []
+        for i in range(len(edges) - 1):
+            lo, hi = float(t.clamp_lo[0][i]), float(t.clamp_hi[0][i])
+            p = [float(t.params[k][i]) for k in range(len(t.params))]
+            x = f"least(greatest(pt, {lo!r}), {hi!r})"
+            expr = (
+                f"(({p[0]!r}+({p[1]!r}/((pow(log10({x}),2))+({p[2]!r}))))"
+                f"+(({p[3]!r})*exp(-(({p[4]!r})*((log10({x})-({p[5]!r}))"
+                f"*(log10({x})-({p[5]!r})))))))"
+            )
+            rows.append((float(edges[i + 1]), expr))
+        whens = [
+            f"WHEN eta < {e!r} THEN {expr}" for e, expr in rows[:-1]
+        ]
+        return "CASE " + " ".join(whens) + f" ELSE {rows[-1][1]} END"
+
+    return f"""
+WITH j AS (
+  SELECT l_returnflag,
+         l_discount * 30.0 AS abseta,
+         l_discount * 100.0 - 5.0 AS eta,
+         l_extendedprice / 500.0 AS pt
+  FROM lineitem
+), v AS (
+  SELECT l_returnflag,
+         {ea_case("photon_id_EA_CHad", "abseta")} AS ch,
+         {ea_case("photon_id_EA_NHad", "abseta")} AS nh,
+         {ea_case("photon_id_EA_Pho", "abseta")} AS ph,
+         {l5_case("gJ")} AS gj,
+         {l5_case("bJ")} AS bj
+  FROM j
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(ch + nh + ph), 4) AS sum_ea,
+       round(sum(gj), 2) AS sum_gj,
+       round(avg(bj), 6) AS avg_bj
+FROM v GROUP BY l_returnflag
+"""
+
+
 def q_jes_uncertainty(spark, sf_dir):
     """Eta/pt-binned JES uncertainty from the junc txt format (reference
     jetmet_tools/JetCorrectionUncertainty.py:54 + txt converter
@@ -7812,7 +7921,7 @@ REGISTRY: dict[str, Query] = {
     # round (scouting_real_scan, scouting_objects, pfnano_real_xref,
     # pfnano_objects, unimax_sample, stream_dedup, substring_removal,
     # jpeg_color_features, jpeg_progressive, paragraph_dedup_norm,
-    # adpcm_features), and every
+    # adpcm_features, url_dedup, bpe_encode, effarea_l5flavor), and every
     # gate whose code changed in round 7: paragraph_dedup (groupBy/min
     # keeper election), perplexity_buckets (threshold bucketing),
     # bloom_decontam (min==1 membership), quality_classifier (logreg
@@ -7860,6 +7969,7 @@ REGISTRY: dict[str, Query] = {
     "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
+    "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -221,6 +221,66 @@ def test_junc_multi_component(spark):
 
 
 @needs_samples
+def test_ea_real_file(spark, points):
+    """photon_id.ea.txt: one 1-D DenseLookup per value column, named
+    stem_col (reference txt_converters.py:442-534 +
+    tests/test_lookup_tools.py:366-386)."""
+    from coffea_spark.correction_files import read_ea_txt
+
+    lookups = read_ea_txt(f"{SAMPLES}/photon_id.ea.txt")
+    assert sorted(lookups) == [
+        "photon_id_EA_CHad", "photon_id_EA_NHad", "photon_id_EA_Pho"
+    ]
+    # hand-checked rows straight from the file
+    ch = lookups["photon_id_EA_CHad"]
+    np.testing.assert_allclose(ch.bins[0][:3], [0.0, 1.0, 1.479])
+    assert ch.values[0] == pytest.approx(0.0360)
+    assert lookups["photon_id_EA_NHad"].values[-1] == pytest.approx(0.0591)
+    # Spark evaluation == clamped searchsorted, including |eta| > 2.5
+    df, eta, pt = points
+    lk = lookups["photon_id_EA_Pho"]
+    got = np.array(
+        [r.v for r in df.select(lk(F.abs(F.col("eta"))).alias("v")).collect()]
+    )
+    edges = lk.bins[0]
+    idx = np.clip(
+        np.searchsorted(edges, np.abs(eta), side="right") - 1, 0, len(edges) - 2
+    )
+    np.testing.assert_allclose(got, lk.values[idx], rtol=0)
+
+
+@needs_samples
+def test_l5flavor_sections_real_file(spark, points):
+    """Sectioned [flavor] JEC file -> one standard JECTable per section,
+    named stem_flavor (reference convert_l5flavor_jes_txt_file,
+    txt_converters.py:307-347)."""
+    from coffea_spark.correction_files import read_jec_txt_sections
+
+    secs = read_jec_txt_sections(f"{SAMPLES}/Winter14_V8_MC_L5Flavor_AK5Calo.txt")
+    comps = {"aJ", "bJ", "cJ", "gJ", "qJ", "sJ", "udJ", "udsJ"}
+    assert set(secs) == {f"Winter14_V8_MC_L5Flavor_AK5Calo_{c}" for c in comps}
+    df, eta, pt = points
+    for comp in ("gJ", "bJ"):
+        table = secs[f"Winter14_V8_MC_L5Flavor_AK5Calo_{comp}"]
+        assert table.signature == ["JetEta", "JetPt"]
+        got = np.array(
+            [r.v for r in
+             df.select(table(F.col("eta"), F.col("pt")).alias("v")).collect()]
+        )
+        want = _np_jec(table, eta, pt)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+        assert np.isfinite(got).all()
+
+
+@needs_samples
+def test_extractor_ea_and_sectioned_dispatch():
+    assert "photon_id_EA_CHad" in extractor(f"{SAMPLES}/photon_id.ea.txt")
+    assert "Winter14_V8_MC_L5Flavor_AK5Calo_gJ" in extractor(
+        f"{SAMPLES}/Winter14_V8_MC_L5Flavor_AK5Calo.txt"
+    )
+
+
+@needs_samples
 def test_jersf_real_file(spark):
     table = read_jersf_txt(f"{SAMPLES}/Autumn18_V7b_DATA_SF_AK4PF.jersf.txt")
     assert len(table.edges) == 2
