@@ -397,6 +397,10 @@ class NanoEvents:
         if v == "nanoaod":
             from coffea_spark.schema import NanoAODSchemaSpec
 
+            # real-file entry point: enforce the NanoAOD event-id
+            # contract here (reference NanoAODSchema._build_collections
+            # raises/warns on missing run/luminosityBlock/event)
+            NanoAODSchemaSpec.validate_event_ids(df)
             return cls.from_flat(df, schema=NanoAODSchemaSpec)
         if v == "auto":
             return cls(zip_collections(df))

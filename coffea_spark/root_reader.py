@@ -219,7 +219,7 @@ def _read_string(buf: bytes, p: int) -> tuple[str, int]:
 
 class _Key:
     __slots__ = ("nbytes", "objlen", "keylen", "cycle", "cls", "name", "title",
-                 "off", "hdrend")
+                 "off", "hdrend", "seekkey")
 
     def __init__(self, data: bytes, off: int):
         self.nbytes, version = struct.unpack_from(">iH", data, off)
@@ -228,12 +228,32 @@ class _Key:
         self.objlen, _datime, self.keylen, self.cycle = struct.unpack_from(
             ">iIhh", data, off + 6
         )
-        p = off + 18 + (16 if version > 1000 else 8)
+        if version > 1000:
+            self.seekkey = struct.unpack_from(">q", data, off + 18)[0]
+            p = off + 18 + 16
+        else:
+            self.seekkey = struct.unpack_from(">i", data, off + 18)[0]
+            p = off + 18 + 8
         self.cls, p = _read_string(data, p)
         self.name, p = _read_string(data, p)
         self.title, p = _read_string(data, p)
         self.off = off
         self.hdrend = p
+
+    def plausible(self) -> bool:
+        """A genuine on-disk record: self-referencing fSeekKey (0 for
+        the header key), sane lengths, printable class name. Used to
+        detect scan desync at silent sub-key-size gaps — ROOT cannot
+        write a freed-slot marker smaller than a key header, so a
+        record whose allocation exceeds its fNbytes leaves bytes the
+        linear walk must resync across."""
+        return (
+            self.keylen >= 22
+            and self.nbytes >= self.keylen
+            and self.seekkey in (self.off, 0)
+            and 0 < len(self.cls) <= 64
+            and all(32 < ord(c) < 127 for c in self.cls)
+        )
 
 
 class _EmbeddedKey:
@@ -463,17 +483,36 @@ class RootTreeReader:
         self._keys: list[_Key] = []
         off = fbegin
         while off < fend:
-            k = _Key(data, off)
-            if k.nbytes == 0:
-                break
-            if k.nbytes < 0:  # freed slot: skip the gap
+            k = None
+            try:
+                k = _Key(data, off)
+            except Exception:
+                pass
+            if k is not None and k.nbytes < 0:  # freed slot: skip the gap
                 off += -k.nbytes
+                continue
+            if k is None or k.nbytes == 0 or not k.plausible():
+                # desync: a record's disk allocation exceeded its
+                # fNbytes (ROOT leaves sub-key-size gaps unmarked —
+                # no room for a freed-slot header). Resync on the next
+                # self-referencing key header.
+                off = self._resync(data, off + 1, fend)
+                if off is None:
+                    break
                 continue
             self._keys.append(k)
             off += k.nbytes
 
         trees = {}
         for k in self._keys:
+            if k.cls == "TTree" and (
+                k.name not in trees or k.cycle > trees[k.name].cycle
+            ):
+                trees[k.name] = k
+        # authoritative top-level listing: the directory's fSeekKeys
+        # key list names every object key (uproot follows the same
+        # chain); merge any tree the linear walk missed
+        for k in self._directory_keys(data):
             if k.cls == "TTree" and (
                 k.name not in trees or k.cycle > trees[k.name].cycle
             ):
@@ -516,6 +555,88 @@ class RootTreeReader:
         self._basket_starts: dict[str, np.ndarray] = {}
 
     # -- low-level ----------------------------------------------------------
+
+    @staticmethod
+    def _resync(data, start: int, fend: int):
+        """Next genuine record at/after ``start``, located by the TKey
+        fSeekKey self-reference (vectorized window scan). Returns None
+        when no plausible record remains. Gaps ROOT leaves unmarked are
+        sub-key-size, so the 1 MiB window is generous."""
+        limit = min(fend, start + (1 << 20))
+        win = bytes(data[start: min(limit + 26, len(data))])
+        if len(win) < 30:
+            return None
+        a = np.frombuffer(win, dtype=np.uint8).astype(np.uint64)
+        n = len(win) - 26
+
+        def u32(at: int):
+            return (
+                (a[at: at + n] << np.uint64(24))
+                | (a[at + 1: at + 1 + n] << np.uint64(16))
+                | (a[at + 2: at + 2 + n] << np.uint64(8))
+                | a[at + 3: at + 3 + n]
+            )
+
+        offs = np.arange(start, start + n, dtype=np.uint64)
+        # small-key (4-byte) fSeekKey at +18, or big-key (8-byte) whose
+        # high word is 0 for any file this mmap can hold
+        cand = np.nonzero(
+            (u32(18) == offs) | ((u32(18) == 0) & (u32(22) == offs))
+        )[0]
+        for c in cand:
+            off = start + int(c)
+            try:
+                k = _Key(data, off)
+            except Exception:
+                continue
+            if k.nbytes > 0 and k.plausible():
+                return off
+        return None
+
+    @staticmethod
+    def _directory_keys(data) -> list[_Key]:
+        """Top-directory key list: TFile header fNbytesName -> the
+        TDirectory streamer's fSeekKeys -> a record whose payload is
+        nkeys serialized TKey headers — the authoritative top-level
+        object listing (what uproot reads; TDirectoryFile::ReadKeys).
+        Returns the true on-disk record keys the entries point at."""
+        out: list[_Key] = []
+        try:
+            version, fbegin = struct.unpack_from(">ii", data, 4)
+            big = version > 1000000
+            p = 12
+            p += 8 if big else 4  # fEND
+            p += 8 if big else 4  # fSeekFree
+            p += 4 + 4  # fNbytesFree, nfree
+            nbytesname = struct.unpack_from(">i", data, p)[0]
+            d = fbegin + nbytesname
+            dver = struct.unpack_from(">h", data, d)[0]
+            q = d + 2 + 4 + 4 + 4 + 4  # fVersion fDatimeC fDatimeM fNbytesKeys fNbytesName
+            fmt, sz = (">q", 8) if dver > 1000 else (">i", 4)
+            seekkeys = struct.unpack_from(fmt, data, q + 2 * sz)[0]
+            if seekkeys <= 0 or seekkeys >= len(data):
+                return out
+            hk = _Key(data, seekkeys)
+            if hk.nbytes <= 0:
+                return out
+            pos = seekkeys + hk.keylen
+            nkeys = struct.unpack_from(">i", data, pos)[0]
+            pos += 4
+            for _ in range(max(0, min(nkeys, 1 << 20))):
+                k = _Key(data, pos)
+                if k.nbytes <= 0:
+                    break
+                if 0 < k.seekkey < len(data):
+                    try:
+                        rk = _Key(data, k.seekkey)
+                        if rk.nbytes > 0 and rk.plausible() and rk.name == k.name:
+                            out.append(rk)
+                    except Exception:
+                        pass
+                pos = k.hdrend
+        except Exception:
+            return out
+        return out
 
     def _parse_embedded_baskets(self) -> None:
         """Find baskets streamed INSIDE the tree record (fBaskets

@@ -180,6 +180,33 @@ class NanoAODSchemaSpec:
     cross_references: dict[str, str] = dict(all_cross_references)
     #: NanoAOD production version this spec models
     version: str = "latest"
+    #: event identifiers every NanoAOD file must carry (reference
+    #: schemas/nanoaod.py NanoAODSchema.event_ids, checked in
+    #: _build_collections)
+    event_ids: list[str] = ["run", "luminosityBlock", "event"]
+    #: raise (True) or warn (False) when event ids are missing —
+    #: reference NanoAODSchema.error_missing_event_ids
+    error_missing_event_ids: bool = True
+
+    @classmethod
+    def validate_event_ids(cls, df: DataFrame) -> None:
+        """Check the frame carries the NanoAOD event identifiers;
+        RuntimeError (default) or RuntimeWarning per
+        ``error_missing_event_ids`` — the reference's message and
+        escape hatch (schemas/nanoaod.py:321-334)."""
+        missing = [e for e in cls.event_ids if e not in df.columns]
+        if not missing:
+            return
+        msg = (
+            f"Missing event_ids : {missing}\n"
+            "Set error_missing_event_ids=False on the schema spec to "
+            "demote this to a warning"
+        )
+        if cls.error_missing_event_ids:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(f"Missing event_ids : {missing}", RuntimeWarning)
 
     @classmethod
     def versioned(cls, version: str) -> type["NanoAODSchemaSpec"]:

@@ -899,3 +899,52 @@ def test_root_datasource_sql_using(spark):
         " sum(size(Muon_pt)) AS sp FROM nano_sql_gate"
     ).collect()[0]
     assert (row.n, row.s, row.sp) == (40, 84, 84)
+
+
+def test_special_tree_discovery_after_unmarked_gap():
+    """nano_dy_SpecialTree.root carries Events, Runs AND NotEvents —
+    with a sub-key-size unmarked gap mid-file that desyncs a naive
+    linear key walk (ROOT cannot write a freed-slot marker smaller
+    than a key header). The reader must resync and also read the
+    directory key list, so all three trees resolve (reference exercises
+    this file as the missing-tree case in test_local_executors.py:44)."""
+    with pytest.raises(RootFileError, match="NotThere"):
+        RootTreeReader(f"{SAMPLES}/nano_dy_SpecialTree.root", tree="NotThere")
+    try:
+        RootTreeReader(f"{SAMPLES}/nano_dy_SpecialTree.root", tree="NotThere")
+    except RootFileError as e:
+        assert "'Events'" in str(e) and "'NotEvents'" in str(e) and "'Runs'" in str(e)
+    # the NotEvents tree decodes to exactly the nano_dy Events content
+    r = RootTreeReader(f"{SAMPLES}/nano_dy_SpecialTree.root", tree="NotEvents")
+    ref = RootTreeReader(f"{SAMPLES}/nano_dy.root", tree="Events")
+    assert len(r.branches) >= len(ref.branches)
+    ev = r.array("event")
+    ev_ref = ref.array("event")
+    assert sorted(ev.tolist()) == sorted(ev_ref.tolist())
+    np.testing.assert_array_equal(np.sort(r.array("MET_pt")), np.sort(ref.array("MET_pt")))
+
+
+def test_missing_event_ids_raise_and_warn(spark):
+    """NanoAOD event-id contract on the real missing_luminosityBlock
+    fixture (reference tests/test_nanoevents.py:183-201): RuntimeError
+    by default, RuntimeWarning with error_missing_event_ids=False."""
+    import warnings
+
+    from coffea_spark.nanoevents import NanoEvents
+    from coffea_spark.schema import NanoAODSchemaSpec
+
+    df = read_root(
+        spark, f"{SAMPLES}/missing_luminosityBlock.root",
+        columns=["run", "event", "Muon_pt"],
+    )
+    with pytest.raises(RuntimeError, match=r"Missing event_ids : \['luminosityBlock'\]"):
+        NanoEvents.from_variant(df, "nanoaod")
+    NanoAODSchemaSpec.error_missing_event_ids = False
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ev = NanoEvents.from_variant(df, "nanoaod")
+            assert any("Missing event_ids" in str(x.message) for x in w)
+    finally:
+        NanoAODSchemaSpec.error_missing_event_ids = True
+    assert ev.df.count() > 0
