@@ -206,3 +206,26 @@ def test_data_discovery_fileset_preprocess(spark, tmp_path):
         for f, finfo in info["files"].items():
             assert finfo["num_entries"] > 0
             assert finfo["steps"][0][0] == 0
+
+
+def test_preprocess_missing_tree_and_malformed_parquet():
+    """The reference's bad-fileset taxonomy (test_local_executors.py:30-70):
+    a treename present in one file but not another, and a malformed
+    parquet file — both must raise by default and be dropped (recorded
+    as None in the updated fileset) under skip_bad_files."""
+    dy, special = f"{SAMPLES}/nano_dy.root", f"{SAMPLES}/nano_dy_SpecialTree.root"
+    fs = discover_fileset({"zjets": [dy, special]}, tree="NotEvents")
+    with pytest.raises(Exception):
+        preprocess(fs)
+    avail, upd = preprocess(fs, skip_bad_files=True)
+    assert list(avail["zjets"]["files"]) == [special]
+    assert upd["zjets"]["files"][dy] is None
+    assert missing_files(upd, avail) == {"zjets": [dy]}
+    meta = avail["zjets"]["files"][special]
+    assert meta["object_path"] == "NotEvents" and meta["num_entries"] == 40
+
+    fs2 = discover_fileset({"bad": f"{SAMPLES}/nano_dy_malformed.parquet"})
+    with pytest.raises(Exception):
+        preprocess(fs2)
+    avail2, _ = preprocess(fs2, skip_bad_files=True)
+    assert avail2["bad"]["files"] == {}
