@@ -115,3 +115,98 @@ def duplicate_clusters(
         .withColumn("cluster", F.coalesce(F.col("component"), F.col(id_col).cast("long")))
         .drop("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """PageRank over an edge table -> (node, rank). The web-corpus
+    quality-weighting stage: link-graph centrality is a standard
+    curation signal for crawl-derived training data (Common Crawl
+    publishes harmonic-centrality/PageRank host rankings for exactly
+    this; cf. Page et al. 1999, Boldi & Vigna 2014).
+
+    Semantics (standard power iteration with uniform teleport):
+    rank'(v) = (1-d)/n + d * (sum_{u->v} rank(u)/outdeg(u) + D/n)
+    where D is the dangling mass (total rank parked on nodes with no
+    out-links) — redistributed uniformly so sum(rank) stays 1.
+
+    Scale design: parallel edges are collapsed to (src, dst, weight=m)
+    up front, so each iteration is ONE join of the edge table with the
+    rank table on src + ONE groupBy dst — shuffles carry (long, long,
+    double) rows only, never document payloads. The edge table is
+    persisted once and every iteration joins on the same key, so a
+    pre-partitioned/bucketed-by-src edge table co-locates all K
+    iterations at 100 TB. Per iteration there is one scalar driver agg
+    (the dangling mass) — K tiny round-trips, the logreg/bpe precedent,
+    not a per-row collect. ``localCheckpoint`` cuts the rank lineage so
+    the plan stays constant-size in K. Deterministic given the graph:
+    no RNG, no ties broken by partition order.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError("damping must be in [0, 1]")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    nodes = nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    # (src, dst, share) with share = w/deg: the column actually joined
+    # against ranks every iteration — persist once, reuse K times
+    shares = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("deg")).alias("share"))
+        .persist()
+    )
+    shares.count()
+    base, d = (1.0 - damping) / n, damping
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    has_out = outdeg.select(F.col("src").alias("node")).withColumn(
+        "_out", F.lit(1)
+    )
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left")
+            .where(F.col("_out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            shares.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    shares.unpersist()
+    nodes.unpersist()
+    return ranks

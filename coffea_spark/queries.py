@@ -7152,6 +7152,74 @@ FROM dd GROUP BY 1, 2
 """
 
 
+def q_pagerank_hosts(spark, sf_dir):
+    """Link-graph PageRank (cluster.pagerank) — the web-corpus quality
+    weight: a deterministic host-level link graph is derived from the
+    documents table (src = doc_id % 101, dst = (31*doc_id + 7) % 101;
+    hosts ≡ 0 mod 10 emit NO out-links, so the dangling-mass
+    redistribution path is exercised, and self-loops are dropped),
+    then 3 power iterations at d = 0.85. The oracle replays every
+    iteration as a chained CTE — graph construction, out-degree
+    normalization, dangling mass, teleport — so any deviation in the
+    recurrence goes hash-red. One join + one groupBy per iteration on
+    (long, long, double) rows; see cluster.pagerank for the 100 TB
+    posture."""
+    from coffea_spark.llmdata.cluster import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        docs.select(
+            (F.col("doc_id") % 101).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 101).alias("dst"),
+        )
+        .where((F.col("src") % 10 != 0) & (F.col("src") != F.col("dst")))
+    )
+    r = pagerank(e, iterations=3, damping=0.85)
+    return r.select(
+        F.col("node").alias("host"), F.round("rank", 8).alias("rank8")
+    )
+
+
+# chained-CTE replay of 3 PageRank power iterations: identical graph
+# recipe, w/deg shares, per-iteration dangling mass and teleport
+def _sql_pagerank_hosts() -> str:
+    it = """
+r{K} AS (
+  SELECT nodes.node,
+         0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.s, 0.0)
+                 + (SELECT coalesce(sum(rank), 0.0) FROM r{P}
+                    WHERE node NOT IN (SELECT src FROM deg))
+                   / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT sh.dst AS node, sum(sh.share * r.rank) AS s
+    FROM sh JOIN r{P} r ON sh.src = r.node GROUP BY 1
+  ) c USING (node)
+)"""
+    steps = ",".join(it.format(K=k, P=k - 1) for k in (1, 2, 3))
+    return f"""
+WITH e0 AS (
+  SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst
+  FROM documents
+  WHERE (doc_id % 101) % 10 <> 0
+    AND doc_id % 101 <> (doc_id * 31 + 7) % 101
+), e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e0 GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, sum(w) AS deg FROM e GROUP BY 1
+), sh AS (
+  SELECT src, dst, w / deg AS share FROM e JOIN deg USING (src)
+), r0 AS (
+  SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes
+),{steps}
+SELECT node AS host, round(rank, 8) AS rank8 FROM r3
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """C4-style HTML -> text extraction (text.html_to_text): documents
     wrapped in deterministic HTML carrying script/style blocks,
@@ -7970,6 +8038,7 @@ REGISTRY: dict[str, Query] = {
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
     "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
+    "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
