@@ -7727,6 +7727,76 @@ FROM scored GROUP BY lang
 """
 
 
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring
+    (text.kneser_ney_logprob_score) — the KenLM smoothing family CCNet
+    scores with, one rung above the interpolated-add-k lm_bigram gate:
+    continuation counts replace raw unigrams and the discount D is
+    estimated per language from the bigram count-of-counts
+    (D = n1/(n1+2 n2)). The oracle replays token split, bigram/type
+    counts, per-lang D, continuation probabilities and the exact KN
+    recurrence — any deviation in discounting or backoff mass goes
+    hash-red. Scale: bigram model shuffle-joined on (w1, w2);
+    continuation + discount tables broadcast."""
+    from coffea_spark.llmdata.text import kneser_ney_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = kneser_ney_logprob_score(docs, "text", by=["lang"])
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+        F.round(F.max("logprob"), 6).alias("max_logprob"),
+    )
+
+
+SQL_LM_KNESER_NEY = r"""
+WITH dt AS (
+  SELECT lang, doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT lang, doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT lang, doc_id, unnest(list_zip(toks, toks[2:])) AS p FROM dt)
+  WHERE p[2] IS NOT NULL
+), bg AS (
+  SELECT lang, w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2, 3
+), lft AS (
+  SELECT lang, w1, sum(c12) AS c1, count(*) AS n1w1 FROM bg GROUP BY 1, 2
+), tot AS (
+  SELECT lang, count(*) AS n1tot,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+  FROM bg GROUP BY 1
+), disc AS (
+  SELECT lang, n1tot,
+         CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d
+  FROM tot
+), cont AS (
+  SELECT bg.lang, w2, count(*) / any_value(disc.n1tot) AS pcont,
+         any_value(disc.d) AS d
+  FROM bg JOIN disc ON bg.lang = disc.lang
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.lang, p.doc_id, count(*) AS nb,
+         avg(ln(
+           greatest(b.c12 - ct.d, 0.0) / l.c1
+           + ct.d * l.n1w1 / l.c1 * ct.pcont
+         )) AS lp
+  FROM pairs p
+  JOIN bg b ON b.lang = p.lang AND b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN lft l ON l.lang = p.lang AND l.w1 = p.w1
+  JOIN cont ct ON ct.lang = p.lang AND ct.w2 = p.w2
+  GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob, round(min(lp), 6) AS min_logprob,
+       round(max(lp), 6) AS max_logprob
+FROM scored GROUP BY lang
+"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
     language's documents into head/middle/tail thirds by LM score; the
@@ -8039,6 +8109,7 @@ REGISTRY: dict[str, Query] = {
     "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
     "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
     "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
+    "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -1367,6 +1367,71 @@ def test_bigram_logprob_hand_values(spark):
     assert abs(out[1].logprob - want1) < 1e-12
 
 
+def test_kneser_ney_hand_values(spark):
+    """Hand-checked interpolated KN on the textbook 3-doc corpus, plus
+    the KN normalization invariant sum_w2 P(w2|w1) == 1."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.kneser_ney_logprob_score(docs).collect()}
+    # bigram types: (a,b) c12=2, (a,c) c12=1 -> n1=1, n2=1, D=1/3
+    # c1(a)=3, N1+(a.)=2; Pcont(b)=Pcont(c)=1/2
+    D = 1.0 / 3.0
+    p_b = (2 - D) / 3 + D * 2 / 3 * 0.5
+    p_c = (1 - D) / 3 + D * 2 / 3 * 0.5
+    assert abs(p_b + p_c - 1.0) < 1e-15  # KN normalizes over continuations
+    assert out[0].n_bigrams == 1 and abs(out[0].logprob - math.log(p_b)) < 1e-12
+    assert abs(out[2].logprob - math.log(p_c)) < 1e-12
+
+    # explicit discount overrides estimation
+    out2 = {r.doc_id: r for r in text.kneser_ney_logprob_score(docs, discount=0.75).collect()}
+    p_b2 = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 0.5
+    assert abs(out2[0].logprob - math.log(p_b2)) < 1e-12
+    with pytest.raises(ValueError):
+        text.kneser_ney_logprob_score(docs, discount=1.5)
+
+    # single-token / empty docs drop out (no bigrams)
+    docs3 = spark.createDataFrame([(0, "solo"), (1, "")], "doc_id long, text string")
+    assert text.kneser_ney_logprob_score(docs3).count() == 0
+
+
+def test_kneser_ney_normalization_real_data(spark):
+    """sum_w2 P(w2|w1) == 1 for the highest-degree w1 on real documents
+    — the invariant that distinguishes KN from ad-hoc backoff."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    t = text.tokens(F.col("text"))
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    top_w1 = (
+        bg.groupBy("w1").count().orderBy(F.desc("count"), "w1").first()["w1"]
+    )
+    tot = bg.count()
+    n1 = bg.where(F.col("c12") == 1).count()
+    n2 = bg.where(F.col("c12") == 2).count()
+    D = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+    rows = bg.where(F.col("w1") == top_w1).collect()
+    c1 = sum(r.c12 for r in rows)
+    n1w1 = len(rows)
+    cont = {r.w2: r.cnt for r in bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # P over the FULL continuation vocab for this w1
+    p_sum = sum(
+        max(next((r.c12 for r in rows if r.w2 == w2), 0) - D, 0) / c1
+        + D * n1w1 / c1 * (cont[w2] / tot)
+        for w2 in cont
+    )
+    assert abs(p_sum - 1.0) < 1e-9, p_sum
+
+
 def test_hll_accuracy_and_shape(spark):
     """Portable HLL: sketch is <= m rows; estimate within ~3 standard
     errors (sigma ~ 1.04/sqrt(m)) on 20k distinct sequential ids —
