@@ -62,3 +62,29 @@ def test_read_converted_zips_collections(spark, tmp_path):
     assert [m["pt"] for m in rows[1]] == [20.0, 11.0]
     assert [m["charge"] for m in rows[1]] == [1, -1]
     assert rows[3] == []
+
+
+def test_three_representations_agree(spark):
+    """nano_dimuon ships as TTree, plain parquet and arrow
+    extension-array parquet (reference test_nanoevents.py:60-130 runs
+    its factory over all three); the engine must read identical physics
+    from each."""
+    import pyspark.sql.functions as F
+
+    from coffea_spark.root_reader import read_root
+
+    S = "/root/reference/tests/samples"
+    froot = read_root(spark, f"{S}/nano_dimuon.root", columns=["event", "Muon_pt"])
+    fpq = spark.read.parquet(f"{S}/nano_dimuon.parquet")
+    fext = spark.read.parquet(f"{S}/nano_dimuon.extensionarray.parquet")
+    sums = []
+    events = []
+    for df in (froot, fpq, fext):
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("aggregate(Muon_pt, 0D, (a, x) -> a + double(x))")).alias("s"),
+        ).first()
+        sums.append((agg.n, round(agg.s, 3)))
+        events.append(sorted(r.event for r in df.select("event").collect()))
+    assert sums[0] == sums[1] == sums[2], sums
+    assert events[0] == events[1] == events[2]
