@@ -1138,3 +1138,68 @@ def audio_features(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def resample_linear(pcm: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation resampling with INTEGER-EXACT position math
+    — the 16 kHz-normalization step every speech-training pipeline runs
+    before featurization. Output index i maps to source position
+    i*src/dst evaluated in integer arithmetic (i0 = i*src // dst,
+    frac = (i*src mod dst)/dst), so sample selection never depends on
+    float rounding and a SQL engine replays the result bit-for-bit.
+    n_out = (n-1)*dst // src + 1: the grid never extrapolates past the
+    last sample (and lands exactly ON it, frac == 0, when the ratio
+    divides evenly). Returns float64."""
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    x = np.asarray(pcm, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return x
+    n_out = (n - 1) * dst_rate // src_rate + 1
+    i = np.arange(n_out, dtype=np.int64)
+    pos = i * src_rate
+    i0 = pos // dst_rate
+    frac = (pos - i0 * dst_rate).astype(np.float64) / dst_rate
+    x1 = x[np.minimum(i0 + 1, n - 1)]
+    return x[i0] + (x1 - x[i0]) * frac
+
+
+def resample_features(
+    df: DataFrame,
+    audio_col: str = "audio",
+    target_rate: int = 16000,
+    decoder: Callable[[bytes, int], np.ndarray] = fake_audio_decoder,
+) -> DataFrame:
+    """Decode -> :func:`resample_linear` to ``target_rate`` -> per-clip
+    summary (output length, mean, RMS) via the audio_features
+    mapInPandas shape: features-not-samples cross the wire, payload
+    dropped from the output."""
+    out_fields = [f for f in df.schema.fields if f.name != audio_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("n_out", T.LongType()),
+            T.StructField("mean_out", T.DoubleType()),
+            T.StructField("rms_out", T.DoubleType()),
+        ]
+    )
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            col = pdf[audio_col]
+            ns, means, rmss = [], [], []
+            for s in col:
+                pcm = decoder(s["data"], s["sample_rate"])
+                y = resample_linear(pcm, int(s["sample_rate"]), target_rate)
+                ns.append(len(y))
+                means.append(float(np.mean(y)) if len(y) else 0.0)
+                rmss.append(float(np.sqrt(np.mean(y * y))) if len(y) else 0.0)
+            out = pdf[keep].copy()
+            out["n_out"] = ns
+            out["mean_out"] = means
+            out["rms_out"] = rmss
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

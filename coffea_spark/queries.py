@@ -2416,6 +2416,59 @@ FROM st GROUP BY lang
 """
 
 
+def q_audio_resample(spark, sf_dir):
+    """Linear-interpolation resampling to an awkward target rate
+    (8 kHz -> 5513 Hz, so the fractional position varies across the
+    whole grid) through the real WAV decode path
+    (multimodal.resample_features / resample_linear). Position math is
+    INTEGER-exact (i0 = i*src // dst, frac = (i*src mod dst)/dst), so
+    the oracle replays every output sample bit-for-bit from the PCM
+    formula — any off-by-one in grid length, bin selection, or
+    endpoint clamping goes hash-red."""
+    from coffea_spark.llmdata.multimodal import real_audio_decoder, resample_features
+
+    docs = spark.read.parquet(_audio_fixture(spark, sf_dir))
+    feats = resample_features(docs, "audio", 5513, decoder=real_audio_decoder)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_out").alias("sum_n_out"),
+        F.round(F.avg("mean_out"), 6).alias("avg_mean"),
+        F.round(F.avg("rms_out"), 6).alias("avg_rms"),
+    )
+
+
+# integer-exact grid replay: i0 = (i*8000)//5513, frac = rem/5513;
+# DuckDB lists are 1-based, hence the +1/+2 indexing
+SQL_AUDIO_RESAMPLE = """
+WITH d AS (
+  SELECT doc_id, lang, 400 + doc_id % 300 AS n FROM documents
+), pcm AS (
+  SELECT lang, n,
+         list_transform(range(0, n),
+           i -> CAST((doc_id * 13 + 5 * i) % 4001 - 2000 AS DOUBLE)) AS s
+  FROM d
+), rs AS (
+  SELECT lang, (n - 1) * 5513 // 8000 + 1 AS n_out,
+         list_transform(range(0, (n - 1) * 5513 // 8000 + 1),
+           i -> s[(i * 8000) // 5513 + 1]
+                + (s[least((i * 8000) // 5513 + 2, n)]
+                   - s[(i * 8000) // 5513 + 1])
+                  * CAST((i * 8000) % 5513 AS DOUBLE) / 5513
+         ) AS y
+  FROM pcm
+), st AS (
+  SELECT lang, n_out, list_avg(y) AS m,
+         sqrt(list_avg(list_transform(y, v -> v * v))) AS r
+  FROM rs
+)
+SELECT lang, count(*) AS n_clips,
+       CAST(sum(n_out) AS BIGINT) AS sum_n_out,
+       round(avg(m), 6) AS avg_mean,
+       round(avg(r), 6) AS avg_rms
+FROM st GROUP BY lang
+"""
+
+
 def _adpcm_fixture(spark, sf_dir) -> str:
     """Encode deterministic PCM clips (sample i of doc d =
     ((d*13 + 5i) % 4001) - 2000, n = 600 + d%500, 8 kHz mono) into
@@ -8110,6 +8163,7 @@ REGISTRY: dict[str, Query] = {
     "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
     "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
     "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
+    "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -1793,3 +1793,42 @@ def test_alpha_sampling_flattens(spark):
     s1 = sorted(x.id for x in alpha_sample(df, "grp", "id", 0.3, budget=400).collect())
     s2 = sorted(x.id for x in alpha_sample(df, "grp", "id", 0.3, budget=400).collect())
     assert s1 == s2 and 300 < len(s1) < 500
+
+
+def test_resample_linear_properties(spark):
+    """Integer-exact linear resampling: parity with np.interp, exact
+    2x up/down round trip, endpoint preservation, error paths."""
+    from coffea_spark.llmdata.multimodal import (
+        encode_wav,
+        real_audio_decoder,
+        resample_features,
+        resample_linear,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-2000, 2000, 501).astype(np.float64)
+    for src, dst in ((8000, 16000), (8000, 5513), (16000, 8000), (44100, 16000)):
+        y = resample_linear(x, src, dst)
+        n_out = (len(x) - 1) * dst // src + 1
+        assert len(y) == n_out
+        pos = np.arange(n_out) * (src / dst)
+        want = np.interp(pos, np.arange(len(x)), x)
+        np.testing.assert_allclose(y, want, atol=1e-8)
+        assert y[0] == x[0]
+    # 2x upsample then 2x downsample is the identity (grid-exact)
+    up = resample_linear(x, 8000, 16000)
+    np.testing.assert_array_equal(resample_linear(up, 16000, 8000), x)
+    assert len(resample_linear(np.array([]), 8000, 16000)) == 0
+    with pytest.raises(ValueError):
+        resample_linear(x, 0, 16000)
+
+    # mapInPandas shape over a REAL WAV payload
+    pcm = (((7 * 13 + 5 * np.arange(400)) % 4001) - 2000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(7, {"data": bytearray(encode_wav(pcm, 8000)), "sample_rate": 8000})],
+        "doc_id long, audio struct<data binary, sample_rate int>",
+    )
+    r = resample_features(df, "audio", 16000, decoder=real_audio_decoder).first()
+    want_y = resample_linear(pcm.astype(np.float64), 8000, 16000)
+    assert r.n_out == len(want_y) == 799
+    assert abs(r.rms_out - float(np.sqrt(np.mean(want_y**2)))) < 1e-9
