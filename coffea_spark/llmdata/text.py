@@ -687,6 +687,121 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def c4_line_clean(col: Column, min_words_per_line: int = 3) -> Column:
+    """The C4 line/page cleaning rules (Raffel et al. 2020 §2.2),
+    scan-stage and engine-portable. Returns a struct:
+
+    - ``clean``: lines that END IN TERMINAL PUNCTUATION (. ! ? or a
+      closing quote after one), have >= ``min_words_per_line`` words,
+      and do not contain the word "javascript" (any case) — re-joined
+      with newlines
+    - ``n_lines`` / ``n_kept``: line counts before/after
+    - ``n_sentences``: terminal-punctuation count in the kept text
+      (C4 drops pages with < 5)
+    - ``has_lorem`` / ``has_brace``: the page-level "lorem ipsum" and
+      "{" tripwires (C4 drops such pages outright)
+
+    Policy stays with the caller (filter on the flags); this function
+    only measures and cleans, so one pass can feed both keep/drop stats
+    and the cleaned corpus.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    lines = F.split(col, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.trim(l).rlike(r"""[.!?]["']?\s*$""")
+            & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+               >= F.lit(min_words_per_line))
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    # NB: an explicit unary lambda — F.trim is binary in Spark 4
+    # (trim(col, trimstr)), so transform would feed it the element
+    # INDEX as the set of characters to strip
+    clean = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]")) - 1
+    return F.struct(
+        clean.alias("clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.when(F.length(clean) > 0, n_sent).otherwise(F.lit(0)).alias("n_sentences"),
+        F.lower(col).contains("lorem ipsum").alias("has_lorem"),
+        col.contains("{").alias("has_brace"),
+    )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(col: Column) -> Column:
+    """The Gopher document-level rule card (Rae et al. 2021, App. A1.1
+    — the public quality filter most corpus pipelines reuse), measured
+    as a struct of signals plus the combined ``passes`` flag:
+
+    - ``n_words``, ``mean_word_len`` (rule: 50 <= n <= 100000,
+      3 <= mean <= 10)
+    - ``symbol_word_ratio``: '#' or ellipsis occurrences per word
+      (rule: <= 0.1)
+    - ``bullet_line_frac``: lines starting with a bullet (rule: <= 0.9)
+    - ``ellipsis_line_frac``: lines ending with an ellipsis (rule: <= 0.3)
+    - ``alpha_word_frac``: words containing at least one alphabetic
+      character (rule: >= 0.8)
+    - ``stop_hits``: how many of the 8 Gopher stop words appear
+      (rule: >= 2)
+
+    Pure HOF column math over one split — no shuffle, no UDF; every
+    signal replays in SQL list functions.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+    nw = F.size(words)
+    nl = F.size(lines)
+    total_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_len = F.when(nw > 0, total_chars / nw).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(col, "#")) - 1
+    n_ell = F.size(F.split(col, r"\.\.\.")) - 1 + F.size(F.split(col, "…")) - 1
+    sym_ratio = F.when(nw > 0, (n_hash + n_ell) / nw).otherwise(F.lit(0.0))
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[•‣▪*-]\s"))
+    )
+    ell_end = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_frac = F.when(nl > 0, bullet / nl).otherwise(F.lit(0.0))
+    ell_frac = F.when(nl > 0, ell_end / nl).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(nw > 0, alpha / nw).otherwise(F.lit(0.0))
+    lw = F.transform(words, F.lower)
+    stop_hits = F.aggregate(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        F.lit(0),
+        lambda a, s: a + F.when(F.array_contains(lw, s), 1).otherwise(0),
+    )
+    passes = (
+        (nw >= 50) & (nw <= 100000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return F.struct(
+        nw.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
 def url_host(col: Column) -> Column:
     """Registrable host of a URL (scheme://host[:port]/...) — regex
     extraction (RE2-compatible, engine-portable) rather than

@@ -1840,6 +1840,111 @@ FROM documents GROUP BY lang
 """
 
 
+def q_c4_gopher_filters(spark, sf_dir):
+    """The two canonical public corpus filters in one pass: C4 line
+    cleaning (Raffel et al. 2020 §2.2 — terminal-punctuation lines,
+    >= 3 words, no 'javascript' lines, lorem-ipsum/brace page
+    tripwires) and the Gopher document rule card (Rae et al. 2021
+    A1.1 — word count, mean word length, symbol/bullet/ellipsis
+    ratios, alphabetic-word fraction, stop-word hits). Both are pure
+    scan-stage HOF column math (text.c4_line_clean /
+    text.gopher_quality_signals); the oracle replays every rule with
+    SQL list functions, so a regex or threshold drift goes hash-red."""
+    from coffea_spark.llmdata.text import c4_line_clean, gopher_quality_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    x = docs.select(
+        "lang",
+        c4_line_clean(F.col("text")).alias("c4"),
+        gopher_quality_signals(F.col("text")).alias("g"),
+    )
+    return x.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c4.n_lines").alias("sum_lines"),
+        F.sum("c4.n_kept").alias("sum_kept"),
+        F.sum("c4.n_sentences").alias("sum_sentences"),
+        F.sum(F.col("c4.has_lorem").cast("long")).alias("n_lorem"),
+        F.sum(F.col("c4.has_brace").cast("long")).alias("n_brace"),
+        F.round(F.avg("g.mean_word_len"), 6).alias("avg_word_len"),
+        F.round(F.avg("g.symbol_word_ratio"), 6).alias("avg_sym_ratio"),
+        F.round(F.avg("g.alpha_word_frac"), 6).alias("avg_alpha_frac"),
+        F.sum("g.stop_hits").alias("sum_stop_hits"),
+        F.sum(F.col("g.passes").cast("long")).alias("n_pass"),
+    )
+
+
+SQL_C4_GOPHER = r"""
+WITH base AS (
+  SELECT lang, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), c4 AS (
+  SELECT lang, text, words,
+         len(lines) AS n_lines,
+         list_filter(lines, l ->
+           regexp_matches(trim(l), '[.!?]["'']?\s*$')
+           AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> w <> '')) >= 3
+           AND NOT contains(lower(l), 'javascript')
+         ) AS kept,
+         list_filter(lines, l -> trim(l) <> '') AS nelines
+  FROM base
+), c42 AS (
+  SELECT lang, text, words, n_lines, len(kept) AS n_kept, nelines,
+         array_to_string(list_transform(kept, l -> trim(l)), chr(10)) AS clean
+  FROM c4
+), m AS (
+  SELECT lang,
+         n_lines, n_kept,
+         CASE WHEN length(clean) > 0
+              THEN len(string_split_regex(clean, '[.!?]')) - 1 ELSE 0 END AS n_sent,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace,
+         len(words) AS nw,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(words) > 0
+              THEN (len(string_split(text, '#')) - 1
+                    + len(string_split(text, '...')) - 1
+                    + len(string_split(text, '…')) - 1) * 1.0 / len(words)
+              ELSE 0.0 END AS sym_ratio,
+         CASE WHEN len(nelines) > 0
+              THEN len(list_filter(nelines, l -> regexp_matches(trim(l), '^[•‣▪*-]\s'))) * 1.0
+                   / len(nelines) ELSE 0.0 END AS bullet_frac,
+         CASE WHEN len(nelines) > 0
+              THEN len(list_filter(nelines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0
+                   / len(nelines) ELSE 0.0 END AS ell_frac,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                   / len(words) ELSE 0.0 END AS alpha_frac,
+         (SELECT sum(CASE WHEN list_contains(list_transform(words, w -> lower(w)), s)
+                          THEN 1 ELSE 0 END)
+          FROM unnest(['the','be','to','of','and','that','have','with']) AS t(s)
+         ) AS stop_hits
+  FROM c42
+), f AS (
+  SELECT *,
+         (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+          AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+          AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
+  FROM m
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+       CAST(sum(n_kept) AS BIGINT) AS sum_kept,
+       CAST(sum(n_sent) AS BIGINT) AS sum_sentences,
+       CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+       CAST(sum(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+       round(avg(mean_len), 6) AS avg_word_len,
+       round(avg(sym_ratio), 6) AS avg_sym_ratio,
+       round(avg(alpha_frac), 6) AS avg_alpha_frac,
+       CAST(sum(stop_hits) AS BIGINT) AS sum_stop_hits,
+       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM f GROUP BY lang
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Token stats + composite quality score, all JVM-side expressions."""
     from coffea_spark.llmdata import text as tx
@@ -8164,6 +8269,7 @@ REGISTRY: dict[str, Query] = {
     "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
     "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
     "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
+    "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -1832,3 +1832,42 @@ def test_resample_linear_properties(spark):
     want_y = resample_linear(pcm.astype(np.float64), 8000, 16000)
     assert r.n_out == len(want_y) == 799
     assert abs(r.rms_out - float(np.sqrt(np.mean(want_y**2)))) < 1e-9
+
+
+def test_c4_line_clean_and_gopher_rules(spark):
+    """Hand-checked C4 line rules and the Gopher rule card."""
+    from coffea_spark.llmdata.text import c4_line_clean, gopher_quality_signals
+
+    good50 = " ".join(["the be to of and that have with word okay"] * 5) + "."
+    df = spark.createDataFrame(
+        [
+            (0, "Good sentence here today.\ntiny\nFine line two words more!\n"
+                "Please enable JavaScript now.\nno terminal punct"),
+            (1, "Lorem Ipsum filler. { brace }"),
+            (2, good50),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        c4_line_clean(F.col("text")).alias("c4"),
+        gopher_quality_signals(F.col("text")).alias("g"),
+    ).collect()}
+    c0 = rows[0].c4
+    # kept: the two real sentences; dropped: <3 words, javascript, no punct
+    assert (c0.n_lines, c0.n_kept) == (5, 2)
+    assert c0.clean.splitlines() == [
+        "Good sentence here today.", "Fine line two words more!"
+    ]
+    assert c0.n_sentences == 2 and not c0.has_lorem and not c0.has_brace
+    assert rows[1].c4.has_lorem and rows[1].c4.has_brace
+    assert rows[3].c4.n_kept == 0 and rows[3].c4.n_sentences == 0
+    # gopher: doc 2 passes every rule (50 words, all stopwords present)
+    g2 = rows[2].g
+    assert g2.n_words == 50 and g2.passes and g2.stop_hits == 8
+    # doc 0 fails on word count alone
+    assert not rows[0].g.passes and rows[0].g.n_words < 50
+    # rule arithmetic spot checks
+    assert abs(rows[2].g.alpha_word_frac - 1.0) < 1e-12
+    assert rows[3].g.n_words == 0 and not rows[3].g.passes
