@@ -80,3 +80,90 @@ def test_kspread_needs_res(spark):
     )
     with pytest.raises(ValueError, match="k_res"):
         roc.k_spread_mc(F.lit(1), F.lit(10.0), F.lit(0.5), F.lit(0.1), F.lit(11.0))
+
+
+SAMPLES = "/root/reference/tests/samples"
+needs_samples = pytest.mark.skipif(
+    not __import__("os").path.isdir(SAMPLES), reason="reference fixtures absent"
+)
+
+
+@needs_samples
+def test_rochester_official_values(spark):
+    """One-to-one agreement with the OFFICIAL C++-derived Rochester
+    values the reference pins (tests/test_lookup_tools.py:388-449):
+    RoccoR2018.txt.gz parsed natively, kScaleDT/kScaleDTerror over the
+    real nano_dimuon muons and kSpreadMC/kSpreadMCerror over the real
+    gen-matched nano_dy muons must match the preloaded
+    nano_*_rochester*.npy fixtures."""
+    from coffea_spark.muon_corrections import read_rochester_txt
+    from coffea_spark.root_reader import RootTreeReader
+
+    roc = read_rochester_txt(f"{SAMPLES}/RoccoR2018.txt.gz", loaduncs=True)
+
+    def muon_frame(fname, with_gen=False):
+        r = RootTreeReader(f"{SAMPLES}/{fname}")
+        n = r.array("nMuon").astype(int)
+        q = r.array("Muon_charge")
+        pt, eta, phi = r.array("Muon_pt"), r.array("Muon_eta"), r.array("Muon_phi")
+        rows, k = [], 0
+        gidx = r.array("Muon_genPartIdx").astype(int) if with_gen else None
+        gpt_all = r.array("GenPart_pt") if with_gen else None
+        goff = None
+        if with_gen:
+            ng = r.array("nGenPart").astype(int)
+            goff = np.concatenate([[0], np.cumsum(ng)])[:-1]
+        for ev, cnt in enumerate(n):
+            for j in range(cnt):
+                g = -1.0
+                if with_gen and gidx[k] >= 0:
+                    g = float(gpt_all[goff[ev] + gidx[k]])
+                rows.append((k, int(q[k]), float(pt[k]), float(eta[k]),
+                             float(phi[k]), g))
+                k += 1
+        return spark.createDataFrame(
+            rows, "i long, q int, pt double, eta double, phi double, genpt double"
+        )
+
+    # -- data: kScaleDT + error over nano_dimuon -----------------------
+    df = muon_frame("nano_dimuon.root")
+    out = df.select(
+        "i",
+        roc.k_scale_dt(F.col("q"), F.col("pt"), F.col("eta"), F.col("phi")).alias("k"),
+        roc.k_scale_dt_error(
+            spark, F.col("q"), F.col("pt"), F.col("eta"), F.col("phi")
+        ).alias("e"),
+    ).orderBy("i").collect()
+    got_k = np.array([r.k for r in out])
+    got_e = np.array([r.e for r in out])
+    want_k = np.load(f"{SAMPLES}/nano_dimuon_rochester.npy")
+    want_e = np.load(f"{SAMPLES}/nano_dimuon_rochester_err.npy")
+    assert got_k.shape == want_k.shape
+    np.testing.assert_allclose(got_k, want_k, rtol=1e-6)
+    np.testing.assert_allclose(got_e, want_e, atol=1e-8)
+
+    # -- mc: kSpreadMC + error over gen-matched nano_dy muons ----------
+    dfm = muon_frame("nano_dy.root", with_gen=True)
+    matched = dfm.where(F.col("genpt") >= 0)
+    outm = matched.select(
+        "i",
+        roc.k_spread_mc(F.col("q"), F.col("pt"), F.col("eta"), F.col("phi"),
+                        F.col("genpt")).alias("k"),
+        roc.k_spread_mc_error(
+            spark, F.col("q"), F.col("pt"), F.col("eta"), F.col("phi"), F.col("genpt")
+        ).alias("e"),
+    ).orderBy("i").collect()
+    got_mk = np.array([r.k for r in outm])
+    got_me = np.array([r.e for r in outm])
+    want_mk_all = np.load(f"{SAMPLES}/nano_dy_rochester.npy")
+    want_me_all = np.load(f"{SAMPLES}/nano_dy_rochester_err.npy")
+    mask = np.array([r.genpt >= 0 for r in dfm.orderBy("i").collect()])
+    np.testing.assert_allclose(got_mk, want_mk_all[mask], rtol=1e-6)
+    np.testing.assert_allclose(got_me, want_me_all[mask], atol=1e-8)
+
+    # error path: a member that was never loaded
+    with pytest.raises(KeyError):
+        roc.correction(0, 1)
+    nouncs = read_rochester_txt(f"{SAMPLES}/RoccoR2018.txt.gz", loaduncs=False)
+    with pytest.raises(ValueError):
+        nouncs.k_scale_dt_error(spark, F.col("q"), F.col("q"), F.col("q"), F.col("q"))
