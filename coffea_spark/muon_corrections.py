@@ -14,12 +14,14 @@ Both are thin compositions over :class:`coffea_spark.lookup.DenseLookup`
 is part of the scan-stage expression: zero extra shuffles, zero UDFs,
 broadcast-free (the table is IN the plan).
 
-``kSmearMC`` (the no-gen-match path) needs the inverse CDF of a
-double-sided crystal-ball per muon (rochester_lookup.py:173-208); it is
-intentionally not implemented here — the deterministic-content-seeded
-uniform from :mod:`coffea_spark.corrections` could drive it, but the
-reference's doublecrystalball.ppf has no closed form (scipy is not a
-dependency). Use kSpreadMC with matched gen muons instead.
+``kSmearMC`` (the no-gen-match path, rochester_lookup.py:173-208) needs
+the inverse CDF of a symmetric double-sided crystal ball per muon:
+implemented here scipy-free — power-law tails invert in closed form and
+the Gaussian core goes through Acklam's inverse normal CDF with one
+exact-erf Halley refinement (:func:`dscb_ppf`, machine precision). The
+full RoccoR surface (kScaleDT/kScaleMC/kSpreadMC/kSmearMC and their
+member-spread errors) is validated ONE-TO-ONE against the official
+C++-derived values the reference pins (nano_*_rochester*.npy).
 """
 
 from __future__ import annotations
@@ -128,9 +130,10 @@ def read_rochester_txt(path: str, loaduncs: bool = True) -> "RochesterFile":
     tables, RETA for the resolution tables); body lines are
     ``SET MEMBER TAG [indices] [values]`` with tag C carrying the
     per-(type, eta, phi) M/A scale parameters (M = 1 + 0.01x,
-    A = 0.01x) and tag F the per-(type, |eta|) kRes values. Tags T/R
-    (the kSmearMC crystal-ball machinery) are parsed past — kSmearMC
-    stays out of scope here as documented in the module docstring.
+    A = 0.01x), tag F the per-(type, |eta|) kRes values, and tag R the
+    kSmearMC machinery (rsPars polynomial coefficients per (|eta|,
+    nTrk) — v==2 scaled by 0.01 — and the crystal-ball s/a/n tables).
+    Tag T (nTrk count tables) is not needed by any k* surface.
 
     With ``loaduncs`` every set/member is kept (RoccoR2018: 6 sets,
     members [1,100,1,1,1,1] — the stat replicas + systematic variants
@@ -141,13 +144,17 @@ def read_rochester_txt(path: str, loaduncs: bool = True) -> "RochesterFile":
     with open(path, "rb") as probe:
         magic = probe.read(2)
     opener = _gzip.open if magic == b"\x1f\x8b" else open
-    nsets = nphi = neta = nabseta = None
+    nsets = nphi = neta = nabseta = nmin = ntrk = None
     members: list[int] = []
     etaedges: list[float] = []
     absetaedges: list[float] = []
     M: dict = {}
     A: dict = {}
     kres: dict = {}
+    rspars: dict = {}
+    cbs: dict = {}
+    cba: dict = {}
+    cbn: dict = {}
     with opener(path, "rt") as f:
         for line in f:
             line = line.strip()
@@ -166,8 +173,10 @@ def read_rochester_txt(path: str, loaduncs: bool = True) -> "RochesterFile":
             elif key == "CETA":
                 neta = int(parts[1])
                 etaedges = [float(x) for x in parts[2:]]
-            elif key in ("RMIN", "RTRK"):
-                pass
+            elif key == "RMIN":
+                nmin = int(parts[1])
+            elif key == "RTRK":
+                ntrk = int(parts[1])
             elif key == "RETA":
                 nabseta = int(parts[1])
                 absetaedges = [float(x) for x in parts[2:]]
@@ -186,7 +195,22 @@ def read_rochester_txt(path: str, loaduncs: bool = True) -> "RochesterFile":
                 elif tag == "F":
                     t = int(rest[0])
                     kres[(s, m, t)] = np.array([float(x) for x in rest[1:]])
-                # tags T/R: kSmearMC-only (nTrk + crystal-ball) — skipped
+                elif tag == "R":
+                    # kSmearMC machinery: v 0-2 -> rsPars (v==2 scaled by
+                    # 0.01), v 3/4/5 -> crystal-ball s/a/n per (|eta|, nTrk)
+                    v, b = int(rest[0]), int(rest[1])
+                    vals = np.array([float(x) for x in rest[2:]])
+                    if v == 2:
+                        vals = vals * 0.01
+                    if v <= 2:
+                        rspars.setdefault((s, m, v), {})[b] = vals
+                    elif v == 3:
+                        cbs.setdefault((s, m), {})[b] = vals
+                    elif v == 4:
+                        cba.setdefault((s, m), {})[b] = vals
+                    elif v == 5:
+                        cbn.setdefault((s, m), {})[b] = vals
+                # tag T (nTrk count tables) is not needed by any k* surface
     if nsets is None or nphi is None or neta is None:
         raise ValueError(f"{path}: not a RoccoR file (missing NSET/CPHI/CETA)")
     phiedges = np.array(
@@ -204,6 +228,25 @@ def read_rochester_txt(path: str, loaduncs: bool = True) -> "RochesterFile":
     Karr = np.stack([
         np.stack([kres[(s, m, t)] for t in (0, 1)]) for s, m in sm
     ])
+    rs = cbsa = cbaa = cbna = trkedges = None
+    if rspars and ntrk is not None and nmin is not None:
+        rs = np.stack([
+            np.stack([
+                np.stack([rspars[(s, m, v)][b] for b in range(nabseta)])
+                for v in (0, 1, 2)
+            ])
+            for s, m in sm
+        ])  # (n_sm, 3, nabseta, ntrk)
+        cbsa = np.stack([
+            np.stack([cbs[(s, m)][b] for b in range(nabseta)]) for s, m in sm
+        ])
+        cbaa = np.stack([
+            np.stack([cba[(s, m)][b] for b in range(nabseta)]) for s, m in sm
+        ])
+        cbna = np.stack([
+            np.stack([cbn[(s, m)][b] for b in range(nabseta)]) for s, m in sm
+        ])
+        trkedges = np.array([0.0] + [nmin + x + 0.5 for x in range(ntrk)])
     return RochesterFile(
         sm_index=sm,
         members=members,
@@ -213,6 +256,11 @@ def read_rochester_txt(path: str, loaduncs: bool = True) -> "RochesterFile":
         eta_edges=np.array(etaedges),
         phi_edges=phiedges,
         abseta_edges=np.array(absetaedges),
+        rs_pars=rs,
+        cb_s=cbsa,
+        cb_a=cbaa,
+        cb_n=cbna,
+        trk_edges=trkedges,
     )
 
 
@@ -232,7 +280,9 @@ class RochesterFile:
     batch; nothing per-row crosses the Python boundary)."""
 
     def __init__(self, sm_index, members, M, A, k_res,
-                 eta_edges, phi_edges, abseta_edges):
+                 eta_edges, phi_edges, abseta_edges,
+                 rs_pars=None, cb_s=None, cb_a=None, cb_n=None,
+                 trk_edges=None):
         self.sm_index = list(sm_index)
         self.members = list(members)
         self.M = np.asarray(M, float)
@@ -241,6 +291,11 @@ class RochesterFile:
         self.eta_edges = np.asarray(eta_edges, float)
         self.phi_edges = np.asarray(phi_edges, float)
         self.abseta_edges = np.asarray(abseta_edges, float)
+        self.rs_pars = None if rs_pars is None else np.asarray(rs_pars, float)
+        self.cb_s = None if cb_s is None else np.asarray(cb_s, float)
+        self.cb_a = None if cb_a is None else np.asarray(cb_a, float)
+        self.cb_n = None if cb_n is None else np.asarray(cb_n, float)
+        self.trk_edges = None if trk_edges is None else np.asarray(trk_edges, float)
         self._nominal = None
 
     def _sm(self, s: int, m: int) -> int:
@@ -275,63 +330,205 @@ class RochesterFile:
         return self.correction(s, m).k_spread_mc(charge, pt, eta, phi, genpt)
 
     # -- member-spread uncertainties (vectorized Arrow UDF) -------------
-    def _error_udf(self, spark, kind: str, charge, pt, eta, phi, genpt=None):
-        if not self.members or len(self.sm_index) <= 1:
-            raise ValueError("uncertainty requires loaduncs=True tables")
-        bc = spark.sparkContext.broadcast(
-            (self.sm_index, self.members, self.M, self.A, self.k_res,
-             self.eta_edges, self.phi_edges, self.abseta_edges)
-        )
-        t_idx = 1 if kind.endswith("dt") else 0
-        spread = kind == "spread"
+    def _tables(self):
+        return (self.sm_index, self.members, self.M, self.A, self.k_res,
+                self.eta_edges, self.phi_edges, self.abseta_edges,
+                self.rs_pars, self.cb_s, self.cb_a, self.cb_n, self.trk_edges)
 
-        def _err_core(*cols: "pd.Series") -> "pd.Series":
-            sm, memb, Ma, Aa, Ka, ee, pe, ae = bc.value
-            q = cols[0].to_numpy(float)
-            ptv = cols[1].to_numpy(float)
-            etav = cols[2].to_numpy(float)
-            phiv = cols[3].to_numpy(float)
-            ie = np.clip(np.searchsorted(ee, etav, "right") - 1, 0, len(ee) - 2)
-            ip = np.clip(np.searchsorted(pe, phiv, "right") - 1, 0, len(pe) - 2)
-            tt = 1 if t_idx else 0
-            k_all = 1.0 / (Ma[:, tt, ie, ip] + q * Aa[:, tt, ie, ip] * ptv)
-            if spread:
-                genv = cols[4].to_numpy(float)
-                ia = np.clip(
-                    np.searchsorted(ae, np.abs(etav), "right") - 1, 0, len(ae) - 2
-                )
-                x = genv / (k_all * ptv)
-                ratio = Ka[:, 1, ia] / Ka[:, 0, ia]
-                k_all = k_all * (x / (1.0 + (x - 1.0) * ratio))
+    def _udf(self, spark, kind: str, mode: str, cols, s: int = 0, m: int = 0):
+        """One vectorized Arrow pandas UDF: the (n_sm, batch) correction
+        matrix via :func:`_rochester_k_matrix`, reduced either to the
+        requested (s, m) row (mode='value') or to the member-spread
+        error (mode='error')."""
+        if mode == "error" and len(self.sm_index) <= 1:
+            raise ValueError("uncertainty requires loaduncs=True tables")
+        if kind == "smear" and self.rs_pars is None:
+            raise ValueError("kSmearMC needs the R-tag tables (re-parse file)")
+        bc = spark.sparkContext.broadcast(self._tables())
+        row = self._sm(s, m)
+
+        def core(*series) -> pd.Series:
+            tabs = bc.value
+            args = [x.to_numpy(float) for x in series]
+            k_all = _rochester_k_matrix(tabs, kind, *args)
+            if mode == "value":
+                return pd.Series(k_all[row])
+            sm, memb = tabs[0], tabs[1]
             default = k_all[sm.index((0, 0))]
             out = np.zeros_like(default)
-            for j, (s_, m_) in enumerate(sm):
+            for j, (s_, _m_) in enumerate(sm):
                 d = k_all[j] - default
                 out += d * d / memb[s_]
             return pd.Series(np.sqrt(out))
 
         # fixed-arity wrappers: PySpark 4 cannot infer the eval type of
         # a *args pandas UDF signature
-        if spread:
+        n = len(cols)
+        if n == 4:
             @F.pandas_udf(T.DoubleType())
-            def err5(a: pd.Series, b: pd.Series, c: pd.Series,
-                     d: pd.Series, e: pd.Series) -> pd.Series:
-                return _err_core(a, b, c, d, e)
-
-            return err5(charge, pt, eta, phi, genpt)
+            def u4(a: pd.Series, b: pd.Series, c: pd.Series,
+                   d: pd.Series) -> pd.Series:
+                return core(a, b, c, d)
+            return u4(*cols)
+        if n == 5:
+            @F.pandas_udf(T.DoubleType())
+            def u5(a: pd.Series, b: pd.Series, c: pd.Series,
+                   d: pd.Series, e: pd.Series) -> pd.Series:
+                return core(a, b, c, d, e)
+            return u5(*cols)
 
         @F.pandas_udf(T.DoubleType())
-        def err4(a: pd.Series, b: pd.Series, c: pd.Series,
-                 d: pd.Series) -> pd.Series:
-            return _err_core(a, b, c, d)
+        def u6(a: pd.Series, b: pd.Series, c: pd.Series,
+               d: pd.Series, e: pd.Series, g: pd.Series) -> pd.Series:
+            return core(a, b, c, d, e, g)
+        return u6(*cols)
 
-        return err4(charge, pt, eta, phi)
+    def k_smear_mc(self, spark, charge, pt, eta, phi, nl, u,
+                   s: int = 0, m: int = 0) -> Column:
+        """MC correction WITHOUT a gen match (kSmearMC,
+        rochester_lookup.py:173-208): k = kScaleMC, then
+        x = sqrt(kRes_data^2 - kRes_mc^2) * sigma(k*pt, |eta|, nTrk)
+        * DSCB^-1(u), kExtra = 1/(1+x) for x > -1 else 1. ``u`` is the
+        caller's uniform draw (use corrections.content_rand for a
+        deterministic content-seeded one). Runs as a vectorized Arrow
+        UDF (the DSCB inverse CDF is not column math)."""
+        return self._udf(spark, "smear", "value",
+                         [charge, pt, eta, phi, nl, u], s, m)
 
     def k_scale_dt_error(self, spark, charge, pt, eta, phi) -> Column:
-        return self._error_udf(spark, "scale_dt", charge, pt, eta, phi)
+        return self._udf(spark, "scale_dt", "error", [charge, pt, eta, phi])
 
     def k_scale_mc_error(self, spark, charge, pt, eta, phi) -> Column:
-        return self._error_udf(spark, "scale_mc", charge, pt, eta, phi)
+        return self._udf(spark, "scale_mc", "error", [charge, pt, eta, phi])
 
     def k_spread_mc_error(self, spark, charge, pt, eta, phi, genpt) -> Column:
-        return self._error_udf(spark, "spread", charge, pt, eta, phi, genpt)
+        return self._udf(spark, "spread", "error", [charge, pt, eta, phi, genpt])
+
+    def k_smear_mc_error(self, spark, charge, pt, eta, phi, nl, u) -> Column:
+        return self._udf(spark, "smear", "error", [charge, pt, eta, phi, nl, u])
+
+
+def _rochester_k_matrix(tabs, kind, q, ptv, etav, phiv, x5=None, x6=None):
+    """(n_sm, batch) correction-factor matrix for every loaded
+    set/member — the numpy core shared by the nominal and error UDFs.
+    kind: 'scale_dt' | 'scale_mc' | 'spread' (x5 = genpt) |
+    'smear' (x5 = nTrackerLayers, x6 = uniform draw)."""
+    (sm, memb, Ma, Aa, Ka, ee, pe, ae, rs, cs, ca, cn, te) = tabs
+    ie = np.clip(np.searchsorted(ee, etav, "right") - 1, 0, len(ee) - 2)
+    ip = np.clip(np.searchsorted(pe, phiv, "right") - 1, 0, len(pe) - 2)
+    tt = 1 if kind == "scale_dt" else 0
+    k_all = 1.0 / (Ma[:, tt, ie, ip] + q * Aa[:, tt, ie, ip] * ptv)
+    if kind in ("scale_dt", "scale_mc"):
+        return k_all
+    ia = np.clip(np.searchsorted(ae, np.abs(etav), "right") - 1, 0, len(ae) - 2)
+    if kind == "spread":
+        x = x5 / (k_all * ptv)
+        ratio = Ka[:, 1, ia] / Ka[:, 0, ia]
+        return k_all * (x / (1.0 + (x - 1.0) * ratio))
+    # smear (rochester_lookup._kExtra): sigma from rsPars at (|eta|,
+    # nTrk), symmetric DSCB inverse CDF scaled by cbS, gated on
+    # kRes_data > kRes_mc; x <= -1 (unphysical) falls back to k
+    it = np.clip(np.searchsorted(te, x5, "right") - 1, 0, len(te) - 2)
+    kpt = k_all * ptv
+    dpt = kpt - 45.0
+    sigma = rs[:, 0, ia, it] + rs[:, 1, ia, it] * dpt + rs[:, 2, ia, it] * dpt * dpt
+    invcdf = dscb_ppf(x6, ca[:, ia, it], ca[:, ia, it],
+                      cn[:, ia, it], cn[:, ia, it], 0.0, cs[:, ia, it])
+    k_data, k_mc = Ka[:, 1, ia], Ka[:, 0, ia]
+    with np.errstate(invalid="ignore"):
+        x = np.where(
+            k_data > k_mc,
+            np.sqrt(np.maximum(k_data * k_data - k_mc * k_mc, 0.0))
+            * sigma * invcdf,
+            0.0,
+        )
+    kextra = np.where(x > -1.0, 1.0 / (1.0 + x), 1.0)
+    return k_all * kextra
+
+
+# ---------------------------------------------------------------------------
+# double-sided crystal-ball inverse CDF (numpy, for kSmearMC)
+# ---------------------------------------------------------------------------
+
+_NORM_PDF_C = float(np.sqrt(2 * np.pi))
+_erf_vec = np.vectorize(__import__("math").erf, otypes=[float])
+
+
+def _norm_cdf_np(x: np.ndarray) -> np.ndarray:
+    return 0.5 * (1.0 + _erf_vec(np.asarray(x, float) / np.sqrt(2.0)))
+
+
+def _norm_ppf_np(p: np.ndarray) -> np.ndarray:
+    """Acklam's rational-approximation inverse normal CDF plus one
+    Halley refinement through the exact (math.erf) CDF — full double
+    precision, no scipy."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+    p = np.asarray(p, float)
+    out = np.full(p.shape, np.nan)
+    plow, phigh = 0.02425, 1.0 - 0.02425
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = (p > 0) & (p < plow)
+        if m.any():
+            q = np.sqrt(-2.0 * np.log(p[m]))
+            out[m] = ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5])
+                      / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0))
+        m = (p >= plow) & (p <= phigh)
+        if m.any():
+            q = p[m] - 0.5
+            r = q * q
+            out[m] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q \
+                / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0)
+        m = (p > phigh) & (p < 1)
+        if m.any():
+            q = np.sqrt(-2.0 * np.log(1.0 - p[m]))
+            out[m] = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5])
+                       / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0))
+        # one Halley step against the exact CDF
+        fin = np.isfinite(out)
+        if fin.any():
+            x = out[fin]
+            e = _norm_cdf_np(x) - p[fin]
+            u = e * _NORM_PDF_C * np.exp(0.5 * x * x)
+            out[fin] = x - u / (1.0 + 0.5 * x * u)
+    out[p == 0] = -np.inf
+    out[p == 1] = np.inf
+    return out
+
+
+def dscb_ppf(p, beta_l, beta_h, m_l, m_h, loc=0.0, scale=1.0):
+    """Inverse CDF of the double-sided crystal ball (reference
+    lookup_tools/doublecrystalball.py:169-227 `_ppf`, including the
+    scipy loc/scale wrap): power-law tails invert in closed form, the
+    Gaussian core through the inverse normal CDF. Vectorized numpy;
+    inputs broadcast."""
+    p, beta_l, beta_h, m_l, m_h = np.broadcast_arrays(
+        np.asarray(p, float), np.asarray(beta_l, float),
+        np.asarray(beta_h, float), np.asarray(m_l, float),
+        np.asarray(m_h, float),
+    )
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        c_l = m_l / beta_l / (m_l - 1.0) * np.exp(-0.5 * beta_l * beta_l)
+        c_h = m_h / beta_h / (m_h - 1.0) * np.exp(-0.5 * beta_h * beta_h)
+        core_int = _NORM_PDF_C * (_norm_cdf_np(beta_h) - _norm_cdf_np(-beta_l))
+        n = 1.0 / (c_l + c_h + core_int)
+        p_lo = n * (m_l / beta_l) * np.exp(-0.5 * beta_l * beta_l) / (m_l - 1.0)
+        p_hi = 1.0 - n * (m_h / beta_h) * np.exp(-0.5 * beta_h * beta_h) / (m_h - 1.0)
+        low = (m_l / beta_l - beta_l
+               - ((m_l - 1.0) * (m_l / beta_l) ** (-m_l)
+                  / np.exp(-0.5 * beta_l * beta_l) * p / n) ** (1.0 / (1.0 - m_l)))
+        high = -(m_h / beta_h - beta_h
+                 - ((m_h - 1.0) * (m_h / beta_h) ** (-m_h)
+                    / np.exp(-0.5 * beta_h * beta_h) * (1.0 - p) / n)
+                 ** (1.0 / (1.0 - m_h)))
+        core = _norm_ppf_np(
+            _norm_cdf_np(-beta_l) + (1.0 / _NORM_PDF_C) * (p / n - c_l)
+        )
+        out = np.where(p < p_lo, low, np.where(p > p_hi, high, core))
+    return np.asarray(loc, float) + np.asarray(scale, float) * out

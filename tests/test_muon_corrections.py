@@ -101,11 +101,12 @@ def test_rochester_official_values(spark):
 
     roc = read_rochester_txt(f"{SAMPLES}/RoccoR2018.txt.gz", loaduncs=True)
 
-    def muon_frame(fname, with_gen=False):
+    def muon_frame(fname, with_gen=False, rand=None):
         r = RootTreeReader(f"{SAMPLES}/{fname}")
         n = r.array("nMuon").astype(int)
         q = r.array("Muon_charge")
         pt, eta, phi = r.array("Muon_pt"), r.array("Muon_eta"), r.array("Muon_phi")
+        nl = r.array("Muon_nTrackerLayers").astype(float)
         rows, k = [], 0
         gidx = r.array("Muon_genPartIdx").astype(int) if with_gen else None
         gpt_all = r.array("GenPart_pt") if with_gen else None
@@ -119,10 +120,13 @@ def test_rochester_official_values(spark):
                 if with_gen and gidx[k] >= 0:
                     g = float(gpt_all[goff[ev] + gidx[k]])
                 rows.append((k, int(q[k]), float(pt[k]), float(eta[k]),
-                             float(phi[k]), g))
+                             float(phi[k]), g, float(nl[k]),
+                             float(rand[k]) if rand is not None else 0.5))
                 k += 1
         return spark.createDataFrame(
-            rows, "i long, q int, pt double, eta double, phi double, genpt double"
+            rows,
+            "i long, q int, pt double, eta double, phi double, genpt double,"
+            " nl double, u double",
         )
 
     # -- data: kScaleDT + error over nano_dimuon -----------------------
@@ -142,9 +146,12 @@ def test_rochester_official_values(spark):
     np.testing.assert_allclose(got_k, want_k, rtol=1e-6)
     np.testing.assert_allclose(got_e, want_e, atol=1e-8)
 
-    # -- mc: kSpreadMC + error over gen-matched nano_dy muons ----------
-    dfm = muon_frame("nano_dy.root", with_gen=True)
+    # -- mc: kSpreadMC (matched) + kSmearMC (unmatched, preloaded
+    # uniforms) composed exactly like the reference test -------------
+    mc_rand = np.load(f"{SAMPLES}/nano_dy_rochester_rand.npy")
+    dfm = muon_frame("nano_dy.root", with_gen=True, rand=mc_rand)
     matched = dfm.where(F.col("genpt") >= 0)
+    unmatched = dfm.where(F.col("genpt") < 0)
     outm = matched.select(
         "i",
         roc.k_spread_mc(F.col("q"), F.col("pt"), F.col("eta"), F.col("phi"),
@@ -153,13 +160,27 @@ def test_rochester_official_values(spark):
             spark, F.col("q"), F.col("pt"), F.col("eta"), F.col("phi"), F.col("genpt")
         ).alias("e"),
     ).orderBy("i").collect()
-    got_mk = np.array([r.k for r in outm])
-    got_me = np.array([r.e for r in outm])
+    outs = unmatched.select(
+        "i",
+        roc.k_smear_mc(spark, F.col("q"), F.col("pt"), F.col("eta"),
+                       F.col("phi"), F.col("nl"), F.col("u")).alias("k"),
+        roc.k_smear_mc_error(
+            spark, F.col("q"), F.col("pt"), F.col("eta"), F.col("phi"),
+            F.col("nl"), F.col("u")
+        ).alias("e"),
+    ).orderBy("i").collect()
     want_mk_all = np.load(f"{SAMPLES}/nano_dy_rochester.npy")
     want_me_all = np.load(f"{SAMPLES}/nano_dy_rochester_err.npy")
-    mask = np.array([r.genpt >= 0 for r in dfm.orderBy("i").collect()])
-    np.testing.assert_allclose(got_mk, want_mk_all[mask], rtol=1e-6)
-    np.testing.assert_allclose(got_me, want_me_all[mask], atol=1e-8)
+    got_mk = np.ones_like(want_mk_all)
+    got_me = np.ones_like(want_me_all)
+    for r in outm:
+        got_mk[r.i] = r.k
+        got_me[r.i] = r.e
+    for r in outs:
+        got_mk[r.i] = r.k
+        got_me[r.i] = r.e
+    np.testing.assert_allclose(got_mk, want_mk_all, rtol=1e-5)
+    np.testing.assert_allclose(got_me, want_me_all, atol=1e-8)
 
     # error path: a member that was never loaded
     with pytest.raises(KeyError):
