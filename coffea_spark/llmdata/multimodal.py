@@ -1203,3 +1203,68 @@ def resample_features(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def goertzel_power(pcm: np.ndarray, sample_rate: int, freqs) -> np.ndarray:
+    """Goertzel single-bin DFT power at each requested frequency — the
+    classic tone-detection primitive (DTMF/beep/test-tone screening in
+    audio-corpus curation). For frequency f: w = 2*pi*f/fs,
+    c = 2*cos(w); the recurrence s[n] = x[n] + c*s[n-1] - s[n-2] runs
+    once over the clip and the bin power is
+    s1^2 + s2^2 - c*s1*s2 (normalized by (n/2)^2 so a unit-amplitude
+    sine at f reads ~1.0). Vectorized across the requested frequencies;
+    the recurrence itself is sequential per clip (Goertzel is an IIR),
+    which is fine — clips are row-local in the mapInPandas shape."""
+    x = np.asarray(pcm, dtype=np.float64)
+    n = len(x)
+    freqs = np.asarray(list(freqs), dtype=np.float64)
+    if n == 0:
+        return np.zeros(len(freqs))
+    w = 2.0 * np.pi * freqs / float(sample_rate)
+    c = 2.0 * np.cos(w)
+    s1 = np.zeros(len(freqs))
+    s2 = np.zeros(len(freqs))
+    for v in x:
+        s0 = v + c * s1 - s2
+        s2 = s1
+        s1 = s0
+    power = s1 * s1 + s2 * s2 - c * s1 * s2
+    return power / (n / 2.0) ** 2
+
+
+def tone_features(
+    df: DataFrame,
+    audio_col: str = "audio",
+    freqs=(440.0, 1000.0),
+    decoder: Callable[[bytes, int], np.ndarray] = fake_audio_decoder,
+) -> DataFrame:
+    """Per-clip Goertzel tone powers (one array column, ordered like
+    ``freqs``) plus the dominant requested frequency — the
+    audio_features mapInPandas shape (features-not-samples cross the
+    wire)."""
+    out_fields = [f for f in df.schema.fields if f.name != audio_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("tone_power", T.ArrayType(T.DoubleType())),
+            T.StructField("dominant_freq", T.DoubleType()),
+        ]
+    )
+    keep = [f.name for f in out_fields]
+    flist = [float(f) for f in freqs]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            col = pdf[audio_col]
+            powers, dom = [], []
+            for s in col:
+                pcm = decoder(s["data"], s["sample_rate"])
+                p = goertzel_power(pcm, int(s["sample_rate"]), flist)
+                powers.append([float(v) for v in p])
+                dom.append(flist[int(np.argmax(p))] if len(p) else float("nan"))
+            out = pdf[keep].copy()
+            out["tone_power"] = powers
+            out["dominant_freq"] = dom
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -2574,6 +2574,52 @@ FROM st GROUP BY lang
 """
 
 
+def q_audio_tones(spark, sf_dir):
+    """Goertzel tone detection (multimodal.tone_features) over the real
+    WAV fixture: single-bin DFT power at 625 and 1000 Hz per clip. The
+    oracle uses the Goertzel<->DFT identity — the recurrence's power
+    s1^2 + s2^2 - c*s1*s2 equals |sum_k x[k] e^{-iwk}|^2 exactly — so
+    DuckDB replays each bin as two trig sums over the PCM formula; a
+    recurrence bug (wrong c, state swap, off-by-one) lands far outside
+    the rounding quantum."""
+    from coffea_spark.llmdata.multimodal import real_audio_decoder, tone_features
+
+    docs = spark.read.parquet(_audio_fixture(spark, sf_dir))
+    feats = tone_features(
+        docs, "audio", freqs=(625.0, 1000.0), decoder=real_audio_decoder
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg(F.col("tone_power")[0]), 2).alias("avg_p625"),
+        F.round(F.avg(F.col("tone_power")[1]), 2).alias("avg_p1000"),
+    )
+
+
+SQL_AUDIO_TONES = """
+WITH d AS (
+  SELECT doc_id, lang, 400 + doc_id % 300 AS n FROM documents
+), pcm AS (
+  SELECT lang, n,
+         list_transform(range(0, n),
+           i -> CAST((doc_id * 13 + 5 * i) % 4001 - 2000 AS DOUBLE)) AS s
+  FROM d
+), g AS (
+  SELECT lang,
+         (pow(list_sum(list_transform(range(0, n), k -> s[k + 1] * cos(2 * pi() * 625.0 / 8000 * k))), 2)
+          + pow(list_sum(list_transform(range(0, n), k -> s[k + 1] * sin(2 * pi() * 625.0 / 8000 * k))), 2))
+         / pow(n / 2.0, 2) AS p625,
+         (pow(list_sum(list_transform(range(0, n), k -> s[k + 1] * cos(2 * pi() * 1000.0 / 8000 * k))), 2)
+          + pow(list_sum(list_transform(range(0, n), k -> s[k + 1] * sin(2 * pi() * 1000.0 / 8000 * k))), 2))
+         / pow(n / 2.0, 2) AS p1000
+  FROM pcm
+)
+SELECT lang, count(*) AS n_clips,
+       round(avg(p625), 2) AS avg_p625,
+       round(avg(p1000), 2) AS avg_p1000
+FROM g GROUP BY lang
+"""
+
+
 def _adpcm_fixture(spark, sf_dir) -> str:
     """Encode deterministic PCM clips (sample i of doc d =
     ((d*13 + 5i) % 4001) - 2000, n = 600 + d%500, 8 kHz mono) into
@@ -8270,6 +8316,7 @@ REGISTRY: dict[str, Query] = {
     "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
     "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
     "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
+    "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),

@@ -1871,3 +1871,38 @@ def test_c4_line_clean_and_gopher_rules(spark):
     # rule arithmetic spot checks
     assert abs(rows[2].g.alpha_word_frac - 1.0) < 1e-12
     assert rows[3].g.n_words == 0 and not rows[3].g.passes
+
+
+def test_goertzel_tone_detection(spark):
+    """Goertzel == single-bin DFT (|sum x e^{-iwk}|^2), amplitude
+    recovery on pure tones, and the mapInPandas surface over a real
+    WAV payload."""
+    from coffea_spark.llmdata.multimodal import (
+        encode_wav,
+        goertzel_power,
+        real_audio_decoder,
+        tone_features,
+    )
+
+    fs, n = 8000, 2000
+    t = np.arange(n)
+    x = 1000 * np.sin(2 * np.pi * 440 * t / fs)
+    p = goertzel_power(x, fs, [440.0, 1000.0])
+    assert abs(p[0] - 1000.0**2) < 1.0 and p[1] < 1.0
+    # identity with the direct DFT bin for an arbitrary (non-bin) freq
+    rng = np.random.default_rng(5)
+    y = rng.normal(0, 300, 777)
+    for f in (313.7, 1234.5):
+        w = 2 * np.pi * f / fs
+        k = np.arange(len(y))
+        direct = (np.sum(y * np.cos(w * k)) ** 2 + np.sum(y * np.sin(w * k)) ** 2)
+        got = goertzel_power(y, fs, [f])[0] * (len(y) / 2.0) ** 2
+        assert abs(got - direct) / direct < 1e-9
+    # Spark surface: a 440 Hz int16 WAV must be classified 440-dominant
+    pcm = (1000 * np.sin(2 * np.pi * 440 * t / fs)).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, {"data": bytearray(encode_wav(pcm, fs)), "sample_rate": fs})],
+        "doc_id long, audio struct<data binary, sample_rate int>",
+    )
+    r = tone_features(df, "audio", freqs=(440.0, 880.0), decoder=real_audio_decoder).first()
+    assert r.dominant_freq == 440.0 and r.tone_power[0] > 100 * r.tone_power[1]
