@@ -8290,7 +8290,7 @@ REGISTRY: dict[str, Query] = {
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
-    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
+    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
@@ -8325,7 +8325,7 @@ REGISTRY: dict[str, Query] = {
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
     "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
-    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
+    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
