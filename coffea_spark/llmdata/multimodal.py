@@ -1268,3 +1268,76 @@ def tone_features(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def patchify(arr: np.ndarray, patch: int) -> np.ndarray:
+    """Non-overlapping patch means of a 2-D grayscale image — the ViT
+    tokenization grid (Dosovitskiy et al. 2021): crop to multiples of
+    ``patch`` (the standard behavior), reshape to
+    (H//p, p, W//p, p) and reduce each p x p block. Returns the
+    (H//p, W//p) patch-mean matrix."""
+    if patch <= 0:
+        raise ValueError("patch must be positive")
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("patchify expects a 2-D grayscale image")
+    hc, wc = a.shape[0] - a.shape[0] % patch, a.shape[1] - a.shape[1] % patch
+    if hc == 0 or wc == 0:
+        return np.zeros((0, 0))
+    return (
+        a[:hc, :wc]
+        .reshape(hc // patch, patch, wc // patch, patch)
+        .mean(axis=(1, 3))
+    )
+
+
+def patch_features(
+    df: DataFrame,
+    image_col: str = "image",
+    patch: int = 4,
+    decoder: Callable[[bytes], np.ndarray] = real_image_decoder,
+) -> DataFrame:
+    """Per-image ViT-patch statistics via the image_features
+    mapInPandas shape: decode -> :func:`patchify` -> (n_patches,
+    mean / max of patch means, patch CONTRAST = population std of the
+    patch means — the texture-vs-flat signal vision curation filters
+    threshold on). Features-not-pixels cross the wire."""
+    out_fields = [f for f in df.schema.fields if f.name != image_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("n_patches", T.LongType()),
+            T.StructField("patch_mean_avg", T.DoubleType()),
+            T.StructField("patch_mean_max", T.DoubleType()),
+            T.StructField("patch_contrast", T.DoubleType()),
+        ]
+    )
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            col = pdf[image_col]
+            ns, avgs, maxs, stds = [], [], [], []
+            for payload in col:
+                arr = decoder(payload["data"])
+                m = patchify(arr, patch).ravel()
+                if m.size == 0:
+                    ns.append(0)
+                    avgs.append(0.0)
+                    maxs.append(0.0)
+                    stds.append(0.0)
+                    continue
+                ns.append(int(m.size))
+                mu = float(np.mean(m))
+                avgs.append(mu)
+                maxs.append(float(np.max(m)))
+                # explicit E[m^2] - E[m]^2 shape (matches the SQL oracle)
+                stds.append(float(np.sqrt(max(np.mean(m * m) - mu * mu, 0.0))))
+            out = pdf[keep].copy()
+            out["n_patches"] = ns
+            out["patch_mean_avg"] = avgs
+            out["patch_mean_max"] = maxs
+            out["patch_contrast"] = stds
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

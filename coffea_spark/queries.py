@@ -2923,6 +2923,58 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_image_patches(spark, sf_dir):
+    """ViT-style patch statistics (multimodal.patch_features): decode
+    the real PNG/BMP/PGM fixture, tile each image into 4x4 patch means
+    (crop-to-multiple, the standard ViT grid) and aggregate the
+    patch-contrast texture signal per language. The oracle replays the
+    patch grid arithmetic — crop, row-major indexing, block means, the
+    E[m^2]-E[m]^2 contrast shape — directly from the pixel formula."""
+    from coffea_spark.llmdata.multimodal import patch_features
+
+    docs = spark.read.parquet(_multimodal_fixture(spark, sf_dir))
+    feats = patch_features(docs, "image", patch=4)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_patches").alias("sum_patches"),
+        F.round(F.avg("patch_mean_avg"), 6).alias("avg_pmean"),
+        F.round(F.avg("patch_mean_max"), 6).alias("avg_pmax"),
+        F.round(F.avg("patch_contrast"), 6).alias("avg_contrast"),
+    )
+
+
+SQL_IMAGE_PATCHES = """
+WITH d AS (
+  SELECT doc_id, lang,
+         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         ((8 + doc_id % 7) - (8 + doc_id % 7) % 4) // 4 AS nr,
+         ((8 + doc_id % 9) - (8 + doc_id % 9) % 4) // 4 AS nc
+  FROM documents
+), pm AS (
+  SELECT lang, nr * nc AS np,
+         list_transform(range(0, nr * nc), j ->
+           list_sum(list_transform(range(0, 16), q ->
+             CAST((doc_id * 31
+                   + 7 * (((j // nc) * 4 + q // 4) * w
+                          + ((j % nc) * 4 + q % 4))) % 256 AS DOUBLE)
+           )) / 16.0
+         ) AS m
+  FROM d
+), st AS (
+  SELECT lang, np, list_avg(m) AS mu, list_max(m) AS mx,
+         sqrt(greatest(list_avg(list_transform(m, v -> v * v))
+                       - list_avg(m) * list_avg(m), 0.0)) AS ct
+  FROM pm
+)
+SELECT lang, count(*) AS n,
+       CAST(sum(np) AS BIGINT) AS sum_patches,
+       round(avg(mu), 6) AS avg_pmean,
+       round(avg(mx), 6) AS avg_pmax,
+       round(avg(ct), 6) AS avg_contrast
+FROM st GROUP BY lang
+"""
+
+
 def _jpeg_fixture(spark, sf_dir) -> str:
     """Encode the deterministic block-constant images (8x8 block (i,j)
     of doc d = (d*37 + i*16 + j*5) % 256) through the REAL baseline
@@ -8279,7 +8331,7 @@ REGISTRY: dict[str, Query] = {
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
-    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
+    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
@@ -8317,6 +8369,7 @@ REGISTRY: dict[str, Query] = {
     "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
     "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
     "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
+    "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
@@ -8324,7 +8377,7 @@ REGISTRY: dict[str, Query] = {
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
     "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
-    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
+    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),

@@ -1906,3 +1906,38 @@ def test_goertzel_tone_detection(spark):
     )
     r = tone_features(df, "audio", freqs=(440.0, 880.0), decoder=real_audio_decoder).first()
     assert r.dominant_freq == 440.0 and r.tone_power[0] > 100 * r.tone_power[1]
+
+
+def test_patchify_and_patch_features(spark):
+    """ViT patch grid: hand-checked means, crop semantics, and the
+    mapInPandas surface over a real encoded PNG payload."""
+    from coffea_spark.llmdata.multimodal import (
+        encode_png,
+        patch_features,
+        patchify,
+        real_image_decoder,
+    )
+
+    a = np.arange(56, dtype=float).reshape(7, 8)  # crops to 4x8 -> 1x2 grid
+    m = patchify(a, 4)
+    assert m.shape == (1, 2)
+    assert m[0, 0] == a[:4, :4].mean() and m[0, 1] == a[:4, 4:8].mean()
+    assert patchify(a, 10).shape == (0, 0)  # image smaller than one patch
+    with pytest.raises(ValueError):
+        patchify(a, 0)
+    with pytest.raises(ValueError):
+        patchify(np.zeros((2, 2, 3)), 1)
+
+    d = 11
+    w, h = 8 + d % 9, 8 + d % 7
+    px = ((d * 31 + 7 * np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
+    df = spark.createDataFrame(
+        [(d, {"data": bytearray(encode_png(px))})],
+        "doc_id long, image struct<data binary>",
+    )
+    r = patch_features(df, "image", patch=4, decoder=real_image_decoder).first()
+    want = patchify(px, 4).ravel()
+    assert r.n_patches == len(want)
+    assert abs(r.patch_mean_avg - want.mean()) < 1e-12
+    assert abs(r.patch_mean_max - want.max()) < 1e-12
+    assert abs(r.patch_contrast - np.sqrt((want**2).mean() - want.mean()**2)) < 1e-9
