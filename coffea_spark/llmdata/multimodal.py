@@ -1282,8 +1282,9 @@ def patchify(arr: np.ndarray, patch: int) -> np.ndarray:
     if a.ndim != 2:
         raise ValueError("patchify expects a 2-D grayscale image")
     hc, wc = a.shape[0] - a.shape[0] % patch, a.shape[1] - a.shape[1] % patch
-    if hc == 0 or wc == 0:
-        return np.zeros((0, 0))
+    # zero-size dims flow through reshape naturally: an image shorter
+    # than one patch in a dimension yields the true (h//p, w//p) grid
+    # with zero patches
     return (
         a[:hc, :wc]
         .reshape(hc // patch, patch, wc // patch, patch)

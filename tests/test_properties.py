@@ -183,3 +183,113 @@ def test_combinations_generic_matches_itertools(spark, xs, k):
     ).first().t
     want = [list(t) for t in itertools.combinations(xs, k)]
     assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(finite, min_size=1, max_size=200),
+    st.sampled_from([(8000, 16000), (8000, 5513), (16000, 8000),
+                     (44100, 16000), (3, 7), (7, 3)]),
+)
+def test_resample_linear_properties(pcm, rates):
+    """Grid law, endpoint preservation, range boundedness, and the
+    np.interp reference for arbitrary inputs and rate ratios."""
+    import numpy as np
+
+    from coffea_spark.llmdata.multimodal import resample_linear
+
+    src, dst = rates
+    x = np.array(pcm, dtype=float)
+    y = resample_linear(x, src, dst)
+    assert len(y) == (len(x) - 1) * dst // src + 1
+    assert y[0] == x[0]
+    # linear interpolation never leaves the local hull
+    assert y.min() >= x.min() - 1e-9 and y.max() <= x.max() + 1e-9
+    pos = np.arange(len(y)) * (src / dst)
+    np.testing.assert_allclose(y, np.interp(pos, np.arange(len(x)), x),
+                               rtol=1e-9, atol=1e-6)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.floats(min_value=1e-6, max_value=1 - 1e-6),
+    st.floats(min_value=0.3, max_value=4.0),
+    st.floats(min_value=0.3, max_value=4.0),
+    st.floats(min_value=1.2, max_value=20.0),
+    st.floats(min_value=1.2, max_value=20.0),
+)
+def test_dscb_ppf_inverts_cdf(p, bl, bh, ml, mh):
+    """ppf is the exact inverse of the reference CDF formulas for any
+    shape parameters in the physical range."""
+    import numpy as np
+
+    from coffea_spark.muon_corrections import _norm_cdf_np, dscb_ppf
+
+    x = dscb_ppf(np.array([p]), bl, bh, ml, mh)[0]
+    assert np.isfinite(x)
+    cl = ml / bl / (ml - 1) * np.exp(-0.5 * bl * bl)
+    ch = mh / bh / (mh - 1) * np.exp(-0.5 * bh * bh)
+    core = np.sqrt(2 * np.pi) * (_norm_cdf_np(np.array([bh]))[0]
+                                 - _norm_cdf_np(np.array([-bl]))[0])
+    n = 1.0 / (cl + ch + core)
+    if x < -bl:
+        cdf = n * ml / bl / (ml - 1) * np.exp(-0.5 * bl * bl) \
+            * (ml / bl / (ml / bl - bl - x)) ** (ml - 1)
+    elif x > bh:
+        cdf = 1 - n * mh / bh / (mh - 1) * np.exp(-0.5 * bh * bh) \
+            * (mh / bh / (mh / bh - bh + x)) ** (mh - 1)
+    else:
+        cdf = n * (cl + np.sqrt(2 * np.pi)
+                   * (_norm_cdf_np(np.array([x]))[0]
+                      - _norm_cdf_np(np.array([-bl]))[0]))
+    assert abs(cdf - p) < 5e-9, (p, bl, bh, ml, mh, x, cdf)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-5000, max_value=5000, allow_nan=False),
+             min_size=2, max_size=400),
+    st.floats(min_value=10.0, max_value=3990.0),
+)
+def test_goertzel_equals_direct_dft(pcm, freq):
+    """The Goertzel recurrence equals the direct single-bin DFT for any
+    signal and any in-band frequency."""
+    import numpy as np
+
+    from coffea_spark.llmdata.multimodal import goertzel_power
+
+    fs = 8000
+    x = np.array(pcm, dtype=float)
+    w = 2 * np.pi * freq / fs
+    k = np.arange(len(x))
+    direct = np.sum(x * np.cos(w * k)) ** 2 + np.sum(x * np.sin(w * k)) ** 2
+    got = goertzel_power(x, fs, [freq])[0] * (len(x) / 2.0) ** 2
+    assert abs(got - direct) <= 1e-6 * max(direct, 1.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=12),
+)
+def test_patchify_partition_property(h, w, p):
+    """Patch means of a constant image are that constant; the patch
+    grid covers exactly the cropped area; total mass is conserved."""
+    import numpy as np
+
+    from coffea_spark.llmdata.multimodal import patchify
+
+    rng = np.random.default_rng(h * 41 + w)
+    a = rng.uniform(0, 255, (h, w))
+    m = patchify(a, p)
+    assert m.shape == (h // p, w // p)
+    if m.size:
+        hc, wc = (h // p) * p, (w // p) * p
+        assert abs(m.mean() * m.size - a[:hc, :wc].mean() * m.size) < 1e-6
+        np.testing.assert_allclose(
+            m.sum() * p * p, a[:hc, :wc].sum(), rtol=1e-12
+        )
+    c = patchify(np.full((h, w), 7.25), p)
+    if c.size:
+        np.testing.assert_allclose(c, 7.25)
