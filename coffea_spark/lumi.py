@@ -27,6 +27,17 @@ class LumiMask:
     def __init__(self, ranges: dict[int, list[list[int]]]):
         self.ranges = {int(r): [(int(lo), int(hi)) for lo, hi in v] for r, v in ranges.items()}
 
+    @classmethod
+    def from_json(cls, path: str) -> "LumiMask":
+        """Load a REAL CMS certification ("golden") JSON file —
+        ``{"<run>": [[lo, hi], ...]}`` with string run keys (reference
+        LumiMask.__init__, lumi_tools/lumi_tools.py:188-230)."""
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        return cls({int(r): v for r, v in doc.items()})
+
     def _flat(self):
         return [
             (run, lo, hi) for run, spans in sorted(self.ranges.items()) for lo, hi in spans
@@ -72,9 +83,44 @@ class LumiData:
         """table: DataFrame(run long, lumi long, intlumi double)."""
         self.table = table
 
+    #: 2^18 orbits / 40 MHz machine clock / 3564 bunch positions — the
+    #: LHC lumisection wall time (reference seconds_per_lumi_LHC)
+    SECONDS_PER_LUMI_LHC = 2**18 / (40079000 / 3564)
+
     @classmethod
     def from_rows(cls, spark, rows):
         return cls(spark.createDataFrame(rows, "run long, lumi long, intlumi double"))
+
+    @classmethod
+    def from_csv(cls, spark, path: str, is_inst_lumi: bool = False) -> "LumiData":
+        """Parse a REAL brilcalc ``--byls --output-style csv`` file
+        (``run:fill, ls:ls, time, beamstatus, E, delivered, recorded,
+        avgpu, source``): columns (0, 1, 6) with run/ls taken before
+        the ':' — exactly the reference's loadtxt recipe
+        (lumi_tools.py:83-100). Duplicate (run, ls) keys keep the LAST
+        row, matching the reference's index build (dict assignment).
+        With ``is_inst_lumi`` the value column holds average
+        instantaneous luminosity and is scaled by the LHC
+        seconds-per-lumisection constant (reference get_lumi:151)."""
+        import numpy as np
+
+        vals = np.loadtxt(
+            path,
+            delimiter=",",
+            usecols=(0, 1, 6),
+            converters={
+                0: lambda s: s.split(":")[0],
+                1: lambda s: s.split(":")[0],
+            },
+            encoding="utf-8",
+            ndmin=2,
+        )
+        scale = cls.SECONDS_PER_LUMI_LHC if is_inst_lumi else 1.0
+        seen: dict[tuple[int, int], float] = {}
+        for r in vals:
+            seen[(int(r[0]), int(r[1]))] = float(r[2]) * scale
+        rows = [(run, ls, v) for (run, ls), v in seen.items()]
+        return cls.from_rows(spark, rows)
 
     def get_lumi_df(self, events: DataFrame, run: str = "run", lumi: str = "luminosityBlock") -> DataFrame:
         """Lazy form of get_lumi: one row (n_pairs, total_lumi). The

@@ -225,3 +225,55 @@ def test_met_unclustered_variations(spark):
     assert abs(r["pt_unclust_up"] - math.hypot(51.0, 4.0)) < 1e-12
     assert abs(r["pt_unclust_down"] - math.hypot(45.0, -4.0)) < 1e-12
     assert abs(r["phi_unclust_up"] - math.atan2(4.0, 51.0)) < 1e-12
+
+
+def test_lumidata_real_csv_golden(spark):
+    """LumiData over the reference's real brilcalc csv: the sum over
+    the first 10 (run, ls) keys must equal the golden 1.539941814
+    (reference tests/test_lumi_tools.py:10-35)."""
+    import numpy as np
+
+    from coffea_spark.lumi import LumiData
+
+    path = "/root/reference/tests/samples/lumi_small.csv"
+    ld = LumiData.from_csv(spark, path)
+    first10 = np.loadtxt(
+        path, delimiter=",", usecols=(0, 1),
+        converters={0: lambda s: s.split(":")[0], 1: lambda s: s.split(":")[0]},
+        encoding="utf-8", max_rows=10,
+    ).astype(int)
+    ev = spark.createDataFrame(
+        [(int(r), int(ls)) for r, ls in first10], "run long, luminosityBlock long"
+    )
+    total = ld.get_lumi(ev)
+    assert abs(total - 1.539941814) < 1e-4, total
+    # inst-lumi variant scales by the LHC lumisection wall time
+    ldi = LumiData.from_csv(spark, path, is_inst_lumi=True)
+    ti = ldi.get_lumi(ev)
+    assert abs(ti - total * LumiData.SECONDS_PER_LUMI_LHC) < 1e-9
+
+    # the 24v2-era file parses through the same recipe
+    ld2 = LumiData.from_csv(spark, "/root/reference/tests/samples/small_lumi.csv")
+    assert ld2.table.count() > 0
+
+
+def test_lumimask_real_golden_json(spark):
+    """LumiMask from the real 2017 certification JSON: the reference's
+    pinned cases — (303825, 115) accepted, (123, 123) rejected
+    (tests/test_lumi_tools.py:63-100) — via BOTH spellings."""
+    import pyspark.sql.functions as F
+
+    from coffea_spark.lumi import LumiMask
+
+    mask = LumiMask.from_json(
+        "/root/reference/tests/samples/"
+        "Cert_294927-306462_13TeV_EOY2017ReReco_Collisions17_JSON.txt"
+    )
+    assert len(mask.ranges) > 100
+    ev = spark.createDataFrame(
+        [(303825, 115), (123, 123)], "run long, luminosityBlock long"
+    )
+    kept = ev.filter(mask.mask(F.col("run"), F.col("luminosityBlock"))).collect()
+    assert [(r.run, r.luminosityBlock) for r in kept] == [(303825, 115)]
+    kept2 = mask.apply_join(ev).collect()
+    assert [(r.run, r.luminosityBlock) for r in kept2] == [(303825, 115)]
