@@ -53,6 +53,23 @@ def main() -> None:
             # so every rep pays the same cache-fill cost and storage
             # memory doesn't accumulate across unrelated queries
             spark.catalog.clearCache()
+        # noise guard: the box has documented multi-second interference
+        # bursts (local evidence: a full run where lm_bigram's n=3
+        # median read 22.4 s vs 2.7 s isolated, spread 26 s). When the
+        # sample spread betrays a burst (median > 2x min and > 1 s over
+        # it), two extra reps let the median shed the contaminated
+        # samples. Bounded: at most 2 extra reps per query.
+        if samples and len(samples) >= 3:
+            med = statistics.median(samples)
+            if med > 2 * min(samples) and med - min(samples) > 1.0:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    try:
+                        q.fn(spark, sf_dir).collect()
+                        samples.append(time.perf_counter() - t0)
+                    except Exception:
+                        break
+                    spark.catalog.clearCache()
         if samples:
             times[name] = round(statistics.median(samples), 3)
             spreads[name] = round(max(samples) - min(samples), 3)
