@@ -68,3 +68,68 @@ def packing_summary(
         .cast("long")
         .alias("pad_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split long documents into overlapping fixed-size windows — the
+    BERT-style striding / long-document chunking stage (Devlin et al.
+    2019 used exactly this for SQuAD contexts; long-doc corpora chunk
+    the same way before embedding or training). Each document yields
+    chunks starting every ``stride`` tokens (default: max_tokens, i.e.
+    disjoint), each ``max_tokens`` long except possibly the last; a
+    chunk is emitted only if it starts before the document ends, and a
+    final partial window is emitted only when it adds new tokens. Empty
+    documents yield no chunks.
+
+    Output: one row per chunk with (id, chunk_id, chunk_start,
+    n_chunk_tokens, chunk_text). Pure scan-stage HOF math (tokenize ->
+    slice per window index) — zero shuffles, zero UDFs; every rule
+    replays in SQL list functions.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    stride = max_tokens if stride is None else stride
+    if not 0 < stride <= max_tokens:
+        raise ValueError("stride must be in (0, max_tokens]")
+    from coffea_spark.llmdata.text import tokens
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # number of windows: ceil(max(n - max_tokens, 0) / stride) + 1 for
+    # non-empty docs — the last window starts at the largest multiple
+    # of stride still inside the doc
+    n_chunks = F.when(
+        n > 0,
+        F.floor((F.greatest(n - max_tokens, F.lit(0)) + stride - 1) / stride) + 1,
+    ).otherwise(F.lit(0)).cast("int")
+    # NB: Spark's sequence(0, -1) DESCENDS ([0, -1]); the outer slice
+    # truncates to exactly n_chunks windows, so empty docs yield none
+    chunks = F.slice(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                (i * stride).alias("chunk_start"),
+                F.slice(t, i * stride + 1, max_tokens).alias("_toks"),
+            ),
+        ),
+        1,
+        n_chunks,
+    )
+    out = df.select(
+        F.col(id_col),
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.chunk_id"),
+        F.col("c.chunk_start"),
+        F.size("c._toks").alias("n_chunk_tokens"),
+        F.array_join("c._toks", " ").alias("chunk_text"),
+    )
+    return out

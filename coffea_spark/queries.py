@@ -7631,6 +7631,64 @@ LIMIT 25
 """
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Long-document chunking with overlap (packing.chunk_documents —
+    the BERT-style striding stage): 32-token windows every 24 tokens
+    over the documents table. All-integer outputs plus the exact
+    rebuilt-chunk-text length total, so the oracle (token split +
+    window arithmetic + 1-based list slices in SQL) is hash-exact;
+    an off-by-one in window count, start, tail, or slice bounds flips
+    an integer."""
+    from coffea_spark.llmdata.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs.select("doc_id", "lang", "text"),
+                         max_tokens=32, stride=24)
+    docs_lang = docs.select("doc_id", "lang")
+    return (
+        ch.join(docs_lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chunk_tokens").alias("sum_tokens"),
+            F.sum("chunk_start").alias("sum_starts"),
+            F.max("chunk_id").alias("max_chunk_id"),
+            F.sum(F.length("chunk_text")).alias("sum_text_len"),
+        )
+    )
+
+
+SQL_DOC_CHUNKING = r"""
+WITH dt AS (
+  SELECT lang, doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN (greatest(len(toks) - 32, 0) + 23) // 24 + 1
+              ELSE 0 END AS nc
+  FROM dt
+), ch AS (
+  SELECT lang, doc_id, n, toks, unnest(range(0, nc)) AS i
+  FROM c
+), x AS (
+  SELECT lang, doc_id, i AS chunk_id, i * 24 AS chunk_start,
+         least(32, n - i * 24) AS nt,
+         length(array_to_string(toks[i * 24 + 1 : least(i * 24 + 32, n)], ' ')) AS tl
+  FROM ch
+)
+SELECT lang, count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       CAST(sum(chunk_start) AS BIGINT) AS sum_starts,
+       CAST(max(chunk_id) AS INT) AS max_chunk_id,
+       CAST(sum(tl) AS BIGINT) AS sum_text_len
+FROM x GROUP BY lang
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (llmdata/packing.py): concat docs per
     language in doc_id order, cut every 256 tokens; report sequences,
@@ -8324,8 +8382,15 @@ REGISTRY: dict[str, Query] = {
     # (task-attempt commit protocol), and the real-binary ROOT gates
     # (root_scan, physlite_real_links, physlite_triple_nested,
     # edm4hep_real_links, treemaker_real_nesting) re-verified under the
-    # new embedded-basket scan. Remaining slots: veterans last
-    # driver-checked in r5 or earlier.
+    # new embedded-basket scan AND the late-r7 key-scan resync.
+    # Late-r7 additions in the window: effarea_l5flavor, pagerank_hosts,
+    # lm_kneser_ney, audio_resample, c4_gopher_filters, audio_tones,
+    # image_patches, doc_chunking. To keep all five real-binary ROOT
+    # gates inside the first 50, three gates whose oracles are shared
+    # or whose local evidence is strongest wait just past the window
+    # for r8: quads_metric (property-tested vs itertools),
+    # blamed_suppliers (plain relational), stream_heavy_hitters
+    # (shares heavy_hitters' oracle, which stays in-window).
     # ------------------------------------------------------------------
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
@@ -8335,7 +8400,7 @@ REGISTRY: dict[str, Query] = {
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
-    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
+    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
     "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
     "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
@@ -8370,13 +8435,14 @@ REGISTRY: dict[str, Query] = {
     "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
     "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
     "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
+    "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
-    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
+    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),

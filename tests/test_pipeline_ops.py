@@ -270,3 +270,35 @@ def test_web_pipeline_end_to_end(spark, tmp_path):
         F.max("tok_end").alias("end"),
     ).collect()[0]
     assert stats.tok == 19 and stats.end == 19 and stats.last_seq == 2
+
+
+def test_chunk_documents_striding(spark):
+    """BERT-style striding: window starts, overlap, tail handling,
+    disjoint default, empty docs, errors, and full-coverage invariant."""
+    import pytest
+
+    from coffea_spark.llmdata.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(7))), (1, "x y"), (2, ""),
+         (3, " ".join(f"u{i}" for i in range(4)))],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, max_tokens=4, stride=2).orderBy(
+        "doc_id", "chunk_id").collect()
+    got = [(r.doc_id, r.chunk_id, r.chunk_start, r.n_chunk_tokens) for r in rows]
+    assert got == [(0, 0, 0, 4), (0, 1, 2, 4), (0, 2, 4, 3),
+                   (1, 0, 0, 2), (3, 0, 0, 4)]
+    assert rows[2].chunk_text == "t4 t5 t6"
+    # every token of doc 0 appears in some chunk (coverage)
+    toks = set()
+    for r in rows[:3]:
+        toks.update(r.chunk_text.split())
+    assert toks == {f"t{i}" for i in range(7)}
+    # disjoint default: stride == max_tokens
+    dis = chunk_documents(df, max_tokens=3).where("doc_id = 0").collect()
+    assert sorted((r.chunk_start, r.n_chunk_tokens) for r in dis) == [(0, 3), (3, 3), (6, 1)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, stride=5)
