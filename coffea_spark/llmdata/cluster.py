@@ -168,7 +168,9 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        return out
     outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # (src, dst, share) with share = w/deg: the column actually joined
     # against ranks every iteration — persist once, reuse K times
@@ -177,36 +179,45 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("deg")).alias("share"))
         .persist()
     )
-    shares.count()
-    base, d = (1.0 - damping) / n, damping
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    has_out = outdeg.select(F.col("src").alias("node")).withColumn(
-        "_out", F.lit(1)
+    # the dangling set is static: materialize it ONCE so the per-
+    # iteration mass query touches only (tiny ranks) x (tiny id set),
+    # never the raw edge table again
+    dangling_nodes = (
+        nodes.join(
+            shares.select(F.col("src").alias("node")).distinct(), "node",
+            "left_anti",
+        ).persist()
     )
-    for _ in range(iterations):
-        dangling = (
-            ranks.join(has_out, "node", "left")
-            .where(F.col("_out").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-        contrib = (
-            shares.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("share") * F.col("rank")).alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+    try:
+        shares.count()
+        dangling_nodes.count()
+        base, d = (1.0 - damping) / n, damping
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(iterations):
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
             )
-            .localCheckpoint(eager=True)
-        )
-    shares.unpersist()
-    nodes.unpersist()
+            contrib = (
+                shares.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("share") * F.col("rank")).alias("s"))
+            )
+            ranks = (
+                nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(d)
+                        * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        shares.unpersist()
+        dangling_nodes.unpersist()
+        nodes.unpersist()
     return ranks

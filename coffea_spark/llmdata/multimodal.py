@@ -1208,28 +1208,23 @@ def resample_features(
 def goertzel_power(pcm: np.ndarray, sample_rate: int, freqs) -> np.ndarray:
     """Goertzel single-bin DFT power at each requested frequency — the
     classic tone-detection primitive (DTMF/beep/test-tone screening in
-    audio-corpus curation). For frequency f: w = 2*pi*f/fs,
-    c = 2*cos(w); the recurrence s[n] = x[n] + c*s[n-1] - s[n-2] runs
-    once over the clip and the bin power is
-    s1^2 + s2^2 - c*s1*s2 (normalized by (n/2)^2 so a unit-amplitude
-    sine at f reads ~1.0). Vectorized across the requested frequencies;
-    the recurrence itself is sequential per clip (Goertzel is an IIR),
-    which is fine — clips are row-local in the mapInPandas shape."""
+    audio-corpus curation). The Goertzel recurrence's power
+    s1^2 + s2^2 - c*s1*s2 equals |sum_k x[k] e^{-iwk}|^2 exactly, so
+    the computation here is the fully-vectorized identity form — two
+    dot products per frequency (the per-sample IIR loop is kept as the
+    independent reference in the property tests). Normalized by
+    (n/2)^2 so a unit-amplitude sine at f reads ~1.0."""
     x = np.asarray(pcm, dtype=np.float64)
     n = len(x)
     freqs = np.asarray(list(freqs), dtype=np.float64)
     if n == 0:
         return np.zeros(len(freqs))
-    w = 2.0 * np.pi * freqs / float(sample_rate)
-    c = 2.0 * np.cos(w)
-    s1 = np.zeros(len(freqs))
-    s2 = np.zeros(len(freqs))
-    for v in x:
-        s0 = v + c * s1 - s2
-        s2 = s1
-        s1 = s0
-    power = s1 * s1 + s2 * s2 - c * s1 * s2
-    return power / (n / 2.0) ** 2
+    w = 2.0 * np.pi * freqs / float(sample_rate)  # (nf,)
+    k = np.arange(n, dtype=np.float64)
+    ph = w[:, None] * k[None, :]  # (nf, n)
+    re = np.cos(ph) @ x
+    im = np.sin(ph) @ x
+    return (re * re + im * im) / (n / 2.0) ** 2
 
 
 def tone_features(

@@ -335,16 +335,32 @@ class RochesterFile:
                 self.eta_edges, self.phi_edges, self.abseta_edges,
                 self.rs_pars, self.cb_s, self.cb_a, self.cb_n, self.trk_edges)
 
+    def _broadcast(self, spark):
+        """One broadcast of the table stack per (instance, SparkContext)
+        — every correction/error column reuses it instead of re-shipping
+        the multi-MB member tables per method call."""
+        sc = spark.sparkContext
+        cached = getattr(self, "_bc", None)
+        if cached is not None and cached[0] is sc:
+            return cached[1]
+        bc = sc.broadcast(self._tables())
+        self._bc = (sc, bc)
+        return bc
+
     def _udf(self, spark, kind: str, mode: str, cols, s: int = 0, m: int = 0):
         """One vectorized Arrow pandas UDF: the (n_sm, batch) correction
         matrix via :func:`_rochester_k_matrix`, reduced either to the
         requested (s, m) row (mode='value') or to the member-spread
         error (mode='error')."""
-        if mode == "error" and len(self.sm_index) <= 1:
+        # guard on the number of SETS (the reference gates _error on
+        # len(self._M.keys()) > 1): loaduncs=False still keeps set 0's
+        # 100 stat replicas, and a spread over them alone would be a
+        # silently underestimated uncertainty
+        if mode == "error" and len({s_ for s_, _ in self.sm_index}) <= 1:
             raise ValueError("uncertainty requires loaduncs=True tables")
         if kind == "smear" and self.rs_pars is None:
             raise ValueError("kSmearMC needs the R-tag tables (re-parse file)")
-        bc = spark.sparkContext.broadcast(self._tables())
+        bc = self._broadcast(spark)
         row = self._sm(s, m)
 
         def core(*series) -> pd.Series:
@@ -455,7 +471,16 @@ _erf_vec = np.vectorize(__import__("math").erf, otypes=[float])
 
 
 def _norm_cdf_np(x: np.ndarray) -> np.ndarray:
-    return 0.5 * (1.0 + _erf_vec(np.asarray(x, float) / np.sqrt(2.0)))
+    x = np.asarray(x, float)
+    # math.erf is exact but per-element; the DSCB tail boundaries take
+    # BINNED crystal-ball parameters (nabseta x ntrk distinct values
+    # fanned out over members x batch), so a unique-gather removes most
+    # of the Python-loop cost without losing the exactness claim
+    if x.size > 64:
+        u, inv = np.unique(x, return_inverse=True)
+        if u.size * 4 < x.size:
+            return (0.5 * (1.0 + _erf_vec(u / np.sqrt(2.0))))[inv].reshape(x.shape)
+    return 0.5 * (1.0 + _erf_vec(x / np.sqrt(2.0)))
 
 
 def _norm_ppf_np(p: np.ndarray) -> np.ndarray:

@@ -1889,15 +1889,20 @@ def test_goertzel_tone_detection(spark):
     x = 1000 * np.sin(2 * np.pi * 440 * t / fs)
     p = goertzel_power(x, fs, [440.0, 1000.0])
     assert abs(p[0] - 1000.0**2) < 1.0 and p[1] < 1.0
-    # identity with the direct DFT bin for an arbitrary (non-bin) freq
+    # identity with the classic Goertzel IIR recurrence (independent
+    # reference) for arbitrary (non-bin) frequencies
     rng = np.random.default_rng(5)
     y = rng.normal(0, 300, 777)
     for f in (313.7, 1234.5):
         w = 2 * np.pi * f / fs
-        k = np.arange(len(y))
-        direct = (np.sum(y * np.cos(w * k)) ** 2 + np.sum(y * np.sin(w * k)) ** 2)
+        c = 2 * np.cos(w)
+        s1 = s2 = 0.0
+        for v in y:
+            s0 = v + c * s1 - s2
+            s2, s1 = s1, s0
+        ref = (s1 * s1 + s2 * s2 - c * s1 * s2)
         got = goertzel_power(y, fs, [f])[0] * (len(y) / 2.0) ** 2
-        assert abs(got - direct) / direct < 1e-9
+        assert abs(got - ref) / max(ref, 1.0) < 1e-9
     # Spark surface: a 440 Hz int16 WAV must be classified 440-dominant
     pcm = (1000 * np.sin(2 * np.pi * 440 * t / fs)).astype(np.int16)
     df = spark.createDataFrame(

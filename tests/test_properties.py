@@ -251,20 +251,28 @@ def test_dscb_ppf_inverts_cdf(p, bl, bh, ml, mh):
              min_size=2, max_size=400),
     st.floats(min_value=10.0, max_value=3990.0),
 )
-def test_goertzel_equals_direct_dft(pcm, freq):
-    """The Goertzel recurrence equals the direct single-bin DFT for any
-    signal and any in-band frequency."""
+def test_goertzel_equals_iir_recurrence(pcm, freq):
+    """The vectorized identity form equals the classic per-sample
+    Goertzel IIR recurrence (the independent reference) for any signal
+    and any in-band frequency."""
+    import math
+
     import numpy as np
 
     from coffea_spark.llmdata.multimodal import goertzel_power
 
     fs = 8000
     x = np.array(pcm, dtype=float)
-    w = 2 * np.pi * freq / fs
-    k = np.arange(len(x))
-    direct = np.sum(x * np.cos(w * k)) ** 2 + np.sum(x * np.sin(w * k)) ** 2
-    got = goertzel_power(x, fs, [freq])[0] * (len(x) / 2.0) ** 2
-    assert abs(got - direct) <= 1e-6 * max(direct, 1.0)
+    w = 2 * math.pi * freq / fs
+    c = 2 * math.cos(w)
+    s1 = s2 = 0.0
+    for v in x:
+        s0 = v + c * s1 - s2
+        s2, s1 = s1, s0
+    ref = (s1 * s1 + s2 * s2 - c * s1 * s2) / (len(x) / 2.0) ** 2
+    got = goertzel_power(x, fs, [freq])[0]
+    scale = max(abs(ref), np.sum(np.abs(x)) ** 2 / (len(x) / 2.0) ** 2, 1.0)
+    assert abs(got - ref) <= 1e-9 * scale
 
 
 @settings(max_examples=60, deadline=None)
