@@ -157,7 +157,11 @@ def _batch_from_snapshot(
         if len(batch) >= min(budget, max_batch):
             break
         if batch:
-            if p1 in used or p2 in used or risk >= c:
+            # the candidate's merged RESULT must also be fresh: if an
+            # earlier member already produced (or consumed) p1+p2, the
+            # one-pass fold would see a symbol the sequential replay
+            # creates later (apply_merges enforces the same guard)
+            if p1 in used or p2 in used or (p1 + p2) in used or risk >= c:
                 break
         batch.append((p1, p2, int(c)))
         used.update((p1, p2, p1 + p2))
@@ -231,6 +235,12 @@ def train_bpe(
         words = words.select("freq", syms.alias("syms")).localCheckpoint(
             eager=True
         )
+        # superseded checkpoint blocks are only reclaimed when the
+        # ContextCleaner sees the old RDD garbage-collected; at
+        # hundreds of rounds (32k-merge runs) that lag fills the block
+        # managers — nudge the JVM like bench.py does, periodically
+        if rounds % 32 == 0:
+            words.sparkSession.sparkContext._jvm.System.gc()
     if stats is not None:
         stats["rounds"] = rounds
     return merges

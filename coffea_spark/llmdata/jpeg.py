@@ -504,8 +504,9 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
     ``color_space="rgb"`` (default) applies the JFIF YCbCr->RGB
     transform with chroma replication upsampling; ``"ycbcr"`` returns
     the coded planes untouched (the exactness surface the gate checks —
-    the RGB transform rounds). Progressive scans, 12-bit precision,
-    arithmetic coding, and restart intervals raise
+    the RGB transform rounds). Progressive (SOF2) scans dispatch to the
+    multi-scan decoder and restart intervals (DRI/RSTm) are handled
+    natively; only 12-bit precision and arithmetic coding raise
     ``NotImplementedError`` — route those through a library-backed
     ``decoder=`` hook."""
     if color_space not in ("rgb", "ycbcr"):
@@ -829,9 +830,7 @@ def encode_progressive_jpeg(
     real_blocks: list[tuple[int, int]] = []
     for ci, (_cid, hs, vs) in enumerate(comps):
         p = np.pad(
-            planes_u8[ci] if (gray or subsampling == "4:4:4" or ci == 0)
-            else planes_u8[ci],
-            ((0, H - h), (0, W - w)), mode="edge",
+            planes_u8[ci], ((0, H - h), (0, W - w)), mode="edge"
         ).astype(np.float64)
         if not gray and subsampling == "4:2:0" and ci > 0:
             p = np.round(

@@ -359,22 +359,27 @@ def synthetic_color_jpeg_payloads(ids: pd.Series) -> pd.Series:
     bit-for-bit."""
     from coffea_spark.llmdata.jpeg import encode_color_jpeg
 
-    out = []
-    for d in ids:
-        d = int(d)
-        bh, bw = 1 + d % 2, 1 + d % 3
-        i, j = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
-        tiles = np.stack(
-            [
-                4 * ((d * 37 + i * 16 + j * 5) % 64),
-                4 * ((d * 53 + i * 8 + j * 3) % 64),
-                4 * ((d * 29 + i * 4 + j * 7) % 64),
-            ],
-            axis=-1,
-        ).astype(np.uint8)
-        img = np.kron(tiles, np.ones((16, 16, 1), dtype=np.uint8))
-        out.append(encode_color_jpeg(img, subsampling="4:2:0"))
-    return pd.Series(out)
+    return pd.Series(
+        [encode_color_jpeg(_tile_rgb_image(int(d)), subsampling="4:2:0") for d in ids]
+    )
+
+
+def _tile_rgb_image(d: int) -> np.ndarray:
+    """The shared deterministic tile-constant RGB image for id ``d`` —
+    ONE generator for the sequential-color and progressive JPEG
+    fixtures, whose gates share an oracle and therefore require
+    byte-identical image content."""
+    bh, bw = 1 + d % 2, 1 + d % 3
+    i, j = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+    tiles = np.stack(
+        [
+            4 * ((d * 37 + i * 16 + j * 5) % 64),
+            4 * ((d * 53 + i * 8 + j * 3) % 64),
+            4 * ((d * 29 + i * 4 + j * 7) % 64),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return np.kron(tiles, np.ones((16, 16, 1), dtype=np.uint8))
 
 
 def synthetic_progressive_jpeg_payloads(ids: pd.Series) -> pd.Series:
@@ -386,22 +391,10 @@ def synthetic_progressive_jpeg_payloads(ids: pd.Series) -> pd.Series:
     sequential gate's oracle verbatim."""
     from coffea_spark.llmdata.jpeg import encode_progressive_jpeg
 
-    out = []
-    for d in ids:
-        d = int(d)
-        bh, bw = 1 + d % 2, 1 + d % 3
-        i, j = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
-        tiles = np.stack(
-            [
-                4 * ((d * 37 + i * 16 + j * 5) % 64),
-                4 * ((d * 53 + i * 8 + j * 3) % 64),
-                4 * ((d * 29 + i * 4 + j * 7) % 64),
-            ],
-            axis=-1,
-        ).astype(np.uint8)
-        img = np.kron(tiles, np.ones((16, 16, 1), dtype=np.uint8))
-        out.append(encode_progressive_jpeg(img, subsampling="4:2:0"))
-    return pd.Series(out)
+    return pd.Series(
+        [encode_progressive_jpeg(_tile_rgb_image(int(d)), subsampling="4:2:0")
+         for d in ids]
+    )
 
 
 def color_image_features(
@@ -931,6 +924,21 @@ def _adpcm_decode_chunk(raw: bytes, block_align: int,
     return out.astype(np.int16)
 
 
+def _riff_chunks(data) -> "Iterator[tuple[bytes, int, int]]":
+    """Yield (tag, body_offset, body_length) for each word-aligned RIFF
+    chunk after the 12-byte RIFF/WAVE header — the ONE chunk walk both
+    the per-clip and batch decoders share (a container fix must never
+    apply to only one path)."""
+    import struct as _st
+
+    p = 12
+    while p + 8 <= len(data):
+        tag = bytes(data[p : p + 4])
+        (ln,) = _st.unpack_from("<I", data, p + 4)
+        yield tag, p + 8, ln
+        p += 8 + ln + (ln & 1)  # chunks are word-aligned
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE payload: linear PCM (tag 1; 8-bit unsigned or
     16-bit signed), the G.711 companded forms (tag 6 A-law, tag 7
@@ -944,15 +952,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    p = 12
     fmt = None
     samples = None
     rate = None
     fact_n = None
-    while p + 8 <= len(data):
-        tag = bytes(data[p : p + 4])
-        (ln,) = _st.unpack_from("<I", data, p + 4)
-        body_off = p + 8
+    for tag, body_off, ln in _riff_chunks(data):
         if tag == b"fmt ":
             audio_fmt, ch, rate, _br, block_align, bits = _st.unpack_from(
                 "<HHIIHH", data, body_off
@@ -1001,7 +1005,6 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 samples = samples[: (len(samples) // 2) * 2].reshape(-1, 2)
             elif ch != 1:
                 raise NotImplementedError(f"{ch}-channel WAV not supported")
-        p = body_off + ln + (ln & 1)  # chunks are word-aligned
     if samples is None or rate is None:
         raise ValueError("WAV missing fmt/data chunks")
     return samples, rate
@@ -1042,17 +1045,14 @@ def real_audio_batch_decoder(
         if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
             out[i] = real_audio_decoder(data, rates[i])
             continue
-        p, fmt, fact_n, body = 12, None, None, None
-        while p + 8 <= len(data):
-            tag = data[p : p + 4]
-            (ln,) = _st.unpack_from("<I", data, p + 4)
+        fmt, fact_n, body = None, None, None
+        for tag, body_off, ln in _riff_chunks(data):
             if tag == b"fmt ":
-                fmt = _st.unpack_from("<HHIIHH", data, p + 8)
+                fmt = _st.unpack_from("<HHIIHH", data, body_off)
             elif tag == b"fact":
-                (fact_n,) = _st.unpack_from("<I", data, p + 8)
+                (fact_n,) = _st.unpack_from("<I", data, body_off)
             elif tag == b"data":
-                body = data[p + 8 : p + 8 + ln]
-            p += 8 + ln + (ln & 1)
+                body = data[body_off : body_off + ln]
         if fmt is None or body is None or fmt[0] != 0x11 or fmt[1] != 1:
             out[i] = real_audio_decoder(data, rates[i])
             continue

@@ -296,8 +296,10 @@ def perplexity_buckets(
         if groups
         else scored.crossJoin(F.broadcast(cuts))
     )
+    # bucket 1 = HEAD = highest score (CCNet: head = lowest perplexity
+    # = highest logprob): count the cutoffs strictly above the score
     bucket = F.lit(1) + F.size(
-        F.filter(F.col("_cuts"), lambda t: F.col(score_col) > t)
+        F.filter(F.col("_cuts"), lambda t: F.col(score_col) < t)
     )
     return joined.withColumn("bucket", bucket).drop("_cuts")
 
@@ -827,14 +829,17 @@ def canonicalize_url(col: Column) -> Column:
     preserving the relative order of the rest; strip trailing slashes
     from the path. Everything is regex + array HOFs — scan-stage, no
     UDF, no shuffle — and every rule is replayable verbatim in the SQL
-    oracle. Malformed URLs (no scheme://host) canonicalize to a
-    best-effort string rather than raising: dedup treats them as
-    opaque keys."""
+    oracle. Malformed URLs (no scheme://host) pass through UNCHANGED as
+    opaque keys — they must stay distinct from each other, never
+    collapse to a shared sentinel. Userinfo (``user:pass@host``) is
+    stripped before host/port extraction."""
     from pyspark.sql import functions as F  # noqa: F811
 
     scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     rest = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$", 1)
-    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^/?#]*)", 1), r"^.*@", ""
+    )
     tail = F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1)
     host = F.regexp_replace(
         F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
@@ -851,7 +856,7 @@ def canonicalize_url(col: Column) -> Column:
         lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
     )
     clean_q = F.array_join(params, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -859,6 +864,9 @@ def canonicalize_url(col: Column) -> Column:
         path,
         F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(F.lit("")),
     )
+    # scheme-less/malformed input: opaque pass-through, NOT a shared
+    # '://' sentinel that would falsely merge unrelated documents
+    return F.when(scheme != "", canon).otherwise(col)
 
 
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:

@@ -8157,7 +8157,7 @@ WITH tok AS (
   SELECT lang, quantile_cont(lp, [1.0/3, 2.0/3]) AS cs FROM scored GROUP BY lang
 ), bucketed AS (
   SELECT s.lang, s.lp,
-         1 + len(list_filter(c.cs, t -> s.lp > t)) AS bucket
+         1 + len(list_filter(c.cs, t -> s.lp < t)) AS bucket
   FROM scored s JOIN cuts c ON s.lang = c.lang
 )
 SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
