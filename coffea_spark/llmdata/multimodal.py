@@ -1012,15 +1012,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def real_audio_decoder(data: bytes, sample_rate: int) -> np.ndarray:
     """Default-capable audio decoder: real RIFF/WAVE PCM parsing
-    (numpy + struct); stereo downmixes to mono by averaging so the
-    feature math stays 1-D. Non-WAV payloads fall back to the raw-PCM
-    interpretation (the fake decoder's contract)."""
-    if bytes(data[:4]) == b"RIFF":
+    (numpy + struct) and native FLAC (llmdata/flac.py — the lossless
+    container speech corpora like LibriSpeech ship); stereo downmixes
+    to mono by averaging so the feature math stays 1-D. Other payloads
+    fall back to the raw-PCM interpretation (the fake decoder's
+    contract)."""
+    head = bytes(data[:4])
+    if head == b"RIFF":
         samples, _rate = decode_wav(data)
-        if samples.ndim == 2:
-            samples = samples.mean(axis=1).astype(np.int16)
-        return samples
-    return fake_audio_decoder(data, sample_rate)
+    elif head == b"fLaC":
+        from coffea_spark.llmdata.flac import decode_flac
+
+        samples, _rate = decode_flac(data)
+        samples = samples.astype(np.int16)
+    else:
+        return fake_audio_decoder(data, sample_rate)
+    if samples.ndim == 2:
+        samples = samples.mean(axis=1).astype(np.int16)
+    return samples
 
 
 def real_audio_batch_decoder(

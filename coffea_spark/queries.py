@@ -2521,6 +2521,78 @@ FROM st GROUP BY lang
 """
 
 
+def _flac_fixture(spark, sf_dir) -> str:
+    """Encode the SAME deterministic PCM clips as _audio_fixture
+    (sample i of doc d = ((d*13 + 5i) % 4001) - 2000, n = 400 + d%300,
+    8 kHz; stereo L=R for d%5==0) into REAL FLAC streams
+    (llmdata/flac.py: STREAMINFO + CONSTANT/FIXED-order-2 frames with
+    rice residuals) once per sf_dir. FLAC is lossless, so the decoded
+    stats must equal the WAV gate's — the oracle is shared verbatim."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_flac.parquet"
+    )
+    if not _fixture_ready(out):
+        import numpy as np
+        import pandas as pd
+
+        from coffea_spark.llmdata.flac import encode_flac
+
+        def make(ids):
+            clips = []
+            for d in ids:
+                d = int(d)
+                n = 400 + d % 300
+                pcm = (((d * 13 + 5 * np.arange(n)) % 4001) - 2000).astype(np.int16)
+                if d % 5 == 0:
+                    pcm = np.stack([pcm, pcm], axis=1)
+                clips.append(encode_flac(pcm, 8000))
+            return pd.Series(clips)
+
+        enc = F.pandas_udf(make, "binary")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.struct(
+                enc("doc_id").alias("data"),
+                F.lit("flac").alias("codec"),
+                F.lit(8000).alias("sample_rate"),
+                (F.lit(400) + F.col("doc_id") % 300).cast("long").alias("n_samples"),
+            ).alias("audio"),
+        )
+        tmp = out + ".tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not _fixture_ready(out):
+                raise
+    return out
+
+
+def q_flac_features(spark, sf_dir):
+    """REAL FLAC decode through the gate (llmdata/flac.py: frame sync,
+    CRC-8/16 verification, CONSTANT/FIXED subframes, rice residuals;
+    real_audio_decoder sniffs the fLaC magic): the fixture carries the
+    SAME deterministic PCM as the WAV gate inside actual FLAC streams,
+    and FLAC is LOSSLESS — so this gate shares SQL_AUDIO_FEATURES
+    verbatim. Any prediction, rice, framing, or stereo bug shifts the
+    decoded statistics and goes hash-red."""
+    from coffea_spark.llmdata.multimodal import audio_features, real_audio_decoder
+
+    docs = spark.read.parquet(_flac_fixture(spark, sf_dir))
+    feats = audio_features(docs, "audio", decoder=real_audio_decoder)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.sum("duration_s"), 6).alias("sum_dur"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.sum("peak").alias("sum_peak"),
+        F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+    )
+
+
 def q_audio_resample(spark, sf_dir):
     """Linear-interpolation resampling to an awkward target rate
     (8 kHz -> 5513 Hz, so the fractional position varies across the
@@ -8424,7 +8496,6 @@ REGISTRY: dict[str, Query] = {
     "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
     "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
-    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
     "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
@@ -8434,6 +8505,7 @@ REGISTRY: dict[str, Query] = {
     "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
     "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
     "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
+    "flac_features": Query(q_flac_features, SQL_AUDIO_FEATURES),
     "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
     "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
@@ -8442,6 +8514,7 @@ REGISTRY: dict[str, Query] = {
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
