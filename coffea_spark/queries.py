@@ -8457,12 +8457,13 @@ REGISTRY: dict[str, Query] = {
     # new embedded-basket scan AND the late-r7 key-scan resync.
     # Late-r7 additions in the window: effarea_l5flavor, pagerank_hosts,
     # lm_kneser_ney, audio_resample, c4_gopher_filters, audio_tones,
-    # image_patches, doc_chunking. To keep all five real-binary ROOT
-    # gates inside the first 50, three gates whose oracles are shared
-    # or whose local evidence is strongest wait just past the window
-    # for r8: quads_metric (property-tested vs itertools),
-    # blamed_suppliers (plain relational), stream_heavy_hitters
-    # (shares heavy_hitters' oracle, which stays in-window).
+    # image_patches, doc_chunking, flac_features. To keep all five
+    # real-binary ROOT gates inside the first 50, four gates whose
+    # oracles are shared or whose local evidence is strongest wait just
+    # past the window for r8: quads_metric (property-tested vs
+    # itertools), blamed_suppliers (plain relational),
+    # stream_heavy_hitters (shares heavy_hitters' oracle, in-window),
+    # jpeg_progressive (shares jpeg_color_features' oracle, in-window).
     # ------------------------------------------------------------------
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
