@@ -79,7 +79,13 @@ def connected_components(
     )
     prev = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the checksum aggregate below is the action
+        # that materializes it, so each round runs ONE job (checkpoint
+        # fill + convergence signature together) instead of two — the
+        # eager-checkpoint-then-agg form re-paid the full star-pass cost
+        # every round just to read the signature (r7 bench attribution:
+        # the second job was ~40% of the gate's wall time).
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         row = e2.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent, overflow-free (edges are distinct)
