@@ -153,6 +153,122 @@ def triton_wrapper(url: str, model: str, name: str = "triton-model") -> BatchInf
     )
 
 
+def gbdt_load_json(model_path: str) -> dict:
+    """Load an XGBoost-format JSON model dump (the official
+    ``Booster.save_model("*.json")`` layout, public schema
+    doc/model.schema) into plain numpy arrays — no xgboost wheel needed.
+
+    Reads ``learner.gradient_booster.model.trees[*]`` flat node arrays:
+    ``left_children`` / ``right_children`` (-1 marks a leaf),
+    ``split_indices`` (feature id), ``split_conditions`` (threshold for
+    internal nodes; the node's OUTPUT VALUE for leaves — XGBoost stores
+    both in one union field), ``default_left`` (missing-value routing).
+    ``learner_model_param.base_score`` is treated as a raw-margin bias
+    and ``objective.name`` selects the output transform
+    (``binary:logistic`` -> sigmoid, anything else -> identity).
+
+    Reference semantics: ml_tools/xgboost_wrapper.py:14-60 wraps a live
+    Booster; this loader covers the standard quality-classifier
+    inference stage (GBDT over cheap text statistics) with the model as
+    data, evaluated as vectorized numpy in the same BatchInferencer
+    Arrow path.
+    """
+    import json
+
+    with open(model_path) as fh:
+        blob = json.load(fh)
+    learner = blob["learner"]
+    trees = []
+    for t in learner["gradient_booster"]["model"]["trees"]:
+        trees.append(
+            {
+                "left": np.asarray(t["left_children"], dtype=np.int64),
+                "right": np.asarray(t["right_children"], dtype=np.int64),
+                "feat": np.asarray(t["split_indices"], dtype=np.int64),
+                "cond": np.asarray(t["split_conditions"], dtype=np.float64),
+                "default_left": np.asarray(t["default_left"], dtype=bool),
+            }
+        )
+    return {
+        "trees": trees,
+        "base_score": float(learner["learner_model_param"]["base_score"]),
+        "objective": learner["objective"]["name"],
+        "num_feature": int(learner["learner_model_param"]["num_feature"]),
+    }
+
+
+def gbdt_margin(model: dict, X: np.ndarray) -> np.ndarray:
+    """Vectorized ensemble evaluation: every row walks every tree with
+    numpy level-synchronous descent (one vector step per tree LEVEL,
+    not per row — depth-d trees finish in d vector ops regardless of
+    batch size). Missing features (NaN) route via ``default_left``;
+    the decision rule is XGBoost's ``x < threshold -> left``."""
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    out = np.full(n, model["base_score"], dtype=np.float64)
+    rows = np.arange(n)
+    for t in model["trees"]:
+        left, right = t["left"], t["right"]
+        feat, cond, dleft = t["feat"], t["cond"], t["default_left"]
+        nid = np.zeros(n, dtype=np.int64)
+        while True:
+            internal = left[nid] != -1
+            if not internal.any():
+                break
+            x = X[rows, feat[nid]]
+            miss = np.isnan(x)
+            go_left = np.where(miss, dleft[nid], x < cond[nid])
+            nxt = np.where(go_left, left[nid], right[nid])
+            nid = np.where(internal, nxt, nid)
+        out += cond[nid]  # leaf value lives in the split_conditions union
+    return out
+
+
+def gbdt_predict(model: dict, X: np.ndarray) -> np.ndarray:
+    """Margin + output transform (sigmoid for binary:logistic)."""
+    m = gbdt_margin(model, X)
+    if model["objective"] == "binary:logistic":
+        return 1.0 / (1.0 + np.exp(-m))
+    return m
+
+
+def gbdt_wrapper(model_path: str, name: str = "gbdt-model") -> BatchInferencer:
+    """GBDT inference as a BatchInferencer: the JSON dump is loaded ONCE
+    per executor process (the reference's nonserializable_attribute
+    pattern, ml_tools/helper.py:10-386), each Arrow batch of feature
+    columns is column-stacked and scored with :func:`gbdt_margin` —
+    pure numpy, no xgboost runtime on the workers."""
+
+    def predict(model, *cols):
+        X = np.column_stack([np.asarray(c, dtype=np.float64) for c in cols])
+        return gbdt_predict(model, X)
+
+    return BatchInferencer(name, lambda: gbdt_load_json(model_path), predict)
+
+
+def gbdt_sql_expr(model: dict, feature_exprs: list[str]) -> str:
+    """ANSI-SQL replay of the ensemble (oracle/codegen path): one nested
+    CASE chain per tree, summed with the base margin; sigmoid for
+    binary:logistic. ``feature_exprs[i]`` is the SQL text of feature i.
+    NULL features propagate NULL (the numpy path's NaN routing has no
+    SQL twin — oracle callers feed non-null features)."""
+
+    def case(t, nid: int) -> str:
+        if t["left"][nid] == -1:
+            return repr(float(t["cond"][nid]))
+        f = feature_exprs[int(t["feat"][nid])]
+        c = repr(float(t["cond"][nid]))
+        l = case(t, int(t["left"][nid]))
+        r = case(t, int(t["right"][nid]))
+        return f"(CASE WHEN ({f}) < ({c}) THEN {l} ELSE {r} END)"
+
+    margin = " + ".join(case(t, 0) for t in model["trees"])
+    margin = f"(({margin}) + ({model['base_score']!r}))"
+    if model["objective"] == "binary:logistic":
+        return f"(1.0 / (1.0 + exp(-{margin})))"
+    return margin
+
+
 def logreg_train(
     df,
     feature_cols: list[str],

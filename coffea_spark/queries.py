@@ -3738,6 +3738,74 @@ FROM s GROUP BY 1
 """
 
 
+_GBDT_PATH = os.path.join(os.path.dirname(__file__), "data", "gbdt_demo.json")
+
+
+def q_gbdt_score(spark, sf_dir):
+    """GBDT (XGBoost-JSON) batch inference — the fasttext/GBDT
+    quality-classifier inference stage of LLM data pipelines (reference
+    front-end: ml_tools/xgboost_wrapper.py:14-60): a 4-tree ensemble in
+    the official save_model JSON layout is loaded once per executor
+    (mltools.gbdt_load_json) and evaluated as level-synchronous numpy
+    over Arrow batches (mltools.gbdt_wrapper) — no xgboost runtime.
+    Features are cheap text statistics (token count, mean token length,
+    distinct-token ratio) computed as scan-stage column math. The
+    oracle replays every tree as a nested SQL CASE chain generated from
+    the SAME artifact (mltools.gbdt_sql_expr), so a split/leaf/routing
+    drift goes hash-red. Scale: scan -> project -> one pandas_udf ->
+    groupBy(lang); the model is KB-sized data, broadcast implicitly via
+    task closure."""
+    from coffea_spark.llmdata import text as tx
+    from coffea_spark.mltools import gbdt_wrapper
+
+    scorer = gbdt_wrapper(_GBDT_PATH, name="gbdt-demo")
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    feats = docs.select(
+        "lang",
+        tx.token_count(c).cast("double").alias("nw"),
+        tx.avg_token_length(c).alias("ml"),
+        (
+            tx.distinct_token_count(c).cast("double") / tx.token_count(c)
+        ).alias("dr"),
+    ).filter(F.col("nw") > 0)
+    scored = feats.select(
+        "lang", scorer(F.col("nw"), F.col("ml"), F.col("dr")).alias("score")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
+def _sql_gbdt_score() -> str:
+    """Replay the committed XGBoost-JSON ensemble as CASE chains."""
+    from coffea_spark.mltools import gbdt_load_json, gbdt_sql_expr
+
+    expr = gbdt_sql_expr(gbdt_load_json(_GBDT_PATH), ["nw", "ml", "dr"])
+    return rf"""
+WITH t AS (
+  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT lang,
+         CAST(len(toks) AS DOUBLE) AS nw,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS ml,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr
+  FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT lang, {expr} AS score FROM f
+)
+SELECT lang, count(*) AS n,
+       round(avg(score), 6) AS avg_score,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM s GROUP BY lang
+"""
+
+
 def q_stream_enrich(spark, sf_dir):
     """Stream-static broadcast enrichment (engine extension, §2.10 —
     Structured Streaming's stream-static join): the event stream joins a
@@ -8613,6 +8681,7 @@ REGISTRY: dict[str, Query] = {
     "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
+    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),
