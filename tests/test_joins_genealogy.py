@@ -114,6 +114,34 @@ def test_pairs_exploded_matches_hof(spark, nano):
     assert hof == rel
 
 
+def test_pairs_adaptive_parity_across_threshold(spark, nano):
+    """The adaptive switch must return the identical pair SET whether
+    events route through the HOF branch, the exploded-join branch, or a
+    mix — thresholds 0 (all exploded), 10^9 (all HOF), and a mid value
+    that genuinely splits the nano fixture are compared row-for-row."""
+    from coffea_spark.joins import pairs_adaptive
+
+    def canon(df):
+        return sorted(
+            (r["event"], r["f0"]["pt"], r["f1"]["pt"])
+            for r in df.select(
+                "event", "f0", "f1"
+            ).collect()
+        )
+
+    # pick a mid threshold that splits the fixture into both branches
+    sizes = [r.n for r in nano.select(F.size("Muon").alias("n")).collect()]
+    mid = sorted(sizes)[len(sizes) // 2]
+    assert any(s <= mid for s in sizes) and any(s > mid for s in sizes)
+
+    base = canon(pairs_adaptive(nano, "Muon", threshold=10**9))  # pure HOF
+    assert canon(pairs_adaptive(nano, "Muon", threshold=0)) == base
+    assert canon(pairs_adaptive(nano, "Muon", threshold=mid)) == base
+    # and the HOF branch agrees with raw combinations()
+    n_hof = nano.select(F.explode(combinations(F.col("Muon"), 2))).count()
+    assert len(base) == n_hof
+
+
 def test_metric_table_and_nearest(spark, nano, nano_rows):
     got = nano.select(
         "event",
