@@ -8306,6 +8306,213 @@ FROM bucketed GROUP BY lang, bucket
 """
 
 
+def q_ccnet_pipeline(spark, sf_dir):
+    """END-TO-END CCNet/C4 composition — the whole web-corpus curation
+    chain as ONE Spark plan, proving the operators compose without
+    CollapseProject blow-ups (the boost_cosstar 40x lesson) and with
+    bounded shuffles: WARC ingestion (read_warc) -> HTML->text
+    extraction (html_to_text) -> language id (lang_id) -> Gopher
+    quality filter (gopher_quality_signals; thresholds relaxed to the
+    synthetic corpus: n_words >= 20, mean_word_len 3-10,
+    alpha_word_frac >= 0.8, stop_hits >= 1 — keeps 382/500 at sf0.01)
+    -> corpus-wide paragraph dedup (paragraph_dedup over injected
+    per-source HDR/FTR boilerplate) -> per-language unigram LM scoring
+    (unigram_logprob_score) -> CCNet head/middle/tail buckets
+    (perplexity_buckets, exact cutoffs for oracle parity) -> counts per
+    (pred_lang, bucket).
+
+    Composition mechanics that keep the plan sane: ONE projection
+    computes extraction + lang + quality signals behind plans.barrier
+    (so the regex chain runs once, not once per consumer);
+    pred_lang rides THROUGH paragraph_dedup inside the doc key struct
+    (no join-back, no extra shuffle — keeper election min(struct) is
+    still ordered by doc_id first since ids are unique); the deduped
+    doc table (corpus-doc-count rows, KB-scale payloads) is cached
+    once at the natural checkpoint boundary a production run would
+    materialize, because LM scoring + bucket cutoffs legitimately
+    consume it multiple times. Shuffles: 2 in paragraph_dedup (fp
+    election + id rebuild), 1 term_table agg + 1 doc-score groupBy in
+    the LM, 1 tiny cutoff agg, 1 final agg — all keyed on ids/terms,
+    never payloads; the WARC parse is one task per file."""
+    from coffea_spark.llmdata.dedup import paragraph_dedup
+    from coffea_spark.llmdata.text import (
+        gopher_quality_signals,
+        html_to_text,
+        lang_id,
+        perplexity_buckets,
+        unigram_logprob_score,
+    )
+    from coffea_spark.llmdata.warc import read_warc
+    from coffea_spark.plans import barrier
+
+    fx = _warc_fixture(spark, sf_dir)
+    raw = read_warc(spark, os.path.join(fx, "part-*"))
+    txt = F.decode(F.col("payload"), "UTF-8")
+    extracted = F.when(
+        F.col("content_type") == "text/html", html_to_text(txt)
+    ).otherwise(txt)
+    base = raw.select(
+        F.regexp_extract("record_id", r"urn:uuid:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("url", r"example\.org/([^/]+)/", 1).alias("source"),
+        extracted.alias("text"),
+    )
+    sig = barrier(
+        base,
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("text"),
+        lang_id(F.col("text")).alias("pred_lang"),
+        gopher_quality_signals(F.col("text")).alias("g"),
+    )
+    kept = sig.filter(
+        (F.col("g.n_words") >= 20)
+        & (F.col("g.mean_word_len") >= 3.0)
+        & (F.col("g.mean_word_len") <= 10.0)
+        & (F.col("g.alpha_word_frac") >= 0.8)
+        & (F.col("g.stop_hits") >= 1)
+    ).select(
+        F.struct(F.col("doc_id"), F.col("pred_lang")).alias("k"),
+        F.concat(
+            F.lit("HDR "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nFTR "), F.col("source"),
+        ).alias("text"),
+    )
+    deduped = paragraph_dedup(kept, id_col="k")
+    docs = deduped.select(
+        F.col("k.doc_id").alias("doc_id"),
+        F.col("k.pred_lang").alias("pred_lang"),
+        "text",
+        "n_kept",
+    ).cache()
+    # scored is (doc-count x 4 narrow cols) and feeds BOTH the cutoff
+    # aggregate and bucket assignment — cache it so the LM join runs
+    # once (same bounded-materialization contract as docs above)
+    scored = unigram_logprob_score(docs, "text", by=["pred_lang"]).cache()
+    # doc_id-keyed equi-join (NOT a forced broadcast: doc-count rows
+    # don't broadcast at 100 TB; AQE picks broadcast at gate scale)
+    b = perplexity_buckets(scored, by=["pred_lang"], exact=True).join(
+        docs.select("doc_id", "n_kept"), "doc_id"
+    )
+    return b.groupBy("pred_lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").alias("n_paras_kept"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+    )
+
+
+def _sql_ccnet_pipeline() -> str:
+    """Replay the full chain from the documents table (the WARC fixture
+    is deterministic in it): extraction, marker-argmax language id,
+    relaxed Gopher filter, keeper election + rebuild, per-pred-lang
+    unigram LM, exact tertile buckets."""
+    from coffea_spark.llmdata.text import GOPHER_STOPWORDS, LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_defs = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_defs.append(
+            f"len(list_filter(words, x -> list_contains([{markers}], x))) AS s_{lang}"
+        )
+    cases = []
+    for i in range(len(langs) - 1, 0, -1):
+        lang = langs[i]
+        others = ", ".join(f"s_{l}" for l in langs[:i])
+        greatest = f"greatest({others})" if "," in others else others
+        cases.append(f"WHEN s_{lang} >= {greatest} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return rf"""
+WITH x AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0 THEN text
+              ELSE trim(regexp_replace(text, '\s+', ' ', 'g')) END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS words
+  FROM x
+), sig AS (
+  SELECT doc_id, source, text, words,
+         {', '.join(score_defs)},
+         len(words) AS nw,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, t -> length(t))) * 1.0 / len(words)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+                   / len(words) ELSE 0.0 END AS alpha_frac,
+         len(list_filter([{stops}],
+             s -> list_contains(list_transform(words, t -> lower(t)), s))) AS stop_hits
+  FROM w
+), kept AS (
+  SELECT doc_id, {lang_case} AS pred_lang,
+         'HDR ' || source || chr(10) || text || chr(10) || 'FTR ' || source AS t
+  FROM sig
+  WHERE nw >= 20 AND mean_len >= 3.0 AND mean_len <= 10.0
+    AND alpha_frac >= 0.8 AND stop_hits >= 1
+), e AS (
+  SELECT doc_id, pred_lang, u.p.pos AS pos, u.p.para AS para
+  FROM (
+    SELECT doc_id, pred_lang,
+           unnest(list_transform(
+             string_split(t, chr(10)),
+             (l, i) -> {{'pos': i - 1, 'para': l}})) AS p
+    FROM kept
+  ) u(doc_id, pred_lang, p)
+), h AS (
+  SELECT doc_id, pred_lang, pos, para,
+         CASE WHEN length(trim(para)) >= 1 THEN
+           list_reduce(
+             list_transform(string_split_regex(trim(para), ''), c -> CAST(ord(c) AS BIGINT)),
+             (a, v) -> (a * 257 + v) % 2147483647)
+         END AS fp
+  FROM e
+), k AS (
+  SELECT doc_id, pred_lang, pos, para,
+         (fp IS NULL OR
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1) AS keep
+  FROM h
+), rebuilt AS (
+  SELECT doc_id, pred_lang,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '')
+           AS text
+  FROM k GROUP BY doc_id, pred_lang
+), tok AS (
+  SELECT pred_lang, doc_id, n_kept,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+  FROM rebuilt
+), tt AS (
+  SELECT pred_lang, term, count(*) AS c FROM tok GROUP BY pred_lang, term
+), tot AS (
+  SELECT pred_lang, sum(c) AS total, count(*) AS vocab FROM tt GROUP BY pred_lang
+), vocab AS (
+  SELECT tt.pred_lang, term, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+  FROM tt JOIN tot ON tt.pred_lang = tot.pred_lang
+), scored AS (
+  SELECT t.pred_lang, t.doc_id, any_value(t.n_kept) AS n_kept, avg(v.logp) AS lp
+  FROM tok t JOIN vocab v ON t.pred_lang = v.pred_lang AND t.term = v.term
+  GROUP BY t.pred_lang, t.doc_id
+), cuts AS (
+  SELECT pred_lang, quantile_cont(lp, [1.0/3, 2.0/3]) AS cs
+  FROM scored GROUP BY pred_lang
+), bucketed AS (
+  SELECT s.pred_lang, s.lp, s.n_kept,
+         1 + len(list_filter(c.cs, t -> s.lp < t)) AS bucket
+  FROM scored s JOIN cuts c ON s.pred_lang = c.pred_lang
+)
+SELECT pred_lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+       CAST(sum(n_kept) AS BIGINT) AS n_paras_kept,
+       round(avg(lp), 6) AS avg_logprob, round(min(lp), 6) AS min_logprob
+FROM bucketed GROUP BY pred_lang, bucket
+"""
+
+
 def q_simhash_portable(spark, sf_dir):
     """SimHash fingerprints hash-compared end-to-end
     (llmdata/dedup.py simhash_portable): 31-bit fingerprints over
@@ -8682,6 +8889,7 @@ REGISTRY: dict[str, Query] = {
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
     "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
+    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),

@@ -36,6 +36,8 @@ NEW_ORACLE_QUERIES = [
     "stream_sessions",
     "masked_filter",
     "range_gather",
+    "gbdt_score",
+    "ccnet_pipeline",
 ]
 
 
