@@ -350,10 +350,15 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.phantom = 0  # zero bits synthesized past end-of-data
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise EOFError("truncated entropy segment")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise EOFError("truncated entropy segment")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -383,13 +388,18 @@ class _BitReader:
         while self.nbits < 16:
             try:
                 self._fill()
-            except (EOFError, IndexError):
+            except EOFError:
                 self.acc <<= 8
                 self.nbits += 8
+                self.phantom += 8
         return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
     def skip(self, n: int) -> None:
         self.nbits -= n
+        if self.nbits < self.phantom:
+            # a real code never extends into the synthesized padding:
+            # consuming phantom bits means the stream was cut mid-scan
+            raise EOFError("truncated entropy segment: code past end of data")
         self.acc &= (1 << self.nbits) - 1
 
     def restart(self, m: int) -> None:
@@ -400,6 +410,7 @@ class _BitReader:
         0xFF because ``_fill`` refuses to step over markers."""
         self.acc = 0
         self.nbits = 0
+        self.phantom = 0
         if (
             self.pos + 1 >= len(self.data)
             or self.data[self.pos] != 0xFF
@@ -433,6 +444,15 @@ def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in entropy data")
 
 
+def _get_qt(qt: dict, tq: int) -> "np.ndarray":
+    """Quantization table by id, fail-loud when the id was never defined
+    (a corrupt SOF/DQT selector must not surface as a raw KeyError)."""
+    try:
+        return qt[tq]
+    except KeyError:
+        raise ValueError(f"undefined quantization table id {tq}") from None
+
+
 @lru_cache(maxsize=32)
 def _fast_lut(bits_key: bytes, vals_key: bytes) -> list:
     """65536-entry peek-16 decode table: lut[next16bits] = (sym, len),
@@ -441,12 +461,27 @@ def _fast_lut(bits_key: bytes, vals_key: bytes) -> list:
     ~4x fewer Python ops per symbol, measured). Cached per (BITS,
     HUFFVAL) content: every image sharing tables (our fixtures, and any
     encoder using the standard tables) builds it once per process."""
+    # corrupt DHT segments must fail loud, not walk off the arrays:
+    # BITS must account for exactly the symbols present (ITU T.81 B.2.4.2)
+    # and the code tree must satisfy the Kraft bound (no code may extend
+    # past 16 bits)
+    if len(bits_key) != 16:
+        raise ValueError(
+            f"corrupt DHT: BITS array has {len(bits_key)} entries, want 16"
+        )
+    if sum(bits_key) != len(vals_key):
+        raise ValueError(
+            f"corrupt DHT: BITS counts {sum(bits_key)} codes but "
+            f"{len(vals_key)} symbols present"
+        )
     lut: list = [None] * 65536
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits_key[length - 1]):
-            lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
+            if hi > 65536:
+                raise ValueError("corrupt DHT: Huffman code tree overflows")
+            lo = code << (16 - length)
             lut[lo:hi] = [(vals_key[k], length)] * (hi - lo)
             code += 1
             k += 1
@@ -523,10 +558,16 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: bare 0xFF at end of data")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             raise ValueError("EOI before SOS: no image data")
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: marker segment header cut")
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        if pos + 2 + seglen > len(data):
+            raise ValueError("truncated JPEG: marker segment body cut")
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -588,12 +629,22 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
             tabs = {}
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
-                tabs[cs] = (huff[(0, tdta >> 4)], huff[(1, tdta & 0x0F)])
+                dc_id, ac_id = tdta >> 4, tdta & 0x0F
+                if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                    raise ValueError(
+                        f"SOS references undefined Huffman table "
+                        f"(dc={dc_id}, ac={ac_id})"
+                    )
+                tabs[cs] = (huff[(0, dc_id)], huff[(1, ac_id)])
+            if set(tabs) != {cid for cid, _, _, _ in comps}:
+                raise ValueError(
+                    "SOS component selectors do not match SOF components"
+                )
             br = _BitReader(data, pos)
             if len(comps) == 1:
                 _cid, _hs, _vs, tq = comps[0]
                 dc_tab, ac_tab = tabs[_cid]
-                q = qt[tq]
+                q = _get_qt(qt, tq)
                 H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
                 out = np.empty((H, W), dtype=np.float64)
                 pred = 0
@@ -627,7 +678,7 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
                     n_mcu += 1
                     for ci, (cid, hs, vs, tq) in enumerate(comps):
                         dc_tab, ac_tab = tabs[cid]
-                        q = qt[tq]
+                        q = _get_qt(qt, tq)
                         for v in range(vs):
                             for u in range(hs):
                                 coefs, preds[ci] = _read_block(
@@ -1095,7 +1146,7 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
     planes = []
     for cid, hs, vs, tq in comps:
         st = stores[cid]
-        q = qt[tq]
+        q = _get_qt(qt, tq)
         by_n, bx_n = st.shape[:2]
         out = np.empty((by_n * 8, bx_n * 8), dtype=np.float64)
         for by in range(by_n):

@@ -91,10 +91,14 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         body_end = body_start + clen
         if body_end > n:
             raise ValueError("WARC: truncated payload")
+        # ISO 28500 4.2: every record (including the last) ends with two
+        # CRLFs — a missing terminator means truncation or framing drift
+        if data[body_end : body_end + 4] != b"\r\n\r\n":
+            raise ValueError("WARC: record terminator missing after payload")
         rec = dict(headers)
         rec["payload"] = data[body_start:body_end]
         records.append(rec)
-        pos = body_end
+        pos = body_end + 4
     return records
 
 

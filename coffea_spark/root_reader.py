@@ -480,6 +480,14 @@ class RootTreeReader:
             fend = struct.unpack_from(">q", data, 12)[0]
         else:
             fend = struct.unpack_from(">i", data, 12)[0]
+        if fend > len(data):
+            # fEND is the logical EOF TFile records at close; a shorter
+            # physical file is a truncated copy (uproot raises the same
+            # way) — fail loud instead of reading whatever keys survive
+            raise RootFileError(
+                f"{path}: truncated — header fEND={fend} but file has "
+                f"{len(data)} bytes"
+            )
         self._keys: list[_Key] = []
         off = fbegin
         while off < fend:

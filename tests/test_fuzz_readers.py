@@ -1,0 +1,346 @@
+"""Adversarial corruption tests for the binary readers: bit flips and
+truncation over ROOT files, FLAC streams, JPEG entropy data, and WARC
+records must FAIL LOUD (a clean, typed exception) or — where the format
+itself carries no integrity check over the mutated region — degrade to
+a well-formed result, never hang, never crash with a low-level
+IndexError/struct.error from deep inside the parser, and never silently
+ingest garbage where a checksum exists to catch it.
+
+Contracts being pinned (per-format, derived from the specs):
+- FLAC frames carry CRC-8 (header) + CRC-16 (whole frame): CRC detects
+  EVERY single-bit error, so ANY one-bit flip inside the frame region
+  must raise ValueError (the flac.py docstring promise, tested
+  adversarially here).
+- JPEG has NO payload checksum: flips inside entropy data may decode to
+  different pixels (that IS the format), but marker/header corruption
+  and truncation must raise cleanly.
+- WARC framing (magic, header block, Content-Length, record
+  terminator) is self-checking: flips that break framing raise
+  ValueError; flips inside header VALUES (URI bytes etc.) may pass.
+- ROOT: key framing / directory walks raise RootFileError (a
+  ValueError) on structural damage; compressed baskets are covered by
+  zlib/LZMA integrity. Truncation must always raise.
+
+Positions are sampled deterministically (fixed seed) so a failure
+reproduces exactly.
+"""
+
+import gzip
+import io
+import lzma
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+SAMPLES = "/root/reference/tests/samples"
+
+# every reader may legitimately surface these on corrupt input; anything
+# else (IndexError, KeyError, struct.error, OverflowError...) is a
+# parser walking off a cliff instead of checking its framing
+CLEAN_ERRORS = (ValueError, EOFError, OSError, zlib.error, lzma.LZMAError,
+                NotImplementedError)
+
+
+def flip_bit(data: bytes, byte_pos: int, bit: int = 0) -> bytes:
+    b = bytearray(data)
+    b[byte_pos] ^= 1 << bit
+    return bytes(b)
+
+
+# ---------------------------------------------------------------------------
+# FLAC
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def flac_blob():
+    from coffea_spark.llmdata.flac import encode_flac
+
+    rng = np.random.default_rng(42)
+    samples = (rng.integers(-20000, 20000, 800)).astype(np.int16)
+    blob = encode_flac(samples, 8000)
+    # locate the first audio frame: metadata blocks chain from byte 4,
+    # each block = 1-byte type (MSB = last) + 3-byte length + payload
+    pos, last = 4, False
+    while not last:
+        hdr = blob[pos]
+        last = bool(hdr & 0x80)
+        size = int.from_bytes(blob[pos + 1: pos + 4], "big")
+        pos += 4 + size
+    return blob, pos, samples
+
+
+def test_flac_clean_roundtrip(flac_blob):
+    from coffea_spark.llmdata.flac import decode_flac
+
+    blob, _, samples = flac_blob
+    out, rate = decode_flac(blob)
+    assert rate == 8000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_flac_every_sampled_bitflip_in_frames_raises(flac_blob):
+    from coffea_spark.llmdata.flac import decode_flac
+
+    blob, frame_start, _ = flac_blob
+    rng = np.random.default_rng(7)
+    positions = rng.integers(frame_start, len(blob), 120)
+    bits = rng.integers(0, 8, 120)
+    for pos, bit in zip(positions, bits):
+        with pytest.raises(ValueError):
+            decode_flac(flip_bit(blob, int(pos), int(bit)))
+
+
+def test_flac_truncation_raises(flac_blob):
+    from coffea_spark.llmdata.flac import decode_flac
+
+    blob, frame_start, _ = flac_blob
+    rng = np.random.default_rng(11)
+    for cut in rng.integers(1, len(blob) - 1, 40):
+        with pytest.raises(ValueError):
+            decode_flac(blob[: int(cut)])
+
+
+def test_flac_wrong_magic_raises(flac_blob):
+    from coffea_spark.llmdata.flac import decode_flac
+
+    blob, _, _ = flac_blob
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"XLaC" + blob[4:])
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def jpeg_blob():
+    from coffea_spark.llmdata.jpeg import decode_jpeg, encode_gray_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    blob = encode_gray_jpeg(img)
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0
+    ref = decode_jpeg(blob)
+    return blob, sos, ref
+
+
+def test_jpeg_header_bitflips_fail_loud_or_decode(jpeg_blob):
+    """Flips BEFORE SOS hit markers/tables: either a clean typed error
+    or a decode that still returns the declared shape (a flipped
+    quantization-table byte changes pixels, not structure)."""
+    from coffea_spark.llmdata.jpeg import decode_jpeg
+
+    blob, sos, ref = jpeg_blob
+    rng = np.random.default_rng(13)
+    for pos in rng.integers(2, sos, 80):
+        mutated = flip_bit(blob, int(pos), int(rng.integers(0, 8)))
+        try:
+            out = decode_jpeg(mutated)
+        except CLEAN_ERRORS:
+            continue
+        assert out.dtype == np.uint8 and out.ndim in (2, 3)
+
+
+def test_jpeg_entropy_bitflips_never_crash(jpeg_blob):
+    """No checksum over entropy data: silent pixel damage is the
+    format's own contract, but the decoder must never hang or throw a
+    low-level error."""
+    from coffea_spark.llmdata.jpeg import decode_jpeg
+
+    blob, sos, ref = jpeg_blob
+    rng = np.random.default_rng(17)
+    silent = 0
+    for pos in rng.integers(sos + 14, len(blob) - 2, 80):
+        mutated = flip_bit(blob, int(pos), int(rng.integers(0, 8)))
+        try:
+            out = decode_jpeg(mutated)
+            assert out.shape == ref.shape and out.dtype == np.uint8
+            silent += 1
+        except CLEAN_ERRORS:
+            pass
+    # most entropy flips decode (possibly wrong) — proves we exercised
+    # the no-checksum path, not just the error path
+    assert silent > 0
+
+
+def test_jpeg_truncation_raises(jpeg_blob):
+    from coffea_spark.llmdata.jpeg import decode_jpeg
+
+    blob, _, _ = jpeg_blob
+    rng = np.random.default_rng(19)
+    for cut in rng.integers(2, len(blob) - 2, 40):
+        with pytest.raises(CLEAN_ERRORS):
+            decode_jpeg(blob[: int(cut)])
+
+
+# ---------------------------------------------------------------------------
+# WARC
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def warc_blob():
+    from coffea_spark.llmdata.warc import parse_warc_bytes, write_warc
+    import tempfile
+
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": f"https://example.com/{i}",
+                "Content-Type": "text/plain",
+            },
+            "payload": (b"payload-%d " % i) * (3 + i),
+        }
+        for i in range(5)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "fuzz.warc")
+        write_warc(p, recs)
+        blob = open(p, "rb").read()
+    parsed = parse_warc_bytes(blob)
+    assert len(parsed) == 5
+    return blob, parsed
+
+
+def test_warc_bitflips_fail_loud_or_preserve_framing(warc_blob):
+    from coffea_spark.llmdata.warc import parse_warc_bytes
+
+    blob, parsed = warc_blob
+    rng = np.random.default_rng(23)
+    for pos in rng.integers(0, len(blob), 150):
+        mutated = flip_bit(blob, int(pos), int(rng.integers(0, 8)))
+        try:
+            out = parse_warc_bytes(mutated)
+        except CLEAN_ERRORS:
+            continue
+        # framing survived: same record count, payload lengths intact
+        assert len(out) == len(parsed)
+        assert [len(r["payload"]) for r in out] == [
+            len(r["payload"]) for r in parsed
+        ]
+
+
+def test_warc_content_length_damage_raises(warc_blob):
+    from coffea_spark.llmdata.warc import parse_warc_bytes
+
+    blob, _ = warc_blob
+    # every digit of every Content-Length value: +-1 on a digit shifts
+    # framing and must be caught by the terminator/next-record check
+    at = 0
+    found = 0
+    while True:
+        at = blob.find(b"Content-Length: ", at)
+        if at < 0:
+            break
+        v = at + len(b"Content-Length: ")
+        while blob[v: v + 1].isdigit():
+            for repl in (b"0", b"9"):
+                if blob[v: v + 1] != repl:
+                    mutated = blob[:v] + repl + blob[v + 1:]
+                    with pytest.raises(ValueError):
+                        parse_warc_bytes(mutated)
+                    found += 1
+            v += 1
+        at = v
+    assert found >= 5
+
+
+def test_warc_truncation_raises_except_record_boundaries(warc_blob):
+    from coffea_spark.llmdata.warc import parse_warc_bytes
+
+    blob, parsed = warc_blob
+    # record boundaries = positions where a strict prefix is itself a
+    # valid WARC file; everywhere else truncation must raise
+    rng = np.random.default_rng(29)
+    for cut in rng.integers(1, len(blob) - 1, 100):
+        try:
+            out = parse_warc_bytes(blob[: int(cut)])
+        except CLEAN_ERRORS:
+            continue
+        assert 0 < len(out) < len(parsed)  # clean record boundary only
+
+
+def test_warc_gzip_member_corruption_raises(warc_blob):
+    from coffea_spark.llmdata.warc import parse_warc_bytes
+
+    blob, parsed = warc_blob
+    gz = gzip.compress(blob)
+    assert len(parse_warc_bytes(gz)) == len(parsed)
+    rng = np.random.default_rng(31)
+    raised = 0
+    for pos in rng.integers(10, len(gz), 60):
+        try:
+            parse_warc_bytes(flip_bit(gz, int(pos), int(rng.integers(0, 8))))
+        except CLEAN_ERRORS:
+            raised += 1
+    # DEFLATE+CRC32 catches essentially every flip
+    assert raised >= 55
+
+
+# ---------------------------------------------------------------------------
+# ROOT
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def root_blob():
+    blob = open(f"{SAMPLES}/treemaker.root", "rb").read()
+    return blob
+
+
+def _try_read(path):
+    from coffea_spark.root_reader import RootTreeReader
+
+    r = RootTreeReader(path)
+    # touch a few branches so basket decode actually runs
+    names = list(r.branch_names)
+    for name in names[:3]:
+        r.array(name)
+    return r.entries
+
+
+def test_root_clean_read(root_blob, tmp_path):
+    p = tmp_path / "clean.root"
+    p.write_bytes(root_blob)
+    assert _try_read(str(p)) == 10
+
+
+def test_root_bitflips_fail_loud_or_read(root_blob, tmp_path):
+    """Flips anywhere in the file: RootFileError/ValueError (framing),
+    zlib/LZMA integrity errors (compressed baskets), or a successful
+    read (flip landed in dead space or an unread branch). Never a
+    low-level IndexError/struct.error, never a hang."""
+    rng = np.random.default_rng(37)
+    for i, pos in enumerate(rng.integers(0, len(root_blob), 60)):
+        mutated = flip_bit(root_blob, int(pos), int(rng.integers(0, 8)))
+        p = tmp_path / f"flip{i}.root"
+        p.write_bytes(mutated)
+        try:
+            _try_read(str(p))
+        except CLEAN_ERRORS:
+            pass
+        finally:
+            p.unlink()
+
+
+def test_root_truncation_raises(root_blob, tmp_path):
+    rng = np.random.default_rng(41)
+    for i, cut in enumerate(rng.integers(100, len(root_blob) - 1, 30)):
+        p = tmp_path / f"cut{i}.root"
+        p.write_bytes(root_blob[: int(cut)])
+        with pytest.raises(CLEAN_ERRORS):
+            _try_read(str(p))
+        p.unlink()
+
+
+def test_root_header_magic_damage_raises(root_blob, tmp_path):
+    p = tmp_path / "magic.root"
+    p.write_bytes(b"xoot" + root_blob[4:])
+    with pytest.raises(ValueError):
+        _try_read(str(p))
