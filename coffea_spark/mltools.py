@@ -246,6 +246,32 @@ def gbdt_wrapper(model_path: str, name: str = "gbdt-model") -> BatchInferencer:
     return BatchInferencer(name, lambda: gbdt_load_json(model_path), predict)
 
 
+def gbdt_predict_column(model: dict, feature_cols: list[str]) -> Column:
+    """Scan-stage GBDT inference as a PURE COLUMN EXPRESSION (no UDF):
+    each tree becomes a nested F.when chain — for small ensembles
+    (quality-classifier scale, <= a few hundred nodes) this stays
+    inside whole-stage codegen, the zero-overhead path; large ensembles
+    should use :func:`gbdt_wrapper` (Arrow-batched numpy) instead.
+    Same decision rule as :func:`gbdt_margin` (x < thr -> left); NULL
+    features propagate NULL (no default_left twin — matches the SQL
+    form from :func:`gbdt_sql_expr`)."""
+
+    def case(t, nid: int) -> Column:
+        if t["left"][nid] == -1:
+            return F.lit(float(t["cond"][nid]))
+        f = F.col(feature_cols[int(t["feat"][nid])]).cast("double")
+        return F.when(f < F.lit(float(t["cond"][nid])), case(t, int(t["left"][nid]))).otherwise(
+            case(t, int(t["right"][nid]))
+        )
+
+    margin = F.lit(float(model["base_score"]))
+    for t in model["trees"]:
+        margin = margin + case(t, 0)
+    if model["objective"] == "binary:logistic":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return margin
+
+
 def gbdt_sql_expr(model: dict, feature_exprs: list[str]) -> str:
     """ANSI-SQL replay of the ensemble (oracle/codegen path): one nested
     CASE chain per tree, summed with the base margin; sigmoid for
@@ -267,6 +293,193 @@ def gbdt_sql_expr(model: dict, feature_exprs: list[str]) -> str:
     if model["objective"] == "binary:logistic":
         return f"(1.0 / (1.0 + exp(-{margin})))"
     return margin
+
+
+def tree_train(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    max_depth: int = 2,
+    n_bins: int = 16,
+) -> dict:
+    """Histogram-based greedy CART training, Spark-first (the recipe
+    Spark MLlib's own DecisionTree uses: per tree LEVEL, one
+    aggregation pass builds (node, feature, bin) class histograms,
+    the driver picks argmax-gini-gain splits over that tiny table, and
+    split decisions feed back as literal CASE expressions). The corpus
+    is scanned ``max_depth + 1`` times total (one min/max pass + one
+    histogram pass per level); nothing row-sized ever reaches the
+    driver — the collected histogram is <= nodes * features * bins
+    rows of counts.
+
+    Determinism contract (what makes the gate oracle possible): bins
+    are a UNIFORM grid over the global [min, max] (not quantile
+    sketches), tie-breaks order by (gain DESC, feature index, bin), and
+    every float op (bin index, gini gain) is the same IEEE expression
+    DuckDB evaluates — so an independent SQL replay grows the identical
+    tree. Labels are binary {0,1}; leaf value = positive fraction.
+
+    Returns the model in :func:`gbdt_load_json` form (one tree,
+    ``reg:squarederror`` objective, leaf values in the
+    ``split_conditions`` union field), so :func:`gbdt_margin` /
+    :func:`gbdt_wrapper` / :func:`gbdt_sql_expr` run inference and
+    oracle generation unchanged.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    cond = y.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).cast("double").isNotNull()
+    df = df.filter(cond)
+
+    row = df.agg(
+        *[m for c in feats for m in (F.min(c), F.max(c))]
+    ).collect()[0]
+    if row[0] is None:
+        raise ValueError(
+            "tree_train: no rows with non-null label and features "
+            f"(label={label_col!r}, features={feature_cols!r})"
+        )
+    lims = [(float(row[2 * i]), float(row[2 * i + 1])) for i in range(len(feats))]
+
+    def bin_col(i: int):
+        lo, hi = lims[i]
+        if hi <= lo:  # constant feature: everything in bin 0
+            return F.lit(0)
+        raw = F.floor((feats[i] - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+    bins = [bin_col(i).alias(f"_b{i}") for i in range(len(feats))]
+    base = df.select(*bins, y.alias("_y"))
+
+    def gini_gain(n, pos, nl, posl):
+        nr, posr = n - nl, pos - posl
+        if nl == 0 or nr == 0:
+            return None
+
+        def gini(nn, pp):
+            p = pp / nn
+            q = (nn - pp) / nn
+            return 1.0 - p * p - q * q
+
+        return gini(n, pos) - (nl / n) * gini(nl, posl) - (nr / n) * gini(nr, posr)
+
+    # nodes: id -> dict(feat, thr_bin, left, right) or dict(leaf=value)
+    # node 0 = root; frontier holds (node_id, path) where path is a list
+    # of (feature, bin, go_left) constraints defining the node's rows
+    nodes: dict[int, dict] = {}
+    frontier = [(0, [])]
+    next_id = 1
+    for _ in range(max_depth):
+        if not frontier:
+            break
+        # row -> frontier node id (rows outside the frontier -> -1)
+        nid = F.lit(-1)
+        for node_id, path in frontier:
+            c = F.lit(True)
+            for fi, b, go_left in path:
+                c = c & (
+                    (F.col(f"_b{fi}") <= F.lit(b))
+                    if go_left
+                    else (F.col(f"_b{fi}") > F.lit(b))
+                )
+            nid = F.when(c, F.lit(node_id)).otherwise(nid)
+        aggs = []
+        for i in range(len(feats)):
+            for b in range(n_bins):
+                hit = F.col(f"_b{i}") == F.lit(b)
+                aggs.append(F.sum(hit.cast("long")).alias(f"n_{i}_{b}"))
+                aggs.append(F.sum(F.when(hit, F.col("_y"))).alias(f"p_{i}_{b}"))
+        hist = {
+            r["_node"]: r
+            for r in base.groupBy(nid.alias("_node")).agg(*aggs).collect()
+        }
+        new_frontier = []
+        for node_id, path in frontier:
+            r = hist.get(node_id)
+            if r is None:  # no rows reached this node
+                nodes[node_id] = {"leaf": 0.0}
+                continue
+            n = sum(int(r[f"n_0_{b}"]) for b in range(n_bins))
+            pos = sum(float(r[f"p_0_{b}"] or 0.0) for b in range(n_bins))
+            if n == 0 or pos == 0.0 or pos == float(n):
+                nodes[node_id] = {"leaf": pos / n if n else 0.0}
+                continue
+            best = None  # (gain, fi, b, nl, posl)
+            for i in range(len(feats)):
+                nl = 0
+                posl = 0.0
+                for b in range(n_bins - 1):
+                    nl += int(r[f"n_{i}_{b}"])
+                    posl += float(r[f"p_{i}_{b}"] or 0.0)
+                    g = gini_gain(n, pos, nl, posl)
+                    if g is not None and g > 0 and (best is None or g > best[0]):
+                        best = (g, i, b, nl, posl)
+            if best is None:
+                nodes[node_id] = {"leaf": pos / n}
+                continue
+            _, fi, b, nl, posl = best
+            lo, hi = lims[fi]
+            # rows with bin <= b go left: threshold = lower edge of bin b+1
+            thr = lo + (b + 1) * (hi - lo) / n_bins
+            l_id, r_id = next_id, next_id + 1
+            next_id += 2
+            nodes[node_id] = {"feat": fi, "thr": thr, "left": l_id, "right": r_id}
+            new_frontier.append((l_id, path + [(fi, b, True)]))
+            new_frontier.append((r_id, path + [(fi, b, False)]))
+        frontier = new_frontier
+    # leftover frontier nodes at max depth become leaves: one last
+    # counting pass over just those nodes
+    if frontier:
+        nid = F.lit(-1)
+        for node_id, path in frontier:
+            c = F.lit(True)
+            for fi, b, go_left in path:
+                c = c & (
+                    (F.col(f"_b{fi}") <= F.lit(b))
+                    if go_left
+                    else (F.col(f"_b{fi}") > F.lit(b))
+                )
+            nid = F.when(c, F.lit(node_id)).otherwise(nid)
+        rows = (
+            base.groupBy(nid.alias("_node"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos"))
+            .collect()
+        )
+        stats = {r["_node"]: (int(r["n"]), float(r["pos"] or 0.0)) for r in rows}
+        for node_id, _ in frontier:
+            n, pos = stats.get(node_id, (0, 0.0))
+            nodes[node_id] = {"leaf": pos / n if n else 0.0}
+
+    # flatten to gbdt arrays (node ids are already BFS-dense)
+    size = max(nodes) + 1
+    left = np.full(size, -1, dtype=np.int64)
+    right = np.full(size, -1, dtype=np.int64)
+    feat = np.zeros(size, dtype=np.int64)
+    condv = np.zeros(size, dtype=np.float64)
+    for node_id, nd in nodes.items():
+        if "leaf" in nd:
+            condv[node_id] = nd["leaf"]
+        else:
+            left[node_id] = nd["left"]
+            right[node_id] = nd["right"]
+            feat[node_id] = nd["feat"]
+            condv[node_id] = nd["thr"]
+    tree = {
+        "left": left,
+        "right": right,
+        "feat": feat,
+        "cond": condv,
+        "default_left": np.ones(size, dtype=bool),
+    }
+    return {
+        "trees": [tree],
+        "base_score": 0.0,
+        "objective": "reg:squarederror",
+        "num_feature": len(feature_cols),
+    }
 
 
 def logreg_train(

@@ -568,6 +568,30 @@ def q_combinations(spark, sf_dir):
     )
 
 
+def q_pairs_routed(spark, sf_dir):
+    """Cardinality-adaptive pair enumeration (joins.pairs_adaptive — the
+    SURVEY §4 rewrite rule as a live gate): orders with <= 3 items route
+    through the HOF combinations+explode branch, larger orders through
+    the posexplode self-join, and the union must reproduce EXACTLY the
+    all-HOF gate's numbers (the oracle is the same relational self-join
+    as combinations_pairs, so a routing bug — double-count, dropped
+    boundary event, branch skew — goes hash-red). Threshold 3 splits the
+    TPC-H order-size distribution (1-7 items) so BOTH physical branches
+    execute on real rows."""
+    from coffea_spark.joins import pairs_adaptive
+
+    orders = _order_items(spark, sf_dir)
+    pr = pairs_adaptive(orders, "items", event_id="l_orderkey", threshold=3)
+    gap = F.abs(F.col("f0.l_extendedprice") - F.col("f1.l_extendedprice"))
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("f0.l_suppkey") != F.col("f1.l_suppkey")).cast("long")
+        ).alias("n_diff_supp_pairs"),
+        F.round(F.sum(gap), 2).alias("sum_price_gap"),
+    )
+
+
 SQL_COMBINATIONS = """
 -- MATERIALIZED: row_number over tied sort keys must be assigned ONCE and
 -- reused on both sides of the self-join, else self-pairs appear
@@ -3803,6 +3827,184 @@ SELECT lang, count(*) AS n,
        round(min(score), 6) AS min_score,
        round(max(score), 6) AS max_score
 FROM s GROUP BY lang
+"""
+
+
+def q_tree_train(spark, sf_dir):
+    """DISTRIBUTED decision-tree TRAINING (mltools.tree_train — the
+    histogram recipe Spark MLlib's DecisionTree uses: one aggregation
+    pass per level builds (node, feature, bin) class histograms, the
+    driver argmaxes gini gain over that tiny table, split literals feed
+    the next level): a depth-2 CART on three text statistics with an
+    XOR-style label ((nw > 55) != (dr > 0.5)) that NO single split can
+    separate — so the gate only passes if both levels grow correctly.
+    Inference over the trained tree is a pure column expression
+    (mltools.gbdt_predict_column, whole-stage codegen, no UDF). The
+    oracle replays the ENTIRE training — uniform binning, cumulative
+    histograms, gini gains with identical IEEE op order, (gain DESC,
+    feature, bin) tie-breaks, leaf means — plus the scoring pass in
+    SQL, so a drift anywhere in the recipe goes hash-red (the logreg
+    quality_classifier precedent, extended to trees)."""
+    from coffea_spark.llmdata import text as tx
+    from coffea_spark.mltools import gbdt_predict_column, tree_train
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    labeled = (
+        docs.select(
+            "lang",
+            tx.token_count(c).cast("double").alias("nw"),
+            tx.avg_token_length(c).alias("ml"),
+            (
+                tx.distinct_token_count(c).cast("double") / tx.token_count(c)
+            ).alias("dr"),
+        )
+        .filter(F.col("nw") > 0)
+        .withColumn(
+            "y", ((F.col("nw") > 55.0) != (F.col("dr") > 0.5)).cast("double")
+        )
+        .cache()  # scanned once per level + once for scoring
+    )
+    model = tree_train(labeled, ["nw", "ml", "dr"], "y", max_depth=2, n_bins=8)
+    t = model["trees"][0]
+    scored = labeled.select(
+        "lang", "y", gbdt_predict_column(model, ["nw", "ml", "dr"]).alias("s")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_score"),
+            F.round(F.avg(F.abs(F.col("s") - F.col("y"))), 6).alias("avg_abs_err"),
+        )
+        .withColumn("root_feat", F.lit(int(t["feat"][0])))
+        .withColumn("root_thr", F.round(F.lit(float(t["cond"][0])), 6))
+    )
+
+
+SQL_TREE_TRAIN = r"""
+WITH tok AS (
+  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), l AS (
+  SELECT lang,
+         CAST(len(toks) AS DOUBLE) AS nw,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS ml,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+         CASE WHEN (len(toks) > 55.0) <> ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) > 0.5)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM tok WHERE len(toks) > 0
+), lim AS (
+  SELECT min(nw) lo0, max(nw) hi0, min(ml) lo1, max(ml) hi1,
+         min(dr) lo2, max(dr) hi2 FROM l
+), b AS (
+  SELECT l.*,
+    CAST(least(greatest(floor((nw - lo0) * 8.0 / (hi0 - lo0)), 0), 7) AS INT) AS b0,
+    CAST(least(greatest(floor((ml - lo1) * 8.0 / (hi1 - lo1)), 0), 7) AS INT) AS b1,
+    CAST(least(greatest(floor((dr - lo2) * 8.0 / (hi2 - lo2)), 0), 7) AS INT) AS b2
+  FROM l, lim
+), u0 AS (
+  SELECT 0 AS f, b0 AS bin, y FROM b
+  UNION ALL SELECT 1, b1, y FROM b
+  UNION ALL SELECT 2, b2, y FROM b
+), h0 AS (
+  SELECT f, bin, count(*) AS n, sum(y) AS pos FROM u0 GROUP BY f, bin
+), tot0 AS ( SELECT count(*) AS n, sum(y) AS pos FROM b ),
+c0 AS (
+  SELECT f, bin,
+         sum(n) OVER (PARTITION BY f ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(pos) OVER (PARTITION BY f ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS posl
+  FROM h0
+), g0 AS (
+  SELECT f, bin,
+         (1 - (t.pos / t.n) * (t.pos / t.n)
+            - ((t.n - t.pos) / t.n) * ((t.n - t.pos) / t.n))
+         - (nl / t.n) * (1 - (posl / nl) * (posl / nl)
+                           - ((nl - posl) / nl) * ((nl - posl) / nl))
+         - ((t.n - nl) / t.n) * (1 - ((t.pos - posl) / (t.n - nl)) * ((t.pos - posl) / (t.n - nl))
+                                   - (((t.n - nl) - (t.pos - posl)) / (t.n - nl)) * (((t.n - nl) - (t.pos - posl)) / (t.n - nl))) AS gain
+  FROM c0, tot0 t WHERE bin < 7 AND nl > 0 AND nl < t.n
+), best0 AS (
+  SELECT f, bin FROM g0 WHERE gain > 0 ORDER BY gain DESC, f, bin LIMIT 1
+), a1 AS (
+  SELECT b.*, CASE WHEN (CASE s.f WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END) <= s.bin
+                   THEN 'L' ELSE 'R' END AS side
+  FROM b, best0 s
+), u1 AS (
+  SELECT side, 0 AS f, b0 AS bin, y FROM a1
+  UNION ALL SELECT side, 1, b1, y FROM a1
+  UNION ALL SELECT side, 2, b2, y FROM a1
+), h1 AS (
+  SELECT side, f, bin, count(*) AS n, sum(y) AS pos FROM u1 GROUP BY side, f, bin
+), tot1 AS ( SELECT side, count(*) AS n, sum(y) AS pos FROM a1 GROUP BY side ),
+c1 AS (
+  SELECT side, f, bin,
+         sum(n) OVER (PARTITION BY side, f ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(pos) OVER (PARTITION BY side, f ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS posl
+  FROM h1
+), g1 AS (
+  SELECT c1.side, f, bin,
+         (1 - (t.pos / t.n) * (t.pos / t.n)
+            - ((t.n - t.pos) / t.n) * ((t.n - t.pos) / t.n))
+         - (nl / t.n) * (1 - (posl / nl) * (posl / nl)
+                           - ((nl - posl) / nl) * ((nl - posl) / nl))
+         - ((t.n - nl) / t.n) * (1 - ((t.pos - posl) / (t.n - nl)) * ((t.pos - posl) / (t.n - nl))
+                                   - (((t.n - nl) - (t.pos - posl)) / (t.n - nl)) * (((t.n - nl) - (t.pos - posl)) / (t.n - nl))) AS gain
+  FROM c1 JOIN tot1 t ON t.side = c1.side
+  WHERE bin < 7 AND nl > 0 AND nl < t.n
+    AND t.pos > 0 AND t.pos < t.n   -- pure nodes never split (operator early-leafs them)
+), best1 AS (
+  SELECT side, f, bin FROM g1 WHERE gain > 0
+  QUALIFY row_number() OVER (PARTITION BY side ORDER BY gain DESC, f, bin) = 1
+), a2 AS (
+  SELECT a1.*,
+         CASE WHEN s.f IS NULL THEN a1.side
+              WHEN (CASE s.f WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END) <= s.bin
+              THEN a1.side || 'l' ELSE a1.side || 'r' END AS node
+  FROM a1 LEFT JOIN best1 s ON s.side = a1.side
+), leaves AS (
+  SELECT node, avg(y) AS v FROM a2 GROUP BY node
+), thr AS (
+  SELECT
+    (SELECT f FROM best0) AS f0,
+    (SELECT CASE f WHEN 0 THEN lo0 + (bin + 1) * (hi0 - lo0) / 8
+                   WHEN 1 THEN lo1 + (bin + 1) * (hi1 - lo1) / 8
+                   ELSE lo2 + (bin + 1) * (hi2 - lo2) / 8 END
+     FROM best0, lim) AS t0,
+    (SELECT f FROM best1 WHERE side = 'L') AS fL,
+    (SELECT CASE f WHEN 0 THEN lo0 + (bin + 1) * (hi0 - lo0) / 8
+                   WHEN 1 THEN lo1 + (bin + 1) * (hi1 - lo1) / 8
+                   ELSE lo2 + (bin + 1) * (hi2 - lo2) / 8 END
+     FROM best1, lim WHERE side = 'L') AS tL,
+    (SELECT f FROM best1 WHERE side = 'R') AS fR,
+    (SELECT CASE f WHEN 0 THEN lo0 + (bin + 1) * (hi0 - lo0) / 8
+                   WHEN 1 THEN lo1 + (bin + 1) * (hi1 - lo1) / 8
+                   ELSE lo2 + (bin + 1) * (hi2 - lo2) / 8 END
+     FROM best1, lim WHERE side = 'R') AS tR
+), scored AS (
+  SELECT lang, y,
+    CASE WHEN (CASE thr.f0 WHEN 0 THEN nw WHEN 1 THEN ml ELSE dr END) < thr.t0
+    THEN CASE WHEN thr.fL IS NULL THEN (SELECT v FROM leaves WHERE node = 'L')
+              WHEN (CASE thr.fL WHEN 0 THEN nw WHEN 1 THEN ml ELSE dr END) < thr.tL
+              THEN (SELECT v FROM leaves WHERE node = 'Ll')
+              ELSE (SELECT v FROM leaves WHERE node = 'Lr') END
+    ELSE CASE WHEN thr.fR IS NULL THEN (SELECT v FROM leaves WHERE node = 'R')
+              WHEN (CASE thr.fR WHEN 0 THEN nw WHEN 1 THEN ml ELSE dr END) < thr.tR
+              THEN (SELECT v FROM leaves WHERE node = 'Rl')
+              ELSE (SELECT v FROM leaves WHERE node = 'Rr') END
+    END AS s
+  FROM b, thr
+)
+SELECT lang, count(*) AS n,
+       round(avg(s), 6) AS avg_score,
+       round(avg(abs(s - y)), 6) AS avg_abs_err,
+       (SELECT f FROM best0) AS root_feat,
+       (SELECT round(t0, 6) FROM thr) AS root_thr
+FROM scored GROUP BY lang
 """
 
 
@@ -8740,29 +8942,47 @@ REGISTRY: dict[str, Query] = {
     # stream_heavy_hitters (shares heavy_hitters' oracle, in-window),
     # jpeg_progressive (shares jpeg_color_features' oracle, in-window).
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # ROUND-8 rotation. Leads with the four gates that had NEVER been
+    # driver-hash-verified (quads_metric, stream_heavy_hitters,
+    # blamed_suppliers, jpeg_progressive — the r7 verdict's ledger gap),
+    # the two gates NEW this round (gbdt_score — XGBoost-JSON ensemble
+    # inference; ccnet_pipeline — the end-to-end WARC->buckets
+    # composition), and every gate whose code changed in r8:
+    # dup_clusters (CC loop now fuses the checkpoint with the
+    # convergence checksum), warc_scan + ccnet_pipeline (WARC record-
+    # terminator validation), jpeg_features / jpeg_color_features /
+    # jpeg_progressive (DHT validation, SOS table checks, phantom-bit
+    # truncation detection), and the real-binary ROOT gates (fEND
+    # truncation check in RootTreeReader). Eight r7-driver-verified
+    # gates with unchanged code rotate out to make room
+    # (repetition_signals, dsir_weights, stream_interval_join,
+    # lm_bigram, weighted_sample, cardinality_hll, alpha_sample,
+    # semdedup — all keep their r7 driver-green rows).
+    # ------------------------------------------------------------------
+    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
+    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
+    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
+    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
+    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
+    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
+    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
+    "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
+    "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
+    "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
-    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
-    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
-    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
-    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
     "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
     "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
-    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
     "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
-    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
-    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
-    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
     "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
@@ -8790,10 +9010,6 @@ REGISTRY: dict[str, Query] = {
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
-    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
-    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
-    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
-    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
@@ -8815,6 +9031,16 @@ REGISTRY: dict[str, Query] = {
     # remaining r5 veterans + rows-only tail (oracle=None entries stay
     # last so the weaker rows-only record never occupies a hash slot)
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
+    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
+    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
+    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
+    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
@@ -8822,7 +9048,6 @@ REGISTRY: dict[str, Query] = {
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
     "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
-    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
     "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
@@ -8885,11 +9110,8 @@ REGISTRY: dict[str, Query] = {
     "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
     "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
     "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
-    "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
-    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
-    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),

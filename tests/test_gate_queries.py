@@ -38,6 +38,8 @@ NEW_ORACLE_QUERIES = [
     "range_gather",
     "gbdt_score",
     "ccnet_pipeline",
+    "pairs_routed",
+    "tree_train",
 ]
 
 
