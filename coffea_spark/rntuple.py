@@ -116,6 +116,14 @@ class RNTupleReader:
             raise RootFileError(f"{path}: not a ROOT file")
         version, fbegin = struct.unpack_from(">ii", data, 4)
         fend = struct.unpack_from(">q" if version > 1000000 else ">i", data, 12)[0]
+        if fend > len(data):
+            # header fEND is the logical EOF recorded at close; a shorter
+            # physical file is a truncated copy (same check as
+            # RootTreeReader) — fail loud before walking damaged keys
+            raise RootFileError(
+                f"{path}: truncated — header fEND={fend} but file has "
+                f"{len(data)} bytes"
+            )
         anchors = {}
         off = fbegin
         while off < fend:
@@ -137,10 +145,21 @@ class RNTupleReader:
         if name not in anchors:
             raise RootFileError(f"{path}: no RNTuple {name!r}; have {sorted(anchors)}")
         self.name = name
-        self._parse_anchor(anchors[name])
-        self._parse_header()
-        self._parse_footer()
-        self.branches = self._build_branches()
+        # the reader does not verify envelope XXH3 checksums (no xxh3 in
+        # a numpy-only stack), so frame lengths/offsets in a corrupt file
+        # are unconstrained — surface structural damage as RootFileError
+        # at the API boundary instead of a low-level struct/index error
+        try:
+            self._parse_anchor(anchors[name])
+            self._parse_header()
+            self._parse_footer()
+            self.branches = self._build_branches()
+        except RootFileError:
+            raise
+        except (struct.error, IndexError, OverflowError, MemoryError) as exc:
+            raise RootFileError(
+                f"{path}: corrupt RNTuple metadata ({type(exc).__name__}: {exc})"
+            ) from exc
         self._cache: dict[str, np.ndarray] = {}
         self._counts_cache: dict[str, np.ndarray] = {}
 
@@ -417,20 +436,32 @@ class RNTupleReader:
                 f"{self.path}:{self.name}: no readable field {name!r} "
                 f"(have {len(self.branches)})"
             )
-        parts = self._decode_column(self._data_col[name])
-        vals = np.concatenate(parts) if parts else np.empty(0, dtype=info.dtype)
-        if info.is_bool:
-            vals = vals.astype(bool)
-        self._cache[name] = vals
-        if info.from_offsets:
-            counts = []
-            for offs in self._decode_column(self._index_col[name]):
-                counts.append(np.diff(np.concatenate([[0], offs])))
-            self._counts_cache[name] = (
-                np.concatenate(counts).astype(np.int64)
-                if counts
-                else np.empty(0, dtype=np.int64)
+        try:
+            parts = self._decode_column(self._data_col[name])
+            vals = (
+                np.concatenate(parts) if parts else np.empty(0, dtype=info.dtype)
             )
+            if info.is_bool:
+                vals = vals.astype(bool)
+            self._cache[name] = vals
+            if info.from_offsets:
+                counts = []
+                for offs in self._decode_column(self._index_col[name]):
+                    counts.append(np.diff(np.concatenate([[0], offs])))
+                self._counts_cache[name] = (
+                    np.concatenate(counts).astype(np.int64)
+                    if counts
+                    else np.empty(0, dtype=np.int64)
+                )
+        except RootFileError:
+            raise
+        except (struct.error, IndexError, OverflowError, MemoryError) as exc:
+            # corrupt page metadata (no envelope-checksum verification):
+            # fail loud with a typed error, never a parser stack smash
+            raise RootFileError(
+                f"{self.path}: corrupt RNTuple pages for field {name!r} "
+                f"({type(exc).__name__}: {exc})"
+            ) from exc
         return vals
 
     def counts(self, name: str) -> np.ndarray | None:

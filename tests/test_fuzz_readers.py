@@ -344,3 +344,56 @@ def test_root_header_magic_damage_raises(root_blob, tmp_path):
     p.write_bytes(b"xoot" + root_blob[4:])
     with pytest.raises(ValueError):
         _try_read(str(p))
+
+
+# ---------------------------------------------------------------------------
+# RNTuple
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rntuple_blob():
+    return open(f"{SAMPLES}/nano_dimuon_rntuple.root", "rb").read()
+
+
+def _try_read_rntuple(path):
+    from coffea_spark.rntuple import RNTupleReader
+
+    r = RNTupleReader(path)
+    for name in list(r.branch_names)[:3]:
+        r.array(name)
+    return r.entries
+
+
+def test_rntuple_clean_read(rntuple_blob, tmp_path):
+    p = tmp_path / "clean.root"
+    p.write_bytes(rntuple_blob)
+    assert _try_read_rntuple(str(p)) > 0
+
+
+def test_rntuple_bitflips_fail_loud_or_read(rntuple_blob, tmp_path):
+    """Envelope/page corruption: RootFileError (framing), compression-
+    codec integrity errors, or a clean read when the flip lands in dead
+    space / an untouched column. Never a hang, never a low-level
+    IndexError/struct.error escaping the reader."""
+    rng = np.random.default_rng(43)
+    for i, pos in enumerate(rng.integers(0, len(rntuple_blob), 60)):
+        mutated = flip_bit(rntuple_blob, int(pos), int(rng.integers(0, 8)))
+        p = tmp_path / f"flip{i}.root"
+        p.write_bytes(mutated)
+        try:
+            _try_read_rntuple(str(p))
+        except CLEAN_ERRORS:
+            pass
+        finally:
+            p.unlink()
+
+
+def test_rntuple_truncation_raises(rntuple_blob, tmp_path):
+    rng = np.random.default_rng(47)
+    for i, cut in enumerate(rng.integers(100, len(rntuple_blob) - 1, 30)):
+        p = tmp_path / f"cut{i}.root"
+        p.write_bytes(rntuple_blob[: int(cut)])
+        with pytest.raises(CLEAN_ERRORS):
+            _try_read_rntuple(str(p))
+        p.unlink()
