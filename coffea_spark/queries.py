@@ -580,7 +580,10 @@ def q_pairs_routed(spark, sf_dir):
     execute on real rows."""
     from coffea_spark.joins import pairs_adaptive
 
-    orders = _order_items(spark, sf_dir)
+    # the jagged view feeds THREE scans (small branch + both self-join
+    # aliases): cache it so the collect_list shuffle runs once — at
+    # scale the input is a materialized table, not a live shuffle
+    orders = _order_items(spark, sf_dir).cache()
     pr = pairs_adaptive(orders, "items", event_id="l_orderkey", threshold=3)
     gap = F.abs(F.col("f0.l_extendedprice") - F.col("f1.l_extendedprice"))
     return pr.agg(
@@ -8581,7 +8584,8 @@ def q_ccnet_pipeline(spark, sf_dir):
             F.col("text"),
             F.lit("\nFTR "), F.col("source"),
         ).alias("text"),
-    )
+    ).cache()  # feeds the dedup's election AND rebuild scans: the
+    # WARC parse + extraction/signal chain must not run per consumer
     deduped = paragraph_dedup(kept, id_col="k")
     docs = deduped.select(
         F.col("k.doc_id").alias("doc_id"),
