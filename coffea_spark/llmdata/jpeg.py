@@ -505,6 +505,8 @@ def _read_block(br: "_BitReader", dc_tab, ac_tab, pred: int):
     """Huffman-decode one 8x8 block; returns (zigzag coefs, new pred)."""
     coefs = np.zeros(64, dtype=np.int64)
     cat = _read_symbol_fast(br, dc_tab)
+    if cat > 15:  # T.81: DC categories are 0-15; larger = corrupt table
+        raise ValueError(f"corrupt DC Huffman symbol {cat}")
     diff = _extend(br.bits(cat), cat) if cat else 0
     pred += diff
     coefs[0] = pred
@@ -600,6 +602,8 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
                 )
                 b += 17 + n
         elif tag in (0xC0, 0xC2):  # SOF0 (sequential) / SOF2 (progressive)
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("corrupt SOF: frame header body too short")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -623,6 +627,8 @@ def decode_jpeg(data: bytes, color_space: str = "rgb") -> np.ndarray:
         elif tag == 0xDA:  # SOS: entropy data follows
             if h is None:
                 raise ValueError("SOS before SOF0")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("corrupt SOS: scan header body too short")
             ns = body[0]
             if ns != len(comps):
                 raise NotImplementedError("partial-component scans")
@@ -1050,13 +1056,21 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
         realb[cid] = (-(-ch // 8), -(-cw // 8))
     ri = 0
     by_id = {c[0]: c for c in comps}
+    saw_eoi = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: bare 0xFF at end of data")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI: reconstruct
+            saw_eoi = True
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: marker segment header cut")
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        if pos + 2 + seglen > len(data):
+            raise ValueError("truncated JPEG: marker segment body cut")
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if tag == 0xC4:
@@ -1076,13 +1090,23 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
                     "restart intervals in progressive scans"
                 )
         elif tag == 0xDA:
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("corrupt SOS: scan header body too short")
             ns = body[0]
             sel = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"SOS component selector {cs} not in SOF components"
+                    )
                 sel.append((cs, tdta >> 4, tdta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if not 0 <= ss <= se <= 63:
+                raise ValueError(f"corrupt SOS spectral band Ss={ss} Se={se}")
+            if ah > 13 or al > 13:  # T.81 G.1.1.1.2: point transforms 0-13
+                raise ValueError(f"corrupt SOS approximation Ah={ah} Al={al}")
             br = _BitReader(data, pos)
             if ss == 0:  # DC scan
                 if se != 0:
@@ -1098,7 +1122,11 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
                                     for u in range(hs):
                                         blk = st[my * vs + v, mx * hs + u]
                                         if ah == 0:
+                                            if (0, td) not in huff:
+                                                raise ValueError(f"undefined DC table {td}")
                                             cat = _read_symbol_fast(br, huff[(0, td)])
+                                            if cat > 15:
+                                                raise ValueError(f"corrupt DC Huffman symbol {cat}")
                                             d = _extend(br.bits(cat), cat) if cat else 0
                                             preds[cs] += d
                                             blk[0] = preds[cs] << al
@@ -1114,7 +1142,11 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
                         for bx in range(bx_n):
                             blk = st[by, bx]
                             if ah == 0:
+                                if (0, td) not in huff:
+                                    raise ValueError(f"undefined DC table {td}")
                                 cat = _read_symbol_fast(br, huff[(0, td)])
+                                if cat > 15:
+                                    raise ValueError(f"corrupt DC Huffman symbol {cat}")
                                 d = _extend(br.bits(cat), cat) if cat else 0
                                 pred += d
                                 blk[0] = pred << al
@@ -1125,6 +1157,8 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
                 if ns != 1:
                     raise ValueError("AC progressive scans are single-component")
                 cs, _td, ta = sel[0]
+                if (1, ta) not in huff:
+                    raise ValueError(f"undefined AC table {ta}")
                 ac_tab = huff[(1, ta)]
                 by_n, bx_n = realb[cs]
                 st = stores[cs]
@@ -1142,6 +1176,11 @@ def _decode_progressive(data: bytes, pos: int, h: int, w: int, comps, qt,
                             )
             pos = br.pos
         # other markers (APPn/COM/DQT redefinition): skipped/ignored
+    if not saw_eoi:
+        # progressive data is usable in partial renders, but for
+        # ingestion a stream cut between scans must not pass as a
+        # complete (merely blurrier) image — require the EOI marker
+        raise ValueError("truncated progressive JPEG: no EOI marker")
     # reconstruct
     planes = []
     for cid, hs, vs, tq in comps:

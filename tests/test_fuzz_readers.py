@@ -397,3 +397,54 @@ def test_rntuple_truncation_raises(rntuple_blob, tmp_path):
         with pytest.raises(CLEAN_ERRORS):
             _try_read_rntuple(str(p))
         p.unlink()
+
+
+@pytest.fixture(scope="module")
+def jpeg_variant_blobs():
+    from coffea_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    color = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    blobs = {
+        "color": encode_color_jpeg(color),
+        "progressive": encode_progressive_jpeg(gray),
+    }
+    for b in blobs.values():
+        decode_jpeg(b)  # clean decode sanity
+    return blobs
+
+
+def test_jpeg_color_and_progressive_bitflips_fail_loud(jpeg_variant_blobs):
+    """The color (interleaved MCU) and progressive (multi-scan) paths
+    have their own marker walks and table plumbing — fuzz them
+    separately from the baseline-gray path."""
+    from coffea_spark.llmdata.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(53)
+    for name, blob in jpeg_variant_blobs.items():
+        for pos in rng.integers(2, len(blob), 120):
+            mutated = flip_bit(blob, int(pos), int(rng.integers(0, 8)))
+            try:
+                out = decode_jpeg(mutated)
+                assert out.dtype == np.uint8
+            except CLEAN_ERRORS:
+                pass
+
+
+def test_jpeg_progressive_truncation_raises(jpeg_variant_blobs):
+    """A progressive stream cut between scans would decode to a
+    complete-looking (merely blurrier) image — the decoder must require
+    EOI so truncation cannot pass as success."""
+    from coffea_spark.llmdata.jpeg import decode_jpeg
+
+    blob = jpeg_variant_blobs["progressive"]
+    rng = np.random.default_rng(59)
+    for cut in rng.integers(2, len(blob) - 2, 60):
+        with pytest.raises(CLEAN_ERRORS):
+            decode_jpeg(blob[: int(cut)])
