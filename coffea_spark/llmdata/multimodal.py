@@ -241,11 +241,24 @@ def decode_png(data: bytes) -> np.ndarray:
     idat, plte = [], None
     w = h = depth = color = interlace = None
     while p < len(data):
+        if p + 8 > len(data):
+            raise ValueError("decode_png: truncated chunk header")
         (ln,) = _st.unpack_from(">I", data, p)
+        if p + 12 + ln > len(data):
+            raise ValueError("decode_png: truncated chunk body")
         tag = bytes(data[p + 4 : p + 8])
         body = bytes(data[p + 8 : p + 8 + ln])
+        # PNG's integrity story is the per-chunk CRC32 — verify it, so a
+        # flipped header/palette byte fails loud instead of decoding to
+        # silently wrong pixels (IDAT damage is also caught by zlib's
+        # adler32, but PLTE/IHDR have only this CRC)
+        (crc,) = _st.unpack_from(">I", data, p + 8 + ln)
+        if _zl.crc32(data[p + 4 : p + 8 + ln]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {tag!r} chunk")
         p += 12 + ln
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("decode_png: IHDR must be 13 bytes")
             w, h, depth, color, _comp, _filt, interlace = _st.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -253,10 +266,14 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.append(body)
         elif tag == b"IEND":
             break
+    if w is None:
+        raise ValueError("decode_png: no IHDR chunk")
     if depth != 8:
         raise NotImplementedError(f"decode_png: bit depth {depth} (only 8)")
     if interlace:
         raise NotImplementedError("decode_png: interlaced PNGs unsupported")
+    if color not in (0, 2, 3, 4, 6):
+        raise ValueError(f"decode_png: invalid color type {color}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * channels
     raw = _zl.decompress(b"".join(idat))
@@ -905,6 +922,10 @@ def _adpcm_decode_chunk(raw: bytes, block_align: int,
     """Decode an IMA ADPCM mono data chunk -> int16. Full blocks are
     decoded vectorized across blocks; a trailing short block decodes
     the same way with its own (smaller) nibble count."""
+    if block_align < 4:
+        # an IMA block is a 4-byte header + nibbles: smaller alignments
+        # (incl. 0 from a corrupt fmt chunk) cannot frame a block
+        raise ValueError(f"IMA ADPCM block_align {block_align} invalid")
     out_parts: list[np.ndarray] = []
     nfull, rem = divmod(len(raw), block_align)
     for seg, ba in (
@@ -935,6 +956,10 @@ def _riff_chunks(data) -> "Iterator[tuple[bytes, int, int]]":
     while p + 8 <= len(data):
         tag = bytes(data[p : p + 4])
         (ln,) = _st.unpack_from("<I", data, p + 4)
+        if p + 8 + ln > len(data):
+            # RIFF sizes are authoritative: a chunk body running past
+            # EOF is a truncated file, not a shorter recording
+            raise ValueError(f"RIFF: truncated {tag!r} chunk")
         yield tag, p + 8, ln
         p += 8 + ln + (ln & 1)  # chunks are word-aligned
 
@@ -958,6 +983,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     fact_n = None
     for tag, body_off, ln in _riff_chunks(data):
         if tag == b"fmt ":
+            if ln < 16:
+                raise ValueError(f"WAV fmt chunk too short ({ln} bytes)")
             audio_fmt, ch, rate, _br, block_align, bits = _st.unpack_from(
                 "<HHIIHH", data, body_off
             )
@@ -969,6 +996,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 )
             fmt = (audio_fmt, ch, bits, block_align)
         elif tag == b"fact":
+            if ln < 4:
+                raise ValueError("WAV fact chunk too short")
             (fact_n,) = _st.unpack_from("<I", data, body_off)
         elif tag == b"data":
             if fmt is None:

@@ -8956,13 +8956,18 @@ REGISTRY: dict[str, Query] = {
     # dup_clusters (CC loop now fuses the checkpoint with the
     # convergence checksum), warc_scan + ccnet_pipeline (WARC record-
     # terminator validation), jpeg_features / jpeg_color_features /
-    # jpeg_progressive (DHT validation, SOS table checks, phantom-bit
-    # truncation detection), and the real-binary ROOT gates (fEND
-    # truncation check in RootTreeReader). Eight r7-driver-verified
+    # jpeg_progressive (DHT/SOS validation, EOI requirement, phantom-bit
+    # truncation detection), multimodal_features / video_frames /
+    # audio_features / image_patches / the audio gates (PNG chunk-CRC
+    # verification, RIFF chunk-size authority, ADPCM block_align guard),
+    # and the real-binary ROOT gates (fEND truncation check in both
+    # RootTreeReader and RNTupleReader). Thirteen r7-driver-verified
     # gates with unchanged code rotate out to make room
     # (repetition_signals, dsir_weights, stream_interval_join,
     # lm_bigram, weighted_sample, cardinality_hll, alpha_sample,
-    # semdedup — all keep their r7 driver-green rows).
+    # semdedup, heavy_hitters, bloom_decontam, html_extract,
+    # domain_filter, unimax_sample — all keep their r7 driver-green
+    # rows).
     # ------------------------------------------------------------------
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
@@ -8984,11 +8989,8 @@ REGISTRY: dict[str, Query] = {
     "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
-    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
-    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
-    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
     "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
@@ -9006,6 +9008,9 @@ REGISTRY: dict[str, Query] = {
     "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
     "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
     "flac_features": Query(q_flac_features, SQL_AUDIO_FEATURES),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
+    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
+    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
     "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
     "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
@@ -9027,8 +9032,6 @@ REGISTRY: dict[str, Query] = {
     "ml_score": Query(q_ml_score, _sql_ml_score()),
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
     "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
-    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
-    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
     "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     # -- past the driver window: r6-driver-verified gates + the
@@ -9036,6 +9039,9 @@ REGISTRY: dict[str, Query] = {
     # last so the weaker rows-only record never occupies a hash slot)
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
+    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
+    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
@@ -9115,7 +9121,6 @@ REGISTRY: dict[str, Query] = {
     "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
     "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
     "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
-    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),

@@ -448,3 +448,55 @@ def test_jpeg_progressive_truncation_raises(jpeg_variant_blobs):
     for cut in rng.integers(2, len(blob) - 2, 60):
         with pytest.raises(CLEAN_ERRORS):
             decode_jpeg(blob[: int(cut)])
+
+
+# ---------------------------------------------------------------------------
+# multimodal codecs (PNG / BMP / PPM / Y4M / WAV-PCM / G.711 / IMA ADPCM)
+# ---------------------------------------------------------------------------
+
+
+def _codec_cases():
+    from coffea_spark.llmdata import multimodal as M
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 24)).astype(np.uint8)
+    cimg = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+    frames = rng.integers(0, 256, (3, 16, 16)).astype(np.uint8)
+    samp = (rng.integers(-20000, 20000, 600)).astype(np.int16)
+    return [
+        ("png", M.encode_png(cimg), M.decode_png),
+        ("bmp", M.encode_bmp(cimg), M.decode_bmp),
+        ("ppm", M.encode_ppm(cimg), M.decode_ppm),
+        ("pgm", M.encode_pgm(img), M.decode_ppm),
+        ("y4m", M.encode_y4m(frames), M.decode_y4m),
+        ("wav", M.encode_wav(samp, 8000), M.decode_wav),
+        ("g711", M.encode_wav_g711(samp, 8000), M.decode_wav),
+        ("adpcm", M.encode_wav_adpcm(samp, 8000), M.decode_wav),
+    ]
+
+
+@pytest.mark.parametrize("case", _codec_cases(), ids=lambda c: c[0])
+def test_multimodal_codec_bitflips_fail_loud(case):
+    """PNG chunks carry CRC32s (now verified — header damage must not
+    decode to silently wrong pixels); RIFF/Y4M/PPM framing must reject
+    structural damage with typed errors, never struct/Index/ZeroDivision
+    from inside the parser."""
+    name, blob, dec = case
+    dec(blob)
+    rng = np.random.default_rng(61)
+    for pos in rng.integers(0, len(blob), 150):
+        try:
+            dec(flip_bit(blob, int(pos), int(rng.integers(0, 8))))
+        except CLEAN_ERRORS:
+            pass
+
+
+@pytest.mark.parametrize("case", _codec_cases(), ids=lambda c: c[0])
+def test_multimodal_codec_truncation_fails_loud(case):
+    name, blob, dec = case
+    rng = np.random.default_rng(67)
+    for cut in rng.integers(1, len(blob) - 1, 60):
+        try:
+            dec(blob[: int(cut)])
+        except CLEAN_ERRORS:
+            pass

@@ -173,9 +173,10 @@ def test_real_decoder_raises(spark):
     from coffea_spark.llmdata.multimodal import real_image_decoder
     import pytest
 
-    # compressed/unknown formats still need external libs
-    with pytest.raises(NotImplementedError):
+    # a signature with no chunks is a truncated PNG, not a format gap
+    with pytest.raises(ValueError, match="IHDR"):
         real_image_decoder(b"\x89PNG\r\n\x1a\n")
+    # unknown formats still need external libs
     with pytest.raises(NotImplementedError):
         real_image_decoder(b"abc")
 
