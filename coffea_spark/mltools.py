@@ -482,6 +482,130 @@ def tree_train(
     }
 
 
+def gbdt_train(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    n_rounds: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 8,
+) -> dict:
+    """Distributed GRADIENT BOOSTING (squared error, depth-1 stumps):
+    each round fits one stump to the current residuals with a single
+    (feature, bin) histogram aggregation — count + residual sum per
+    cell, features x bins x 2 agg expressions, map-side combined — the
+    driver argmaxes the variance-reduction gain
+    (sl^2/nl + sr^2/nr - s^2/n, needing only the sums the histogram
+    already carries), and the new stump's contribution feeds the next
+    round's residual expression as literals. K rounds = K corpus
+    passes; nothing row-sized reaches the driver.
+
+    Determinism contract (what makes the gate oracle possible):
+    residuals are QUANTIZED to 6 decimals and accumulated as
+    DECIMAL(28,6) — exact in both Spark and DuckDB regardless of
+    partitioning/association order (the NUMERICS.md rule applied to
+    training), so gains computed from the exact sums are identical
+    IEEE doubles in both engines; uniform bins over global [min, max];
+    tie-breaks (gain DESC, feature, bin). Residual updates route by
+    BIN during training (same grid both engines); the returned model
+    carries the equivalent thresholds for x < thr inference.
+
+    Returns :func:`gbdt_load_json`-form (one depth-1 tree per round,
+    ``reg:squarederror``), so :func:`gbdt_margin` /
+    :func:`gbdt_predict_column` / :func:`gbdt_sql_expr` work unchanged.
+    Rounds stop early when no split has positive gain.
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    cond = y.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).cast("double").isNotNull()
+    df = df.filter(cond)
+    row = df.agg(*[m for c in feats for m in (F.min(c), F.max(c))]).collect()[0]
+    if row[0] is None:
+        raise ValueError("gbdt_train: no rows with non-null label and features")
+    lims = [(float(row[2 * i]), float(row[2 * i + 1])) for i in range(len(feats))]
+
+    def bin_col(i: int):
+        lo, hi = lims[i]
+        if hi <= lo:
+            return F.lit(0)
+        raw = F.floor((feats[i] - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+    base = df.select(
+        *[bin_col(i).alias(f"_b{i}") for i in range(len(feats))],
+        y.alias("_y"),
+    )
+    stumps: list[tuple[int, float, float, float, int]] = []  # (f, thr, vl, vr, bin)
+    for _ in range(n_rounds):
+        pred = F.lit(0.0)
+        for fi, _thr, vl, vr, b in stumps:
+            pred = pred + F.when(
+                F.col(f"_b{fi}") <= F.lit(b), F.lit(vl)
+            ).otherwise(F.lit(vr))
+        resid = F.round(F.col("_y") - pred, 6).cast("decimal(18,6)")
+        aggs = [F.count(F.lit(1)).alias("n_all"), F.sum(resid).alias("s_all")]
+        for i in range(len(feats)):
+            for b in range(n_bins):
+                hit = F.col(f"_b{i}") == F.lit(b)
+                aggs.append(F.sum(hit.cast("long")).alias(f"n_{i}_{b}"))
+                aggs.append(
+                    F.sum(F.when(hit, resid)).alias(f"s_{i}_{b}")
+                )
+        r = base.agg(*aggs).collect()[0]
+        from decimal import Decimal
+
+        n = int(r["n_all"])
+        s_dec = r["s_all"] if r["s_all"] is not None else Decimal(0)
+        s = float(s_dec)
+        best = None  # (gain, f, b, nl, sl_dec)
+        for i in range(len(feats)):
+            nl = 0
+            # accumulate the left sum as EXACT decimal (matching the
+            # oracle's decimal cumulative window); cast to double only
+            # inside the gain formula, exactly where SQL casts
+            sl_dec = Decimal(0)
+            for b in range(n_bins - 1):
+                nl += int(r[f"n_{i}_{b}"])
+                sl_dec += r[f"s_{i}_{b}"] or Decimal(0)
+                nr = n - nl
+                if nl == 0 or nr == 0:
+                    continue
+                sl = float(sl_dec)
+                sr = float(s_dec - sl_dec)
+                gain = sl * sl / nl + sr * sr / nr - s * s / n
+                if gain > 0 and (best is None or gain > best[0]):
+                    best = (gain, i, b, nl, sl_dec)
+        if best is None:
+            break
+        _, fi, b, nl, sl_dec = best
+        lo, hi = lims[fi]
+        thr = lo + (b + 1) * (hi - lo) / n_bins
+        vl = lr * (float(sl_dec) / nl)
+        vr = lr * (float(s_dec - sl_dec) / (n - nl))
+        stumps.append((fi, thr, vl, vr, b))
+    trees = []
+    for fi, thr, vl, vr, _b in stumps:
+        trees.append(
+            {
+                "left": np.array([1, -1, -1], dtype=np.int64),
+                "right": np.array([2, -1, -1], dtype=np.int64),
+                "feat": np.array([fi, 0, 0], dtype=np.int64),
+                "cond": np.array([thr, vl, vr], dtype=np.float64),
+                "default_left": np.ones(3, dtype=bool),
+            }
+        )
+    return {
+        "trees": trees,
+        "base_score": 0.0,
+        "objective": "reg:squarederror",
+        "num_feature": len(feature_cols),
+    }
+
+
 def logreg_train(
     df,
     feature_cols: list[str],

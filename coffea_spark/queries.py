@@ -3885,6 +3885,144 @@ def q_tree_train(spark, sf_dir):
     )
 
 
+def q_gbdt_train(spark, sf_dir):
+    """DISTRIBUTED GRADIENT BOOSTING (mltools.gbdt_train — squared
+    error, depth-1 stumps, the GBDT training loop on Spark): each round
+    is ONE (feature, bin) histogram aggregation over residuals
+    QUANTIZED to 6 decimals and accumulated as exact DECIMAL (the
+    NUMERICS.md rule applied to training itself), so the oracle replays
+    every round — residual update, decimal cumulative histogram,
+    variance-reduction gains in identical IEEE order, (gain DESC,
+    feature, bin) tie-breaks, leaf means — and the final scoring pass
+    in SQL. Regression target: token count from (mean token length,
+    distinct-token ratio). Inference over the boosted ensemble is the
+    UDF-free column expression (gbdt_predict_column)."""
+    from coffea_spark.llmdata import text as tx
+    from coffea_spark.mltools import gbdt_predict_column, gbdt_train
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    labeled = (
+        docs.select(
+            "lang",
+            tx.token_count(c).cast("double").alias("y"),
+            tx.avg_token_length(c).alias("ml"),
+            (
+                tx.distinct_token_count(c).cast("double") / tx.token_count(c)
+            ).alias("dr"),
+        )
+        .filter(F.col("y") > 0)
+        .cache()  # scanned once per boosting round + once for scoring
+    )
+    model = gbdt_train(
+        labeled, ["ml", "dr"], "y", n_rounds=3, lr=0.5, n_bins=8
+    )
+    t1 = model["trees"][0]
+    scored = labeled.select(
+        "lang", "y", gbdt_predict_column(model, ["ml", "dr"]).alias("p")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("avg_pred"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("p"))), 6).alias("avg_abs_err"),
+        )
+        .withColumn("stump1_feat", F.lit(int(t1["feat"][0])))
+        .withColumn("stump1_thr", F.round(F.lit(float(t1["cond"][0])), 6))
+        .withColumn("n_stumps", F.lit(len(model["trees"])))
+    )
+
+
+def _sql_gbdt_train() -> str:
+    """Programmatically generated replay of the 3-round boosting loop:
+    one CTE block per round (residual -> unpivot -> decimal histogram ->
+    cumulative -> gain argmax with leaf values/threshold), then the
+    x < thr scoring pass."""
+    n_rounds, lr, nb = 3, 0.5, 8
+    head = r"""
+WITH tok AS (
+  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), l AS (
+  SELECT lang,
+         CAST(len(toks) AS DOUBLE) AS y,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS ml,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr
+  FROM tok WHERE len(toks) > 0
+), lim AS (
+  SELECT min(ml) lo0, max(ml) hi0, min(dr) lo1, max(dr) hi1 FROM l
+), b AS (
+  SELECT l.*,
+    CAST(least(greatest(floor((ml - lo0) * 8.0 / (hi0 - lo0)), 0), 7) AS INT) AS b0,
+    CAST(least(greatest(floor((dr - lo1) * 8.0 / (hi1 - lo1)), 0), 7) AS INT) AS b1
+  FROM l, lim
+)"""
+    blocks = []
+    for k in range(1, n_rounds + 1):
+        prior = " + ".join(
+            f"(CASE WHEN (CASE s{j}.f WHEN 0 THEN b.b0 ELSE b.b1 END) <= s{j}.bin "
+            f"THEN s{j}.vl ELSE s{j}.vr END)"
+            for j in range(1, k)
+        )
+        pred = f"(0.0 + {prior})" if prior else "(0.0)"
+        froms = ", ".join(["b"] + [f"s{j}" for j in range(1, k)])
+        blocks.append(f"""
+r{k} AS (
+  SELECT b.lang, b.y, b.ml, b.dr, b.b0, b.b1,
+         CAST(round(b.y - {pred}, 6) AS DECIMAL(18,6)) AS r
+  FROM {froms}
+), u{k} AS (
+  SELECT 0 AS f, b0 AS bin, r FROM r{k}
+  UNION ALL SELECT 1, b1, r FROM r{k}
+), h{k} AS (
+  SELECT f, bin, count(*) AS n, sum(r) AS s FROM u{k} GROUP BY f, bin
+), t{k} AS ( SELECT count(*) AS n, sum(r) AS s FROM r{k} ),
+c{k} AS (
+  SELECT f, bin,
+         sum(n) OVER (PARTITION BY f ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(s) OVER (PARTITION BY f ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS sl
+  FROM h{k}
+), g{k} AS (
+  SELECT f, bin, nl, sl, t.n AS n_all, t.s AS s_all,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+           + CAST(t.s - sl AS DOUBLE) * CAST(t.s - sl AS DOUBLE) / (t.n - nl)
+           - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n AS gain
+  FROM c{k}, t{k} t WHERE bin < {nb - 1} AND nl > 0 AND nl < t.n
+), s{k} AS (
+  SELECT f, bin,
+         {lr!r} * (CAST(sl AS DOUBLE) / nl) AS vl,
+         {lr!r} * (CAST(s_all - sl AS DOUBLE) / (n_all - nl)) AS vr,
+         (SELECT CASE f WHEN 0 THEN lo0 + (bin + 1) * (hi0 - lo0) / {nb}
+                        ELSE lo1 + (bin + 1) * (hi1 - lo1) / {nb} END
+          FROM lim) AS thr
+  FROM g{k} WHERE gain > 0 ORDER BY gain DESC, f, bin LIMIT 1
+)""")
+        # NB: the gate corpus splits in every round at all shipped SFs
+        # (verified); an empty s_k would void later rounds by design.
+    score = " + ".join(
+        f"(CASE WHEN (CASE s{j}.f WHEN 0 THEN b.ml ELSE b.dr END) < s{j}.thr "
+        f"THEN s{j}.vl ELSE s{j}.vr END)"
+        for j in range(1, n_rounds + 1)
+    )
+    froms = ", ".join(["b"] + [f"s{j}" for j in range(1, n_rounds + 1)])
+    tail = f"""
+, scored AS (
+  SELECT b.lang, b.y, (0.0 + {score}) AS p FROM {froms}
+)
+SELECT lang, count(*) AS n,
+       round(avg(p), 6) AS avg_pred,
+       round(avg(abs(y - p)), 6) AS avg_abs_err,
+       (SELECT f FROM s1) AS stump1_feat,
+       (SELECT round(thr, 6) FROM s1) AS stump1_thr,
+       {n_rounds} AS n_stumps
+FROM scored GROUP BY lang
+"""
+    return head + "," + ",".join(blocks) + tail
+
+
 SQL_TREE_TRAIN = r"""
 WITH tok AS (
   SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
@@ -8979,6 +9117,7 @@ REGISTRY: dict[str, Query] = {
     "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
     "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
     "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
+    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
     "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
@@ -8996,7 +9135,6 @@ REGISTRY: dict[str, Query] = {
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
     "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
     "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
-    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
     "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
     "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
@@ -9039,6 +9177,7 @@ REGISTRY: dict[str, Query] = {
     # last so the weaker rows-only record never occupies a hash slot)
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),

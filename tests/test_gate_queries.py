@@ -40,6 +40,7 @@ NEW_ORACLE_QUERIES = [
     "ccnet_pipeline",
     "pairs_routed",
     "tree_train",
+    "gbdt_train_boost",
 ]
 
 

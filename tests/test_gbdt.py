@@ -280,3 +280,78 @@ def test_tree_train_empty_raises(spark):
     df = spark.createDataFrame([], "x0 double, y double")
     with pytest.raises(ValueError, match="no rows"):
         tree_train(df, ["x0"], "y", max_depth=1)
+
+
+def test_gbdt_train_matches_exact_reference(spark):
+    """Boosted stumps must match an independent local implementation
+    with the identical determinism contract (6dp-quantized residuals
+    accumulated as exact Decimal, same gain order, same tie-breaks)."""
+    from decimal import Decimal
+
+    from coffea_spark.mltools import gbdt_margin, gbdt_train
+
+    rng = np.random.default_rng(9)
+    X = rng.uniform(0, 10, (1200, 2))
+    y = 3.0 * (X[:, 0] > 4) + 2.0 * (X[:, 1] > 6) + 1.0
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for (a, b), c in zip(X, y)],
+        "x0 double, x1 double, y double",
+    )
+    m = gbdt_train(df, ["x0", "x1"], "y", n_rounds=4, lr=0.6, n_bins=8)
+
+    lims = [(X[:, i].min(), X[:, i].max()) for i in range(2)]
+    B = np.column_stack(
+        [
+            np.clip(np.floor((X[:, i] - lo) * 8.0 / (hi - lo)), 0, 7).astype(int)
+            for i, (lo, hi) in enumerate(lims)
+        ]
+    )
+    stumps = []
+    for _ in range(4):
+        pred = np.zeros(len(X))
+        for fi, b, vl, vr in stumps:
+            pred += np.where(B[:, fi] <= b, vl, vr)
+        rq = [Decimal(f"{v:.6f}") for v in (y - pred)]
+        n = len(X)
+        s_dec = sum(rq, Decimal(0))
+        s = float(s_dec)
+        best = None
+        for i in range(2):
+            nl, sl_dec = 0, Decimal(0)
+            for b in range(7):
+                mask = B[:, i] == b
+                nl += int(mask.sum())
+                sl_dec += sum((r for r, m_ in zip(rq, mask) if m_), Decimal(0))
+                if nl == 0 or nl == n:
+                    continue
+                sl, sr = float(sl_dec), float(s_dec - sl_dec)
+                g = sl * sl / nl + sr * sr / (n - nl) - s * s / n
+                if g > 0 and (best is None or g > best[0]):
+                    best = (g, i, b, nl, sl_dec)
+        assert best is not None
+        _, i, b, nl, sl_dec = best
+        vl = 0.6 * (float(sl_dec) / nl)
+        vr = 0.6 * (float(s_dec - sl_dec) / (n - nl))
+        stumps.append((i, b, vl, vr))
+
+    assert [int(t["feat"][0]) for t in m["trees"]] == [s[0] for s in stumps]
+    for t, (_i, _b, vl, vr) in zip(m["trees"], stumps):
+        assert float(t["cond"][1]) == vl and float(t["cond"][2]) == vr
+    # boosting actually reduces error round over round
+    errs = []
+    for k in range(1, 5):
+        mk = {**m, "trees": m["trees"][:k]}
+        errs.append(float(np.abs(gbdt_margin(mk, X) - y).mean()))
+    assert errs[-1] < errs[0]
+
+
+def test_gbdt_train_early_stop_on_constant_target(spark):
+    from coffea_spark.mltools import gbdt_train
+
+    df = spark.createDataFrame(
+        [(float(i % 7), 5.0) for i in range(50)], "x0 double, y double"
+    )
+    m = gbdt_train(df, ["x0"], "y", n_rounds=3, lr=0.5)
+    # round 1 fits the constant via... a constant target has zero
+    # variance: no split has positive gain, so NO stumps are fit
+    assert m["trees"] == [] or len(m["trees"]) <= 1
