@@ -258,12 +258,50 @@ class JECTable:
         return _substitute(self.formula, variables=env)
 
 
+def _parse_guard(path: str, what: str):
+    """Context manager converting low-level parse crashes on malformed
+    correction files (IndexError/struct walk-offs, numpy shape errors)
+    into a typed ValueError naming the file — config corruption must
+    fail loud, never stack-smash (same boundary rule as the binary
+    readers)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        try:
+            yield
+        except (ValueError, KeyError, NotImplementedError):
+            raise
+        except (IndexError, OverflowError, TypeError) as exc:
+            raise ValueError(
+                f"{path}: malformed {what} ({type(exc).__name__}: {exc})"
+            ) from exc
+
+    return cm()
+
+
+def _guarded(what: str):
+    """Decorator applying :func:`_parse_guard` to a path-first parser."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(path, *a, **k):
+            with _parse_guard(path, what):
+                return fn(path, *a, **k)
+
+        return wrap
+
+    return deco
+
+
 def read_jec_txt(path: str, name: str | None = None) -> JECTable:
     """Parse a single-level ``*.jec.txt[.gz]`` file (any binning depth)."""
-    with _open_text(path) as f:
+    with _parse_guard(path, "JEC text"), _open_text(path) as f:
         return _read_jec_stream(f, name or path.rsplit("/", 1)[-1].split(".")[0])
 
 
+@_guarded("sectioned JEC text")
 def read_jec_txt_sections(path: str) -> dict[str, JECTable]:
     """Parse a SECTIONED JEC text file — ``[flavor]`` headers split the
     file into independent standard JEC tables (the CMS L5Flavor /
@@ -292,6 +330,7 @@ def read_jec_txt_sections(path: str) -> dict[str, JECTable]:
     return out
 
 
+@_guarded("effective-area text")
 def read_ea_txt(path: str) -> dict:
     """Parse a CMS EGM effective-area file (``*.ea.txt``; reference
     txt_converters.py:442-534 ``convert_effective_area_file``). Header
@@ -398,6 +437,7 @@ class JuncTable:
         return F.struct(up.alias("up"), down.alias("down"))
 
 
+@_guarded("JES-uncertainty text")
 def read_junc_txt(path: str) -> dict[str, JuncTable]:
     """Parse ``*.junc.txt[.gz]`` (any binning depth); multi-component
     files (``[Name]`` sections) yield one table per component. Returns
@@ -465,6 +505,7 @@ class JERSFTable:
         )
 
 
+@_guarded("JERSF text")
 def read_jersf_txt(path: str) -> JERSFTable:
     with _open_text(path) as f:
         binned, eval_vars, _ = _parse_jme_header(f.readline())
@@ -555,6 +596,7 @@ class BTagSFTable:
         return result
 
 
+@_guarded("b-tag CSV")
 def read_btag_csv(path: str) -> BTagSFTable:
     """Parse the BTag CSV layout (first header cell carries the
     discriminator name, ``<discr>;OperatingPoint``)."""

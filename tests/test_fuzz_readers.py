@@ -500,3 +500,44 @@ def test_multimodal_codec_truncation_fails_loud(case):
             dec(blob[: int(cut)])
         except CLEAN_ERRORS:
             pass
+
+
+# ---------------------------------------------------------------------------
+# correction-file text/CSV parsers (config corruption must be typed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "reader,fixture",
+    [
+        ("read_jec_txt", "demo3d.jec.txt"),
+        ("read_junc_txt", "demo.junc.txt"),
+        ("read_btag_csv", "demo.btag.csv"),
+    ],
+)
+def test_correction_parsers_fail_loud(tmp_path, reader, fixture):
+    """Corrupt/truncated correction configs must raise ValueError (or
+    kin) naming the file — never a raw IndexError from inside the
+    table builder (the _parse_guard boundary)."""
+    from coffea_spark import correction_files as CF
+
+    fn = getattr(CF, reader)
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "coffea_spark", "data", fixture
+    )
+    blob = open(path, "rb").read()
+    fn(path)  # clean parse sanity
+    rng = np.random.default_rng(71)
+    for trial in range(80):
+        mutated = bytearray(blob)
+        if trial % 2 == 0:
+            mutated = mutated[: int(rng.integers(1, len(blob)))]
+        else:
+            q = int(rng.integers(0, len(blob)))
+            mutated[q] ^= 1 << int(rng.integers(0, 8))
+        p = tmp_path / fixture
+        p.write_bytes(bytes(mutated))
+        try:
+            fn(str(p))
+        except (ValueError, KeyError, NotImplementedError, EOFError, OSError):
+            pass
