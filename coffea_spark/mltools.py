@@ -15,6 +15,7 @@ path (and therefore the whole mechanism) is fully testable.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -163,9 +164,17 @@ def gbdt_load_json(model_path: str) -> dict:
     ``split_indices`` (feature id), ``split_conditions`` (threshold for
     internal nodes; the node's OUTPUT VALUE for leaves — XGBoost stores
     both in one union field), ``default_left`` (missing-value routing).
-    ``learner_model_param.base_score`` is treated as a raw-margin bias
-    and ``objective.name`` selects the output transform
+    ``objective.name`` selects the output transform
     (``binary:logistic`` -> sigmoid, anything else -> identity).
+
+    ``learner_model_param.base_score`` is stored in PROBABILITY space
+    for logistic objectives (XGBoost applies ProbToMargin = logit at
+    load; a real ``Booster.save_model`` file with the default 0.5 — or
+    any 2.x boost-from-average value — means margin bias logit(p), not
+    p). This loader performs the same conversion and rejects a
+    logistic base_score outside (0, 1), which XGBoost itself would
+    never write. Non-logistic objectives use base_score as the raw
+    margin bias unchanged.
 
     Reference semantics: ml_tools/xgboost_wrapper.py:14-60 wraps a live
     Booster; this loader covers the standard quality-classifier
@@ -189,12 +198,33 @@ def gbdt_load_json(model_path: str) -> dict:
                 "default_left": np.asarray(t["default_left"], dtype=bool),
             }
         )
+    objective = learner["objective"]["name"]
+    base_score = float(learner["learner_model_param"]["base_score"])
+    if objective == "binary:logistic":
+        if not 0.0 < base_score < 1.0:
+            raise ValueError(
+                "gbdt_load_json: binary:logistic base_score must be a "
+                f"probability in (0, 1), got {base_score!r} — XGBoost "
+                "stores it in probability space and logits it at load"
+            )
+        base_score = math.log(base_score / (1.0 - base_score))
     return {
         "trees": trees,
-        "base_score": float(learner["learner_model_param"]["base_score"]),
-        "objective": learner["objective"]["name"],
+        "base_score": base_score,
+        "objective": objective,
         "num_feature": int(learner["learner_model_param"]["num_feature"]),
     }
+
+
+def _check_feature_count(model: dict, got: int) -> None:
+    """Fail loud (the reference's xgboost_wrapper.validate_numpy_input
+    check, ml_tools/xgboost_wrapper.py) instead of a cryptic executor
+    IndexError when the caller wires the wrong number of features."""
+    want = model.get("num_feature")
+    if want is not None and got != int(want):
+        raise ValueError(
+            f"GBDT model expects {int(want)} features, got {got}"
+        )
 
 
 def gbdt_margin(model: dict, X: np.ndarray) -> np.ndarray:
@@ -204,6 +234,7 @@ def gbdt_margin(model: dict, X: np.ndarray) -> np.ndarray:
     batch size). Missing features (NaN) route via ``default_left``;
     the decision rule is XGBoost's ``x < threshold -> left``."""
     X = np.asarray(X, dtype=np.float64)
+    _check_feature_count(model, X.shape[1] if X.ndim == 2 else 1)
     n = X.shape[0]
     out = np.full(n, model["base_score"], dtype=np.float64)
     rows = np.arange(n)
@@ -252,16 +283,21 @@ def gbdt_predict_column(model: dict, feature_cols: list[str]) -> Column:
     (quality-classifier scale, <= a few hundred nodes) this stays
     inside whole-stage codegen, the zero-overhead path; large ensembles
     should use :func:`gbdt_wrapper` (Arrow-batched numpy) instead.
-    Same decision rule as :func:`gbdt_margin` (x < thr -> left); NULL
-    features propagate NULL (no default_left twin — matches the SQL
-    form from :func:`gbdt_sql_expr`)."""
+    Same decision rule as :func:`gbdt_margin` (x < thr -> left), and
+    the same missing-value routing: NULL/NaN features follow
+    ``default_left`` — all three inference paths (numpy / column /
+    SQL) agree on missing inputs."""
+    _check_feature_count(model, len(feature_cols))
 
     def case(t, nid: int) -> Column:
         if t["left"][nid] == -1:
             return F.lit(float(t["cond"][nid]))
         f = F.col(feature_cols[int(t["feat"][nid])]).cast("double")
-        return F.when(f < F.lit(float(t["cond"][nid])), case(t, int(t["left"][nid]))).otherwise(
-            case(t, int(t["right"][nid]))
+        dflt = case(t, int(t["left"][nid] if t["default_left"][nid] else t["right"][nid]))
+        return (
+            F.when(f.isNull() | F.isnan(f), dflt)
+            .when(f < F.lit(float(t["cond"][nid])), case(t, int(t["left"][nid])))
+            .otherwise(case(t, int(t["right"][nid])))
         )
 
     margin = F.lit(float(model["base_score"]))
@@ -276,8 +312,10 @@ def gbdt_sql_expr(model: dict, feature_exprs: list[str]) -> str:
     """ANSI-SQL replay of the ensemble (oracle/codegen path): one nested
     CASE chain per tree, summed with the base margin; sigmoid for
     binary:logistic. ``feature_exprs[i]`` is the SQL text of feature i.
-    NULL features propagate NULL (the numpy path's NaN routing has no
-    SQL twin — oracle callers feed non-null features)."""
+    NULL/NaN features follow ``default_left`` (``isnan`` exists in both
+    Spark SQL and DuckDB), matching :func:`gbdt_margin` and
+    :func:`gbdt_predict_column` exactly on missing inputs."""
+    _check_feature_count(model, len(feature_exprs))
 
     def case(t, nid: int) -> str:
         if t["left"][nid] == -1:
@@ -286,7 +324,11 @@ def gbdt_sql_expr(model: dict, feature_exprs: list[str]) -> str:
         c = repr(float(t["cond"][nid]))
         l = case(t, int(t["left"][nid]))
         r = case(t, int(t["right"][nid]))
-        return f"(CASE WHEN ({f}) < ({c}) THEN {l} ELSE {r} END)"
+        d = l if t["default_left"][nid] else r
+        return (
+            f"(CASE WHEN ({f}) IS NULL OR isnan(CAST(({f}) AS DOUBLE)) THEN {d} "
+            f"WHEN ({f}) < ({c}) THEN {l} ELSE {r} END)"
+        )
 
     margin = " + ".join(case(t, 0) for t in model["trees"])
     margin = f"(({margin}) + ({model['base_score']!r}))"
@@ -335,12 +377,19 @@ def tree_train(
     df = df.filter(cond)
 
     row = df.agg(
-        *[m for c in feats for m in (F.min(c), F.max(c))]
+        *[m for c in feats for m in (F.min(c), F.max(c))],
+        F.sum((~y.isin(0.0, 1.0)).cast("long")).alias("_bad_labels"),
     ).collect()[0]
     if row[0] is None:
         raise ValueError(
             "tree_train: no rows with non-null label and features "
             f"(label={label_col!r}, features={feature_cols!r})"
+        )
+    if int(row["_bad_labels"] or 0):
+        raise ValueError(
+            f"tree_train: labels must be binary {{0, 1}} — "
+            f"{int(row['_bad_labels'])} row(s) of {label_col!r} are not "
+            "(gini histograms and positive-fraction leaves assume it)"
         )
     lims = [(float(row[2 * i]), float(row[2 * i + 1])) for i in range(len(feats))]
 

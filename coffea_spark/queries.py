@@ -3960,13 +3960,19 @@ WITH tok AS (
 )"""
     blocks = []
     for k in range(1, n_rounds + 1):
+        # Rounds that find no positive-gain split leave s_k EMPTY; the
+        # Spark side breaks its loop there. LEFT JOIN + COALESCE makes
+        # an empty s_k a no-op (contributes 0 to the prediction), and
+        # because residuals are then unchanged, every later round's
+        # argmax is also empty — the SQL replay degrades to exactly the
+        # stump count Spark trained (n_stumps counts non-empty s_k).
         prior = " + ".join(
-            f"(CASE WHEN (CASE s{j}.f WHEN 0 THEN b.b0 ELSE b.b1 END) <= s{j}.bin "
-            f"THEN s{j}.vl ELSE s{j}.vr END)"
+            f"COALESCE((CASE WHEN (CASE s{j}.f WHEN 0 THEN b.b0 ELSE b.b1 END) <= s{j}.bin "
+            f"THEN s{j}.vl ELSE s{j}.vr END), 0.0)"
             for j in range(1, k)
         )
         pred = f"(0.0 + {prior})" if prior else "(0.0)"
-        froms = ", ".join(["b"] + [f"s{j}" for j in range(1, k)])
+        froms = "b" + "".join(f" LEFT JOIN s{j} ON TRUE" for j in range(1, k))
         blocks.append(f"""
 r{k} AS (
   SELECT b.lang, b.y, b.ml, b.dr, b.b0, b.b1,
@@ -4000,14 +4006,15 @@ c{k} AS (
           FROM lim) AS thr
   FROM g{k} WHERE gain > 0 ORDER BY gain DESC, f, bin LIMIT 1
 )""")
-        # NB: the gate corpus splits in every round at all shipped SFs
-        # (verified); an empty s_k would void later rounds by design.
     score = " + ".join(
-        f"(CASE WHEN (CASE s{j}.f WHEN 0 THEN b.ml ELSE b.dr END) < s{j}.thr "
-        f"THEN s{j}.vl ELSE s{j}.vr END)"
+        f"COALESCE((CASE WHEN (CASE s{j}.f WHEN 0 THEN b.ml ELSE b.dr END) < s{j}.thr "
+        f"THEN s{j}.vl ELSE s{j}.vr END), 0.0)"
         for j in range(1, n_rounds + 1)
     )
-    froms = ", ".join(["b"] + [f"s{j}" for j in range(1, n_rounds + 1)])
+    froms = "b" + "".join(f" LEFT JOIN s{j} ON TRUE" for j in range(1, n_rounds + 1))
+    n_stumps = " + ".join(
+        f"(SELECT count(*) FROM s{j})" for j in range(1, n_rounds + 1)
+    )
     tail = f"""
 , scored AS (
   SELECT b.lang, b.y, (0.0 + {score}) AS p FROM {froms}
@@ -4017,7 +4024,7 @@ SELECT lang, count(*) AS n,
        round(avg(abs(y - p)), 6) AS avg_abs_err,
        (SELECT f FROM s1) AS stump1_feat,
        (SELECT round(thr, 6) FROM s1) AS stump1_thr,
-       {n_rounds} AS n_stumps
+       CAST({n_stumps} AS INT) AS n_stumps
 FROM scored GROUP BY lang
 """
     return head + "," + ",".join(blocks) + tail

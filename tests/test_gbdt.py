@@ -355,3 +355,123 @@ def test_gbdt_train_early_stop_on_constant_target(spark):
     # round 1 fits the constant via... a constant target has zero
     # variance: no split has positive gain, so NO stumps are fit
     assert m["trees"] == [] or len(m["trees"]) <= 1
+
+
+def test_logistic_base_score_is_logit_converted(tmp_path):
+    # XGBoost stores base_score in PROBABILITY space for logistic
+    # objectives (ProbToMargin at load): 0.5 -> margin 0, 0.9 -> logit
+    blob = json.load(open(FIXTURE))
+    blob["learner"]["learner_model_param"]["base_score"] = "0.9"
+    p = tmp_path / "p09.json"
+    p.write_text(json.dumps(blob))
+    m = gbdt_load_json(str(p))
+    assert m["base_score"] == pytest.approx(np.log(0.9 / 0.1))
+
+
+@pytest.mark.parametrize("bad", ["0.0", "1.0", "-0.25", "1.5"])
+def test_logistic_base_score_out_of_range_rejected(tmp_path, bad):
+    blob = json.load(open(FIXTURE))
+    blob["learner"]["learner_model_param"]["base_score"] = bad
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(blob))
+    with pytest.raises(ValueError, match="base_score"):
+        gbdt_load_json(str(p))
+
+
+def test_feature_count_validated_everywhere(model):
+    from coffea_spark.mltools import gbdt_predict_column
+
+    with pytest.raises(ValueError, match="expects 3 features, got 2"):
+        gbdt_margin(model, np.zeros((4, 2)))
+    with pytest.raises(ValueError, match="expects 3 features"):
+        gbdt_sql_expr(model, ["a", "b"])
+    with pytest.raises(ValueError, match="expects 3 features"):
+        gbdt_predict_column(model, ["a", "b", "c", "d"])
+
+
+def test_missing_value_parity_numpy_vs_sql(model):
+    """NULL/NaN features must route via default_left identically on the
+    numpy, column-expression, and SQL paths (ADVICE r8)."""
+    import duckdb
+
+    rng = np.random.default_rng(99)
+    X = np.column_stack(
+        [
+            rng.uniform(0, 120, 300),
+            rng.uniform(3.0, 6.0, 300),
+            rng.uniform(0.2, 1.1, 300),
+        ]
+    )
+    X[rng.integers(0, 300, 80), rng.integers(0, 3, 80)] = np.nan
+    want = gbdt_predict(model, X)
+    expr = gbdt_sql_expr(model, ["f0", "f1", "f2"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE x(i INT, f0 DOUBLE, f1 DOUBLE, f2 DOUBLE)")
+    con.executemany(
+        "INSERT INTO x VALUES (?, ?, ?, ?)",
+        [
+            (i, *[None if np.isnan(v) else float(v) for v in row])
+            for i, row in enumerate(X)
+        ],
+    )
+    rows = con.sql(f"SELECT {expr} FROM x ORDER BY i").fetchall()
+    np.testing.assert_allclose([r[0] for r in rows], want, rtol=0, atol=1e-15)
+
+
+def test_missing_value_parity_column_path(spark, model):
+    from pyspark.sql import functions as F
+
+    from coffea_spark.mltools import gbdt_predict_column
+
+    rows = [
+        (30.0, None, 0.5),
+        (None, 4.5, 0.4),
+        (50.0, 3.7, None),
+        (None, None, None),
+        (40.5, 4.2, 0.45),
+    ]
+    df = spark.createDataFrame(rows, "nw double, ml double, dr double")
+    got = [
+        r.s
+        for r in df.select(
+            gbdt_predict_column(model, ["nw", "ml", "dr"]).alias("s")
+        ).collect()
+    ]
+    X = np.array(
+        [[np.nan if v is None else v for v in row] for row in rows], dtype=float
+    )
+    want = gbdt_predict(model, X)
+    np.testing.assert_allclose(sorted(got), sorted(want))
+
+
+def test_tree_train_rejects_nonbinary_labels(spark):
+    from coffea_spark.mltools import tree_train
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 3)) for i in range(30)], "x0 double, y double"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        tree_train(df, ["x0"], "y", max_depth=1)
+
+
+def test_gbdt_train_sql_oracle_degrades_with_spark(spark):
+    """When boosting stops early (no positive-gain split), the SQL
+    replay must degrade to the same stump count instead of returning an
+    empty result (ADVICE r8): empty s_k CTEs LEFT-JOIN as no-ops."""
+    import duckdb
+
+    from coffea_spark.queries import _sql_gbdt_train
+
+    sql = _sql_gbdt_train()
+    con = duckdb.connect()
+    # constant text -> constant y/ml/dr -> zero variance -> round 1
+    # finds no positive gain -> all s_k empty -> 0 stumps, pred = 0
+    con.execute(
+        "CREATE VIEW documents AS SELECT 'en' AS lang, 'aa bb cc' AS text "
+        "FROM range(20)"
+    )
+    rows = con.sql(sql).fetchall()
+    assert len(rows) == 1
+    lang, n, avg_pred, avg_abs_err, f1, thr1, n_stumps = rows[0]
+    assert (lang, n, n_stumps) == ("en", 20, 0)
+    assert avg_pred == 0.0 and avg_abs_err == 3.0  # y = 3 tokens, pred 0

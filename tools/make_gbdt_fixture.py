@@ -98,7 +98,7 @@ MODEL = {
             "name": "gbtree",
         },
         "learner_model_param": {
-            "base_score": "0.0",
+            "base_score": "0.5",
             "boost_from_average": "1",
             "num_class": "0",
             "num_feature": "3",
