@@ -382,10 +382,27 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: docs sharing any band
     hash. Returns (id_a, id_b, n_shared_bands). Shuffle touches only
-    (band, hash, id) rows."""
+    (band, hash, id) rows.
+
+    SCALE NOTE (measured, BENCH_SCALE.md): candidate volume is
+    Θ(p·n²) where p is the per-pair band-collision probability — the
+    banding parameters control p, and they are the scale lever. On a
+    high-baseline-similarity corpus, 16 bands × 4 rows produced 49.3M
+    candidates over 50k docs (scaling exponent 2.0) while 8 bands ×
+    8 rows produced 58k (850× fewer, same recall on true near-dups at
+    threshold 0.5 since 0.5^8·8 per-pair collision odds still catch
+    them across 8 bands). ``max_bucket_size`` is the guardrail for hot
+    buckets (boilerplate/templated text): a (band, hash) bucket with
+    more than this many members is EXCLUDED from pair generation —
+    a size-B bucket contributes B²/2 pairs, so one boilerplate cluster
+    can dominate the whole job; such clusters are exact/paragraph-dedup
+    material, not near-dup candidates. Exclusion is accounted, not
+    silent: oversized buckets are counted and surfaced via loud logging
+    on the driver (the no-silent-caps rule)."""
     rows = n_hashes // bands
     base = signatures
     if base is None:
@@ -394,6 +411,27 @@ def minhash_lsh_candidates(
         F.col(id_col), lsh_band_hashes(F.col("sig"), bands, rows).alias("bh")
     )
     exploded = sig.select(id_col, F.posexplode("bh").alias("band", "h"))
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band", "h").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        dropped = sizes.filter(F.col("_bsz") > max_bucket_size)
+        n_dropped = dropped.count()
+        if n_dropped:
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_candidates: excluded {n_dropped} hot "
+                f"bucket(s) over max_bucket_size={max_bucket_size} from "
+                "pair generation (boilerplate-scale clusters; handle "
+                "with exact/paragraph dedup)",
+                stacklevel=2,
+            )
+        exploded = exploded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+            ["band", "h"],
+            "left_semi",
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -419,6 +457,7 @@ def minhash_dedup(
     candidates: DataFrame | None = None,
     broadcast_docs: bool = True,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard: returns pairs
     with jaccard >= threshold. Verification joins each candidate pair to
@@ -430,7 +469,10 @@ def minhash_dedup(
     Pass a precomputed ``candidates`` DataFrame to share the LSH pass."""
     cands = candidates
     if cands is None:
-        cands = minhash_lsh_candidates(df, id_col, text_col, n, n_hashes, bands)
+        cands = minhash_lsh_candidates(
+            df, id_col, text_col, n, n_hashes, bands,
+            max_bucket_size=max_bucket_size,
+        )
 
     # Stage 1 — cheap estimate: fraction of agreeing signature components
     # (the unbiased MinHash Jaccard estimator, std ~ sqrt(s(1-s)/n_hashes)).

@@ -36,7 +36,11 @@ from coffea_spark import joins as _joins
 from coffea_spark import vector as vec
 from coffea_spark.schema import zip_collections
 
-__all__ = ["NanoEvents", "Collection", "Record"]
+__all__ = ["NanoEvents", "Collection", "GenealogyView", "Record"]
+
+# NanoAOD genealogy field names (reference methods/nanoaod.py GenParticle)
+_MOTHER = "genPartIdxMother"
+_PDG = "pdgId"
 
 # kinematic properties computed from the PtEtaPhiM layout (reference
 # methods/vector.py:145-470 property definitions)
@@ -206,6 +210,220 @@ def _wrap_pred(fn: Callable) -> Callable:
     return inner
 
 
+class GenealogyView:
+    """Event-local genealogy accessors over a pristine base collection —
+    the Spark spelling of the reference's global-index design
+    (``GenPart.childrenIdxG`` / ``distinctParentIdxG`` +
+    ``_apply_global_index``, methods/nanoaod.py:113-199, exercised by
+    tests/test_nanoevents.py:12-47 ``genroundtrips``): the view carries a
+    (possibly nested) array of INDICES into the per-event base array and
+    gathers lazily, so chains like ``children.parent`` or
+    ``distinctChildren.distinctParent`` stay in index space until a field
+    access, and slices (``where`` / ``mask``) never break alignment —
+    exactly why the reference ships IdxG columns instead of re-slicing
+    structs.
+
+    ``depth`` is the idx column's array nesting (1 = one index per base
+    particle; ``children`` adds a level). NULL indices (masked elements,
+    rootless parents) propagate NULL through every accessor.
+    """
+
+    __slots__ = ("_base", "_idx", "_depth")
+
+    _GEN_ATTRS = (
+        "parent",
+        "children",
+        "distinctParent",
+        "distinctChildren",
+        "distinctChildrenDeep",
+    )
+
+    def __init__(self, base: Column, idx: Column, depth: int = 1):
+        object.__setattr__(self, "_base", base)
+        object.__setattr__(self, "_idx", idx)
+        object.__setattr__(self, "_depth", depth)
+
+    @property
+    def c(self) -> Column:
+        """The (nested) index Column."""
+        return self._idx
+
+    @property
+    def count(self) -> Column:
+        """Sizes of the innermost lists (``ak.num(..., axis=deepest)``)."""
+        return self._at_list_level(F.size)
+
+    def _at_list_level(self, fn):
+        def rec(col, d):
+            if d == 1:
+                return fn(col)
+            return F.transform(col, lambda x: rec(x, d - 1))
+
+        return rec(self._idx, self._depth)
+
+    def _leaf(self, fn):
+        def rec(col, d):
+            if d == 1:
+                return F.transform(col, lambda i: fn(i))
+            return F.transform(col, lambda x: rec(x, d - 1))
+
+        return rec(self._idx, self._depth)
+
+    def _gather(self, i) -> Column:
+        return _joins.gather_local(self._base, i)
+
+    def _children_of(self, i) -> Column:
+        pos = F.transform(self._base, lambda x, j: j)
+        kids = F.filter(
+            pos, lambda j: F.element_at(self._base, j + 1)[_MOTHER] == i
+        )
+        return F.when(i.isNotNull(), kids)
+
+    def _distinct_children_of(self, i) -> Column:
+        me = self._gather(i)[_PDG]
+        pos = F.transform(self._base, lambda x, j: j)
+        kids = F.filter(
+            pos,
+            lambda j: (F.element_at(self._base, j + 1)[_MOTHER] == i)
+            & (F.element_at(self._base, j + 1)[_PDG] != me),
+        )
+        return F.when(i.isNotNull(), kids)
+
+    # Spark cannot evaluate a Python UDF inside a higher-order-function
+    # lambda (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so
+    # the view's walks are PURE COLUMN expressions: a bounded
+    # F.aggregate pointer-jump (<= size(base) steps — the same cap the
+    # Arrow kernels use, genealogy.py:114,145). The relational operators
+    # (genealogy.distinct_parent_idx etc.) keep the vectorized Arrow
+    # kernels; these expression twins exist for proxy-API chains.
+
+    def _distinct_parent_of(self, i) -> Column:
+        """First different-pdg ancestor of base[i] (NULL if none) —
+        expression twin of genealogy._distinct_parent_flat."""
+        base = self._base
+        p0 = self._gather(i)[_PDG]
+        start = (
+            F.when(self._gather(i)[_MOTHER] >= 0, self._gather(i)[_MOTHER])
+            .cast("int")
+        )
+
+        def step(acc, _):
+            cur = _joins.gather_local(base, acc)
+            return (
+                F.when(acc.isNull(), F.lit(None).cast("int"))
+                .when(cur[_PDG] != p0, acc)
+                .otherwise(F.when(cur[_MOTHER] >= 0, cur[_MOTHER]).cast("int"))
+            )
+
+        steps = F.sequence(F.lit(1), F.greatest(F.size(base), F.lit(1)))
+        acc = F.aggregate(steps, start, step)
+        return F.when(self._gather(acc)[_PDG] != p0, acc)
+
+    def _deep_children_of(self, i) -> Column:
+        """distinctChildrenDeep of base[i]: descendants emitted at their
+        first pdg change, reached through same-pdg chains — expression
+        twin of genealogy._deep_children_event, except ordered by
+        ascending local index instead of the kernel's DFS order (the
+        sets are identical; order differs only when an event's mother
+        indices are non-monotone)."""
+        base = self._base
+        p0 = self._gather(i)[_PDG]
+        pos = F.transform(base, lambda x, j: j)
+        steps = F.sequence(F.lit(1), F.greatest(F.size(base), F.lit(1)))
+
+        def passes_through_i(j):
+            # climb from mother(j) while nodes carry pdg(i); true iff
+            # the climb reaches i before a pdg change / the root
+            xj = F.element_at(base, j + 1)
+            start = F.struct(
+                F.when(xj[_MOTHER] >= 0, xj[_MOTHER]).cast("int").alias("cur"),
+                F.lit(False).alias("found"),
+            )
+
+            def step(acc, _):
+                cur, found = acc["cur"], acc["found"]
+                hit = F.coalesce(cur == i, F.lit(False))
+                c = _joins.gather_local(base, cur)
+                new_cur = (
+                    F.when(found | cur.isNull() | hit, F.lit(None).cast("int"))
+                    .when(
+                        c[_PDG] == p0,
+                        F.when(c[_MOTHER] >= 0, c[_MOTHER]).cast("int"),
+                    )
+                    .otherwise(F.lit(None).cast("int"))
+                )
+                return F.struct(
+                    new_cur.alias("cur"), (found | hit).alias("found")
+                )
+
+            return F.aggregate(steps, start, step)["found"]
+
+        kids = F.filter(
+            pos,
+            lambda j: (F.element_at(base, j + 1)[_PDG] != p0)
+            & passes_through_i(j),
+        )
+        return F.when(i.isNotNull(), kids)
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name == "parent":
+            return GenealogyView(
+                self._base,
+                self._leaf(
+                    lambda i: F.when(
+                        self._gather(i)[_MOTHER] >= 0, self._gather(i)[_MOTHER]
+                    )
+                ),
+                self._depth,
+            )
+        if name == "children":
+            return GenealogyView(
+                self._base, self._leaf(self._children_of), self._depth + 1
+            )
+        if name == "distinctParent":
+            return GenealogyView(
+                self._base, self._leaf(self._distinct_parent_of), self._depth
+            )
+        if name == "distinctChildren":
+            return GenealogyView(
+                self._base, self._leaf(self._distinct_children_of), self._depth + 1
+            )
+        if name == "distinctChildrenDeep":
+            return GenealogyView(
+                self._base, self._leaf(self._deep_children_of), self._depth + 1
+            )
+        if name in _COMPUTED:
+            fn = _COMPUTED[name]
+            return self._leaf(lambda i: fn(self._gather(i)))
+        return self._leaf(lambda i: self._gather(i)[name])
+
+    def where(self, pred: Callable) -> "GenealogyView":
+        """Hard object slice that KEEPS genealogy resolution working
+        (the reference's ``events.GenPart[mask]`` — indices travel with
+        the slice, so relations still resolve into the full array)."""
+        return GenealogyView(
+            self._base,
+            self._at_list_level(
+                lambda col: F.filter(
+                    col, lambda i: _c(pred(Record(self._gather(i))))
+                )
+            ),
+            self._depth,
+        )
+
+    def mask(self, pred: Callable) -> "GenealogyView":
+        """Null-preserving slice (``ak.mask`` analog in index space)."""
+        return GenealogyView(
+            self._base,
+            self._leaf(
+                lambda i: F.when(_c(pred(Record(self._gather(i)))), i)
+            ),
+            self._depth,
+        )
+
+
 class Collection:
     """Proxy over an ``array<struct>`` Column: one collection per event.
 
@@ -214,12 +432,18 @@ class Collection:
     (methods/vector.py:479-561, methods/nanoaod.py:113-723).
     """
 
-    __slots__ = ("_col", "_name", "_events")
+    __slots__ = ("_col", "_name", "_events", "_aligned")
 
-    def __init__(self, col: Column, name: str = "<derived>", events=None):
+    def __init__(
+        self, col: Column, name: str = "<derived>", events=None, aligned: bool = True
+    ):
         object.__setattr__(self, "_col", col)
         object.__setattr__(self, "_name", name)
         object.__setattr__(self, "_events", events)
+        # position-aligned with the pristine events collection? mask()
+        # preserves alignment (nulls in place); where()/sort_by() break
+        # it, which invalidates positional genealogy resolution
+        object.__setattr__(self, "_aligned", aligned)
 
     @property
     def c(self) -> Column:
@@ -261,11 +485,40 @@ class Collection:
             want = name[len("matched_"):]
             for idx_col, target in xrefs.items():
                 coll, field = idx_col.split("_", 1)
-                if coll == self._name and target.lower() == want:
+                if coll == self._name and (
+                    target.lower() == want
+                    # reference naming: matched_gen (not matched_genpart)
+                    # for the genPartIdx FK, methods/nanoaod.py
+                    or (want == "gen" and field == "genPartIdx")
+                ):
                     return self.matched(field, ev[target])
-        if name == "parent" and f"{self._name}_genPartIdxMother" in xrefs:
-            return self.matched("genPartIdxMother", ev[self._name])
+        if name == "parent" and f"{self._name}_{_MOTHER}" in xrefs:
+            return self.matched(_MOTHER, ev[self._name])
+        if (
+            name in GenealogyView._GEN_ATTRS
+            and f"{self._name}_{_MOTHER}" in xrefs
+        ):
+            return getattr(self.indexed, name)
         return None
+
+    @property
+    def indexed(self) -> "GenealogyView":
+        """Identity :class:`GenealogyView` over this collection — the
+        entry point for genealogy chains that must survive slicing
+        (``GenPart.indexed.where(...).children.parent...``). Requires
+        position alignment with the pristine events collection: masked
+        elements become NULL indices; a ``where()``-derived collection
+        (alignment broken) raises."""
+        if not self._aligned:
+            raise ValueError(
+                "genealogy accessors need position alignment with the "
+                "pristine collection; slice with .mask(...) or "
+                ".indexed.where(...) instead of .where(...)"
+            )
+        ev = self._events
+        base = ev[self._name].c if ev is not None else self._col
+        idx0 = F.transform(self._col, lambda x, i: F.when(x.isNotNull(), i))
+        return GenealogyView(base, idx0, 1)
 
     def __getitem__(self, field: str) -> Column:
         return self._col.getField(field)
@@ -273,16 +526,25 @@ class Collection:
     # ---- restructuring ----
     def where(self, pred: Callable) -> "Collection":
         """Object-level filter (``jets[jets.pt > 30]`` analog): keep
-        elements where ``pred(record)`` holds; shape shrinks."""
-        return Collection(F.filter(self._col, _wrap_pred(pred)), self._name, self._events)
+        elements where ``pred(record)`` holds; shape shrinks (and
+        position alignment with the pristine collection is lost — use
+        ``.indexed.where(...)`` when genealogy must survive the slice)."""
+        return Collection(
+            F.filter(self._col, _wrap_pred(pred)),
+            self._name,
+            self._events,
+            aligned=False,
+        )
 
     def mask(self, pred: Callable) -> "Collection":
         """Null-preserving filter (``ak.mask`` analog): failing elements
-        become NULL, the array keeps its length."""
+        become NULL, the array keeps its length (and genealogy accessors
+        keep working — NULL elements yield NULL indices)."""
         return Collection(
             F.transform(self._col, lambda x: F.when(_wrap_pred(pred)(x), x)),
             self._name,
             self._events,
+            aligned=self._aligned,
         )
 
     def map(self, fn: Callable) -> Column:
@@ -299,7 +561,9 @@ class Collection:
                 x.alias("v"),
             ),
         )
-        return Collection(F.array_sort(keyed).getField("v"), self._name)
+        return Collection(
+            F.array_sort(keyed).getField("v"), self._name, self._events, aligned=False
+        )
 
     # ---- joins (dispatch to coffea_spark.joins — all within-event) ----
     def combinations(self, n: int = 2, fields: list[str] | None = None) -> "Collection":

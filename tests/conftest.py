@@ -8,6 +8,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from coffea_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "local_cluster: parity smoke against a real-executor "
+        "local-cluster master (spawns a subprocess JVM; ~1-2 min)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="coffea-spark-tests", cpus=8, driver_memory="8g")

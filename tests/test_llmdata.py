@@ -96,6 +96,33 @@ def test_minhash_lsh_finds_dupes(spark):
     assert (0, 2) not in dupes
 
 
+def test_minhash_hot_bucket_guard(spark):
+    """max_bucket_size (NEW r9, BENCH_SCALE.md): a boilerplate cluster
+    whose (band, hash) buckets exceed the cap is excluded from pair
+    generation — loudly — while normal-sized buckets keep producing
+    candidates."""
+    import warnings
+
+    # 12 identical boilerplate docs (one giant bucket per band) + one
+    # genuine near-dup pair of distinct text
+    rows = [(i, "the same boilerplate footer text repeated verbatim")
+            for i in range(12)]
+    rows += [(100, "a unique document about spark shuffles and joins"),
+             (101, "a unique document about spark shuffles and joint")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_candidates(df).collect()
+    assert sum(1 for r in uncapped if r.id_a < 12 and r.id_b < 12) == 66  # 12C2
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = dedup.minhash_lsh_candidates(df, max_bucket_size=8).collect()
+    assert any("hot bucket" in str(x.message) for x in w)
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert not any(a < 12 and b < 12 for a, b in pairs)  # cluster dropped
+    assert (100, 101) in pairs  # genuine near-dup survives
+
+
 def test_simhash(spark):
     df = _docs(spark)
     sh = {r.doc_id: r.s for r in df.select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()}

