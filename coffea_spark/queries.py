@@ -7266,14 +7266,30 @@ SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) AS n_train,
 
 def _warc_fixture(spark, sf_dir) -> str:
     """Deterministic WARC files from the documents table (the Common
-    Crawl container layout): 4 files, round-robin by doc_id, every odd
-    file gzip-per-record; even doc_ids are text/plain, odd ones
-    html-wrapped text/html. Written once per sf_dir."""
+    Crawl container layout): round-robin by doc_id, every odd file
+    gzip-per-record; even doc_ids are text/plain, odd ones html-wrapped
+    text/html. Written once per sf_dir.
+
+    File count scales with the corpus — max(4, n_docs // 2500) — the
+    production shape (one task per CC segment file): at the shipped
+    gate SFs (≤5000 docs) this stays the historical 4 files, so gate
+    inputs and oracles are byte-identical; at scale-rehearsal SFs the
+    parse parallelism grows with the corpus instead of bottlenecking
+    the whole ccnet pipeline on 4 tasks (BENCH_SCALE.md)."""
     import tempfile
 
     from coffea_spark.llmdata.warc import write_warc
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # cache key = basename + path hash: two corpora with the same
+    # basename (e.g. /root/testdata/sf0.01 vs a scale-rehearsal
+    # /tmp/scale/sf0.01) must NEVER share a fixture — a basename-only
+    # tag silently fed one corpus's WARC files to the other's gates
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    tag = (os.path.basename(ap) or "sf") + "_" + hashlib.sha1(
+        ap.encode()
+    ).hexdigest()[:8]
     out = os.path.join(
         tempfile.gettempdir(), "coffea_spark_fixtures", f"{tag}_warc"
     )
@@ -7285,14 +7301,15 @@ def _warc_fixture(spark, sf_dir) -> str:
             .orderBy("doc_id")
             .collect()
         )
-        files: list[list[dict]] = [[] for _ in range(4)]
+        n_files = max(4, len(rows) // 2500)
+        files: list[list[dict]] = [[] for _ in range(n_files)]
         for r in rows:
             if r.doc_id % 2 == 0:
                 ctype, payload = "text/plain", r.text.encode()
             else:
                 ctype = "text/html"
                 payload = f"<html><body>{r.text}</body></html>".encode()
-            files[r.doc_id % 4].append(
+            files[r.doc_id % n_files].append(
                 {
                     "headers": {
                         "WARC-Type": "response",
@@ -9079,8 +9096,12 @@ REGISTRY: dict[str, Query] = {
     # gates with the OLDEST driver verification (r4/r5 per the
     # CORRECTNESS_r0* ledger: cutflow, dimuon_mass, genealogy_walk, the
     # r5 corrections family, the r5 llmdata veterans) so every
-    # oracle-bearing gate's driver evidence keeps rotating. Rows-only
-    # gates (oracle=None) stay past slot 50 as always.
+    # oracle-bearing gate's driver evidence keeps rotating. warc_scan +
+    # ccnet_pipeline re-enter the window (slots 49-50) because
+    # _warc_fixture's file count now scales with the corpus —
+    # byte-identical at the shipped gate SFs, but changed code gets
+    # driver verification. Rows-only gates (oracle=None) stay past
+    # slot 50 as always.
     # ------------------------------------------------------------------
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
@@ -9130,17 +9151,18 @@ REGISTRY: dict[str, Query] = {
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
-    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
-    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
+    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
     # -- past the driver window: recently-verified r7/r8 gates (all
     # driver-green within the last two rounds) + rows-only tail
     # (oracle=None entries stay last so the weaker rows-only record
     # never occupies a hash slot)
+    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
+    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
     "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
-    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
     "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
     "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
     "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
@@ -9153,7 +9175,6 @@ REGISTRY: dict[str, Query] = {
     "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
     "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
-    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),

@@ -30,6 +30,8 @@ from coffea_spark.queries import REGISTRY  # noqa: E402
 from coffea_spark.session import get_spark  # noqa: E402
 
 # the 12 heaviest gates by BENCH_FULL history (r8 judge's rehearsal set)
+# + the embedding/ANN family (blocked self-joins and bucketed
+# assignment are exactly the shapes that must hold at corpus scale)
 HEAVY = [
     "ccnet_pipeline",
     "dup_clusters",
@@ -43,6 +45,11 @@ HEAVY = [
     "decontaminate",
     "paragraph_dedup",
     "pairs_routed",
+    "ann_recall",
+    "ivf_recall",
+    "pq_recall",
+    "semdedup",
+    "knn_classify",
 ]
 
 

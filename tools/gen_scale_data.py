@@ -106,13 +106,39 @@ def gen_lineitem(out_dir: str, sf: float, seed: int = 43) -> int:
     return n
 
 
+def gen_embeddings(out_dir: str, sf: float, seed: int = 44, dim: int = 64) -> int:
+    # observed driver shape: 2000 vecs at sf0.1, 500 floor; 10 labels;
+    # clusterable structure (label-dependent mean) so k-means blocking
+    # (semdedup/IVF) sees real cells, plus unit-scale noise like the
+    # driver vectors
+    n = max(500, int(round(20000 * sf)))
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 10, n)
+    centers = rng.standard_normal((10, dim)) * 0.5
+    vecs = (centers[labels] + rng.standard_normal((n, dim)) * 0.3).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+    return n
+
+
 def main() -> None:
     sf = float(sys.argv[1])
     out_dir = sys.argv[2]
     os.makedirs(out_dir, exist_ok=True)
     nd = gen_documents(out_dir, sf)
     nl = gen_lineitem(out_dir, sf)
-    print(f"wrote {out_dir}: documents={nd} lineitem={nl}")
+    ne = gen_embeddings(out_dir, sf)
+    print(f"wrote {out_dir}: documents={nd} lineitem={nl} embeddings={ne}")
 
 
 if __name__ == "__main__":
