@@ -122,10 +122,22 @@ def _distinct_parent_flat(mothers: np.ndarray, pdgs: np.ndarray,
 
 
 def _deep_children_event(m_loc, p_loc, n: int) -> list:
-    """Per-event distinctChildrenDeep: DFS through same-pdg chains,
-    emitting each descendant at its first pdg change, in the reference's
-    child-index DFS order (transforms.py:302-431). Operates on int
-    arrays only; njit-shaped (no dicts, no attribute access)."""
+    """Per-event distinctChildrenDeep, faithful to the reference kernel
+    (transforms.py:302-431, r9 parity fix):
+
+    - only particles that sit at the TOP of a decay chain get a deep
+      lookup: a valid mother whose pdg DIFFERS (roots and chain-interior
+      nodes return []) — the reference skips interior nodes so chain
+      children aren't repeated per chain member;
+    - the result holds every descendant reached through same-pdg chain
+      nodes, emitted at its first pdg change, PLUS same-pdg chain
+      members with no children at all ("or last ones in the chain",
+      methods/nanoaod.py distinctChildrenDeep doc).
+
+    DFS in child-index order; unlike the reference's forward-only scan
+    this is mother-order-independent (identical on the forward-ordered
+    records generators emit). Operates on int arrays only; njit-shaped
+    (no dicts, no attribute access)."""
     kids: list[list[int]] = [[] for _ in range(n)]
     for j in range(n):
         m = m_loc[j]
@@ -135,6 +147,10 @@ def _deep_children_event(m_loc, p_loc, n: int) -> list:
     for i in range(n):
         acc: list[int] = []
         pdg = p_loc[i]
+        m = m_loc[i]
+        if not (0 <= m < n) or p_loc[m] == pdg:
+            out.append(acc)  # root or chain-interior: empty by design
+            continue
         stack = [iter(kids[i])]
         while stack:
             try:
@@ -143,7 +159,10 @@ def _deep_children_event(m_loc, p_loc, n: int) -> list:
                 stack.pop()
                 continue
             if p_loc[c] == pdg and len(stack) <= n:
-                stack.append(iter(kids[c]))
+                if kids[c]:
+                    stack.append(iter(kids[c]))
+                else:
+                    acc.append(c)  # childless chain member: last in chain
             else:
                 acc.append(c)
         out.append(acc)

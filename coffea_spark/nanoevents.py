@@ -320,14 +320,21 @@ class GenealogyView:
         return F.when(self._gather(acc)[_PDG] != p0, acc)
 
     def _deep_children_of(self, i) -> Column:
-        """distinctChildrenDeep of base[i]: descendants emitted at their
-        first pdg change, reached through same-pdg chains — expression
-        twin of genealogy._deep_children_event, except ordered by
-        ascending local index instead of the kernel's DFS order (the
-        sets are identical; order differs only when an event's mother
+        """distinctChildrenDeep of base[i], reference-kernel semantics
+        (transforms.py:302-431): EMPTY unless i tops a decay chain (a
+        valid mother with a DIFFERENT pdg); otherwise every descendant
+        reached through same-pdg chain nodes emitted at its first pdg
+        change, plus childless same-pdg chain members ("last ones in
+        the chain"). Expression twin of genealogy._deep_children_event,
+        ordered by ascending local index instead of DFS order (the sets
+        are identical; order differs only when an event's mother
         indices are non-monotone)."""
         base = self._base
         p0 = self._gather(i)[_PDG]
+        mom = self._gather(self._gather(i)[_MOTHER])
+        is_top = (
+            self._gather(i)[_MOTHER] >= 0
+        ) & mom.isNotNull() & (mom[_PDG] != p0)
         pos = F.transform(base, lambda x, j: j)
         steps = F.sequence(F.lit(1), F.greatest(F.size(base), F.lit(1)))
 
@@ -358,12 +365,26 @@ class GenealogyView:
 
             return F.aggregate(steps, start, step)["found"]
 
+        def childless(j):
+            return ~F.exists(
+                pos, lambda k: F.element_at(base, k + 1)[_MOTHER] == j
+            )
+
         kids = F.filter(
             pos,
-            lambda j: (F.element_at(base, j + 1)[_PDG] != p0)
+            lambda j: (
+                (F.element_at(base, j + 1)[_PDG] != p0) | childless(j)
+            )
+            & (j != i)
             & passes_through_i(j),
         )
-        return F.when(i.isNotNull(), kids)
+        # non-top particles get an EMPTY list (kernel parity), not NULL
+        return F.when(
+            i.isNotNull(),
+            F.when(F.coalesce(is_top, F.lit(False)), kids).otherwise(
+                F.slice(pos, 1, 0)
+            ),
+        )
 
     def __getattr__(self, name: str):
         if name.startswith("_"):

@@ -5783,15 +5783,28 @@ WITH RECURSIVE p AS MATERIALIZED (
     FROM lineitem
   )
 ),
+starts AS (
+  -- reference gating (transforms.py:319-322): only chain TOPS — a
+  -- valid mother with a DIFFERENT pdg — get a deep lookup
+  SELECT a.ok, a.rn, a.pdg
+  FROM p a JOIN p m ON m.ok = a.ok AND m.rn = a.mom AND m.pdg <> a.pdg
+),
 walk AS (
-  SELECT a.ok, a.rn AS start_rn, a.pdg AS pdg0, a.rn AS cur FROM p a
+  SELECT a.ok, a.rn AS start_rn, a.pdg AS pdg0, a.rn AS cur FROM starts a
   UNION ALL
   SELECT w.ok, w.start_rn, w.pdg0, c.rn
   FROM walk w JOIN p c ON c.ok = w.ok AND c.mom = w.cur AND c.pdg = w.pdg0
 ),
 emitted AS (
+  -- descendants emitted at their first pdg change...
   SELECT w.ok, w.start_rn, c.rn AS child_rn, c.pdg
   FROM walk w JOIN p c ON c.ok = w.ok AND c.mom = w.cur AND c.pdg <> w.pdg0
+  UNION ALL
+  -- ...plus childless same-pdg chain members ("last ones in the chain")
+  SELECT w.ok, w.start_rn, w.cur, w.pdg0
+  FROM walk w
+  WHERE w.cur <> w.start_rn
+    AND NOT EXISTS (SELECT 1 FROM p k WHERE k.ok = w.ok AND k.mom = w.cur)
 )
 SELECT
   (SELECT count(*) FROM emitted) AS n_deep_pairs,
@@ -9096,12 +9109,14 @@ REGISTRY: dict[str, Query] = {
     # gates with the OLDEST driver verification (r4/r5 per the
     # CORRECTNESS_r0* ledger: cutflow, dimuon_mass, genealogy_walk, the
     # r5 corrections family, the r5 llmdata veterans) so every
-    # oracle-bearing gate's driver evidence keeps rotating. warc_scan +
-    # ccnet_pipeline re-enter the window (slots 49-50) because
-    # _warc_fixture's file count now scales with the corpus —
-    # byte-identical at the shipped gate SFs, but changed code gets
-    # driver verification. Rows-only gates (oracle=None) stay past
-    # slot 50 as always.
+    # oracle-bearing gate's driver evidence keeps rotating. Three more
+    # r9 code changes displace the last three fill slots: deep_children
+    # (distinctChildrenDeep kernel + oracle now reference-faithful —
+    # chain-top gating and childless-chain-member emission,
+    # transforms.py:302-431), and warc_scan + ccnet_pipeline
+    # (_warc_fixture cache key hashes the corpus path, file count
+    # scales with the corpus — byte-identical at the shipped gate SFs).
+    # Rows-only gates (oracle=None) stay past slot 50 as always.
     # ------------------------------------------------------------------
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
@@ -9150,13 +9165,14 @@ REGISTRY: dict[str, Query] = {
     "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
     # -- past the driver window: recently-verified r7/r8 gates (all
     # driver-green within the last two rounds) + rows-only tail
     # (oracle=None entries stay last so the weaker rows-only record
     # never occupies a hash slot)
+    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
@@ -9223,7 +9239,6 @@ REGISTRY: dict[str, Query] = {
     "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
     "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
     "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
-    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
     "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
     "nminusone": Query(q_nminusone, SQL_NMINUSONE),

@@ -221,15 +221,31 @@ def test_distinct_parent_pdg_differs(spark, nano, nano_rows):
 
 
 def test_distinct_children_deep(spark, nano, nano_rows):
+    """Reference-kernel semantics (transforms.py:302-431, r9 parity
+    fix): deep sets are EMPTY off chain tops; entries are either
+    different-pdg descendants reached through same-pdg chains, or
+    childless same-pdg chain members ('last ones in the chain')."""
     got = nano.select(
         "event", distinct_children_deep_idx(F.col("GenPart")).alias("dcd")
     ).orderBy("event").collect()
+    n_same_pdg_leaves = 0
     for row, ref in zip(got, nano_rows):
         parts = ref["GenPart"]
+        has_child = {p["genPartIdxMother"] for p in parts}
         for i, kids in enumerate(list(row.dcd or [])):
+            m = parts[i]["genPartIdxMother"]
+            is_top = 0 <= m < len(parts) and parts[m]["pdgId"] != parts[i]["pdgId"]
+            if not is_top:
+                # roots and chain-interior particles: empty by design
+                assert list(kids) == []
+                continue
             for c in kids:
-                # every distinct deep child has a different pdgId
-                assert parts[c]["pdgId"] != parts[i]["pdgId"]
+                if parts[c]["pdgId"] == parts[i]["pdgId"]:
+                    # same-pdg deep child must be a childless chain leaf
+                    assert c not in has_child
+                    n_same_pdg_leaves += 1
+    # fixture is rich enough to exercise the last-in-chain branch
+    assert n_same_pdg_leaves > 0
 
 
 def test_slice_stability(spark, nano):

@@ -29,7 +29,9 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.001"
-GATES = ["dimuon_mass", "ccnet_pipeline", "tree_train", "root_scan"]
+# gbdt_score rides along for the per-executor BatchInferencer model
+# cache — the exact driver-state class local mode hides
+GATES = ["dimuon_mass", "ccnet_pipeline", "tree_train", "root_scan", "gbdt_score"]
 
 _SUBPROC = r"""
 import json, os, sys

@@ -234,3 +234,43 @@ def test_view_walks_match_arrow_kernels(ne_dy):
             assert sorted(a or []) == sorted(b or [])
             n_deep += len(b or [])
     assert n_deep > 0
+
+
+def test_deep_children_invariants(ne_dy):
+    """The reference deep-chain invariants (tests/test_nanoevents.py
+    :35-47) on the real nano_dy GenPart record, through the object API:
+    chain-interior particles never have distinctChildrenDeep; chain
+    tops with children always do; deep children that are same-pdg chain
+    leaves have no children of their own."""
+    view = ne_dy.GenPart.indexed
+    rows = ne_dy.df.select(
+        view.pdgId.alias("pdg"),
+        view.parent.pdgId.alias("par_pdg"),
+        view.parent.c.alias("par_idx"),
+        view.children.count.alias("n_kids"),
+        view.distinctChildrenDeep.count.alias("n_deep"),
+        view.distinctChildrenDeep.pdgId.alias("deep_pdg"),
+        view.distinctChildrenDeep.children.count.alias("deep_kid_counts"),
+    ).collect()
+    n_interior = n_top = n_leafdeep = 0
+    for r in rows:
+        for i, pdg in enumerate(r.pdg):
+            # parents in decay chains (same pdg as their parent) never
+            # have distinctChildrenDeep
+            if r.par_pdg[i] is not None and r.par_pdg[i] == pdg:
+                assert r.n_deep[i] == 0
+                n_interior += 1
+            # parents at the top of chains that have children always do
+            if (
+                r.par_idx[i] is not None
+                and r.par_pdg[i] != pdg
+                and r.n_kids[i] > 0
+            ):
+                assert r.n_deep[i] > 0
+                n_top += 1
+            # same-pdg deep children (chain leaves) have no children
+            for dp, nk in zip(r.deep_pdg[i] or [], r.deep_kid_counts[i] or []):
+                if dp == pdg:
+                    assert nk == 0
+                    n_leafdeep += 1
+    assert n_interior > 0 and n_top > 0
