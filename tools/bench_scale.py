@@ -52,6 +52,30 @@ HEAVY = [
     "knn_classify",
 ]
 
+# the relational/physics core (TPC-H-shaped tables + the jagged event
+# model): scan+agg, broadcast star join, windows, sessionization,
+# within-event combinatorics, N-D histograms, the corrected-jets chain
+RELATIONAL = [
+    "pricing_summary",
+    "region_revenue",
+    "topk_per_group",
+    "running_window",
+    "sessionize",
+    "events_hourly",
+    "hist3d",
+    "cutflow",
+    "dimuon_mass",
+    "boost_cosstar",
+    "jagged_reduce",
+    "xref_roundtrip",
+    "combinations_pairs",
+    "quads_metric",
+    "salted_join",
+    "corrected_jets_det",
+]
+
+SETS = {"heavy": HEAVY, "relational": RELATIONAL}
+
 
 def main() -> None:
     sf_dirs = sys.argv[1:] or [
@@ -59,15 +83,17 @@ def main() -> None:
         "/tmp/scale/sf0.1",
         "/tmp/scale/sf1",
     ]
+    gate_set = os.environ.get("SPARK_GRAFT_SCALE_SET", "heavy")
+    gates = SETS[gate_set]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     spark = get_spark(app_name="coffea-spark-scale", cpus=cpus)
 
     sfs = [float(d.rstrip("/").rsplit("sf", 1)[-1]) for d in sf_dirs]
-    out: dict[str, dict] = {name: {"sf": {}} for name in HEAVY}
+    out: dict[str, dict] = {name: {"sf": {}} for name in gates}
     for d, sf in zip(sf_dirs, sfs):
         spark.read.parquet(os.path.join(d, "documents.parquet")).count()  # warm
-        for name in HEAVY:
+        for name in gates:
             q = REGISTRY[name]
             samples = []
             for _ in range(reps):
@@ -86,7 +112,7 @@ def main() -> None:
             )
         spark.sparkContext._jvm.System.gc()
 
-    for name in HEAVY:
+    for name in gates:
         pts = sorted(
             ((float(s), v["median"]) for s, v in out[name]["sf"].items())
         )
@@ -102,11 +128,12 @@ def main() -> None:
         "reps": reps,
         "cpus": cpus,
         "sf_dirs": sf_dirs,
+        "set": gate_set,
         "operators": out,
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_SCALE_LATEST.json",
+        (f"BENCH_SCALE_{gate_set.upper()}_LATEST.json" if gate_set != "heavy" else "BENCH_SCALE_LATEST.json"),
     )
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1, sort_keys=True)

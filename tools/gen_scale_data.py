@@ -131,6 +131,157 @@ def gen_embeddings(out_dir: str, sf: float, seed: int = 44, dim: int = 64) -> in
     return n
 
 
+def gen_dimensions(out_dir: str, sf: float, seed: int = 45) -> dict[str, int]:
+    """The rest of the star schema (driver-observed shapes) so ANY
+    registry gate can run at a rehearsal SF: orders/customer/supplier/
+    part keyed consistently with gen_lineitem's FK domains, fixed
+    nation/region, and the events stream table."""
+    rng = np.random.default_rng(seed)
+    counts: dict[str, int] = {}
+
+    n_orders = int(round(1500000 * sf))
+    od = np.datetime64("1995-01-01") + rng.integers(0, 2400, n_orders).astype(
+        "timedelta64[D]"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+                "o_custkey": pa.array(
+                    rng.integers(0, max(150, int(round(150000 * sf))), n_orders),
+                    pa.int64(),
+                ),
+                "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n_orders)),
+                "o_totalprice": pa.array(
+                    np.round(rng.uniform(1000.0, 500000.0, n_orders), 2)
+                ),
+                "o_orderdate": pa.array(od.astype("datetime64[us]")),
+                "o_orderpriority": pa.array(
+                    rng.choice(
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                        n_orders,
+                    )
+                ),
+            }
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    counts["orders"] = n_orders
+
+    n_cust = max(150, int(round(150000 * sf)))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                "c_name": pa.array([f"Customer_{i}" for i in range(n_cust)]),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, n_cust).astype(np.int32), pa.int32()
+                ),
+                "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
+                "c_mktsegment": pa.array(
+                    rng.choice(
+                        ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"],
+                        n_cust,
+                    )
+                ),
+            }
+        ),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    counts["customer"] = n_cust
+
+    n_supp = max(10, int(round(10000 * sf)))
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+                "s_name": pa.array([f"Supplier_{i}" for i in range(n_supp)]),
+                "s_nationkey": pa.array(
+                    rng.integers(0, 25, n_supp).astype(np.int32), pa.int32()
+                ),
+                "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
+            }
+        ),
+        os.path.join(out_dir, "supplier.parquet"),
+    )
+    counts["supplier"] = n_supp
+
+    n_part = max(200, int(round(200000 * sf)))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+                "p_name": pa.array([f"part_{i}" for i in range(n_part)]),
+                "p_brand": pa.array(
+                    [f"Brand#{int(b)}" for b in rng.integers(0, 25, n_part)]
+                ),
+                "p_type": pa.array(
+                    rng.choice(["SMALL", "MEDIUM", "LARGE", "ECONOMY", "STANDARD"], n_part)
+                ),
+                "p_size": pa.array(
+                    rng.integers(1, 51, n_part).astype(np.int32), pa.int32()
+                ),
+                "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, n_part), 2)),
+            }
+        ),
+        os.path.join(out_dir, "part.parquet"),
+    )
+    counts["part"] = n_part
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(np.arange(25, dtype=np.int32), pa.int32()),
+                "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+                "n_regionkey": pa.array(
+                    (np.arange(25) % 5).astype(np.int32), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(out_dir, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(np.arange(5, dtype=np.int32), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+                ),
+            }
+        ),
+        os.path.join(out_dir, "region.parquet"),
+    )
+    counts["nation"], counts["region"] = 25, 5
+
+    n_ev = int(round(1000000 * sf))
+    ts = np.datetime64("2024-01-01") + np.sort(
+        rng.integers(0, 30 * 86400 * 10**6, n_ev)
+    ).astype("timedelta64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev), pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array(
+                    rng.integers(0, max(15, int(round(15000 * sf))), n_ev), pa.int64()
+                ),
+                "event_type": pa.array(
+                    rng.choice(
+                        ["view", "click", "purchase", "signup", "error"], n_ev
+                    )
+                ),
+                "value": pa.array(np.round(rng.exponential(80.0, n_ev), 2)),
+                "props": pa.array(
+                    [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)]
+                ),
+            }
+        ),
+        os.path.join(out_dir, "events.parquet"),
+    )
+    counts["events"] = n_ev
+    return counts
+
+
 def main() -> None:
     sf = float(sys.argv[1])
     out_dir = sys.argv[2]
@@ -138,7 +289,11 @@ def main() -> None:
     nd = gen_documents(out_dir, sf)
     nl = gen_lineitem(out_dir, sf)
     ne = gen_embeddings(out_dir, sf)
-    print(f"wrote {out_dir}: documents={nd} lineitem={nl} embeddings={ne}")
+    dims = gen_dimensions(out_dir, sf)
+    print(
+        f"wrote {out_dir}: documents={nd} lineitem={nl} embeddings={ne} "
+        + " ".join(f"{k}={v}" for k, v in dims.items())
+    )
 
 
 if __name__ == "__main__":
