@@ -74,7 +74,20 @@ RELATIONAL = [
     "corrected_jets_det",
 ]
 
-SETS = {"heavy": HEAVY, "relational": RELATIONAL}
+# Structured Streaming surface: state-store growth is the scale axis —
+# windowed aggs, sessions, stream-stream joins, dedup state, sketches
+STREAMING = [
+    "stream_windowed_hist",
+    "stream_cutflow",
+    "stream_sessions",
+    "stream_enrich",
+    "stream_interval_join",
+    "stream_dedup",
+    "stream_ewma",
+    "stream_heavy_hitters",
+]
+
+SETS = {"heavy": HEAVY, "relational": RELATIONAL, "streaming": STREAMING}
 
 
 def main() -> None:
@@ -84,7 +97,12 @@ def main() -> None:
         "/tmp/scale/sf1",
     ]
     gate_set = os.environ.get("SPARK_GRAFT_SCALE_SET", "heavy")
-    gates = SETS[gate_set]
+    explicit = os.environ.get("SPARK_GRAFT_SCALE_GATES")
+    gates = (
+        [g for g in explicit.split(",") if g] if explicit else SETS[gate_set]
+    )
+    if explicit:
+        gate_set = "custom"
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     spark = get_spark(app_name="coffea-spark-scale", cpus=cpus)
