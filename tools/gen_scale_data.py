@@ -9,9 +9,18 @@ statistically equivalent inputs at any SF — it does NOT byte-reproduce
 the driver data (different RNG), so gate oracles are not run on it;
 it exists for BENCH_SCALE.md timing curves only.
 
-Scope: `documents` and `lineitem` — the two tables the 12 heaviest
-registry gates read (the others read dimension tables too small to
-shape scaling). Usage:
+Scope: the full star schema — documents, lineitem, embeddings, orders,
+customer, supplier, part, nation, region, events — so ANY registry
+gate runs at a rehearsal SF.
+
+Row groups are explicitly bounded (8192 rows for documents/embeddings):
+pyarrow's default writes small tables as ONE row group, and a
+single-row-group parquet file is UNSPLITTABLE — Spark scans it with one
+task, serializing the scan stage no matter how many cores exist. At
+sf10 that artifact alone made the MinHash signature stage look
+super-linear (one task exploding 27M shingles). The same rule applies
+to real 100 TB ingestion: writer row-group size bounds scan
+parallelism.
 
     python tools/gen_scale_data.py 1 /tmp/scale/sf1
 """
@@ -65,7 +74,7 @@ def gen_documents(out_dir: str, sf: float, seed: int = 42) -> int:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"), row_group_size=8192)
     return n
 
 
@@ -127,7 +136,7 @@ def gen_embeddings(out_dir: str, sf: float, seed: int = 44, dim: int = 64) -> in
             "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"), row_group_size=8192)
     return n
 
 
