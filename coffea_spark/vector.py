@@ -163,14 +163,21 @@ def add(a, b, *, with_charge: bool = False) -> Column:
 
 
 def scale(v, k) -> Column:
-    """Scalar multiply a PtEtaPhiM vector (pt and mass scale; direction
-    fixed). Reference: vector.py:590-627 PtEtaPhiM * scalar."""
+    """Scalar multiply a PtEtaPhiM vector, reference-exact
+    (vector.py:590-606 PtEtaPhiMLorentzVector.multiply): pt and mass
+    scale by |k| (they stay physical), a NEGATIVE k flips the direction
+    instead — eta picks up sign(k), phi becomes phi % 2π − π·[k<0] (the
+    reference's representative; kinematics are 2π-periodic)."""
     k = F.lit(k) if not isinstance(k, Column) else k
+    absk = F.abs(k)
     return F.struct(
-        (_f(v, "pt") * k).alias("pt"),
-        _f(v, "eta").alias("eta"),
-        _f(v, "phi").alias("phi"),
-        (_f(v, "mass") * k).alias("mass"),
+        (_f(v, "pt") * absk).alias("pt"),
+        (_f(v, "eta") * F.signum(k)).alias("eta"),
+        (
+            F.pmod(_f(v, "phi"), F.lit(2 * PI))
+            - F.lit(PI) * (k < 0).cast("double")
+        ).alias("phi"),
+        (_f(v, "mass") * absk).alias("mass"),
     )
 
 

@@ -238,3 +238,132 @@ def test_add_promoted_cartesian_input(spark):
     for r in rows:
         assert abs(r.dpt) < 1e-9
         assert abs(r.dm) < 1e-6
+
+
+def _jag3(spark, xs, ys, zs):
+    import pyspark.sql.functions as F
+
+    rows = [
+        ([{"x": float(x), "y": float(y), "z": float(z)} for x, y, z in zip(a, b, c)],)
+        for a, b, c in zip(xs, ys, zs)
+    ]
+    return spark.createDataFrame(
+        rows, "v array<struct<x double, y double, z double>>"
+    ).withColumn("_i", F.monotonically_increasing_id())
+
+
+def test_three_vector_hand_values(spark):
+    """Reference tests/test_nanoevents_vector.py:103-213 ported: the
+    hand-valued 3-vector table over a JAGGED layout including an empty
+    event — dot, cross (both orders), negation, unit."""
+    import pyspark.sql.functions as F
+
+    ax, ay, az = [[1, 2], [], [3], [4]], [[5, 6], [], [7], [8]], [[9, 10], [], [11], [12]]
+    bx, by, bz = [[4, 1], [], [10], [11]], [[17, 7], [], [11], [6]], [[9, 11], [], [5], [16]]
+    a = _jag3(spark, ax, ay, az).withColumnRenamed("v", "a")
+    b = _jag3(spark, bx, by, bz).withColumnRenamed("v", "b")
+    df = a.join(b, "_i").orderBy("_i")
+
+    out = df.select(
+        F.zip_with("a", "b", lambda p, q: vec.dot3(p, q)).alias("dot_ab"),
+        F.zip_with("b", "a", lambda p, q: vec.dot3(p, q)).alias("dot_ba"),
+        F.zip_with("a", "b", lambda p, q: vec.cross3(p, q)).alias("cross_ab"),
+        F.zip_with("b", "a", lambda p, q: vec.cross3(p, q)).alias("cross_ba"),
+        F.transform("a", vec.negative3).alias("neg"),
+        F.transform("a", lambda p: vec.r3(vec.unit3(p))).alias("unit_r"),
+        F.transform(
+            "a", lambda p: F.atan2(vec.unit3(p)["y"], vec.unit3(p)["x"]) - F.atan2(p["y"], p["x"])
+        ).alias("unit_dphi"),
+    ).collect()
+
+    want_dot = [[170, 154], [], [162], [284]]
+    want_cross = [
+        [(-108, 27, -3), (-4, -12, 8)],
+        [],
+        [(-86, 95, -37)],
+        [(56, 68, -64)],
+    ]
+    for i, r in enumerate(out):
+        assert [v for v in r.dot_ab] == want_dot[i]
+        assert [v for v in r.dot_ba] == want_dot[i]
+        got_ab = [(c.x, c.y, c.z) for c in r.cross_ab]
+        assert got_ab == [tuple(map(float, t)) for t in want_cross[i]]
+        got_ba = [(c.x, c.y, c.z) for c in r.cross_ba]
+        assert got_ba == [tuple(-float(v) for v in t) for t in want_cross[i]]
+        assert [(n.x, n.y, n.z) for n in r.neg] == [
+            (-x, -y, -z) for x, y, z in zip(ax[i], ay[i], az[i])
+        ]
+        for u in r.unit_r:
+            assert u == pytest.approx(1.0, abs=1e-12)
+        for d in r.unit_dphi:
+            assert d == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ptetaphim_scalar_multiply_reference_semantics(spark):
+    """Reference PtEtaPhiMLorentzVector.multiply (vector.py:590-606):
+    a NEGATIVE scalar keeps pt/mass physical (|k|) and flips the
+    direction — eta * sign(k), phi - pi; scale(v, -1) == negative(v);
+    divide is multiply by 1/k."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    rows = [(10.0, 1.2, 0.4, 5.0), (7.0, -0.3, -2.9, 1.0)]
+    df = spark.createDataFrame(rows, "pt double, eta double, phi double, mass double")
+    v = F.struct("pt", "eta", "phi", "mass")
+    out = df.select(
+        vec.scale(v, 2.0).alias("x2"),
+        vec.scale(v, -2.0).alias("xm2"),
+        vec.scale(v, -1.0).alias("xm1"),
+        vec.negative(v).alias("neg"),
+    ).collect()
+    for (pt, eta, phi, mass), r in zip(rows, out):
+        assert (r.x2.pt, r.x2.mass) == (2 * pt, 2 * mass)
+        assert r.x2.eta == eta
+        # positive k keeps the 2pi-periodic representative
+        assert math.cos(r.x2.phi) == pytest.approx(math.cos(phi), abs=1e-12)
+        assert math.sin(r.x2.phi) == pytest.approx(math.sin(phi), abs=1e-12)
+        # negative k: physical pt/mass, flipped direction
+        assert (r.xm2.pt, r.xm2.mass) == (2 * pt, 2 * mass)
+        assert r.xm2.eta == -eta
+        assert math.cos(r.xm2.phi) == pytest.approx(-math.cos(phi), abs=1e-12)
+        assert math.sin(r.xm2.phi) == pytest.approx(-math.sin(phi), abs=1e-12)
+        # scale(v, -1) == negative(v) (same direction flip)
+        assert r.xm1.pt == r.neg.pt and r.xm1.eta == r.neg.eta
+        assert math.cos(r.xm1.phi) == pytest.approx(math.cos(r.neg.phi), abs=1e-12)
+        assert r.xm1.mass == r.neg.mass
+
+
+def test_lorentz_boost_to_rest_frame_hand_values(spark):
+    """Reference test_lorentz_vector boost check (:319-326): boosting a
+    vector by -boostvec lands its momentum at zero — on the cartesian
+    hand-value table with an empty event."""
+    import pyspark.sql.functions as F
+
+    xs = [[1.0, 2.0], [], [3.0], [4.0]]
+    ys = [[5.0, 6.0], [], [7.0], [8.0]]
+    zs = [[9.0, 10.0], [], [11.0], [12.0]]
+    ts = [[50.0, 51.0], [], [52.0], [53.0]]
+    rows = [
+        ([{"px": x, "py": y, "pz": z, "energy": t} for x, y, z, t in zip(a, b, c, d)],)
+        for a, b, c, d in zip(xs, ys, zs, ts)
+    ]
+    df = spark.createDataFrame(
+        rows, "v array<struct<px double, py double, pz double, energy double>>"
+    )
+
+    def rest(p):
+        beta = F.struct(
+            (p["px"] / p["energy"]).alias("x"),
+            (p["py"] / p["energy"]).alias("y"),
+            (p["pz"] / p["energy"]).alias("z"),
+        )
+        return vec.boost_xyzt(p, vec.negative3(beta))
+
+    out = df.select(F.transform("v", rest).alias("r")).collect()
+    n = 0
+    for row in out:
+        for p in row.r:
+            assert abs(p.x) < 1e-9 and abs(p.y) < 1e-9 and abs(p.z) < 1e-9
+            n += 1
+    assert n == 4
