@@ -301,3 +301,53 @@ def test_patchify_partition_property(h, w, p):
     c = patchify(np.full((h, w), 7.25), p)
     if c.size:
         np.testing.assert_allclose(c, 7.25)
+
+
+# genealogy forest: each particle's mother is an earlier index or -1
+# (the forward-ordered shape generators emit), pdg from a tiny alphabet
+# so same-pdg chains actually occur
+@st.composite
+def _forests(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    mothers = [draw(st.integers(min_value=-1, max_value=i - 1)) for i in range(n)]
+    pdgs = [draw(st.sampled_from([1, 2, 3])) for _ in range(n)]
+    return mothers, pdgs
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_forests(), min_size=1, max_size=4))
+def test_genealogy_view_matches_kernels_property(spark, events):
+    """GenealogyView's pure-column walks (distinctParent,
+    distinctChildrenDeep) must agree with the Arrow kernels on RANDOM
+    genealogy forests — chains, branches, roots, multi-root events —
+    not just the fixtures. Deep sets compare order-insensitively."""
+    from coffea_spark.genealogy import (
+        distinct_children_deep_idx,
+        distinct_parent_idx,
+    )
+    from coffea_spark.nanoevents import GenealogyView
+
+    rows = [
+        ([{"genPartIdxMother": m, "pdgId": p} for m, p in zip(ms, ps)],)
+        for ms, ps in events
+    ]
+    df = spark.createDataFrame(
+        rows, "gp array<struct<genPartIdxMother int, pdgId int>>"
+    )
+    idx0 = F.transform(F.col("gp"), lambda x, i: i)
+    view = GenealogyView(F.col("gp"), idx0, 1)
+    got = df.select(
+        view.distinctParent.c.alias("dp_v"),
+        distinct_parent_idx(F.col("gp")).alias("dp_k"),
+        view.distinctChildrenDeep.c.alias("deep_v"),
+        distinct_children_deep_idx(F.col("gp")).alias("deep_k"),
+        view.children.c.alias("kids_v"),
+    ).collect()
+    for r, (ms, ps) in zip(got, events):
+        assert list(r.dp_v) == list(r.dp_k)
+        for a, b in zip(r.deep_v, r.deep_k):
+            assert sorted(a or []) == sorted(b or [])
+        # children from the view == direct inversion of the mother array
+        for i, kids in enumerate(r.kids_v):
+            want = [j for j, m in enumerate(ms) if m == i]
+            assert sorted(kids or []) == want
