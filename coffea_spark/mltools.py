@@ -108,32 +108,58 @@ def _import_gate(module: str, extra: str):
     return loader_factory
 
 
-def torch_wrapper(model_path: str, name: str = "torch-model") -> BatchInferencer:
-    """Reference: ml_tools/torch_wrapper.py:14."""
-    try:
-        import torch  # noqa: F401
-    except ImportError:
-        raise ImportError(
-            "torch not installed; torch_wrapper mirrors BatchInferencer with "
-            "loader=torch.jit.load(model_path)"
-        )
+def torch_wrapper(
+    model_path: str, name: str = "torch-model", *, backend=None
+) -> BatchInferencer:
+    """TorchScript inference through the BatchInferencer protocol
+    (reference ml_tools/torch_wrapper.py:14): the model loads ONCE per
+    executor via ``backend.jit.load``, each Arrow batch's numpy columns
+    cross into tensors with ``backend.from_numpy`` and back with
+    ``.detach().numpy()``.
+
+    ``backend`` injects a torch-compatible module — tests drive the
+    full Spark protocol (per-executor cache, Arrow marshaling, output
+    reshaping) with a numpy fake since this container has no torch
+    wheel; omitted, the real torch imports (ImportError when absent)."""
+    if backend is None:
+        try:
+            import torch as backend  # noqa: F811
+        except ImportError:
+            raise ImportError(
+                "torch not installed; torch_wrapper mirrors BatchInferencer "
+                "with loader=torch.jit.load(model_path) — pass backend= to "
+                "inject a torch-compatible module"
+            )
+    t = backend
     return BatchInferencer(
         name,
-        lambda: __import__("torch").jit.load(model_path),
-        lambda m, *xs: m(*[__import__("torch").from_numpy(x) for x in xs]).detach().numpy(),
+        lambda: t.jit.load(model_path),
+        lambda m, *xs: np.asarray(
+            m(*[t.from_numpy(x) for x in xs]).detach().numpy()
+        ),
     )
 
 
-def xgboost_wrapper(model_path: str, name: str = "xgb-model") -> BatchInferencer:
-    """Reference: ml_tools/xgboost_wrapper.py:14."""
-    try:
-        import xgboost  # noqa: F401
-    except ImportError:
-        raise ImportError(
-            "xgboost not installed; xgboost_wrapper mirrors BatchInferencer "
-            "with loader=xgboost.Booster(model_file=model_path)"
-        )
-    import xgboost as xgb
+def xgboost_wrapper(
+    model_path: str, name: str = "xgb-model", *, backend=None
+) -> BatchInferencer:
+    """Booster inference through BatchInferencer (reference
+    ml_tools/xgboost_wrapper.py:14): load_model once per executor,
+    predict over a DMatrix per Arrow batch. ``backend`` injects an
+    xgboost-compatible module for protocol tests (no wheel here); the
+    pure-numpy XGBoost-JSON path (:func:`gbdt_wrapper`) covers real
+    ensembles without the runtime."""
+    if backend is None:
+        try:
+            import xgboost as backend  # noqa: F811
+        except ImportError:
+            raise ImportError(
+                "xgboost not installed; xgboost_wrapper mirrors "
+                "BatchInferencer with loader=xgboost.Booster("
+                "model_file=model_path) — gbdt_wrapper runs the JSON "
+                "dumps without the wheel, or pass backend="
+            )
+    xgb = backend
 
     def load():
         booster = xgb.Booster()
@@ -141,16 +167,51 @@ def xgboost_wrapper(model_path: str, name: str = "xgb-model") -> BatchInferencer
         return booster
 
     return BatchInferencer(
-        name, load, lambda m, x: m.predict(xgb.DMatrix(x))
+        name, load, lambda m, x: np.asarray(m.predict(xgb.DMatrix(x)))
     )
 
 
-def triton_wrapper(url: str, model: str, name: str = "triton-model") -> BatchInferencer:
-    """Reference: ml_tools/triton_wrapper.py:19 (remote inference server).
-    Requires tritonclient; the UDF would POST Arrow batches to the server."""
-    raise ImportError(
-        "tritonclient not installed; triton_wrapper would wrap BatchInferencer "
-        "with an HTTP predict callable against " + url + "/" + model
+def triton_wrapper(
+    url: str, model: str, name: str = "triton-model", *, client_factory=None
+) -> BatchInferencer:
+    """Remote inference-server scoring through BatchInferencer
+    (reference ml_tools/triton_wrapper.py:19): one client per executor,
+    each Arrow batch's stacked numpy inputs POSTed as one inference
+    request. ``client_factory(url, model)`` must return an object with
+    ``infer(*arrays) -> np.ndarray`` — tests inject a fake server to
+    drive the whole Spark path; omitted, the real tritonclient imports
+    (ImportError when absent, as in this container)."""
+    if client_factory is None:
+        try:
+            import tritonclient.http  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                "tritonclient not installed; triton_wrapper wraps "
+                "BatchInferencer with an HTTP predict callable against "
+                f"{url}/{model} — pass client_factory= to inject one"
+            )
+
+        def client_factory(u, m):  # noqa: F811 — real-runtime branch
+            import tritonclient.http as _http
+
+            client = _http.InferenceServerClient(url=u)
+
+            class _Client:
+                def infer(self, *arrays):
+                    inputs = []
+                    for i, a in enumerate(arrays):
+                        ti = _http.InferInput(f"INPUT{i}", list(a.shape), "FP32")
+                        ti.set_data_from_numpy(a.astype(np.float32))
+                        inputs.append(ti)
+                    res = client.infer(m, inputs)
+                    return res.as_numpy("OUTPUT0")
+
+            return _Client()
+
+    return BatchInferencer(
+        name,
+        lambda: client_factory(url, model),
+        lambda c, *xs: np.asarray(c.infer(*xs)),
     )
 
 
