@@ -119,9 +119,18 @@ class DataDiscovery:
     """Programmatic, deterministic counterpart of the reference's
     DataDiscoveryCLI query -> select -> replicas -> preprocess flow."""
 
-    def __init__(self, catalog: LocalCatalog | dict | str):
+    def __init__(self, catalog):
+        # backend seam, mirroring the reference's injectable client
+        # (rucio_utils.get_dataset_files_replicas(client=...),
+        # dataset_query.py grid backends): ANY object implementing
+        # query_dataset / dataset_metadata / get_dataset_files_replicas
+        # plugs in — a LocalCatalog (dict/JSON manifest), or a grid
+        # transport wrapper where Rucio/DAS is reachable. A dict/path
+        # coerces to LocalCatalog.
         self.catalog = (
-            catalog if isinstance(catalog, LocalCatalog) else LocalCatalog(catalog)
+            catalog
+            if hasattr(catalog, "query_dataset")
+            else LocalCatalog(catalog)
         )
         self.last_query: str | None = None
         self.last_query_list: list[str] = []
