@@ -30,8 +30,18 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.001"
 # gbdt_score rides along for the per-executor BatchInferencer model
-# cache — the exact driver-state class local mode hides
-GATES = ["dimuon_mass", "ccnet_pipeline", "tree_train", "root_scan", "gbdt_score"]
+# cache — the exact driver-state class local mode hides; the two
+# streaming gates put the state store (windowed partials, dedup keys)
+# behind real executor boundaries and a real checkpoint round-trip
+GATES = [
+    "dimuon_mass",
+    "ccnet_pipeline",
+    "tree_train",
+    "root_scan",
+    "gbdt_score",
+    "stream_windowed_hist",
+    "stream_dedup",
+]
 
 _SUBPROC = r"""
 import json, os, sys
