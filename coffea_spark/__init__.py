@@ -30,7 +30,7 @@ from coffea_spark.schema import (
     ScoutingNanoAODSchema,
 )
 from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
-from coffea_spark.nanoevents import Collection, NanoEvents, Record
+from coffea_spark.nanoevents import Collection, GenealogyView, NanoEvents, Record
 from coffea_spark.rntuple import RNTupleReader
 from coffea_spark.root_reader import (
     RootTreeReader,
@@ -47,6 +47,7 @@ __all__ = [
     "zip_collections",
     "unzip_collection",
     "infer_collection_groups",
+    "GenealogyView",
     "NanoEvents",
     "Collection",
     "Record",

@@ -274,3 +274,16 @@ def test_deep_children_invariants(ne_dy):
                     assert nk == 0
                     n_leafdeep += 1
     assert n_interior > 0 and n_top > 0
+
+
+def test_empty_selection_issue409(ne_dy):
+    """Reference issue-409 regression (tests/test_nanoevents.py:106):
+    an EMPTY event selection must flow through the object API — empty
+    collections, empty genealogy — without errors."""
+    empty = ne_dy.filter(F.lit(False))
+    view_rows = empty.df.select(
+        empty.GenPart.pt.alias("pt"),
+        empty.GenPart.indexed.children.pdgId.alias("cp"),
+    ).collect()
+    assert view_rows == []
+    assert empty.df.count() == 0
