@@ -158,8 +158,19 @@ def _deep_children_event(m_loc, p_loc, n: int) -> list:
             except StopIteration:
                 stack.pop()
                 continue
-            if p_loc[c] == pdg and len(stack) <= n:
+            if p_loc[c] == pdg:
                 if kids[c]:
+                    if len(stack) >= n:
+                        # an acyclic event of n particles can nest at
+                        # most n chain frames; needing frame n+1 means
+                        # the mother graph is cyclic — fail loud like
+                        # the reference kernel's out-of-bounds
+                        # RuntimeErrors (transforms.py:302-431), never
+                        # emit a chain-interior node as if childless
+                        raise RuntimeError(
+                            "distinctChildrenDeep: descent depth exceeded "
+                            f"event size ({n}) — cyclic mother graph"
+                        )
                     stack.append(iter(kids[c]))
                 else:
                     acc.append(c)  # childless chain member: last in chain

@@ -412,9 +412,13 @@ def minhash_lsh_candidates(
     )
     exploded = sig.select(id_col, F.posexplode("bh").alias("band", "h"))
     if max_bucket_size is not None:
+        # cache the bucket-size aggregate so the guardrail costs ONE
+        # aggregation job: the oversized count below materializes the
+        # cache, and the semi-join that feeds the candidate join reuses
+        # it instead of re-shuffling the full exploded table
         sizes = exploded.groupBy("band", "h").agg(
             F.count(F.lit(1)).alias("_bsz")
-        )
+        ).persist()
         dropped = sizes.filter(F.col("_bsz") > max_bucket_size)
         n_dropped = dropped.count()
         if n_dropped:

@@ -43,6 +43,27 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+#: default ceiling for the "query/seed table is TINY" contract — tables
+#: that ride the driver (collect) or every executor (broadcast closure)
+MAX_SMALL_SIDE_ROWS = 100_000
+
+
+def _assert_small_side(df: DataFrame, cap: int, what: str) -> None:
+    """Mechanically enforce the small-side contract instead of trusting
+    the docstring: bounded probe (``limit(cap+1).count()`` — the scan
+    stops once cap+1 rows are found, it never counts the full table)
+    that fails LOUD when the side is too big to collect/broadcast.
+    Callers past the cap should route through the bucketed joins
+    (lsh/ivf candidate paths) instead."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{what} has > {cap} rows — too large for the driver-side "
+            "small-table path; use the LSH/IVF bucketed candidate joins "
+            "(or raise the cap explicitly if you know the memory fits)"
+        )
+
+
 def topk_cosine(
     df: DataFrame,
     query: list[float],
@@ -452,6 +473,7 @@ def knn_classify(
     id_col: str = "vec_id",
     label_col: str = "label",
     round_digits: int | None = None,
+    max_train_rows: int = MAX_SMALL_SIDE_ROWS,
 ) -> DataFrame:
     """Exact k-NN label prediction: for every test vector, the majority
     label among its k nearest training vectors by cosine; ties break to
@@ -473,6 +495,7 @@ def knn_classify(
     """
     from pyspark.sql import Window
 
+    _assert_small_side(train, max_train_rows, "knn_classify train (broadcast) side")
     tr = train.select(
         F.col(id_col).alias("_tid"),
         F.col(vec_col).alias("_tv"),
@@ -628,6 +651,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     normalize: bool = True,
+    max_query_rows: int = MAX_SMALL_SIDE_ROWS,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query a (m, n_codes) lookup table
     of query-subvector-to-centroid distances, then every corpus vector
@@ -639,6 +663,7 @@ def pq_adc_topk(
     so the shuffle carries O(batches x Q x k) rows — never the corpus.
     The final global top-k is a window over that small union."""
     m, nk, sub = codebooks.shape
+    _assert_small_side(queries, max_query_rows, "pq_adc_topk query table")
     q_rows = queries.select(qid_col, F.col(qvec_col).cast("array<double>")).collect()
     if not q_rows:
         raise ValueError("empty query table")

@@ -295,7 +295,12 @@ def gbdt_margin(model: dict, X: np.ndarray) -> np.ndarray:
     batch size). Missing features (NaN) route via ``default_left``;
     the decision rule is XGBoost's ``x < threshold -> left``."""
     X = np.asarray(X, dtype=np.float64)
-    _check_feature_count(model, X.shape[1] if X.ndim == 2 else 1)
+    if X.ndim != 2:
+        raise ValueError(
+            "gbdt_margin expects a 2-D feature matrix of shape "
+            f"(n_rows, n_features); got ndim={X.ndim} shape={X.shape}"
+        )
+    _check_feature_count(model, X.shape[1])
     n = X.shape[0]
     out = np.full(n, model["base_score"], dtype=np.float64)
     rows = np.arange(n)

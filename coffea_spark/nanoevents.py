@@ -225,7 +225,10 @@ class GenealogyView:
 
     ``depth`` is the idx column's array nesting (1 = one index per base
     particle; ``children`` adds a level). NULL indices (masked elements,
-    rootless parents) propagate NULL through every accessor.
+    rootless parents) propagate NULL through every ACCESSOR and through
+    ``mask()``; ``where()`` is the one exception — as a hard slice it
+    DROPS NULL-index elements (their predicate evaluates NULL), so use
+    ``mask()`` when masked-out must stay distinguishable from failed-cut.
     """
 
     __slots__ = ("_base", "_idx", "_depth")
@@ -423,7 +426,13 @@ class GenealogyView:
     def where(self, pred: Callable) -> "GenealogyView":
         """Hard object slice that KEEPS genealogy resolution working
         (the reference's ``events.GenPart[mask]`` — indices travel with
-        the slice, so relations still resolve into the full array)."""
+        the slice, so relations still resolve into the full array).
+
+        NULL indices are DROPPED, not kept: ``F.filter`` removes
+        elements whose predicate evaluates NULL, which is every
+        NULL index from a prior ``mask()``. That matches the
+        reference's hard boolean slice (a masked entry cannot pass a
+        cut); use ``mask()`` when NULL passthrough is required."""
         return GenealogyView(
             self._base,
             self._at_list_level(
@@ -453,10 +462,15 @@ class Collection:
     (methods/vector.py:479-561, methods/nanoaod.py:113-723).
     """
 
-    __slots__ = ("_col", "_name", "_events", "_aligned")
+    __slots__ = ("_col", "_name", "_events", "_aligned", "_pristine")
 
     def __init__(
-        self, col: Column, name: str = "<derived>", events=None, aligned: bool = True
+        self,
+        col: Column,
+        name: str = "<derived>",
+        events=None,
+        aligned: bool = True,
+        pristine: Column | None = None,
     ):
         object.__setattr__(self, "_col", col)
         object.__setattr__(self, "_name", name)
@@ -465,6 +479,10 @@ class Collection:
         # preserves alignment (nulls in place); where()/sort_by() break
         # it, which invalidates positional genealogy resolution
         object.__setattr__(self, "_aligned", aligned)
+        # un-masked base for detached (events=None) aligned collections:
+        # mask() stores the pre-mask column here so .indexed resolves
+        # genealogy against pristine structs, not NULL-holed ones
+        object.__setattr__(self, "_pristine", pristine)
 
     @property
     def c(self) -> Column:
@@ -537,7 +555,15 @@ class Collection:
                 ".indexed.where(...) instead of .where(...)"
             )
         ev = self._events
-        base = ev[self._name].c if ev is not None else self._col
+        if ev is not None:
+            base = ev[self._name].c
+        elif self._pristine is not None:
+            # detached mask()-derived collection: resolve against the
+            # stored pre-mask column — self._col has NULL structs and
+            # would silently lose links through masked entries
+            base = self._pristine
+        else:
+            base = self._col
         idx0 = F.transform(self._col, lambda x, i: F.when(x.isNotNull(), i))
         return GenealogyView(base, idx0, 1)
 
@@ -566,6 +592,7 @@ class Collection:
             self._name,
             self._events,
             aligned=self._aligned,
+            pristine=self._pristine if self._pristine is not None else self._col,
         )
 
     def map(self, fn: Callable) -> Column:

@@ -475,3 +475,14 @@ def test_gbdt_train_sql_oracle_degrades_with_spark(spark):
     lang, n, avg_pred, avg_abs_err, f1, thr1, n_stumps = rows[0]
     assert (lang, n, n_stumps) == ("en", 20, 0)
     assert avg_pred == 0.0 and avg_abs_err == 3.0  # y = 3 tokens, pred 0
+
+
+def test_margin_rejects_non_2d(model):
+    """ADVICE r9: a 1-D X must fail loud with the shape message, not
+    fall through the feature-count guess."""
+    from coffea_spark.mltools import gbdt_margin
+
+    with pytest.raises(ValueError, match="2-D feature matrix"):
+        gbdt_margin(model, np.array([0.5, 0.2, 0.1]))
+    with pytest.raises(ValueError, match="2-D feature matrix"):
+        gbdt_margin(model, np.zeros((2, 3, 1)))

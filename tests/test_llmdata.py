@@ -2000,3 +2000,25 @@ def test_patchify_and_patch_features(spark):
     assert abs(r.patch_mean_avg - want.mean()) < 1e-12
     assert abs(r.patch_mean_max - want.max()) < 1e-12
     assert abs(r.patch_contrast - np.sqrt((want**2).mean() - want.mean()**2)) < 1e-9
+
+
+def test_small_side_guard(spark):
+    """VERDICT r9 watch item: the 'query/seed table is TINY' contract is
+    mechanically enforced — collects/broadcasts past the cap raise
+    instead of silently shipping the table."""
+    import pytest
+
+    from coffea_spark.llmdata.similarity import knn_classify, pq_adc_topk, pq_encode, pq_train
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, 0.5], i % 2) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="bucketed candidate joins"):
+        knn_classify(df, df, k=3, max_train_rows=10)
+
+    books = pq_train(df, m=2, n_codes=4, max_sample=30)
+    enc = pq_encode(df, books)
+    q = df.selectExpr("vec_id as qid", "embedding as qvec").limit(20)
+    with pytest.raises(ValueError, match="bucketed candidate joins"):
+        pq_adc_topk(q, enc, books, k=2, max_query_rows=5)
+    # under the cap both paths still work
+    assert len(pq_adc_topk(q.limit(3), enc, books, k=2, max_query_rows=5).collect()) > 0

@@ -287,3 +287,49 @@ def test_empty_selection_issue409(ne_dy):
     ).collect()
     assert view_rows == []
     assert empty.df.count() == 0
+
+
+def test_genroundtrips_detached_mask(ne_dy):
+    """A DETACHED (events=None) Collection that is mask()-sliced must
+    still resolve genealogy against the pristine pre-mask structs —
+    regression for the r9 advice finding (nanoevents.py Collection
+    .indexed base fallback): without the stored pristine column the
+    base contains NULL structs and walks silently lose links through
+    masked entries."""
+    from coffea_spark.nanoevents import Collection
+
+    detached = Collection(F.col("GenPart"), "GenPart")  # no events
+    masked = detached.mask(lambda p: p.eta > 0)
+    _genroundtrips(ne_dy.df, masked.indexed)
+
+    # and the detached walk must agree exactly with the events-attached one
+    attached = ne_dy.GenPart.mask(lambda p: p.eta > 0)
+    a = ne_dy.df.select(masked.indexed.children.pdgId.alias("x")).collect()
+    b = ne_dy.df.select(attached.indexed.children.pdgId.alias("x")).collect()
+    assert a == b
+
+
+def test_deep_children_cyclic_terminates():
+    """ADVICE r9 (genealogy depth guard): adversarial mother-CYCLES must
+    never make the deep walk emit a chain-interior node as childless or
+    hang. For single-valued mother arrays a same-pdg kids-cycle is
+    provably unreachable from a chain top (entering the cycle would need
+    its entry node to be both same-pdg — to descend into — and
+    different-pdg — to make the top condition hold), so the guard is
+    defense-in-depth that now RAISES instead of silently reclassifying;
+    this exercises the reachable cyclic shapes and checks exact
+    reference emit-at-pdg-change semantics."""
+    from coffea_spark.genealogy import _deep_children_event
+
+    # 2-cycle across a pdg change: both are chain tops, each emits the
+    # other at the pdg boundary, no descent loop
+    assert _deep_children_event([1, 0], [1, 2], 2) == [[1], [0]]
+    # self-mother: never a chain top (same pdg as itself) -> empty
+    assert _deep_children_event([0], [5], 1) == [[]]
+    # same-pdg 2-cycle: no valid different-pdg mother anywhere -> empty
+    assert _deep_children_event([1, 0], [7, 7], 2) == [[], []]
+    # normal chain top still walks: 2 (top: mother 3 has different pdg)
+    # -> kid 0 (same pdg, has kid) -> kid 1 (pdg change) emitted
+    assert _deep_children_event([2, 0, 3, -1], [21, 5, 21, 99], 4) == [
+        [], [], [1], [],
+    ]

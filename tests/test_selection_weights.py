@@ -153,3 +153,149 @@ def test_plot_vars_single_pass(spark, nano):
         assert n2 == h2.get(b, 0)
     # totals conserved (flow bins kept)
     assert sum(v[0] for v in got.values()) == nano.count()
+
+
+def test_weights_reference_table(spark):
+    """Port of the reference test_weights (tests/test_analysis_tools.py:
+    64-123): symmetric + shift-mode variations, duplicate-name rejection,
+    variations listing, and the exact expected value table."""
+    import pytest
+
+    n = 200
+    rng = np.random.default_rng(3)
+    scale_central = rng.normal(loc=1.0, scale=0.01, size=n)
+    rows = [{"i": i, "sc": float(s)} for i, s in enumerate(scale_central)]
+    df = spark.createDataFrame(rows, "i long, sc double")
+    sc = F.col("sc")
+
+    weight = Weights()
+    weight.add("test", sc, weightUp=sc * 1.10, weightDown=sc * 0.95)
+    weight.add("testShift", sc, weightUp=0.10 * sc, weightDown=0.05 * sc, shift=True)
+
+    with pytest.raises(ValueError, match="Weight 'test' already exists"):
+        weight.add("test", sc)
+    with pytest.raises(ValueError, match="Up' and 'Down'"):
+        weight.add("badUp", sc)
+
+    for name in ["testShiftUp", "testShiftDown", "testUp", "testDown"]:
+        assert name in weight.variations
+
+    got = (
+        df.orderBy("i")
+        .select(
+            weight.weight().alias("nom"),
+            weight.weight("testUp").alias("up"),
+            weight.weight("testDown").alias("dn"),
+            weight.weight("testShiftUp").alias("sup"),
+            weight.weight("testShiftDown").alias("sdn"),
+        )
+        .toPandas()
+    )
+    exp = scale_central * scale_central
+    assert np.all(np.abs(got["nom"] - exp) < 1e-6)
+    assert np.all(np.abs(got["up"] - exp * 1.10) < 1e-6)
+    assert np.all(np.abs(got["dn"] - exp * 0.95) < 1e-6)
+    # shift=True: up = w + 0.10*w = 1.10*w ; down = w - 0.05*w = 0.95*w
+    assert np.all(np.abs(got["sup"] - exp * 1.10) < 1e-6)
+    assert np.all(np.abs(got["sdn"] - exp * 0.95) < 1e-6)
+
+    # reference test_weights tail: partial_weight with BOTH / NEITHER raises
+    with pytest.raises(ValueError):
+        weight.partial_weight(include=["test"], exclude=["testShift"])
+    with pytest.raises(ValueError):
+        weight.partial_weight()
+
+
+def test_weights_partial_reference_table(spark):
+    """Port of the reference test_weights_partial (tests/
+    test_analysis_tools.py:126-186): include/exclude products, modifier
+    routing into the partial set, store_individual=False rejection, and
+    the Up-only symmetric auto-Down."""
+    import pytest
+
+    n = 200
+    rng = np.random.default_rng(7)
+    w1 = rng.normal(loc=1.0, scale=0.01, size=n)
+    w2 = rng.normal(loc=1.3, scale=0.05, size=n)
+    rows = [{"i": i, "w1": float(a), "w2": float(b)} for i, (a, b) in enumerate(zip(w1, w2))]
+    df = spark.createDataFrame(rows, "i long, w1 double, w2 double")
+
+    weights = Weights(store_individual=True)
+    weights.add("w1", F.col("w1"), weightUp=F.col("w1") * 1.2)  # Up only
+    weights.add("w2", F.col("w2"))
+
+    got = (
+        df.orderBy("i")
+        .select(
+            weights.weight().alias("nom"),
+            weights.partial_weight(exclude=["w1"]).alias("ex1"),
+            weights.partial_weight(include=["w1"]).alias("in1"),
+            weights.partial_weight(exclude=["w2"]).alias("ex2"),
+            weights.partial_weight(include=["w2"]).alias("in2"),
+            weights.partial_weight(include=["w1", "w2"]).alias("inb"),
+            # Up-only variation: Down is served as the symmetric inverse
+            weights.weight("w1Down").alias("autodn"),
+            weights.partial_weight(include=["w1"], modifier="w1Up").alias("pmod"),
+        )
+        .toPandas()
+    )
+    assert np.all(np.abs(got["nom"] - w1 * w2) < 1e-6)
+    assert np.all(np.abs(got["ex1"] - w2) < 1e-6)
+    assert np.all(np.abs(got["in1"] - w1) < 1e-6)
+    assert np.all(np.abs(got["ex2"] - w1) < 1e-6)
+    assert np.all(np.abs(got["in2"] - w2) < 1e-6)
+    assert np.all(np.abs(got["inb"] - w1 * w2) < 1e-6)
+    assert "w1Down" in weights.variations  # synthesized
+    assert np.all(np.abs(got["autodn"] - (w1 * w2) / 1.2) < 1e-6)
+    assert np.all(np.abs(got["pmod"] - w1 * 1.2) < 1e-6)
+
+    # unknown names intersect away (reference uses set ops, no raise)
+    got2 = df.limit(5).select(
+        weights.partial_weight(include=["w1", "nope"]).alias("p")
+    ).toPandas()
+    assert len(got2) == 5
+
+    # modifier outside the partial set raises
+    with pytest.raises(ValueError, match="not in the list of included"):
+        weights.partial_weight(include=["w2"], modifier="w1Up")
+
+    # store_individual=False forbids partial_weight but weight() works
+    w_noind = Weights(store_individual=False)
+    w_noind.add("w1", F.col("w1"))
+    w_noind.add("w2", F.col("w2"))
+    got3 = df.orderBy("i").select(w_noind.weight().alias("nom")).toPandas()
+    assert np.all(np.abs(got3["nom"] - w1 * w2) < 1e-6)
+    with pytest.raises(ValueError, match="store_individual=True"):
+        w_noind.partial_weight(exclude=["w1"])
+
+
+def test_weights_multivariation_and_zero_nominal(spark):
+    """add_multivariation key shape ({name}_{mod}{Up,Down}) + the
+    zero-nominal rule: where nominal==0 the stored modifier stays
+    ABSOLUTE (reference __add_variation_eager:483-500)."""
+    rows = [{"i": 0, "v": 2.0}, {"i": 1, "v": 0.0}, {"i": 2, "v": 4.0}]
+    df = spark.createDataFrame(rows, "i long, v double")
+    v = F.col("v")
+
+    w = Weights()
+    w.add_multivariation(
+        "m", v, ["a", "b"], [v * 1.5, v + 1.0], [v * 0.5, v - 1.0]
+    )
+    assert {"m_aUp", "m_aDown", "m_bUp", "m_bDown"} <= w.variations
+
+    got = df.orderBy("i").select(
+        w.weight().alias("nom"),
+        w.weight("m_aUp").alias("aup"),
+        w.weight("m_bDown").alias("bdn"),
+    ).toPandas()
+    assert np.allclose(got["nom"], [2.0, 0.0, 4.0])
+    # nonzero rows: ratio semantics; zero row: nominal*absolute = 0
+    assert np.allclose(got["aup"], [3.0, 0.0, 6.0])
+    assert np.allclose(got["bdn"], [1.0, 0.0, 3.0])
+
+    # zero-nominal keeps the modifier absolute: weight()==0 there, but
+    # the stored multiplier itself is the raw variation (v+1 = 1.0)
+    got_mod = df.orderBy("i").select(
+        w._modifiers["m_bUp"].alias("mod")
+    ).toPandas()
+    assert np.allclose(got_mod["mod"], [1.5, 1.0, 1.25])
