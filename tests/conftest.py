@@ -14,6 +14,16 @@ def pytest_configure(config):
         "local_cluster: parity smoke against a real-executor "
         "local-cluster master (spawns a subprocess JVM; ~1-2 min)",
     )
+    config.addinivalue_line(
+        "markers",
+        "retry: task-failure injection / checkpoint-recovery determinism "
+        "(spawns a subprocess JVM with task retries enabled; ~2 min)",
+    )
+    config.addinivalue_line(
+        "markers",
+        "memory_pressure: shuffle-heavy gates under tight real-executor "
+        "memory at sf1 (spawns a local-cluster subprocess JVM; slow)",
+    )
 
 
 @pytest.fixture(scope="session")
