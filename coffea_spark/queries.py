@@ -9097,27 +9097,72 @@ class Query:
 # CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
-    # Driver correctness window (first 50): ROUND-9 rotation. Leads with
-    # the 13 r7-driver-verified gates rotated out in r8 so their driver
-    # evidence stays fresh (repetition_signals ... unimax_sample, the r8
-    # verdict's ask #4), then every gate whose code changed in r9:
-    # gbdt_score / tree_train / gbdt_train_boost (base_score logit
-    # conversion, default_left NULL/NaN routing on the column+SQL paths,
-    # feature-count + binary-label validation, LEFT-JOIN degradation in
-    # the boosting oracle) and decontaminate (single-pass combined
-    # report — one gram-table build). The remaining 33 slots recycle the
-    # gates with the OLDEST driver verification (r4/r5 per the
-    # CORRECTNESS_r0* ledger: cutflow, dimuon_mass, genealogy_walk, the
-    # r5 corrections family, the r5 llmdata veterans) so every
-    # oracle-bearing gate's driver evidence keeps rotating. Three more
-    # r9 code changes displace the last three fill slots: deep_children
-    # (distinctChildrenDeep kernel + oracle now reference-faithful —
-    # chain-top gating and childless-chain-member emission,
-    # transforms.py:302-431), and warc_scan + ccnet_pipeline
-    # (_warc_fixture cache key hashes the corpus path, file count
-    # scales with the corpus — byte-identical at the shipped gate SFs).
-    # Rows-only gates (oracle=None) stay past slot 50 as always.
+    # Driver correctness window (first 50): ROUND-10 rotation, by
+    # EVIDENCE AGE (the r9 verdict's ask #3). Leads with the 8 gates
+    # whose code changed in r10 — weights_variations (full reference
+    # partial_weight/modifier surface in weights.py), pq_recall +
+    # knn_classify (mechanical small-side guards in similarity.py),
+    # tree_train / gbdt_train_boost / gbdt_score (gbdt_margin 2-D input
+    # validation), deep_children (deep-walk depth guard now raises),
+    # dimuon_mass (Collection pristine-base tracking in nanoevents.py).
+    # The remaining 42 slots recycle the gates with the OLDEST driver
+    # verification per the CORRECTNESS_r0* ledger: the r5 streaming /
+    # systematics / text veterans, then the r6 cohort (relational core,
+    # schema variants, histograms, lumi, as-of joins) — none driver-
+    # checked since r6. Recounted after insertion: exactly 50 entries
+    # precede the first non-window gate. Rows-only gates (oracle=None)
+    # stay past slot 50 as always.
     # ------------------------------------------------------------------
+    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
+    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
+    "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
+    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
+    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
+    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
+    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
+    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
+    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
+    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
+    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
+    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
+    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
+    "text_quality": Query(q_text_quality, _sql_text_quality()),
+    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
+    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
+    "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
+    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
+    "treemaker_subjets": Query(q_treemaker_subjets, SQL_TREEMAKER_SUBJETS),
+    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
+    "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
+    "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
+    "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
+    "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
+    "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
+    "nminusone": Query(q_nminusone, SQL_NMINUSONE),
+    "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
+    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
+    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
+    "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
+    "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
+    "nearest_gap": Query(q_nearest, SQL_NEAREST),
+    "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
+    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
+    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
+    "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
+    "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
+    "weight_stats": Query(q_weight_stats, SQL_WEIGHT_STATS),
+    "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
+    "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
+    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
+    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
+    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
+    "topk_per_group": Query(q_topk_per_group, SQL_TOPK_PER_GROUP),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
     "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
@@ -9131,12 +9176,8 @@ REGISTRY: dict[str, Query] = {
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
-    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
-    "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
-    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "cutflow": Query(q_cutflow, SQL_CUTFLOW),
-    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
     "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
     "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
     "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
@@ -9156,7 +9197,6 @@ REGISTRY: dict[str, Query] = {
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
     "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
-    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
     "lang_id": Query(q_lang_id, _sql_lang_id()),
     "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
@@ -9165,16 +9205,8 @@ REGISTRY: dict[str, Query] = {
     "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
-    # -- past the driver window: recently-verified r7/r8 gates (all
-    # driver-green within the last two rounds) + rows-only tail
-    # (oracle=None entries stay last so the weaker rows-only record
-    # never occupies a hash slot)
-    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
-    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
-    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
     "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
@@ -9216,51 +9248,10 @@ REGISTRY: dict[str, Query] = {
     "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
-    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
-    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
-    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
-    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
     "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
-    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
-    "text_quality": Query(q_text_quality, _sql_text_quality()),
-    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
-    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
-    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    "quantiles": Query(q_quantiles, SQL_QUANTILES),
-    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
-    "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
-    "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
-    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
-    "treemaker_subjets": Query(q_treemaker_subjets, SQL_TREEMAKER_SUBJETS),
-    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
-    "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
-    "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
-    "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
-    "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
-    "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
-    "nminusone": Query(q_nminusone, SQL_NMINUSONE),
-    "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
-    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
-    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
-    "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
-    "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
-    "nearest_gap": Query(q_nearest, SQL_NEAREST),
-    "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
-    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
-    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
-    "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
-    "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
-    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
-    "weight_stats": Query(q_weight_stats, SQL_WEIGHT_STATS),
-    "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
-    "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
-    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
-    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
-    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
-    "topk_per_group": Query(q_topk_per_group, SQL_TOPK_PER_GROUP),
     "top_revenue_orders": Query(q_top_revenue_orders, SQL_TOP_REVENUE),
     "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
@@ -9277,5 +9268,6 @@ REGISTRY: dict[str, Query] = {
     "minhash_lsh": Query(q_minhash_lsh, None),
     "simhash": Query(q_simhash, None),
 }
+
 
 

@@ -23,6 +23,26 @@ to real 100 TB ingestion: writer row-group size bounds scan
 parallelism.
 
     python tools/gen_scale_data.py 1 /tmp/scale/sf1
+    python tools/gen_scale_data.py 1 /tmp/scale/sf1-skew --skew
+
+``--skew`` (r9 judge ask #1 — adversarial-distribution rehearsal)
+keeps every schema and row count identical but replaces the benign
+distributions with the shapes real corpora have:
+
+- documents: one BOILERPLATE near-dup cluster covering 6% of the
+  corpus (same template, 2-token jitter — the hot-LSH-bucket case
+  minhash's ``max_bucket_size`` guard exists for), a 90%-one-language
+  mix (stresses alpha/UniMax reweighting), and a ZIPF(1.3) host in
+  ``source`` over 1000 hosts (hot-reducer URL/host groupings);
+- lineitem: one hot l_orderkey carrying ~2% of ALL line rows (the
+  AQE-skew-join / salting case);
+- events: one hot user_id carrying ~50% of events (sessionization /
+  stateful-stream state skew);
+- embeddings: 20% of vectors collapse into one tight ball (k-means
+  blocking / IVF list skew).
+
+The skew mutations draw from a SEPARATE rng stream so the uniform
+output stays byte-identical to pre-skew rounds.
 """
 
 from __future__ import annotations
@@ -45,7 +65,7 @@ LANGS = np.array(["en", "zh", "fr", "de", "es"])
 LANG_P = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
 
 
-def gen_documents(out_dir: str, sf: float, seed: int = 42) -> int:
+def gen_documents(out_dir: str, sf: float, seed: int = 42, skew: bool = False) -> int:
     n = max(500, int(round(50000 * sf)))
     rng = np.random.default_rng(seed)
     lengths = rng.integers(10, 101, n)
@@ -63,14 +83,33 @@ def gen_documents(out_dir: str, sf: float, seed: int = 42) -> int:
         for j in rng.integers(0, len(words), 3):
             words[int(j)] = "dup"
         texts[i] = " ".join(words)
+    lang = rng.choice(LANGS, n, p=LANG_P)
+    source = np.array([f"src{int(s)}" for s in rng.integers(0, 20, n)])
+    if skew:
+        rs = np.random.default_rng(seed + 1000)
+        # boilerplate near-dup cluster: 6% of the corpus is one template
+        # with 2-token jitter — every member lands in the same LSH
+        # buckets, the B²/2 candidate blowup max_bucket_size exists for
+        template = " ".join(VOCAB[rs.integers(0, len(VOCAB), 60)])
+        cluster = rs.choice(np.arange(50, n), max(5, int(0.06 * n)), replace=False)
+        for i in cluster:
+            words = template.split()
+            for j in rs.integers(0, len(words), 2):
+                words[int(j)] = str(VOCAB[int(rs.integers(0, len(VOCAB)))])
+            texts[i] = " ".join(words)
+        # 90%-one-language mix
+        dom = rs.random(n) < 0.9
+        lang = np.where(dom, "en", rs.choice(LANGS[1:], n))
+        # Zipf(1.3) hosts over 1000 — the hot-host case for URL/host
+        # keyed aggregations and link graphs
+        hosts = np.minimum(rs.zipf(1.3, n), 1000) - 1
+        source = np.array([f"src{int(h)}" for h in hosts])
     tbl = pa.table(
         {
             "doc_id": pa.array(np.arange(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array(rng.choice(LANGS, n, p=LANG_P), pa.string()),
-            "source": pa.array(
-                [f"src{int(s)}" for s in rng.integers(0, 20, n)], pa.string()
-            ),
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(source, pa.string()),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
@@ -78,10 +117,15 @@ def gen_documents(out_dir: str, sf: float, seed: int = 42) -> int:
     return n
 
 
-def gen_lineitem(out_dir: str, sf: float, seed: int = 43) -> int:
+def gen_lineitem(out_dir: str, sf: float, seed: int = 43, skew: bool = False) -> int:
     n_orders = int(round(150000 * sf * 10))  # 150k orders at sf0.1
     rng = np.random.default_rng(seed)
     sizes = rng.poisson(3.0, n_orders) + 1  # observed mean 4, tail to ~17
+    if skew:
+        # one HOT order key carrying ~2% of all line rows: the join on
+        # l_orderkey gets one reducer with 2% of the table (AQE skew
+        # split / salting territory)
+        sizes[0] += max(1, int(0.02 * sizes.sum()))
     n = int(sizes.sum())
     orderkey = np.repeat(np.arange(n_orders, dtype=np.int64), sizes)
     linenumber = (
@@ -115,7 +159,9 @@ def gen_lineitem(out_dir: str, sf: float, seed: int = 43) -> int:
     return n
 
 
-def gen_embeddings(out_dir: str, sf: float, seed: int = 44, dim: int = 64) -> int:
+def gen_embeddings(
+    out_dir: str, sf: float, seed: int = 44, dim: int = 64, skew: bool = False
+) -> int:
     # observed driver shape: 2000 vecs at sf0.1, 500 floor; 10 labels;
     # clusterable structure (label-dependent mean) so k-means blocking
     # (semdedup/IVF) sees real cells, plus unit-scale noise like the
@@ -127,6 +173,13 @@ def gen_embeddings(out_dir: str, sf: float, seed: int = 44, dim: int = 64) -> in
     vecs = (centers[labels] + rng.standard_normal((n, dim)) * 0.3).astype(
         np.float32
     )
+    if skew:
+        # 20% of vectors collapse into ONE tight ball: k-means blocking
+        # (semdedup) and IVF assignment get one dominant cell
+        rs = np.random.default_rng(seed + 1000)
+        hot = rs.random(n) < 0.2
+        labels = np.where(hot, 0, labels)
+        vecs[hot] = (centers[0] + rs.standard_normal((int(hot.sum()), dim)) * 0.05).astype(np.float32)
     tbl = pa.table(
         {
             "vec_id": pa.array(np.arange(n), pa.int64()),
@@ -140,7 +193,9 @@ def gen_embeddings(out_dir: str, sf: float, seed: int = 44, dim: int = 64) -> in
     return n
 
 
-def gen_dimensions(out_dir: str, sf: float, seed: int = 45) -> dict[str, int]:
+def gen_dimensions(
+    out_dir: str, sf: float, seed: int = 45, skew: bool = False
+) -> dict[str, int]:
     """The rest of the star schema (driver-observed shapes) so ANY
     registry gate can run at a rehearsal SF: orders/customer/supplier/
     part keyed consistently with gen_lineitem's FK domains, fixed
@@ -272,7 +327,20 @@ def gen_dimensions(out_dir: str, sf: float, seed: int = 45) -> dict[str, int]:
                 "event_id": pa.array(np.arange(n_ev), pa.int64()),
                 "ts": pa.array(ts),
                 "user_id": pa.array(
-                    rng.integers(0, max(15, int(round(15000 * sf))), n_ev), pa.int64()
+                    (
+                        np.where(
+                            np.random.default_rng(seed + 1000).random(n_ev) < 0.5,
+                            0,
+                            rng.integers(0, max(15, int(round(15000 * sf))), n_ev),
+                        )
+                        if skew
+                        # one hot user with ~50% of events: session /
+                        # stateful-stream state skew
+                        else rng.integers(
+                            0, max(15, int(round(15000 * sf))), n_ev
+                        )
+                    ),
+                    pa.int64(),
                 ),
                 "event_type": pa.array(
                     rng.choice(
@@ -294,13 +362,15 @@ def gen_dimensions(out_dir: str, sf: float, seed: int = 45) -> dict[str, int]:
 def main() -> None:
     sf = float(sys.argv[1])
     out_dir = sys.argv[2]
+    skew = "--skew" in sys.argv[3:]
     os.makedirs(out_dir, exist_ok=True)
-    nd = gen_documents(out_dir, sf)
-    nl = gen_lineitem(out_dir, sf)
-    ne = gen_embeddings(out_dir, sf)
-    dims = gen_dimensions(out_dir, sf)
+    nd = gen_documents(out_dir, sf, skew=skew)
+    nl = gen_lineitem(out_dir, sf, skew=skew)
+    ne = gen_embeddings(out_dir, sf, skew=skew)
+    dims = gen_dimensions(out_dir, sf, skew=skew)
     print(
-        f"wrote {out_dir}: documents={nd} lineitem={nl} embeddings={ne} "
+        f"wrote {out_dir}{' (skewed)' if skew else ''}: "
+        f"documents={nd} lineitem={nl} embeddings={ne} "
         + " ".join(f"{k}={v}" for k, v in dims.items())
     )
 
