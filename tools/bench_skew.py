@@ -178,23 +178,38 @@ def probe_aqe_skew_join(spark, sf_dir, reps):
         k: spark.conf.get(k, None)
         for k in (
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k"
         )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # a partition is skewed only past skewedPartitionFactor x MEDIAN:
+        # a 2%-of-table hot key is 1 + 0.02*P medians, so the reducer
+        # count must be high enough for the hot reducer to stand out —
+        # 256 reducers puts it at ~6x median (the production posture:
+        # many reducers, one hot one). The join must also CARRY payload
+        # columns: with the probe pruned to the bare key, the hot
+        # partition compressed under the byte threshold.
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
 
         def run():
             j = (
                 li.hint("merge")
                 .join(orders, li.l_orderkey == orders.o_orderkey)
                 .groupBy("o_orderpriority")
-                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("l_extendedprice").alias("sp"),
+                    F.avg("l_quantity").alias("aq"),
+                )
             )
             j.collect()
             plan = li._sc._jvm.PythonSQLUtils.explainString(
