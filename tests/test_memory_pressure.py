@@ -68,7 +68,7 @@ cand = minhash_lsh_candidates(
 )
 chk = cand.agg(
     F.count(F.lit(1)).alias("n"),
-    F.sum(F.xxhash64("id_a", "id_b")).alias("checksum"),
+    F.sum(F.xxhash64("id_a", "id_b").cast("decimal(38,0)")).alias("checksum"),
 ).first()
 out["minhash_production"] = {"n": chk["n"], "checksum": str(chk["checksum"])}
 
@@ -148,7 +148,7 @@ def test_memory_pressure_parity_sf1(spark):
         docs, "doc_id", "text", n=3, n_hashes=64, bands=8, max_bucket_size=1000
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("id_a", "id_b")).alias("checksum"),
+        F.sum(F.xxhash64("id_a", "id_b").cast("decimal(38,0)")).alias("checksum"),
     ).first()
     assert got["minhash_production"]["n"] == chk["n"]
     assert got["minhash_production"]["checksum"] == str(chk["checksum"])
