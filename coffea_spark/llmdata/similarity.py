@@ -84,6 +84,106 @@ def topk_cosine(
     )
 
 
+def exact_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_query_rows: int = MAX_SMALL_SIDE_ROWS,
+) -> DataFrame:
+    """EXACT cosine top-k of every query against the FULL corpus,
+    blocked: the (small, contract-enforced) query table ships to every
+    scan task as one dense float64 matrix; each Arrow batch of the
+    corpus is a single numpy matmul (B x Q similarities at BLAS speed)
+    that emits only its per-batch top-k per query (<= k rows per query
+    per batch); one final per-qid window reduces batch winners to
+    global winners. The corpus is NEVER shuffled and the pair set is
+    never materialized — the only shuffle carries n_batches * Q * k
+    tiny (qid, id, cosine) rows. This is the scalable spelling of the
+    brute-force gold standard the recall gates are graded against:
+    the HOF `cosine` cross join enumerates |corpus| x |queries| rows
+    through interpreted lambda evaluation, which is exact but ~50x
+    slower per pair and bounded by the corpus scan's task count.
+
+    Ordering contract matches :func:`topk_cosine` / the recall gates'
+    exact oracle: (round(cosine, round_digits) DESC, id ASC). Dot
+    products accumulate in float64 via numpy (pairwise summation)
+    rather than the HOF's sequential left-to-right adds, so pre-round
+    values can differ by ~1 ULP; at round_digits=6 the two paths agree
+    on every fixture corpus (tests/test_similarity_exact.py), the same
+    tolerance argument that lets DuckDB's list_cosine_similarity
+    hash-match the HOF path in the driver gate. Contract: integer ids,
+    non-zero vectors (zero-norm cosine is NaN and its rank is
+    engine-specific)."""
+    _assert_small_side(queries, max_query_rows, "exact_topk_join query table")
+    qrows = sorted(
+        queries.select(
+            F.col(qid_col).cast("long"), F.col(qvec_col).cast("array<double>")
+        ).collect()
+    )
+    if not qrows:
+        raise ValueError("empty query table")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    qmt = qm.T.copy()  # (dim, Q), contiguous for the batch matmul
+    nq = len(qids)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            sim = np.round(
+                (v @ qmt) / (vnorm[:, None] * qnorm[None, :]), round_digits
+            )
+            kk = min(k, len(ids))
+            out_q: list = []
+            out_i: list = []
+            out_c: list = []
+            for j in range(nq):
+                col = sim[:, j]
+                if kk == 1:
+                    m = col.max()
+                    cand = np.nonzero(col == m)[0]
+                elif kk >= len(ids):
+                    cand = np.arange(len(ids))
+                else:
+                    part = np.argpartition(-col, kk - 1)[:kk]
+                    cand = np.nonzero(col >= col[part].min())[0]
+                sel = cand[np.lexsort((ids[cand], -col[cand]))[:kk]]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_i.append(ids[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    qid_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from pyspark.sql import Window as W
+
+    batch_winners = corpus.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInPandas(gen, schema=f"{qid_col} long, {id_col} long, cosine double")
+    w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        batch_winners.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(qid_col, id_col, "cosine")
+    )
+
+
 def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (seeded standard normals)."""
     rng = np.random.default_rng(seed)
@@ -179,12 +279,21 @@ def ann_join(
             for j in range(n_planes)
             for l in range(j + 1, n_planes)
         ]
+    # norms factored OUT of the join: norm(vec)/norm(qvec) are per-ROW
+    # facts recomputed per candidate PAIR if left inside `cosine` —
+    # measured ~3x of the serve cost at sf1. Same expressions on the
+    # same inputs in the same order -> bit-identical cosines.
     q = (
         queries.withColumn("_qb", hyperplane_bucket(F.col(qvec_col), planes))
-        .select(qid_col, qvec_col, F.explode(F.array(*probes)).alias("_bucket"))
+        .withColumn("_qn", norm(F.col(qvec_col)))
+        .select(qid_col, qvec_col, "_qn", F.explode(F.array(*probes)).alias("_bucket"))
     )
-    c = corpus.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
-    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    c = corpus.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes)).withColumn(
+        "_vn", norm(F.col(vec_col))
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col(qvec_col)) / (F.col("_vn") * F.col("_qn")), 6
+    )
     w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         F.broadcast(q)
@@ -234,14 +343,18 @@ def ivf_probe_join(
     probe_ids = F.transform(
         F.slice(F.array_sort(entries), 1, n_probe), lambda s: s["i"]
     )
-    q = queries.select(
-        qid_col, qvec_col, F.explode(probe_ids).alias(list_col)
+    # norms factored out of the probe join (per-row facts, not per-pair
+    # — see ann_join); bit-identical to cosine() on the same inputs
+    q = queries.withColumn("_qn", norm(F.col(qvec_col))).select(
+        qid_col, qvec_col, "_qn", F.explode(probe_ids).alias(list_col)
     )
-    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    sim = F.round(
+        dot(F.col(vec_col), F.col(qvec_col)) / (F.col("_vn") * F.col("_qn")), 6
+    )
     w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         F.broadcast(q)
-        .join(assigned, list_col)
+        .join(assigned.withColumn("_vn", norm(F.col(vec_col))), list_col)
         .select(qid_col, id_col, sim.alias("cosine"))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
@@ -270,9 +383,22 @@ def knn_join_blocked(
     planes = hyperplane_planes(dim, n_planes, seed)
     lb = left.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
     rb = right.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
-    a = lb.select("_bucket", F.col(id_left).alias("_lid"), F.col(vec_col).alias("_lv"))
-    b = rb.select("_bucket", F.col(id_right).alias("_rid"), F.col(vec_col).alias("_rv"))
-    pairs = a.join(b, "_bucket").withColumn("cosine", cosine(F.col("_lv"), F.col("_rv")))
+    a = lb.select(
+        "_bucket",
+        F.col(id_left).alias("_lid"),
+        F.col(vec_col).alias("_lv"),
+        norm(F.col(vec_col)).alias("_ln"),
+    )
+    b = rb.select(
+        "_bucket",
+        F.col(id_right).alias("_rid"),
+        F.col(vec_col).alias("_rv"),
+        norm(F.col(vec_col)).alias("_rn"),
+    )
+    pairs = a.join(b, "_bucket").withColumn(
+        "cosine",
+        dot(F.col("_lv"), F.col("_rv")) / (F.col("_ln") * F.col("_rn")),
+    )
     w = W.partitionBy("_lid").orderBy(F.col("cosine").desc(), F.col("_rid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -314,17 +440,29 @@ def ivf_train(
         raise ValueError(f"need >= {n_lists} vectors to train, got {sample.shape[0]}")
     sample = sample[np.lexsort(sample.T[::-1])]  # order-independence
     rng = np.random.default_rng(seed)
-    # k-means++ init
-    cents = [sample[rng.integers(sample.shape[0])]]
-    for _ in range(1, n_lists):
-        d2 = np.min(
-            ((sample[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
+    sn = (sample * sample).sum(axis=1)
+
+    def _d2_to(cents_arr: np.ndarray) -> np.ndarray:
+        # ||x-c||² = |x|² - 2 x·c + |c|² in matmul form: O(S·L) memory
+        # at BLAS speed. The naive (sample[:,None,:]-cents[None,:,:])
+        # broadcasting materializes S×L×dim — 1 TB at a 65536-point
+        # sample with 256 lists — and caps n_lists at toy sizes; the
+        # production quantizer scales n_lists ~ sqrt(corpus).
+        cn = (cents_arr * cents_arr).sum(axis=1)
+        return np.maximum(
+            sn[:, None] - 2.0 * (sample @ cents_arr.T) + cn[None, :], 0.0
         )
-        p = d2 / d2.sum() if d2.sum() > 0 else None
+
+    # k-means++ init (incremental running min — O(S) per new centroid)
+    cents = [sample[rng.integers(sample.shape[0])]]
+    dmin = _d2_to(np.asarray(cents))[:, 0]
+    for _ in range(1, n_lists):
+        p = dmin / dmin.sum() if dmin.sum() > 0 else None
         cents.append(sample[rng.choice(sample.shape[0], p=p)])
+        dmin = np.minimum(dmin, _d2_to(np.asarray(cents[-1:]))[:, 0])
     cents = np.asarray(cents, dtype=float)
     for _ in range(max_iter):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        d2 = _d2_to(cents)
         lab = d2.argmin(axis=1)
         new = np.empty_like(cents)
         for i in range(n_lists):
@@ -617,11 +755,14 @@ def pq_encode(
     id_col: str = "vec_id",
     out_col: str = "pq_code",
     normalize: bool = True,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Distributed PQ encoding: per row, the nearest codebook entry per
     subvector — an Arrow-batched numpy argmin over the (tiny, broadcast
     in the UDF closure) codebooks. Output: id + array<int> of m codes
-    (the m-byte compressed representation). One scan, no shuffle."""
+    (the m-byte compressed representation). One scan, no shuffle.
+    ``keep_cols`` carries extra columns through (e.g. the raw vector
+    when the search side will exact-re-rank its ADC shortlist)."""
     m, k, sub = codebooks.shape
     books = codebooks.copy()
 
@@ -638,7 +779,9 @@ def pq_encode(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return df.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col)).alias(out_col), *[F.col(c) for c in keep_cols]
+    )
 
 
 def pq_adc_topk(
@@ -652,6 +795,8 @@ def pq_adc_topk(
     code_col: str = "pq_code",
     normalize: bool = True,
     max_query_rows: int = MAX_SMALL_SIDE_ROWS,
+    rerank: int = 0,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query a (m, n_codes) lookup table
     of query-subvector-to-centroid distances, then every corpus vector
@@ -661,7 +806,19 @@ def pq_adc_topk(
     the UDF closure); each Arrow batch emits only its per-query local
     top-k (batch_rows x Q scores reduced before leaving the executor),
     so the shuffle carries O(batches x Q x k) rows — never the corpus.
-    The final global top-k is a window over that small union."""
+    The final global top-k is a window over that small union.
+
+    ``rerank`` > 0 enables the standard two-stage search: per batch the
+    ADC scan keeps a ``rerank``-deep shortlist per query, re-scores
+    those candidates with EXACT cosine (one numpy matvec per candidate
+    set — ``encoded`` must carry the raw ``vec_col``, see
+    ``pq_encode(keep_cols=...)``), and the global top-k ranks by
+    (rounded cosine desc, id). ADC quantization error makes raw ADC
+    recall FALL with corpus density (measured 0.40 @ 20k -> 0.15 @ 200k
+    vectors on planted near-dups, BENCH_SCALE.md); re-ranking a
+    shortlist restores it at ~rerank/k times the per-batch top-k cost
+    while still never shuffling the corpus. Output columns: (qid, id,
+    adc) without re-rank, (qid, id, cosine) with."""
     m, nk, sub = codebooks.shape
     _assert_small_side(queries, max_query_rows, "pq_adc_topk query table")
     q_rows = queries.select(qid_col, F.col(qvec_col).cast("array<double>")).collect()
@@ -681,6 +838,16 @@ def pq_adc_topk(
         axis=1,
     )
     books_k = k
+    if rerank and vec_col not in encoded.columns:
+        raise ValueError(
+            f"rerank needs the raw vectors: encode with pq_encode(..., "
+            f"keep_cols=('{vec_col}',)) so '{vec_col}' rides the encoded table"
+        )
+    qn = Q / np.where(
+        np.linalg.norm(Q, axis=1, keepdims=True) == 0,
+        1.0,
+        np.linalg.norm(Q, axis=1, keepdims=True),
+    )
 
     def score(batches):
         for pdf in batches:
@@ -689,6 +856,28 @@ def pq_adc_topk(
             S = np.zeros((codes.shape[0], len(qids)))
             for j in range(m):
                 S += tables[:, j, codes[:, j]].T  # (B, Q)
+            if rerank:
+                # two-stage: ADC shortlist per query, exact cosine on
+                # the shortlist only, per-batch top-k by (cos desc, id)
+                v = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                vn = np.linalg.norm(v, axis=1)
+                vn = np.where(vn == 0, 1.0, vn)
+                short = min(rerank, S.shape[0])
+                kk = min(books_k, short)
+                out = {"qid": [], id_col: [], "cosine": []}
+                for qi in range(len(qids)):
+                    cand = np.argpartition(S[:, qi], short - 1)[:short]
+                    cos = np.round(v[cand] @ qn[qi] / vn[cand], 6)
+                    sel = cand[np.lexsort((ids[cand], -cos))[:kk]]
+                    out["qid"].extend([qids[qi]] * len(sel))
+                    out[id_col].extend(ids[sel])
+                    out["cosine"].extend(
+                        np.round(v[sel] @ qn[qi] / vn[sel], 6)
+                    )
+                yield pd.DataFrame(out)
+                continue
             out = {"qid": [], id_col: [], "adc": []}
             top = min(books_k, S.shape[0])
             for qi in range(len(qids)):
@@ -707,13 +896,18 @@ def pq_adc_topk(
             [
                 TT.StructField("qid", queries.schema[qid_col].dataType),
                 TT.StructField(id_col, encoded.schema[id_col].dataType),
-                TT.StructField("adc", TT.DoubleType()),
+                TT.StructField(
+                    "cosine" if rerank else "adc", TT.DoubleType()
+                ),
             ]
         ),
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    if rerank:
+        w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    else:
+        w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col(id_col).asc())
     return (
         local.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

@@ -2276,13 +2276,21 @@ def _exact_top1(queries: DataFrame, emb: DataFrame) -> DataFrame:
     standard the approximate paths are graded against): broadcast the
     tiny query table across the corpus scan, rank by (rounded cosine
     desc, id)."""
-    from coffea_spark.llmdata.similarity import cosine as _cos
+    from coffea_spark.llmdata.similarity import dot as _dot
+    from coffea_spark.llmdata.similarity import norm as _norm
     from pyspark.sql import Window as W
 
-    sim = F.round(_cos(F.col("embedding"), F.col("qvec")), 6)
+    # norms factored out of the cross join: per-ROW facts, recomputed
+    # per PAIR if left inside cosine() (measured ~3x of the truth cost
+    # at sf1). Identical expressions on identical inputs in the same
+    # order -> bit-identical to cosine(embedding, qvec).
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qvec")) / (F.col("_vn") * F.col("_qn")), 6
+    )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        emb.join(F.broadcast(queries))
+        emb.withColumn("_vn", _norm(F.col("embedding")))
+        .join(F.broadcast(queries.withColumn("_qn", _norm(F.col("qvec")))))
         .select("qid", "vec_id", sim.alias("cosine"))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
@@ -2375,6 +2383,47 @@ def q_pq_recall(spark, sf_dir):
     queries = _planted_queries(emb)
     approx = pq_adc_topk(queries, encoded, books, k=5)
     return _recall_summary(_exact_top1(queries, emb), approx, min_recall=0.9)
+
+
+def q_exact_knn_blocked(spark, sf_dir):
+    """EXACT nearest-neighbor retrieval at scan speed: the planted query
+    table against the full corpus through similarity.exact_topk_join —
+    one numpy matmul per Arrow batch, per-batch winners reduced by a
+    tiny keyed window; the corpus is never shuffled and no pair set is
+    ever materialized. This is the scalable spelling of the brute-force
+    gold standard (the HOF cross-join `_exact_top1` is the bit-stable
+    reference implementation; tests/test_similarity_exact.py pins the
+    two to identical rows). Output: one row per query with its exact
+    top-1 id and rounded cosine — directly hash-comparable."""
+    from coffea_spark.llmdata.similarity import exact_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top1 = exact_topk_join(_planted_queries(emb), emb, k=1)
+    return top1.select(
+        "qid",
+        F.col("vec_id").alias("top1_id"),
+        F.col("cosine").alias("top1_cos"),
+    )
+
+
+SQL_EXACT_KNN = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::DOUBLE * (1 + 0.001 * ((i - 1 + vec_id) % 7))) AS qvec
+  FROM embeddings WHERE vec_id % 25 = 3
+), ranked AS (
+  SELECT q.qid, b.vec_id,
+         round(list_cosine_similarity(b.embedding::DOUBLE[], q.qvec), 6) AS c,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], q.qvec), 6) DESC,
+                    b.vec_id) AS rn
+  FROM embeddings b, q
+)
+SELECT qid, vec_id AS top1_id, c AS top1_cos
+FROM ranked WHERE rn = 1
+"""
 
 
 SQL_RECALL_GATE = """
@@ -9098,20 +9147,25 @@ class Query:
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
     # Driver correctness window (first 50): ROUND-10 rotation, by
-    # EVIDENCE AGE (the r9 verdict's ask #3). Leads with the 8 gates
+    # EVIDENCE AGE (the r9 verdict's ask #3). Leads with the 12 gates
     # whose code changed in r10 — weights_variations (full reference
     # partial_weight/modifier surface in weights.py), pq_recall +
     # knn_classify (mechanical small-side guards in similarity.py),
     # tree_train / gbdt_train_boost / gbdt_score (gbdt_margin 2-D input
     # validation), deep_children (deep-walk depth guard now raises),
-    # dimuon_mass (Collection pristine-base tracking in nanoevents.py).
-    # The remaining 42 slots recycle the gates with the OLDEST driver
-    # verification per the CORRECTNESS_r0* ledger: the r5 streaming /
-    # systematics / text veterans, then the r6 cohort (relational core,
-    # schema variants, histograms, lumi, as-of joins) — none driver-
-    # checked since r6. Recounted after insertion: exactly 50 entries
-    # precede the first non-window gate. Rows-only gates (oracle=None)
-    # stay past slot 50 as always.
+    # dimuon_mass (Collection pristine-base tracking in nanoevents.py),
+    # ann_recall / ivf_recall / semdedup (norm factoring out of the
+    # candidate joins + the matmul-form ivf_train k-means), and the NEW
+    # exact_knn_blocked (blocked-matmul exact top-k operator). Those
+    # last four displaced quantiles / categorical_counts / filtered_agg
+    # / region_revenue (pure-native r6 veterans, zero r10 code churn)
+    # to just past the window. The remaining slots recycle the gates
+    # with the OLDEST driver verification per the CORRECTNESS_r0*
+    # ledger: the r5 streaming / systematics / text veterans, then the
+    # r6 cohort (relational core, schema variants, histograms, lumi,
+    # as-of joins) — none driver-checked since r6. Recounted after
+    # insertion: exactly 50 entries precede the first non-window gate.
+    # Rows-only gates (oracle=None) stay past slot 50 as always.
     # ------------------------------------------------------------------
     "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
@@ -9132,8 +9186,8 @@ REGISTRY: dict[str, Query] = {
     "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    "quantiles": Query(q_quantiles, SQL_QUANTILES),
-    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
     "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
@@ -9146,8 +9200,8 @@ REGISTRY: dict[str, Query] = {
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
     "nminusone": Query(q_nminusone, SQL_NMINUSONE),
     "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
-    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
-    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
+    "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
+    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
     "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
     "nearest_gap": Query(q_nearest, SQL_NEAREST),
@@ -9170,7 +9224,10 @@ REGISTRY: dict[str, Query] = {
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
     "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
-    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
+    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
@@ -9246,8 +9303,6 @@ REGISTRY: dict[str, Query] = {
     "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
     "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
     "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
-    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
-    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),

@@ -551,6 +551,56 @@ def test_pq_roundtrip_and_recall(spark):
         pq_adc_topk(q.limit(0), enc, books)
 
 
+def test_pq_rerank_two_stage(spark):
+    """Two-stage PQ search (ADC shortlist -> exact cosine re-rank):
+    with rerank depth = the full corpus the result must EQUAL the exact
+    blocked top-k (the shortlist is everything, so only the exact stage
+    ranks); with a shallow shortlist the planted near-dup still lands
+    at rank 1 and the output carries exact cosines, not ADC scores."""
+    import numpy as np
+
+    from coffea_spark.llmdata.similarity import (
+        exact_topk_join,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((240, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    books = pq_train(df, m=4, n_codes=8, seed=1, max_sample=300)
+    enc = pq_encode(df, books, keep_cols=("embedding",))
+    q = spark.createDataFrame(
+        [
+            (7, [float(v * 1.001) for v in X[7]]),
+            (31, [float(v * 0.999) for v in X[31]]),
+        ],
+        "qid long, qvec array<double>",
+    )
+
+    with pytest.raises(ValueError, match="keep_cols"):
+        pq_adc_topk(q, pq_encode(df, books), books, k=3, rerank=16)
+
+    full = pq_adc_topk(q, enc, books, k=3, rerank=len(X))
+    exact = exact_topk_join(q, df, k=3)
+    assert sorted(tuple(r) for r in full.collect()) == sorted(
+        tuple(r) for r in exact.collect()
+    )
+
+    shallow = pq_adc_topk(q, enc, books, k=3, rerank=16)
+    assert shallow.columns == ["qid", "vec_id", "cosine"]
+    by_q = {}
+    for r in shallow.collect():
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        best = max(rows, key=lambda r: (r["cosine"], -r["vec_id"]))
+        assert best["vec_id"] == qid
+
+
 def test_png_codec_roundtrip_and_filters():
     """Numpy-only PNG: encode/decode round-trips (gray + RGB, both
     encoder filters), hand-built Up/Average/Paeth rows, palette

@@ -1,0 +1,99 @@
+"""Partition-count invariance (r10, adversarial-conditions theme).
+
+At 100 TB the same query runs on 200 vs 2000 executors depending on the
+day; `spark.sql.shuffle.partitions` and the scan-split size are CLUSTER
+facts, not query facts. Results must not depend on them. The reference
+engine sidesteps this by hand-chunking files deterministically
+(executor.py uniform-chunk model); here Spark picks the physical layout,
+so the engine's determinism claims (content-seeded RNG from
+corrections.py:65-105, min-id keeper elections in llmdata/dedup.py,
+deterministic tie-breaks in window/top-k gates) carry the burden.
+
+This test runs a representative slice of the registry — RNG, sampling,
+splits, dedup elections, joins, windows, exact quantiles, training —
+under three physical layouts of the SAME sf0.001 data:
+
+- shuffle.partitions = 32 (the bench default),
+- shuffle.partitions = 3  (a tiny cluster),
+- shuffle.partitions = 32 with scan splits forced tiny
+  (files.maxPartitionBytes = 64k → many input tasks),
+
+and requires repr-level row equality across all three.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Gates chosen to cover every determinism mechanism the engine claims.
+# Excluded by design: streaming gates (need a stream harness, covered by
+# test_retry_determinism checkpoint leg) and the sketch gates whose
+# merge trees are order-sensitive by construction (approx quantiles).
+GATES = [
+    "jer_smear_portable",  # content-seeded RNG
+    "weighted_sample",     # seeded reservoir/weighted sampling
+    "hash_split",          # hash-based split assignment
+    "minhash_portable",    # minhash signatures + banding
+    "dedup_exact",         # min-id keeper election
+    "dimuon_mass",         # combinatorics + agg
+    "cutflow",             # packed selection one-pass agg
+    "xref_roundtrip",      # FK gather join
+    "topk_per_group",      # window ranking (tie-break must be keyed)
+    "quantiles",           # exact percentiles
+    "tree_train",          # distributed training loop
+    "doc_fingerprint",     # rolling-hash fingerprints
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from coffea_spark.session import get_spark
+
+    s = get_spark(app_name="coffea-spark-partition-invariance", cpus=4)
+    yield s
+
+
+def _rows(df):
+    return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+
+def _run_all(spark, registry):
+    out = {}
+    for name in GATES:
+        out[name] = _rows(registry[name].fn(spark, SF_DIR))
+    return out
+
+
+def test_partition_count_invariance(spark):
+    from coffea_spark.queries import REGISTRY
+
+    conf = spark.conf
+    base_shuffle = conf.get("spark.sql.shuffle.partitions")
+    base_split = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "32")
+        baseline = _run_all(spark, REGISTRY)
+
+        conf.set("spark.sql.shuffle.partitions", "3")
+        tiny_cluster = _run_all(spark, REGISTRY)
+
+        conf.set("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        many_splits = _run_all(spark, REGISTRY)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", base_shuffle)
+        conf.set("spark.sql.files.maxPartitionBytes", base_split)
+
+    for name in GATES:
+        assert tiny_cluster[name] == baseline[name], (
+            f"{name}: result depends on spark.sql.shuffle.partitions "
+            f"(32 vs 3) — not safe on a resized cluster"
+        )
+        assert many_splits[name] == baseline[name], (
+            f"{name}: result depends on scan-split size "
+            f"(maxPartitionBytes 128m vs 64k) — not safe across file layouts"
+        )

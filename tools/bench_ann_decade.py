@@ -60,7 +60,7 @@ def _recall_at5(truth, approx):
     return hit / max(truth.count(), 1)
 
 
-def run_dir(spark, sf_dir, reps):
+def run_dir(spark, sf_dir, reps, cross_check_hof=False):
     from coffea_spark.llmdata.similarity import (
         ann_join,
         ivf_assign_table,
@@ -79,10 +79,47 @@ def run_dir(spark, sf_dir, reps):
     res = {"n_vectors": n, "n_queries": nq}
 
     # ---- shared brute-force truth (the gates' scaffolding) ----
-    t_truth, _ = _timed(lambda: _exact_top1(queries, emb).count(), reps)
-    truth = _exact_top1(queries, emb).persist()
+    # Computed with similarity.exact_topk_join (blocked numpy matmul
+    # per Arrow batch — the scalable exact spelling) and timed ONCE:
+    # the truth is O(n²/25) pair evaluations no matter how it's
+    # spelled, and one honest sample is enough for scaffolding. The
+    # gates' own HOF cross-join `_exact_top1` is additionally timed at
+    # the FIRST (smallest) dir and pinned row-identical to the blocked
+    # path — measured ~50x slower per pair (33 us/pair at sf1 on a
+    # 2-task cross-join stage), which is exactly why the harness does
+    # not drag it through sf10.
+    from coffea_spark.llmdata.similarity import exact_topk_join
+
+    t0 = time.perf_counter()
+    truth = (
+        exact_topk_join(queries, emb, k=1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("top1_id"),
+            F.col("cosine").alias("top1_cos"),
+        )
+        .persist()
+    )
     truth.count()
+    t_truth = round(time.perf_counter() - t0, 3)
     res["truth_wall"] = t_truth
+    res["truth_reps"] = 1
+    if cross_check_hof:
+        t0 = time.perf_counter()
+        hof_rows = sorted(
+            tuple(r) for r in _exact_top1(queries, emb).collect()
+        )
+        res["truth_hof_wall"] = round(time.perf_counter() - t0, 3)
+        blocked_rows = sorted(tuple(r) for r in truth.collect())
+        if hof_rows != blocked_rows:
+            raise AssertionError(
+                "blocked exact top-1 disagrees with the HOF cross join"
+            )
+        res["truth_hof_matches"] = True
+        print(
+            f"  truth HOF cross-check {res['truth_hof_wall']:8.3f}s (rows identical)",
+            file=sys.stderr,
+        )
     print(f"  truth (exact top-1)   {t_truth:8.3f}s  Q={nq}", file=sys.stderr)
 
     # ---- hyperplane LSH (index+serve only) ----
@@ -143,6 +180,71 @@ def run_dir(spark, sf_dir, reps):
         file=sys.stderr,
     )
 
+    # ---- PQ two-stage (production): ADC shortlist + exact re-rank.
+    # Raw ADC recall FALLS with corpus density (quantization error);
+    # the standard fix is re-ranking a shortlist with exact cosine —
+    # same never-shuffle-the-corpus shape, rerank/k x the top-k cost.
+    def pq2_build():
+        books = pq_train(emb, m=8, n_codes=16, seed=7)
+        enc = pq_encode(emb, books, keep_cols=("embedding",)).persist()
+        enc.count()
+        return books, enc
+
+    t_build, (books2, enc2) = _timed(lambda: pq2_build(), 1)
+
+    def pq2_serve():
+        return pq_adc_topk(
+            queries.select("qid", "qvec"), enc2, books2, k=5, rerank=64
+        ).select("qid", F.col("vec_id"))
+
+    med, _ = _timed(lambda: pq2_serve().count(), reps)
+    res["pq_rerank"] = {
+        "build_wall": round(t_build, 3),
+        "serve_wall": med,
+        "rerank": 64,
+        "recall": round(_recall_at5(truth, pq2_serve()), 4),
+    }
+    enc2.unpersist()
+    print(
+        f"  pq+rerank build={res['pq_rerank']['build_wall']:.3f}s serve={med:8.3f}s"
+        f" recall={res['pq_rerank']['recall']}",
+        file=sys.stderr,
+    )
+
+    # ---- IVF production config: n_lists ~ sqrt(n) (the gate's fixed
+    # 16 lists keeps serve at n_probe/16 = 25% of brute force — the
+    # quadratic law with a smaller constant; a real deployment scales
+    # the list count with the corpus so probe cost stays ~constant
+    # per query).
+    nl = min(256, max(16, int(math.sqrt(n))))
+    npb = max(4, nl // 16)
+
+    def ivfp_build():
+        cents = ivf_train(emb.sample(0.25, seed=1), n_lists=nl, seed=42)
+        assigned = ivf_assign_table(emb, cents).persist()
+        assigned.count()
+        return cents, assigned
+
+    t_build, (cents_p, assigned_p) = _timed(lambda: ivfp_build(), 1)
+
+    def ivfp_serve():
+        return ivf_probe_join(queries, assigned_p, cents_p, k=5, n_probe=npb)
+
+    med, _ = _timed(lambda: ivfp_serve().count(), reps)
+    res["ivf_prod"] = {
+        "n_lists": nl,
+        "n_probe": npb,
+        "build_wall": round(t_build, 3),
+        "serve_wall": med,
+        "recall": round(_recall_at5(truth, ivfp_serve()), 4),
+    }
+    assigned_p.unpersist()
+    print(
+        f"  ivf_prod(L={nl},p={npb}) build={res['ivf_prod']['build_wall']:.3f}s"
+        f" serve={med:8.3f}s recall={res['ivf_prod']['recall']}",
+        file=sys.stderr,
+    )
+
     # ---- semdedup: the operator IS the index path ----
     from coffea_spark.llmdata.dedup import semdedup as _semdedup
 
@@ -161,9 +263,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     spark = get_spark(app_name="coffea-spark-ann-decade", cpus=cpus)
     out = {}
-    for d in dirs:
+    for i, d in enumerate(dirs):
         print(f"== {d}", file=sys.stderr)
-        out[d] = run_dir(spark, d, reps)
+        out[d] = run_dir(spark, d, reps, cross_check_hof=(i == 0))
 
     slopes = {}
     if len(dirs) == 2:
@@ -177,7 +279,7 @@ def main() -> None:
             t0 = a[fam][key] if key else a["truth_wall"]
             t1 = b[fam][key] if key else b["truth_wall"]
             slopes[fam] = round(math.log(t1 / t0) / math.log(ratio), 3)
-        for fam in ("ivf", "pq"):
+        for fam in ("ivf", "pq", "pq_rerank", "ivf_prod"):
             t0 = a[fam]["build_wall"] + a[fam]["serve_wall"]
             t1 = b[fam]["build_wall"] + b[fam]["serve_wall"]
             slopes[fam] = round(math.log(t1 / t0) / math.log(ratio), 3)

@@ -362,16 +362,25 @@ def gen_dimensions(
 def main() -> None:
     sf = float(sys.argv[1])
     out_dir = sys.argv[2]
-    skew = "--skew" in sys.argv[3:]
+    extra = sys.argv[3:]
+    skew = "--skew" in extra
+    only = None
+    for a in extra:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     os.makedirs(out_dir, exist_ok=True)
-    nd = gen_documents(out_dir, sf, skew=skew)
-    nl = gen_lineitem(out_dir, sf, skew=skew)
-    ne = gen_embeddings(out_dir, sf, skew=skew)
-    dims = gen_dimensions(out_dir, sf, skew=skew)
+    parts = []
+    if only is None or "documents" in only:
+        parts.append(f"documents={gen_documents(out_dir, sf, skew=skew)}")
+    if only is None or "lineitem" in only:
+        parts.append(f"lineitem={gen_lineitem(out_dir, sf, skew=skew)}")
+    if only is None or "embeddings" in only:
+        parts.append(f"embeddings={gen_embeddings(out_dir, sf, skew=skew)}")
+    if only is None or "dimensions" in only:
+        dims = gen_dimensions(out_dir, sf, skew=skew)
+        parts.append(" ".join(f"{k}={v}" for k, v in dims.items()))
     print(
-        f"wrote {out_dir}{' (skewed)' if skew else ''}: "
-        f"documents={nd} lineitem={nl} embeddings={ne} "
-        + " ".join(f"{k}={v}" for k, v in dims.items())
+        f"wrote {out_dir}{' (skewed)' if skew else ''}: " + " ".join(parts)
     )
 
 
