@@ -818,7 +818,15 @@ def pq_adc_topk(
     vectors on planted near-dups, BENCH_SCALE.md); re-ranking a
     shortlist restores it at ~rerank/k times the per-batch top-k cost
     while still never shuffling the corpus. Output columns: (qid, id,
-    adc) without re-rank, (qid, id, cosine) with."""
+    adc) without re-rank, (qid, id, cosine) with.
+
+    Approximation contract of the re-rank path: the shortlist is
+    per-BATCH, so which candidates survive to the global top-k can
+    vary with partitioning / Arrow batch boundaries (unlike the pure
+    ADC path, whose global (adc, id) ordering is layout-invariant).
+    At ``rerank`` >= batch rows it degenerates to exact_topk_join
+    (pinned by test). Task retries are still deterministic — batch
+    splits are a pure function of partition content."""
     m, nk, sub = codebooks.shape
     _assert_small_side(queries, max_query_rows, "pq_adc_topk query table")
     q_rows = queries.select(qid_col, F.col(qvec_col).cast("array<double>")).collect()
