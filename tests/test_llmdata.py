@@ -294,6 +294,36 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, recall  # deterministic given fixed seed/data
 
 
+def test_ivf_train_production_list_count(spark):
+    """The matmul-form k-means must train production list counts in
+    bounded memory: the old broadcasting form materialized
+    sample x lists x dim (1 TB at 65536 x 256 x 64) and capped the
+    trainer at toy sizes. 8192 x 32 with 256 lists trains quickly
+    (the broadcasting form would allocate 8192*256*32*8 = 537 MB per
+    distance pass plus the k-means++ loop's quadratic re-scans;
+    matmul form peaks at sample x lists = 16 MB), stays deterministic,
+    and covers the sample space."""
+    import numpy as np
+    import pandas as pd
+
+    from coffea_spark.llmdata import similarity as S
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((8192, 32))
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [list(map(float, r)) for r in X]})
+    )
+
+    cents = S.ivf_train(df, n_lists=256, seed=42, max_iter=3)
+    assert cents.shape == (256, 32)
+    cents2 = S.ivf_train(df, n_lists=256, seed=42, max_iter=3)
+    assert np.array_equal(cents, cents2)
+    # centroids must cover the space: every sample's nearest centroid
+    # distance is far below the typical inter-point distance
+    d2 = ((X * X).sum(1)[:, None] - 2 * X @ cents.T + (cents * cents).sum(1)[None, :])
+    assert d2.min(axis=1).max() < ((X[0] - X[1]) ** 2).sum() * 4
+
+
 def test_ivf_precompute_and_persisted_index(spark, tmp_path):
     """The precompute path serves identical results: pre-assigned table
     (no quantizer re-run) and the partitioned on-disk index both match
