@@ -46,6 +46,7 @@ GATES = [
     "quantiles",           # exact percentiles
     "tree_train",          # distributed training loop
     "doc_fingerprint",     # rolling-hash fingerprints
+    "exact_knn_blocked",   # per-batch matmul winners + window reduce
 ]
 
 
