@@ -281,6 +281,47 @@ def jaccard_join(
     )
 
 
+def collapse_jaccard_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    block_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Boilerplate-hardened near-dup join — the production posture for
+    threshold Jaccard under duplicate skew, COMPOSED as one operator
+    (BENCH_SKEW.md measured the reason: a planted boilerplate cluster of
+    B identical docs contributes B(B-1)/2 genuine jaccard=1.0 pairs, so
+    :func:`jaccard_join`'s OUTPUT — not its candidate generation — grows
+    quadratically in the cluster; the 7.4x skewed-sf1 wall was 75,704x
+    more emitted TRUE pairs, none of which a dedup consumer wants
+    enumerated pairwise).
+
+    Stage 1 collapses EXACT duplicates within the blocking key to their
+    min-id representative (one linear hash shuffle with a map-side
+    combine — the exact pass measured FASTER under skew, 0.31x, because
+    clusters fold before the shuffle); each representative carries its
+    ``n_members`` count, so nothing is lost — the cluster survives as
+    one row + a multiplicity instead of B(B-1)/2 pairs. Stage 2 runs the
+    PPJoin threshold join on representatives only, where the boilerplate
+    mass is a single doc.
+
+    Returns ``(reps, pairs)``: ``reps`` = one row per distinct (block,
+    text) with the min ``id_col`` and ``n_members``; ``pairs`` = the
+    jaccard >= threshold pairs among representatives (jaccard_join
+    columns). Semantics note: collapse keys on the exact ``text_col``
+    bytes within the block — normalize first (paragraph_dedup /
+    fingerprint variants) when near-identical boilerplate differs by
+    whitespace."""
+    block_cols = block_cols or []
+    reps = df.groupBy(*block_cols, text_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_members")
+    )
+    pairs = jaccard_join(reps, threshold, id_col, text_col, n, block_cols)
+    return reps, pairs
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

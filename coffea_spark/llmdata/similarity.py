@@ -48,6 +48,27 @@ def _lit_vec(v) -> Column:
 MAX_SMALL_SIDE_ROWS = 100_000
 
 
+def _bounded_vec_sample(df: DataFrame, vec_col: str, n: int) -> np.ndarray:
+    """Deterministic bounded sample of a vector column: hash-ordered
+    top-n (``orderBy(xxhash64(vec), vec).limit(n)`` — planned as
+    TakeOrderedAndProject: each task keeps its local n, no global sort,
+    no full collect), so the SAME multiset of vectors comes back
+    regardless of partitioning, row order, or which tasks answer first.
+    An unordered ``limit(n)`` takes whichever partitions respond first —
+    run-to-run-different samples whenever corpus > n, which is exactly
+    the regime a bounded trainer advertises. The vector itself is the
+    hash tiebreaker, so even a 64-bit collision between distinct
+    vectors cannot make the boundary row ambiguous."""
+    vc = F.col(vec_col).cast("array<double>").alias("_v")
+    rows = (
+        df.select(vc)
+        .orderBy(F.xxhash64(F.col("_v")), F.col("_v"))
+        .limit(n)
+        .collect()
+    )
+    return np.asarray([r[0] for r in rows], dtype=float)
+
+
 def _assert_small_side(df: DataFrame, cap: int, what: str) -> None:
     """Mechanically enforce the small-side contract instead of trusting
     the docstring: bounded probe (``limit(cap+1).count()`` — the scan
@@ -116,9 +137,28 @@ def exact_topk_join(
     values can differ by ~1 ULP; at round_digits=6 the two paths agree
     on every fixture corpus (tests/test_similarity_exact.py), the same
     tolerance argument that lets DuckDB's list_cosine_similarity
-    hash-match the HOF path in the driver gate. Contract: integer ids,
-    non-zero vectors (zero-norm cosine is NaN and its rank is
-    engine-specific)."""
+    hash-match the HOF path in the driver gate. (Half-mode caveat: see
+    NUMERICS.md — numpy rounds half-to-even here while F.round/DuckDB
+    round half-away; a cosine landing EXACTLY on a 0.5e-6 boundary is
+    measure-zero for float cosines but would diverge.) Contract:
+    integer ids (enforced below — a string-keyed corpus belongs in
+    pq_adc_topk, which follows input id types), non-zero vectors
+    (zero-norm cosine is NaN and its rank is engine-specific)."""
+    for frame, col_, what in (
+        (queries, qid_col, "query id"),
+        (corpus, id_col, "corpus id"),
+    ):
+        dt = frame.schema[col_].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"exact_topk_join {what} column '{col_}' must be integral, "
+                f"got {dt.simpleString()} — string doc keys are supported "
+                "by pq_adc_topk, or map keys to dense ids first (failing "
+                "fast here beats an opaque numpy cast error inside the "
+                "executor)"
+            )
     _assert_small_side(queries, max_query_rows, "exact_topk_join query table")
     qrows = sorted(
         queries.select(
@@ -325,7 +365,10 @@ def ivf_probe_join(
     partitioned by list id (:func:`ivf_write_index`) the join key is
     partition pruning per probe; the exploded query side broadcasts.
     Cost ~ n_probe/n_lists of brute force per query, independent of
-    query count fan-in."""
+    query count fan-in. Dominant-cell corpora (one list ≫ the rest —
+    the measured 1.5x serve penalty in BENCH_SKEW.md) should refine
+    the quantizer with :func:`ivf_refine_oversized` before serving;
+    this function needs no change, it just probes the finer lists."""
     from pyspark.sql import Window as W
 
     entries = F.array(
@@ -430,24 +473,36 @@ def ivf_train(
     Iterative Spark ML jobs for 16 centroids would pay multi-second
     scheduling overhead per iteration for no quality gain.
 
-    Deterministic: the sample is sorted before seeded init, so the
-    result is independent of partitioning / row order."""
-    sample = np.asarray(
-        [r[0] for r in df.select(F.col(vec_col).cast("array<double>")).limit(max_sample).collect()],
-        dtype=float,
-    )
+    Deterministic end-to-end: the bounded sample is hash-ordered
+    (:func:`_bounded_vec_sample` — the same multiset of vectors
+    regardless of partitioning or which tasks answer first, unlike an
+    unordered ``limit`` whose content varies run-to-run once corpus >
+    max_sample) and then sorted before seeded init, so the centroids
+    are a pure function of the corpus CONTENT. Pinned by
+    tests/test_llmdata.py::test_train_sample_deterministic_under_partitioning:
+    corpus > max_sample, repartition(7) vs repartition(64) -> identical
+    centroids."""
+    sample = _bounded_vec_sample(df, vec_col, max_sample)
     if sample.shape[0] < n_lists:
         raise ValueError(f"need >= {n_lists} vectors to train, got {sample.shape[0]}")
+    return _kmeans_blas(sample, n_lists, seed, max_iter)
+
+
+def _kmeans_blas(sample: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means on an in-memory sample in matmul
+    (BLAS) form — shared by :func:`ivf_train` and
+    :func:`ivf_refine_oversized`. The input is sorted before seeded
+    init, so the result is a pure function of the sample MULTISET.
+    Memory is O(S·k): the naive ``(sample[:,None,:]-cents)``
+    broadcasting (see `_kmeans_fixed`) materializes S×k×dim — 1 TB at
+    a 65536-point sample with 256 lists — and caps k at toy sizes; the
+    production quantizer scales n_lists ~ sqrt(corpus)."""
     sample = sample[np.lexsort(sample.T[::-1])]  # order-independence
     rng = np.random.default_rng(seed)
     sn = (sample * sample).sum(axis=1)
 
     def _d2_to(cents_arr: np.ndarray) -> np.ndarray:
-        # ||x-c||² = |x|² - 2 x·c + |c|² in matmul form: O(S·L) memory
-        # at BLAS speed. The naive (sample[:,None,:]-cents[None,:,:])
-        # broadcasting materializes S×L×dim — 1 TB at a 65536-point
-        # sample with 256 lists — and caps n_lists at toy sizes; the
-        # production quantizer scales n_lists ~ sqrt(corpus).
+        # ||x-c||² = |x|² - 2 x·c + |c|² in matmul form at BLAS speed
         cn = (cents_arr * cents_arr).sum(axis=1)
         return np.maximum(
             sn[:, None] - 2.0 * (sample @ cents_arr.T) + cn[None, :], 0.0
@@ -456,7 +511,7 @@ def ivf_train(
     # k-means++ init (incremental running min — O(S) per new centroid)
     cents = [sample[rng.integers(sample.shape[0])]]
     dmin = _d2_to(np.asarray(cents))[:, 0]
-    for _ in range(1, n_lists):
+    for _ in range(1, k):
         p = dmin / dmin.sum() if dmin.sum() > 0 else None
         cents.append(sample[rng.choice(sample.shape[0], p=p)])
         dmin = np.minimum(dmin, _d2_to(np.asarray(cents[-1:]))[:, 0])
@@ -465,13 +520,104 @@ def ivf_train(
         d2 = _d2_to(cents)
         lab = d2.argmin(axis=1)
         new = np.empty_like(cents)
-        for i in range(n_lists):
+        for i in range(k):
             m = lab == i
             # empty cluster -> re-seed at the farthest point (deterministic)
             new[i] = sample[m].mean(axis=0) if m.any() else sample[d2.min(axis=1).argmax()]
         if np.allclose(new, cents):
             break
         cents = new
+    return cents
+
+
+def ivf_refine_oversized(
+    df: DataFrame,
+    centroids: np.ndarray,
+    max_list_size: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    max_sample: int = 65536,
+    rounds: int = 1,
+    assigned: DataFrame | None = None,
+    list_col: str = "_list",
+) -> np.ndarray:
+    """Dominant-cell guard for the IVF coarse quantizer — the measured
+    failure mode (BENCH_SKEW.md r10 addendum): a 20%-of-corpus embedding
+    ball lands in ONE list at ANY list count (raising n_lists makes the
+    imbalance ratio WORSE, max/mean 4.1 -> 36.2), and every query near
+    the ball then scores the entire hot list — a 1.54x serve penalty of
+    pure candidate mass, which sub-bucketing the list's PARTITIONS
+    cannot fix (probing a split list would still scan every sub-list).
+
+    Remedy: DETERMINISTIC RESIDUAL RE-CLUSTER. Every list whose
+    assignment count exceeds ``max_list_size`` is re-trained into
+    ceil(size / max_list_size) finer cells (bounded hash-ordered sample
+    of that list's own vectors, same BLAS-form Lloyd's as ivf_train) and
+    its single centroid is REPLACED by the sub-centroids. The hot ball
+    becomes several real Voronoi cells, so a query inside it probes only
+    its n_probe nearest sub-cells — candidate mass per hot query drops
+    from |hot list| toward n_probe·max_list_size — while cold lists and
+    the serve path (:func:`ivf_probe_join`, unchanged) are untouched.
+
+    Mirrors the MinHash ``max_bucket_size`` guard contract
+    (dedup.py minhash_lsh_candidates): the trigger is MEASURED (one
+    count-by-list aggregation per round — map-side combinable, n_lists
+    result rows), the action is LOUD (warnings.warn naming the lists
+    and sizes), and nothing is dropped — an IVF list is a routing cell,
+    not a near-dup bucket, so the guard splits it instead of excluding
+    it.
+
+    Deterministic: sub-samples are hash-ordered (_bounded_vec_sample),
+    each sub-k-means is seeded per source list, and the refined set is
+    assembled in (surviving centroids in order, then sub-centroids by
+    ascending source list) order — a pure function of corpus content.
+    Pass ``assigned`` (an already-materialized
+    :func:`ivf_assign_table` result) to reuse it for the first round's
+    size check and sub-samples. Returns the refined (possibly
+    unchanged) centroids; re-assign the corpus against them before
+    serving."""
+    import math
+    import warnings
+
+    cents = np.asarray(centroids, dtype=float)
+    for rnd in range(rounds):
+        reuse = rnd == 0 and assigned is not None and list_col in assigned.columns
+        asg = assigned if reuse else ivf_assign_table(df, cents, vec_col, list_col)
+        if not reuse:
+            asg = asg.persist()  # size agg + one sample scan per oversized list
+        sizes = {
+            int(r[0]): int(r[1])
+            for r in asg.groupBy(list_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        oversized = {l: sz for l, sz in sizes.items() if sz > max_list_size}
+        if not oversized:
+            if not reuse:
+                asg.unpersist()
+            break
+        warnings.warn(
+            f"ivf_refine_oversized: re-clustering {len(oversized)} list(s) "
+            f"over max_list_size={max_list_size}: "
+            + ", ".join(
+                f"list {l} ({sz} rows -> {math.ceil(sz / max_list_size)} cells)"
+                for l, sz in sorted(oversized.items())
+            ),
+            stacklevel=2,
+        )
+        keep = [cents[i] for i in range(cents.shape[0]) if i not in oversized]
+        subs = []
+        for l, sz in sorted(oversized.items()):
+            sub = _bounded_vec_sample(
+                asg.filter(F.col(list_col) == l), vec_col, max_sample
+            )
+            k_l = min(math.ceil(sz / max_list_size), sub.shape[0])
+            subs.append(_kmeans_blas(sub, k_l, seed + 7919 * (l + 1), max_iter))
+        if not reuse:
+            asg.unpersist()
+        cents = np.concatenate(
+            [np.asarray(keep, dtype=float).reshape(-1, cents.shape[1]), *subs],
+            axis=0,
+        )
     return cents
 
 
@@ -684,8 +830,10 @@ def knn_classify(
 # ---------------------------------------------------------------------------
 
 def _kmeans_fixed(sample: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.ndarray:
-    """Deterministic Lloyd's k-means on an in-memory sample (shared by
-    ivf_train and pq_train; sorted input => order-independent)."""
+    """Deterministic Lloyd's k-means on an in-memory sample (pq_train's
+    per-subvector trainer; sorted input => order-independent). Uses the
+    naive S x k x dim broadcasting — fine for PQ's small subvector
+    samples; anything quantizer-sized goes through :func:`_kmeans_blas`."""
     sample = sample[np.lexsort(sample.T[::-1])]
     rng = np.random.default_rng(seed)
     cents = [sample[rng.integers(sample.shape[0])]]
@@ -721,16 +869,12 @@ def pq_train(
     """Train per-subvector codebooks: split the (normalized) vector into
     ``m`` contiguous subvectors and k-means each on a BOUNDED driver-side
     sample. Returns (m, n_codes, dim/m) float64 codebooks. Same cost
-    profile as ivf_train: one bounded collect, millisecond training."""
-    sample = np.asarray(
-        [
-            r[0]
-            for r in df.select(F.col(vec_col).cast("array<double>"))
-            .limit(max_sample)
-            .collect()
-        ],
-        dtype=float,
-    )
+    profile as ivf_train: one bounded collect, millisecond training —
+    and the same determinism contract: the sample is hash-ordered
+    (:func:`_bounded_vec_sample`), not an unordered ``limit``, so the
+    codebooks are a pure function of corpus content even when corpus >
+    max_sample."""
+    sample = _bounded_vec_sample(df, vec_col, max_sample)
     if sample.shape[0] < n_codes:
         raise ValueError(f"need >= {n_codes} vectors to train, got {sample.shape[0]}")
     dim = sample.shape[1]
@@ -825,8 +969,13 @@ def pq_adc_topk(
     vary with partitioning / Arrow batch boundaries (unlike the pure
     ADC path, whose global (adc, id) ordering is layout-invariant).
     At ``rerank`` >= batch rows it degenerates to exact_topk_join
-    (pinned by test). Task retries are still deterministic — batch
-    splits are a pure function of partition content."""
+    (pinned by test; driver-gated by the ``pq_rerank`` CORRECTNESS
+    entry against the brute-force oracle). Task retries are still
+    deterministic — batch splits are a pure function of partition
+    content. Vector contract matches exact_topk_join: NON-ZERO corpus
+    vectors — the rerank scorer maps a zero-norm vector to cosine 0
+    (guarded divide) where exact_topk_join yields NaN, so the
+    degenerates-to-exact equivalence assumes no zero vectors."""
     m, nk, sub = codebooks.shape
     _assert_small_side(queries, max_query_rows, "pq_adc_topk query table")
     q_rows = queries.select(qid_col, F.col(qvec_col).cast("array<double>")).collect()
@@ -878,12 +1027,14 @@ def pq_adc_topk(
                 for qi in range(len(qids)):
                     cand = np.argpartition(S[:, qi], short - 1)[:short]
                     cos = np.round(v[cand] @ qn[qi] / vn[cand], 6)
-                    sel = cand[np.lexsort((ids[cand], -cos))[:kk]]
+                    # one matvec per candidate set: the emitted cosines
+                    # are the SAME values that ranked the shortlist,
+                    # indexed back out rather than recomputed
+                    ord_ = np.lexsort((ids[cand], -cos))[:kk]
+                    sel = cand[ord_]
                     out["qid"].extend([qids[qi]] * len(sel))
                     out[id_col].extend(ids[sel])
-                    out["cosine"].extend(
-                        np.round(v[sel] @ qn[qi] / vn[sel], 6)
-                    )
+                    out["cosine"].extend(cos[ord_])
                 yield pd.DataFrame(out)
                 continue
             out = {"qid": [], id_col: [], "adc": []}

@@ -2108,6 +2108,71 @@ FROM pairs WHERE j >= 0.5
 """
 
 
+def q_jaccard_collapsed(spark, sf_dir):
+    """Boilerplate-hardened near-dup pipeline (dedup.collapse_jaccard_join):
+    exact-duplicate collapse to min-id representatives FIRST, PPJoin
+    threshold Jaccard on representatives only — the production posture
+    BENCH_SKEW.md attributed q_jaccard_dupes' 7.4x skewed wall to not
+    composing (a B-doc boilerplate cluster is B(B-1)/2 genuine pairs in
+    the uncollapsed join, one representative row here). The oracle
+    replays both stages: group-by-(block, text) election, then the
+    naive all-pairs join on representatives — the prefix filter provably
+    returns the identical qualifying set."""
+    from coffea_spark.llmdata.dedup import collapse_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    reps, pairs = collapse_jaccard_join(
+        docs, 0.5, "doc_id", "text", 5, block_cols=["lang", "source"]
+    )
+    r = reps.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum("n_members").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_members") > 1, F.col("n_members") - 1).otherwise(0)
+        ).alias("n_collapsed"),
+    )
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("n_near_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return r.crossJoin(p)
+
+
+SQL_JACCARD_COLLAPSED = r"""
+WITH rep AS MATERIALIZED (
+  SELECT lang, source, text, min(doc_id) AS doc_id,
+         count(*) AS n_members
+  FROM documents GROUP BY lang, source, text
+), tok AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 3, 1)), i -> substr(text, i, 5)))) AS shingle
+  FROM rep
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM tok a JOIN tok b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ninter / (sa.sz + sb.sz - ninter) AS j
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+SELECT (SELECT count(*) FROM rep) AS n_reps,
+       (SELECT CAST(sum(n_members) AS BIGINT) FROM rep) AS n_docs,
+       (SELECT CAST(sum(CASE WHEN n_members > 1 THEN n_members - 1 ELSE 0 END)
+               AS BIGINT) FROM rep) AS n_collapsed,
+       (SELECT count(*) FROM pairs WHERE j >= 0.5) AS n_near_pairs,
+       (SELECT round(avg(j), 6) FROM pairs WHERE j >= 0.5) AS avg_jaccard,
+       (SELECT round(max(j), 6) FROM pairs WHERE j >= 0.5) AS max_jaccard
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pipeline: LSH candidates then exact-Jaccard
     verification. Not SQL-expressible (xxhash64 family) -> rows-only
@@ -2351,16 +2416,34 @@ def q_ann_recall(spark, sf_dir):
 
 def q_ivf_recall(spark, sf_dir):
     """IVF with a CHECKED recall gate: train the coarse quantizer once
-    (driver-side sample k-means), assign the corpus once (cached Arrow
-    matmul), then serve the whole planted-query table through
-    similarity.ivf_probe_join (n_probe=4 of 16 lists ~ 25% of brute
-    force). recall@5 >= 0.9 hash-compared like ann_recall."""
-    from coffea_spark.llmdata.similarity import ivf_assign_table, ivf_probe_join, ivf_train
+    (driver-side sample k-means), guard it against dominant cells
+    (similarity.ivf_refine_oversized at 2x the mean list size — inert
+    on the near-uniform gate corpus, measured splitting the 20%-hot-
+    ball list on the skewed sf1 rehearsal, BENCH_SKEW.md), assign the
+    corpus once (cached Arrow matmul), then serve the whole
+    planted-query table through similarity.ivf_probe_join (n_probe=4 of
+    16 lists ~ 25% of brute force). recall@5 >= 0.9 hash-compared like
+    ann_recall."""
+    import math
+
+    from coffea_spark.llmdata.similarity import (
+        ivf_assign_table,
+        ivf_probe_join,
+        ivf_refine_oversized,
+        ivf_train,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_train(emb.sample(0.25, seed=1), n_lists=16, seed=42)
     assigned = ivf_assign_table(emb, cents).persist()
-    assigned.count()  # materialize the one-time assignment
+    n = assigned.count()  # materialize the one-time assignment
+    cap = math.ceil(2 * n / 16)  # 2x mean: uniform lists untouched
+    refined = ivf_refine_oversized(emb, cents, cap, assigned=assigned)
+    if refined.shape[0] != cents.shape[0]:  # guard fired: re-assign
+        assigned.unpersist()
+        cents = refined
+        assigned = ivf_assign_table(emb, cents).persist()
+        assigned.count()
     queries = _planted_queries(emb)
     approx = ivf_probe_join(queries, assigned, cents, k=5, n_probe=4)
     return _recall_summary(_exact_top1(queries, emb), approx, min_recall=0.9)
@@ -2399,6 +2482,36 @@ def q_exact_knn_blocked(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     top1 = exact_topk_join(_planted_queries(emb), emb, k=1)
+    return top1.select(
+        "qid",
+        F.col("vec_id").alias("top1_id"),
+        F.col("cosine").alias("top1_cos"),
+    )
+
+
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage PQ search — the production PQ posture (BENCH_ANN_DECADE:
+    raw ADC recall collapses 0.40 -> 0.15 as corpus density grows;
+    re-ranking a shortlist with exact cosine restores 0.89 at sf10):
+    the corpus is PQ-encoded WITH the raw vectors riding along
+    (pq_encode keep_cols), each Arrow batch's ADC scan keeps a
+    ``rerank``-deep shortlist per query, exact cosine re-scores the
+    shortlist only, and the global top-1 ranks by (rounded cosine desc,
+    id). Gate setting: ``rerank=1_000_000`` >= every possible Arrow
+    batch, where the shortlist is the whole batch and the operator
+    PROVABLY degenerates to the exact top-k — layout-invariant and
+    hash-comparable against the same brute-force oracle that grades
+    exact_knn_blocked, now exercised through the rerank plumbing
+    (shortlist selection, exact re-score, cosine-ranked global
+    window)."""
+    from coffea_spark.llmdata.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, n_codes=16, seed=42)
+    encoded = pq_encode(emb, books, keep_cols=("embedding",)).persist()
+    encoded.count()  # materialize the one-time encoding
+    queries = _planted_queries(emb)
+    top1 = pq_adc_topk(queries, encoded, books, k=1, rerank=1_000_000)
     return top1.select(
         "qid",
         F.col("vec_id").alias("top1_id"),
@@ -7340,6 +7453,8 @@ def _warc_fixture(spark, sf_dir) -> str:
     the whole ccnet pipeline on 4 tasks (BENCH_SCALE.md)."""
     import tempfile
 
+    import pandas as pd
+
     from coffea_spark.llmdata.warc import write_warc
 
     # cache key = basename + path hash: two corpora with the same
@@ -7357,38 +7472,66 @@ def _warc_fixture(spark, sf_dir) -> str:
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         os.makedirs(out, exist_ok=True)
-        rows = (
-            _t(spark, sf_dir, "documents")
-            .select("doc_id", "text", "source")
-            .orderBy("doc_id")
-            .collect()
-        )
-        n_files = max(4, len(rows) // 2500)
-        files: list[list[dict]] = [[] for _ in range(n_files)]
-        for r in rows:
-            if r.doc_id % 2 == 0:
-                ctype, payload = "text/plain", r.text.encode()
-            else:
-                ctype = "text/html"
-                payload = f"<html><body>{r.text}</body></html>".encode()
-            files[r.doc_id % n_files].append(
-                {
-                    "headers": {
-                        "WARC-Type": "response",
-                        "WARC-Target-URI": f"https://example.org/{r.source}/{r.doc_id}",
-                        "WARC-Date": "2024-01-01T00:00:00Z",
-                        "WARC-Record-ID": f"<urn:uuid:{r.doc_id:032d}>",
-                        "Content-Type": ctype,
-                    },
-                    "payload": payload,
-                }
-            )
-        for i, recs in enumerate(files):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        # file count from ONE tiny count, not a driver collect: the
+        # documents themselves never visit the driver — each WARC file
+        # is written by the executor task holding its group
+        # (groupBy(file).applyInPandas), the partitioned-writer shape a
+        # production fixture/export would use. Byte-identical output to
+        # the historical single-process writer: same round-robin
+        # membership (doc_id % n_files), same within-file doc_id order.
+        n_files = max(4, docs.count() // 2500)
+
+        def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            i = int(pdf["_f"].iloc[0])
+            pdf = pdf.sort_values("doc_id")
+            recs = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    ctype, payload = "text/plain", text.encode()
+                else:
+                    ctype = "text/html"
+                    payload = f"<html><body>{text}</body></html>".encode()
+                recs.append(
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"https://example.org/{source}/{doc_id}",
+                            "WARC-Date": "2024-01-01T00:00:00Z",
+                            "WARC-Record-ID": f"<urn:uuid:{doc_id:032d}>",
+                            "Content-Type": ctype,
+                        },
+                        "payload": payload,
+                    }
+                )
             write_warc(
                 os.path.join(out, f"part-{i:02d}.warc" + (".gz" if i % 2 else "")),
                 recs,
                 compress=bool(i % 2),
             )
+            return pd.DataFrame({"_f": [i], "n_records": [len(recs)]})
+
+        written = (
+            docs.withColumn("_f", (F.col("doc_id") % n_files).cast("int"))
+            .groupBy("_f")
+            .applyInPandas(_write_group, "_f int, n_records long")
+            .collect()
+        )
+        # empty groups produce no file; backfill so the glob layout is
+        # stable (a 3-doc corpus must still yield 4 files)
+        have = {r["_f"] for r in written}
+        for i in range(n_files):
+            if i not in have:
+                write_warc(
+                    os.path.join(
+                        out, f"part-{i:02d}.warc" + (".gz" if i % 2 else "")
+                    ),
+                    [],
+                    compress=bool(i % 2),
+                )
         with open(os.path.join(out, "_SUCCESS"), "w"):
             pass
     return out
@@ -8811,7 +8954,13 @@ def q_ccnet_pipeline(spark, sf_dir):
             F.lit("\nFTR "), F.col("source"),
         ).alias("text"),
     ).cache()  # feeds the dedup's election AND rebuild scans: the
-    # WARC parse + extraction/signal chain must not run per consumer
+    # WARC parse + extraction/signal chain must not run per consumer.
+    # Each cache below is EAGERLY materialized (tiny count() job): the
+    # consumers are separate subtrees that Spark may launch against a
+    # cold cache CONCURRENTLY (broadcast builds especially), re-running
+    # the upstream chain per branch — the q_minhash_lsh /
+    # jaccard_join lesson, applied here by the r11 cost audit.
+    kept.count()
     deduped = paragraph_dedup(kept, id_col="k")
     docs = deduped.select(
         F.col("k.doc_id").alias("doc_id"),
@@ -8819,10 +8968,12 @@ def q_ccnet_pipeline(spark, sf_dir):
         "text",
         "n_kept",
     ).cache()
+    docs.count()
     # scored is (doc-count x 4 narrow cols) and feeds BOTH the cutoff
     # aggregate and bucket assignment — cache it so the LM join runs
     # once (same bounded-materialization contract as docs above)
     scored = unigram_logprob_score(docs, "text", by=["pred_lang"]).cache()
+    scored.count()
     # doc_id-keyed equi-join (NOT a forced broadcast: doc-count rows
     # don't broadcast at 100 TB; AQE picks broadcast at gate scale)
     b = perplexity_buckets(scored, by=["pred_lang"], exact=True).join(
@@ -9146,29 +9297,78 @@ class Query:
 # CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
-    # Driver correctness window (first 50): ROUND-10 rotation, by
-    # EVIDENCE AGE (the r9 verdict's ask #3). Leads with the 12 gates
-    # whose code changed in r10 — weights_variations (full reference
-    # partial_weight/modifier surface in weights.py), pq_recall +
-    # knn_classify (mechanical small-side guards in similarity.py),
-    # tree_train / gbdt_train_boost / gbdt_score (gbdt_margin 2-D input
-    # validation), deep_children (deep-walk depth guard now raises),
-    # dimuon_mass (Collection pristine-base tracking in nanoevents.py),
-    # ann_recall / ivf_recall / semdedup (norm factoring out of the
-    # candidate joins + the matmul-form ivf_train k-means), and the NEW
-    # exact_knn_blocked (blocked-matmul exact top-k operator). Those
-    # last four displaced quantiles / categorical_counts / filtered_agg
-    # / region_revenue (pure-native r6 veterans, zero r10 code churn)
-    # to just past the window. The remaining slots recycle the gates
-    # with the OLDEST driver verification per the CORRECTNESS_r0*
-    # ledger: the r5 streaming / systematics / text veterans, then the
-    # r6 cohort (relational core, schema variants, histograms, lumi,
-    # as-of joins) — none driver-checked since r6. Recounted after
+    # Driver correctness window (first 50): ROUND-11 rotation. Leads
+    # with the 7 gates whose code paths changed in r11 — ivf_recall
+    # (deterministic hash-ordered ivf_train sampling + the NEW
+    # ivf_refine_oversized dominant-cell guard wired into the gate),
+    # pq_recall (deterministic pq_train sampling), the NEW pq_rerank
+    # (two-stage PQ search gated against the brute-force oracle at
+    # rerank >= batch rows) and jaccard_collapsed (composed
+    # boilerplate-collapse -> PPJoin posture), exact_knn_blocked
+    # (driver-side integral-id fail-fast), and warc_scan +
+    # ccnet_pipeline (WARC fixture build distributed via
+    # groupBy().applyInPandas — no driver collect of documents; eager
+    # cache materialization in the ccnet chain). The remaining 43 slots
+    # recycle the gates with the OLDEST driver evidence per the
+    # CORRECTNESS_r0* ledger: the full r6 cohort (boost_cosstar ...
+    # top_revenue_orders, none driver-checked since r6),
+    # paragraph_dedup_norm (r7), then 27 of the 41-strong r8 cohort in
+    # lexical order (adpcm_features ... physlite_real_links; the other
+    # 14 r8 gates are first in line for r12). Recounted after
     # insertion: exactly 50 entries precede the first non-window gate.
     # Rows-only gates (oracle=None) stay past slot 50 as always.
     # ------------------------------------------------------------------
-    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
+    "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
+    "jaccard_collapsed": Query(q_jaccard_collapsed, SQL_JACCARD_COLLAPSED),
+    "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
+    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
+    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
+    "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
+    "cube_counts": Query(q_cube_counts, SQL_CUBE),
+    "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
+    "events_hourly": Query(q_events_hourly, SQL_EVENTS_HOURLY),
+    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
+    "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
+    "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
+    "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
+    "set_ops": Query(q_set_ops, SQL_SET_OPS),
+    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
+    "top_revenue_orders": Query(q_top_revenue_orders, SQL_TOP_REVENUE),
+    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
+    "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
+    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
+    "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
+    "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
+    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
+    "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
+    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
+    "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
+    "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
+    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
+    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
+    "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
+    "flac_features": Query(q_flac_features, SQL_AUDIO_FEATURES),
+    "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
+    "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
+    "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
+    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
+    "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
+    "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
+    "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
+    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
+    "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
+    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
+    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
     "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
     "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
     "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
@@ -9187,7 +9387,6 @@ REGISTRY: dict[str, Query] = {
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
-    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
     "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
     "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
@@ -9200,7 +9399,6 @@ REGISTRY: dict[str, Query] = {
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
     "nminusone": Query(q_nminusone, SQL_NMINUSONE),
     "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
-    "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
     "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
     "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
@@ -9224,10 +9422,6 @@ REGISTRY: dict[str, Query] = {
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
     "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
-    "quantiles": Query(q_quantiles, SQL_QUANTILES),
-    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
-    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
-    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
     "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
@@ -9262,62 +9456,21 @@ REGISTRY: dict[str, Query] = {
     "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
-    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
     "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
     "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
-    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
-    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
-    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
-    "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
-    "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
-    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
-    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
-    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
     "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
-    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
     "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
     "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
-    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
     "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
     "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
     "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
-    "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
-    "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
-    "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
-    "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
-    "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
-    "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
-    "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
-    "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
-    "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
-    "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
-    "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
-    "flac_features": Query(q_flac_features, SQL_AUDIO_FEATURES),
-    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
     "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
-    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
-    "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
-    "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
     "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
     "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
-    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
-    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
-    "top_revenue_orders": Query(q_top_revenue_orders, SQL_TOP_REVENUE),
-    "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
-    "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
-    "events_hourly": Query(q_events_hourly, SQL_EVENTS_HOURLY),
-    "set_ops": Query(q_set_ops, SQL_SET_OPS),
-    "cube_counts": Query(q_cube_counts, SQL_CUBE),
-    "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
-    "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
-    "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
-    "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
-    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),

@@ -631,6 +631,132 @@ def test_pq_rerank_two_stage(spark):
         assert best["vec_id"] == qid
 
 
+def test_train_sample_deterministic_under_partitioning(spark):
+    """r10 ADVICE #1: the bounded training sample must be a pure
+    function of corpus CONTENT when corpus > max_sample — an unordered
+    limit() takes whichever partitions answer first. ivf_train and
+    pq_train hash-order the sample (TakeOrderedAndProject), so
+    repartition(7) vs repartition(64) over reversed row order must
+    train IDENTICAL centroids / codebooks."""
+    import numpy as np
+
+    from coffea_spark.llmdata.similarity import ivf_train, pq_train
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((600, 8)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    a = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(7)
+    b = spark.createDataFrame(
+        list(reversed(rows)), "vec_id long, embedding array<float>"
+    ).repartition(64)
+    ca = ivf_train(a, n_lists=4, seed=42, max_iter=5, max_sample=256)
+    cb = ivf_train(b, n_lists=4, seed=42, max_iter=5, max_sample=256)
+    assert np.array_equal(ca, cb)
+    pa = pq_train(a, m=2, n_codes=4, seed=1, max_sample=256)
+    pb = pq_train(b, m=2, n_codes=4, seed=1, max_sample=256)
+    assert np.array_equal(pa, pb)
+
+
+def test_ivf_refine_oversized(spark):
+    """Dominant-cell guard (BENCH_SKEW r10 addendum): a 40%-of-corpus
+    tight ball lands in ONE list; ivf_refine_oversized splits THAT list
+    into finer cells (loud warn, centroid count grows), the max
+    assigned list size drops, and the probe serve still exact-recalls a
+    planted neighbor through the finer cells. A corpus already under
+    the cap returns the centroids UNCHANGED."""
+    import warnings
+
+    import numpy as np
+
+    from coffea_spark.llmdata.similarity import (
+        ivf_assign_table,
+        ivf_probe_join,
+        ivf_refine_oversized,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(5)
+    cold = rng.standard_normal((300, 8))
+    hot = rng.standard_normal((200, 8)) * 0.05 + 4.0  # tight far-away ball
+    X = np.vstack([cold, hot]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_train(df, n_lists=4, seed=42, max_iter=5)
+    assigned = ivf_assign_table(df, cents).persist()
+    sizes0 = [
+        r["n"]
+        for r in assigned.groupBy("_list").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    cap = 120  # the ~200-strong hot list must split (ceil(200/120) = 2 cells)
+    assert max(sizes0) > cap
+
+    # inert case first: cap above every list -> identical centroids out
+    assert np.array_equal(
+        ivf_refine_oversized(df, cents, 10_000, assigned=assigned), cents
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        refined = ivf_refine_oversized(df, cents, cap, assigned=assigned)
+    assert any("re-clustering" in str(x.message) for x in w)
+    assert refined.shape[0] > cents.shape[0]
+    # deterministic: same corpus content -> same refined set
+    assert np.array_equal(
+        refined, ivf_refine_oversized(df.repartition(13), cents, cap, assigned=assigned)
+    )
+
+    re_assigned = ivf_assign_table(df, refined)
+    sizes1 = [
+        r["n"]
+        for r in re_assigned.groupBy("_list")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes1) < max(sizes0)
+
+    q = spark.createDataFrame(
+        [(350, [float(v * 1.001) for v in X[350]])], "qid long, qvec array<double>"
+    )
+    got = ivf_probe_join(q, re_assigned, refined, k=3, n_probe=2).collect()
+    assert got
+    best = max(got, key=lambda r: (r["cosine"], -r["vec_id"]))
+    assert best["vec_id"] == 350
+    assigned.unpersist()
+
+
+def test_collapse_jaccard_join(spark):
+    """Boilerplate collapse posture: B identical docs become ONE
+    representative (n_members=B) instead of B(B-1)/2 jaccard=1.0 pairs
+    in the near-dup output; genuinely near-duplicate (non-identical)
+    texts still pair."""
+    from coffea_spark.llmdata.dedup import collapse_jaccard_join, jaccard_join
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    near_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    near_b = "the quick brown fox jumps over the lazy dog and runs far off"
+    rows = [(i, boiler, "en", "web") for i in range(10, 15)]
+    rows += [(1, near_a, "en", "web"), (2, near_b, "en", "web")]
+    rows += [(3, "completely unrelated content about spark plans", "en", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    # uncollapsed: the 5-doc cluster alone is C(5,2) = 10 true pairs
+    raw = jaccard_join(df, 0.5, "doc_id", "text", 5, block_cols=["lang", "source"])
+    assert raw.filter((F.col("id_a") >= 10) & (F.col("jaccard") == 1.0)).count() == 10
+
+    reps, pairs = collapse_jaccard_join(
+        df, 0.5, "doc_id", "text", 5, block_cols=["lang", "source"]
+    )
+    rep_rows = {r["doc_id"]: r["n_members"] for r in reps.collect()}
+    assert rep_rows[10] == 5  # min-id representative carries the multiplicity
+    assert rep_rows[1] == 1 and rep_rows[2] == 1 and rep_rows[3] == 1
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got == [(1, 2)]  # only the genuine near-dup pair survives
+
+
 def test_png_codec_roundtrip_and_filters():
     """Numpy-only PNG: encode/decode round-trips (gray + RGB, both
     encoder filters), hand-built Up/Average/Paeth rows, palette

@@ -82,3 +82,25 @@ def test_small_side_contract(spark):
     )
     with pytest.raises(ValueError, match="query table"):
         exact_topk_join(queries, corpus, k=1, max_query_rows=3)
+
+
+def test_integral_id_contract(spark):
+    """r10 ADVICE #4: the integer-id contract fails FAST at the driver
+    with a pointed message (string keys -> pq_adc_topk), not as an
+    opaque numpy cast error inside an executor."""
+    from coffea_spark.llmdata.similarity import exact_topk_join
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    str_corpus = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "vec_id string, embedding array<double>"
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], "qid long, qvec array<double>")
+    str_queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "qid string, qvec array<double>"
+    )
+    with pytest.raises(TypeError, match="corpus id.*integral"):
+        exact_topk_join(queries, str_corpus, k=1)
+    with pytest.raises(TypeError, match="query id.*integral"):
+        exact_topk_join(str_queries, corpus, k=1)
