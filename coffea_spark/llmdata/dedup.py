@@ -288,36 +288,169 @@ def collapse_jaccard_join(
     text_col: str = "text",
     n: int = 5,
     block_cols: list[str] | None = None,
+    n_hashes: int = 16,
+    band_rows: int = 4,
+    hot_bucket_size: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Boilerplate-hardened near-dup join — the production posture for
     threshold Jaccard under duplicate skew, COMPOSED as one operator
     (BENCH_SKEW.md measured the reason: a planted boilerplate cluster of
-    B identical docs contributes B(B-1)/2 genuine jaccard=1.0 pairs, so
+    B mutually-similar docs contributes ~B(B-1)/2 genuine pairs, so
     :func:`jaccard_join`'s OUTPUT — not its candidate generation — grows
     quadratically in the cluster; the 7.4x skewed-sf1 wall was 75,704x
     more emitted TRUE pairs, none of which a dedup consumer wants
     enumerated pairwise).
 
-    Stage 1 collapses EXACT duplicates within the blocking key to their
-    min-id representative (one linear hash shuffle with a map-side
-    combine — the exact pass measured FASTER under skew, 0.31x, because
-    clusters fold before the shuffle); each representative carries its
-    ``n_members`` count, so nothing is lost — the cluster survives as
-    one row + a multiplicity instead of B(B-1)/2 pairs. Stage 2 runs the
-    PPJoin threshold join on representatives only, where the boilerplate
-    mass is a single doc.
+    Stage 1a collapses EXACT duplicates within the blocking key to
+    their min-id representative (one linear hash shuffle with a
+    map-side combine — the exact pass measured FASTER under skew,
+    0.31x, because clusters fold before the shuffle). Stage 1b catches
+    what exactness cannot — templated boilerplate with per-member
+    jitter, the actual shape of the measured skew cluster — via HOT
+    MinHash BUCKETS: portable signatures (``n_hashes`` universal
+    hashes, engine-reproducible — the `minhash_signatures_portable`
+    family, so the whole composition stays oracle-checkable), banded
+    ``band_rows`` values per band with the band's raw signature tuple
+    as the bucket key; any bucket holding more than ``hot_bucket_size``
+    members is boilerplate-scale. Bucket membership only NOMINATES:
+    each member of a hot bucket is VERIFIED with exact jaccard against
+    the min-id representative of its SMALLEST hot bucket (by member
+    count, key tie-break — the most specific boilerplate family, so a
+    corpus-wide low-entropy mega-bucket cannot shadow a genuine
+    template cluster's own bucket) and folds only at
+    ``jaccard >= threshold`` — one
+    member-vs-rep comparison per candidate (LINEAR, never pairwise),
+    so a low-entropy corpus whose organic docs share globally-minimal
+    shingle fingerprints (measured: 40k of 50k uniform-sf1 docs)
+    nominates en masse but collapses nothing. Multiplicities fold
+    through both stages into ``n_members``, so nothing is dropped —
+    the cluster survives as a handful of representative rows instead
+    of a pair explosion (mirrors the `max_bucket_size` guard, but
+    collapsing instead of excluding, because this operator OWNS the
+    dedup intent). Stage 2 runs the PPJoin threshold join on the
+    surviving representatives.
 
-    Returns ``(reps, pairs)``: ``reps`` = one row per distinct (block,
-    text) with the min ``id_col`` and ``n_members``; ``pairs`` = the
-    jaccard >= threshold pairs among representatives (jaccard_join
-    columns). Semantics note: collapse keys on the exact ``text_col``
-    bytes within the block — normalize first (paragraph_dedup /
-    fingerprint variants) when near-identical boilerplate differs by
-    whitespace."""
+    Bucket collapse is corpus-wide (not per block): boilerplate is a
+    corpus property, and cross-block members never paired anyway. The
+    collapse semantic is a STAR cluster — member ~ rep at >=
+    threshold; members similar to each other but not to the rep stay
+    independent and surface as ordinary pairs in stage 2. Tuning:
+    per-band collision odds for a within-cluster pair are j^band_rows
+    (0.93^4 ~ 0.75 on the measured template cluster), so a member
+    escapes all n_hashes/band_rows bands with odds (1-j^r)^b ~ 0.4% —
+    residual pairs are escapee-sized, not cluster-sized.
+
+    Returns ``(reps, pairs)``: ``reps`` = surviving representatives
+    with ``n_members`` (1a x 1b folded); ``pairs`` = the
+    jaccard >= threshold pairs among them (jaccard_join columns)."""
+    if n_hashes % band_rows:
+        raise ValueError(f"n_hashes {n_hashes} not divisible by band_rows {band_rows}")
     block_cols = block_cols or []
-    reps = df.groupBy(*block_cols, text_col).agg(
+    exact = df.groupBy(*block_cols, text_col).agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_members")
     )
+    sig = minhash_signatures_portable(exact, id_col, text_col, n, n_hashes)
+    bands = n_hashes // band_rows
+    # bucket key: band index + the band's RAW signature values as one
+    # canonical string (no extra hash layer -> bit-identical in any
+    # engine; lexicographic min is a total order both engines share)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[
+                    F.element_at(F.col("sig"), b * band_rows + r + 1).cast("string")
+                    for r in range(band_rows)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    memb = sig.select(F.col(id_col), F.explode(keys).alias("_bk"))
+    # hot buckets keyed by (member count, key): a doc groups under its
+    # SMALLEST hot bucket — the most SPECIFIC boilerplate family — so a
+    # corpus-wide low-entropy mega-bucket (40k uniform-sf1 docs sharing
+    # globally-minimal shingles) cannot shadow a genuine template
+    # cluster's own, much smaller, bucket. Encoded as one
+    # lexicographic string (zero-padded size | key) so the min is the
+    # same total order in any engine.
+    hot = (
+        memb.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > hot_bucket_size)
+        .select(
+            "_bk",
+            F.concat_ws(
+                "|", F.lpad(F.col("_bsz").cast("string"), 12, "0"), F.col("_bk")
+            ).alias("_gk"),
+        )
+    )
+    # per doc: its most specific hot bucket (NULL -> not a candidate)
+    grp = (
+        memb.join(F.broadcast(hot), "_bk")
+        .groupBy(id_col)
+        .agg(F.min("_gk").alias("_grp"))
+    )
+    tagged = exact.join(grp, id_col, "left")
+    # VERIFIED star collapse: bucket membership only NOMINATES — each
+    # candidate must prove jaccard >= threshold against its group's
+    # min-id representative before folding (one member-vs-rep pair per
+    # candidate: LINEAR, never pairwise — that is the whole point).
+    # Without this, a low-entropy corpus (small shingle vocabulary)
+    # makes organic hot buckets and the collapse would silently merge
+    # dissimilar docs (measured: 40k of 50k uniform sf1 docs shared
+    # globally-minimal shingle fingerprints). Failed candidates stay
+    # independent representatives.
+    cand = tagged.filter(F.col("_grp").isNotNull()).withColumn(
+        "_sh", F.array_distinct(char_ngrams(F.col(text_col), n))
+    )
+    rid = cand.groupBy("_grp").agg(F.min(id_col).alias("_rid"))
+    rep_rows = cand.join(
+        F.broadcast(rid.withColumnRenamed("_rid", id_col)), ["_grp", id_col]
+    )
+    members = cand.join(F.broadcast(rid), "_grp").filter(
+        F.col(id_col) != F.col("_rid")
+    )
+    ver = members.join(
+        F.broadcast(rep_rows.select("_grp", F.col("_sh").alias("_rsh"))), "_grp"
+    )
+    inter = F.size(F.array_intersect("_sh", "_rsh"))
+    jac = F.coalesce(
+        inter / (F.size("_sh") + F.size("_rsh") - inter), F.lit(0.0)
+    )
+    ver = ver.withColumn("_j", jac)
+    passed_add = (
+        ver.filter(F.col("_j") >= threshold)
+        .groupBy("_grp")
+        .agg(F.sum("n_members").alias("_nm_add"))
+    )
+    boiler = (
+        rep_rows.join(F.broadcast(passed_add), "_grp", "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.col(text_col),
+            (
+                F.col("n_members") + F.coalesce(F.col("_nm_add"), F.lit(0))
+            ).alias("n_members"),
+        )
+    )
+    failed = ver.filter(~(F.col("_j") >= threshold)).select(
+        id_col, *block_cols, text_col, "n_members"
+    )
+    reps = (
+        tagged.filter(F.col("_grp").isNull())
+        .select(id_col, *block_cols, text_col, "n_members")
+        .unionByName(failed)
+        .unionByName(boiler)
+        .persist()
+    )
+    # eager: the caller consumes reps directly AND through the pair
+    # join below — without this the signature/nominate/verify chain
+    # re-runs per consumer (same contract as jaccard_join's internal
+    # persists; clearCache()/unpersist when done)
+    reps.count()
     pairs = jaccard_join(reps, threshold, id_col, text_col, n, block_cols)
     return reps, pairs
 

@@ -490,9 +490,9 @@ def ivf_train(
 
 def _kmeans_blas(sample: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.ndarray:
     """Deterministic Lloyd's k-means on an in-memory sample in matmul
-    (BLAS) form — shared by :func:`ivf_train` and
-    :func:`ivf_refine_oversized`. The input is sorted before seeded
-    init, so the result is a pure function of the sample MULTISET.
+    (BLAS) form — :func:`ivf_train`'s quantizer trainer. The input is
+    sorted before seeded init, so the result is a pure function of the
+    sample MULTISET.
     Memory is O(S·k): the naive ``(sample[:,None,:]-cents)``
     broadcasting (see `_kmeans_fixed`) materializes S×k×dim — 1 TB at
     a 65536-point sample with 256 lists — and caps k at toy sizes; the
@@ -530,6 +530,41 @@ def _kmeans_blas(sample: np.ndarray, k: int, seed: int, max_iter: int = 20) -> n
     return cents
 
 
+def _median_bisect(sample: np.ndarray, max_rows: float) -> np.ndarray:
+    """Deterministic recursive median bisection (the split engine of
+    bisecting k-means, minus the Lloyd step): split on the
+    MAX-VARIANCE dimension at its median, recurse on any piece still
+    holding more than ``max_rows`` points, return each final piece's
+    MEAN as its cell centroid. Splits by COUNT by construction — which
+    plain Lloyd's cannot do on extreme density contrast: k-means
+    minimizes variance, so on a tight ball inside a diffuse shell it
+    parks the extra centroids on shell outliers and leaves the ball's
+    mass in one cell (measured on the skewed-sf1 hot list: k=19
+    k-means++ left a 4726-point cell + singletons; median bisection at
+    the same budget yields 32 cells, max 476). A genuine POINT MASS
+    (exact-duplicate vectors) is unsplittable by any centroid scheme —
+    the recursion stops when the split dimension has zero spread and
+    the caller's loud warning is the signal to exact-dedup first.
+    Deterministic: median/variance/mean over a content-sorted sample,
+    no RNG."""
+    out: list[np.ndarray] = []
+    stack = [sample]
+    while stack:
+        s = stack.pop()
+        if len(s) <= max_rows or len(s) < 2:
+            out.append(s.mean(axis=0))
+            continue
+        dim = int(s.var(axis=0).argmax())
+        med = float(np.median(s[:, dim]))
+        left, right = s[s[:, dim] <= med], s[s[:, dim] > med]
+        if len(left) == 0 or len(right) == 0:  # point mass on every dim
+            out.append(s.mean(axis=0))
+            continue
+        stack.append(left)
+        stack.append(right)
+    return np.asarray(out, dtype=float)
+
+
 def ivf_refine_oversized(
     df: DataFrame,
     centroids: np.ndarray,
@@ -538,7 +573,7 @@ def ivf_refine_oversized(
     seed: int = 42,
     max_iter: int = 20,
     max_sample: int = 65536,
-    rounds: int = 1,
+    rounds: int = 4,
     assigned: DataFrame | None = None,
     list_col: str = "_list",
 ) -> np.ndarray:
@@ -550,15 +585,18 @@ def ivf_refine_oversized(
     pure candidate mass, which sub-bucketing the list's PARTITIONS
     cannot fix (probing a split list would still scan every sub-list).
 
-    Remedy: DETERMINISTIC RESIDUAL RE-CLUSTER. Every list whose
-    assignment count exceeds ``max_list_size`` is re-trained into
-    ceil(size / max_list_size) finer cells (bounded hash-ordered sample
-    of that list's own vectors, same BLAS-form Lloyd's as ivf_train) and
-    its single centroid is REPLACED by the sub-centroids. The hot ball
-    becomes several real Voronoi cells, so a query inside it probes only
-    its n_probe nearest sub-cells — candidate mass per hot query drops
-    from |hot list| toward n_probe·max_list_size — while cold lists and
-    the serve path (:func:`ivf_probe_join`, unchanged) are untouched.
+    Remedy: DETERMINISTIC RESIDUAL RE-SPLIT. Every list whose
+    assignment count exceeds ``max_list_size`` is split by recursive
+    median bisection (:func:`_median_bisect` over a bounded
+    hash-ordered sample of that list's own vectors — count-balanced by
+    construction, where plain Lloyd's provably is not: k-means
+    re-clustering the measured skewed-sf1 hot list left 85% of its
+    mass in one cell at ANY k) and its single centroid is REPLACED by
+    the piece means. The hot ball becomes several real Voronoi cells,
+    so a query inside it probes only its n_probe nearest sub-cells —
+    candidate mass per hot query drops from |hot list| toward
+    n_probe·max_list_size — while cold lists and the serve path
+    (:func:`ivf_probe_join`, unchanged) are untouched.
 
     Mirrors the MinHash ``max_bucket_size`` guard contract
     (dedup.py minhash_lsh_candidates): the trigger is MEASURED (one
@@ -567,6 +605,17 @@ def ivf_refine_oversized(
     and sizes), and nothing is dropped — an IVF list is a routing cell,
     not a near-dup bucket, so the guard splits it instead of excluding
     it.
+
+    ``rounds`` iterates the guard because Voronoi re-assignment blurs
+    the bisection boundaries (piece means are only exactly
+    bisector-equivalent for the final sibling pair) and corpus counts
+    fluctuate around sample counts — a cell can land modestly over cap
+    after one pass (measured 1.7x on the skewed-sf1 hot ball) and the
+    next round bisects just that cell. An in-cap corpus exits after
+    the first size check, so the default rounds cost nothing when
+    inert; each firing round costs one assignment scan + the tiny
+    size agg. ``seed``/``max_iter`` are retained for signature
+    stability but unused — the bisection is RNG-free.
 
     Deterministic: sub-samples are hash-ordered (_bounded_vec_sample),
     each sub-k-means is seeded per source list, and the refined set is
@@ -577,7 +626,6 @@ def ivf_refine_oversized(
     size check and sub-samples. Returns the refined (possibly
     unchanged) centroids; re-assign the corpus against them before
     serving."""
-    import math
     import warnings
 
     cents = np.asarray(centroids, dtype=float)
@@ -599,8 +647,7 @@ def ivf_refine_oversized(
             f"ivf_refine_oversized: re-clustering {len(oversized)} list(s) "
             f"over max_list_size={max_list_size}: "
             + ", ".join(
-                f"list {l} ({sz} rows -> {math.ceil(sz / max_list_size)} cells)"
-                for l, sz in sorted(oversized.items())
+                f"list {l} ({sz} rows)" for l, sz in sorted(oversized.items())
             ),
             stacklevel=2,
         )
@@ -610,8 +657,11 @@ def ivf_refine_oversized(
             sub = _bounded_vec_sample(
                 asg.filter(F.col(list_col) == l), vec_col, max_sample
             )
-            k_l = min(math.ceil(sz / max_list_size), sub.shape[0])
-            subs.append(_kmeans_blas(sub, k_l, seed + 7919 * (l + 1), max_iter))
+            sub = sub[np.lexsort(sub.T[::-1])]  # content-determinism
+            # cap scaled to the sample fraction: pieces of <= max_rows
+            # sample points correspond to ~max_list_size corpus rows
+            max_rows = max(1.0, sub.shape[0] * max_list_size / sz)
+            subs.append(_median_bisect(sub, max_rows))
         if not reuse:
             asg.unpersist()
         cents = np.concatenate(

@@ -2110,14 +2110,18 @@ FROM pairs WHERE j >= 0.5
 
 def q_jaccard_collapsed(spark, sf_dir):
     """Boilerplate-hardened near-dup pipeline (dedup.collapse_jaccard_join):
-    exact-duplicate collapse to min-id representatives FIRST, PPJoin
-    threshold Jaccard on representatives only — the production posture
-    BENCH_SKEW.md attributed q_jaccard_dupes' 7.4x skewed wall to not
-    composing (a B-doc boilerplate cluster is B(B-1)/2 genuine pairs in
-    the uncollapsed join, one representative row here). The oracle
-    replays both stages: group-by-(block, text) election, then the
-    naive all-pairs join on representatives — the prefix filter provably
-    returns the identical qualifying set."""
+    exact-duplicate collapse, then HOT-MinHash-BUCKET collapse of
+    templated near-identical boilerplate (portable universal-hash
+    signatures so the whole composition stays engine-replayable), then
+    PPJoin threshold Jaccard on the surviving representatives — the
+    production posture BENCH_SKEW.md attributed q_jaccard_dupes' 7.4x
+    skewed wall to not composing (a B-doc boilerplate cluster is
+    ~B(B-1)/2 genuine pairs in the uncollapsed join; a handful of
+    representative rows here). The oracle replays every stage:
+    group-by-(block, text) election, portable MinHash banding + hot
+    buckets + min-bucket grouping, then the naive all-pairs join on
+    representatives — the prefix filter provably returns the identical
+    qualifying set."""
     from coffea_spark.llmdata.dedup import collapse_jaccard_join
 
     docs = _t(spark, sf_dir, "documents")
@@ -2127,9 +2131,7 @@ def q_jaccard_collapsed(spark, sf_dir):
     r = reps.agg(
         F.count(F.lit(1)).alias("n_reps"),
         F.sum("n_members").alias("n_docs"),
-        F.sum(
-            F.when(F.col("n_members") > 1, F.col("n_members") - 1).otherwise(0)
-        ).alias("n_collapsed"),
+        (F.sum("n_members") - F.count(F.lit(1))).alias("n_collapsed"),
     )
     p = pairs.agg(
         F.count(F.lit(1)).alias("n_near_pairs"),
@@ -2139,11 +2141,95 @@ def q_jaccard_collapsed(spark, sf_dir):
     return r.crossJoin(p)
 
 
-SQL_JACCARD_COLLAPSED = r"""
-WITH rep AS MATERIALIZED (
+def _sql_jaccard_collapsed() -> str:
+    """Replay the full composed pipeline: exact collapse, portable
+    MinHash signatures (Rabin-Karp fingerprints + universal hashing mod
+    2^31-1 — the `minhash_portable` math), 4-row band keys as canonical
+    strings, smallest-hot-bucket (>8) nomination, member-vs-rep exact
+    jaccard verification, then all-pairs jaccard over the surviving
+    representatives."""
+    from coffea_spark.llmdata.dedup import minhash_params
+
+    rows = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16))
+    )
+    return f"""
+WITH exact AS MATERIALIZED (
   SELECT lang, source, text, min(doc_id) AS doc_id,
          count(*) AS n_members
   FROM documents GROUP BY lang, source, text
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 3, 1)), i -> substr(text, i, 5)))) AS s
+  FROM exact
+), fp AS (
+  SELECT doc_id, list_reduce(
+           list_transform(string_split_regex(s, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, x) -> (a * 257 + x) % 2147483647) AS f
+  FROM sh
+), params(hash_idx, a, b) AS (VALUES
+    {rows}),
+sig AS (
+  SELECT fp.doc_id, p.hash_idx,
+         CAST(min((p.a * fp.f + p.b) % 2147483647) AS BIGINT) AS h
+  FROM fp CROSS JOIN params p
+  GROUP BY fp.doc_id, p.hash_idx
+), bk AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(hash_idx // 4 AS VARCHAR) || '_' ||
+           string_agg(CAST(h AS VARCHAR), '_' ORDER BY hash_idx) AS _bk
+  FROM sig GROUP BY doc_id, hash_idx // 4
+), hot AS (
+  SELECT _bk, lpad(CAST(count(*) AS VARCHAR), 12, '0') || '|' || _bk AS _gk
+  FROM bk GROUP BY _bk HAVING count(*) > 8
+), grp AS (
+  SELECT b.doc_id, min(h._gk) AS _grp
+  FROM bk b JOIN hot h USING (_bk) GROUP BY b.doc_id
+), tagged AS MATERIALIZED (
+  SELECT e.doc_id, e.lang, e.source, e.text, e.n_members, g._grp
+  FROM exact e LEFT JOIN grp g USING (doc_id)
+), cand AS MATERIALIZED (
+  SELECT * FROM tagged WHERE _grp IS NOT NULL
+), rid AS (
+  SELECT _grp, min(doc_id) AS rid FROM cand GROUP BY _grp
+), ctok AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 3, 1)), i -> substr(text, i, 5)))) AS s
+  FROM cand
+), csz AS (
+  SELECT doc_id, count(*) AS sz FROM ctok GROUP BY doc_id
+), vint AS (
+  SELECT m.doc_id, count(*) AS ninter
+  FROM cand m JOIN rid r USING (_grp)
+  JOIN ctok a ON a.doc_id = m.doc_id
+  JOIN ctok b ON b.doc_id = r.rid AND b.s = a.s
+  WHERE m.doc_id <> r.rid
+  GROUP BY m.doc_id
+), ver AS (
+  SELECT m.doc_id, m.lang, m.source, m.text, m.n_members, r.rid AS _rid,
+         coalesce(coalesce(v.ninter, 0) * 1.0
+           / nullif(coalesce(sa.sz, 0) + coalesce(sb.sz, 0)
+                    - coalesce(v.ninter, 0), 0), 0) AS j
+  FROM cand m
+  JOIN rid r USING (_grp)
+  LEFT JOIN vint v ON v.doc_id = m.doc_id
+  LEFT JOIN csz sa ON sa.doc_id = m.doc_id
+  LEFT JOIN csz sb ON sb.doc_id = r.rid
+  WHERE m.doc_id <> r.rid
+), passed AS (
+  SELECT _rid, CAST(sum(n_members) AS BIGINT) AS nm_add
+  FROM ver WHERE j >= 0.5 GROUP BY _rid
+), rep AS MATERIALIZED (
+  SELECT doc_id, lang, source, text, CAST(n_members AS BIGINT) AS n_members
+  FROM tagged WHERE _grp IS NULL
+  UNION ALL
+  SELECT doc_id, lang, source, text, CAST(n_members AS BIGINT) AS n_members
+  FROM ver WHERE j < 0.5
+  UNION ALL
+  SELECT c.doc_id, c.lang, c.source, c.text,
+         CAST(c.n_members + coalesce(p.nm_add, 0) AS BIGINT) AS n_members
+  FROM cand c JOIN rid r ON c.doc_id = r.rid
+  LEFT JOIN passed p ON p._rid = c.doc_id
 ), tok AS MATERIALIZED (
   SELECT doc_id, lang, source,
          unnest(list_distinct(list_transform(
@@ -2165,8 +2251,7 @@ WITH rep AS MATERIALIZED (
 )
 SELECT (SELECT count(*) FROM rep) AS n_reps,
        (SELECT CAST(sum(n_members) AS BIGINT) FROM rep) AS n_docs,
-       (SELECT CAST(sum(CASE WHEN n_members > 1 THEN n_members - 1 ELSE 0 END)
-               AS BIGINT) FROM rep) AS n_collapsed,
+       (SELECT CAST(sum(n_members) - count(*) AS BIGINT) FROM rep) AS n_collapsed,
        (SELECT count(*) FROM pairs WHERE j >= 0.5) AS n_near_pairs,
        (SELECT round(avg(j), 6) FROM pairs WHERE j >= 0.5) AS avg_jaccard,
        (SELECT round(max(j), 6) FROM pairs WHERE j >= 0.5) AS max_jaccard
@@ -9321,7 +9406,7 @@ REGISTRY: dict[str, Query] = {
     "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
     "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
-    "jaccard_collapsed": Query(q_jaccard_collapsed, SQL_JACCARD_COLLAPSED),
+    "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
     "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),

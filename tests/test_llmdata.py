@@ -691,7 +691,7 @@ def test_ivf_refine_oversized(spark):
         r["n"]
         for r in assigned.groupBy("_list").agg(F.count(F.lit(1)).alias("n")).collect()
     ]
-    cap = 120  # the ~200-strong hot list must split (ceil(200/120) = 2 cells)
+    cap = 120  # the ~200-strong hot list must split (median bisection)
     assert max(sizes0) > cap
 
     # inert case first: cap above every list -> identical centroids out
@@ -755,6 +755,51 @@ def test_collapse_jaccard_join(spark):
     assert rep_rows[1] == 1 and rep_rows[2] == 1 and rep_rows[3] == 1
     got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert got == [(1, 2)]  # only the genuine near-dup pair survives
+
+
+def test_collapse_jaccard_join_hot_bucket(spark):
+    """Stage 1b: TEMPLATED boilerplate (per-member jitter, so exact
+    collapse can't touch it — the measured shape of the skewed-sf1
+    cluster) lands in hot MinHash buckets and collapses to a handful of
+    representatives; multiplicities fold through; the near-dup join no
+    longer enumerates the cluster pairwise."""
+    import random
+
+    from coffea_spark.llmdata.dedup import collapse_jaccard_join, jaccard_join
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    template = [vocab[rng.randrange(40)] for _ in range(30)]
+    rows = []
+    for i in range(40):  # 40 jittered members, all distinct texts
+        words = list(template)
+        words[rng.randrange(30)] = f"jit{i}"
+        rows.append((i, " ".join(words), "en", "web"))
+    for i in range(40, 60):  # organic singletons
+        rows.append((i, " ".join(vocab[rng.randrange(40)] for _ in range(25)), "en", "web"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    raw_pairs = jaccard_join(df, 0.5, "doc_id", "text", 5, block_cols=["lang", "source"]).count()
+    assert raw_pairs >= 40 * 39 / 2  # the cluster alone is >= C(40,2) pairs
+
+    reps, pairs = collapse_jaccard_join(
+        df, 0.5, "doc_id", "text", 5,
+        block_cols=["lang", "source"], hot_bucket_size=10,
+    )
+    rep_rows = reps.collect()
+    assert sum(r["n_members"] for r in rep_rows) == 60  # nothing dropped
+    n_cluster_reps = sum(1 for r in rep_rows if r["doc_id"] < 40)
+    assert n_cluster_reps <= 8  # 40 members -> a handful of reps
+    # the >=780-pair cluster explosion is gone; what survives is
+    # family-rep-vs-family-rep pairs (genuinely similar) + organic
+    # overlaps — bounded by the rep count, not the member count
+    assert pairs.count() <= 30
+    # deterministic across layouts
+    reps2, _ = collapse_jaccard_join(
+        df.repartition(13), 0.5, "doc_id", "text", 5,
+        block_cols=["lang", "source"], hot_bucket_size=10,
+    )
+    assert sorted(map(tuple, rep_rows)) == sorted(map(tuple, reps2.collect()))
 
 
 def test_png_codec_roundtrip_and_filters():

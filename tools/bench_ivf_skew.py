@@ -11,6 +11,7 @@ Usage:
 """
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -23,6 +24,7 @@ from coffea_spark.llmdata.similarity import (  # noqa: E402
     exact_topk_join,
     ivf_assign_table,
     ivf_probe_join,
+    ivf_refine_oversized,
     ivf_train,
 )
 from coffea_spark.queries import _planted_queries  # noqa: E402
@@ -47,11 +49,24 @@ def main() -> None:
         )
         truth.count()
         prod_l = int(n ** 0.5)
-        for cfg, lists, probes in (
-            ("gate", 16, 4),
-            ("prod", prod_l, max(4, prod_l // 16)),
+        for cfg, lists, probes, guard in (
+            ("gate", 16, 4, False),
+            ("gate+g", 16, 4, True),
+            ("prod", prod_l, max(4, prod_l // 16), False),
+            ("prod+g", prod_l, max(4, prod_l // 16), True),
         ):
             cents = ivf_train(emb.sample(0.25, seed=1), n_lists=lists, seed=42)
+            if guard:
+                # r11 dominant-cell guard: re-cluster any list over 2x the
+                # mean into finer cells (the q_ivf_recall gate posture)
+                t0 = time.perf_counter()
+                cents = ivf_refine_oversized(
+                    emb, cents, math.ceil(2 * n / lists)
+                )
+                print(
+                    f"  guard: {lists} -> {cents.shape[0]} cells "
+                    f"({time.perf_counter() - t0:.1f}s refine)"
+                )
             asg = ivf_assign_table(emb, cents).persist()
             asg.count()
             sizes = asg.groupBy("_list").count().agg(
@@ -78,8 +93,11 @@ def main() -> None:
         truth.unpersist()
         q.unpersist()
     print(
-        f"skew self-penalty: gate {out[('skew', 'gate')] / out[('uniform', 'gate')]:.2f}x  "
-        f"prod {out[('skew', 'prod')] / out[('uniform', 'prod')]:.2f}x"
+        "skew self-penalty: "
+        + "  ".join(
+            f"{c} {out[('skew', c)] / out[('uniform', c)]:.2f}x"
+            for c in ("gate", "gate+g", "prod", "prod+g")
+        )
     )
 
 

@@ -48,6 +48,7 @@ from coffea_spark.session import get_spark  # noqa: E402
 GATES = [
     "minhash_lsh",        # boilerplate cluster -> hot LSH buckets
     "jaccard_dupes",      # same, through PPJoin prefix filtering
+    "jaccard_collapsed",  # r11 composed posture: exact collapse first
     "paragraph_dedup",    # same cluster at paragraph granularity
     "dedup_exact",        # hot hash groups
     "dup_clusters",       # connected components over dup edges
