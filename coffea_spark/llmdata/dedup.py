@@ -392,7 +392,15 @@ def collapse_jaccard_join(
         .groupBy(id_col)
         .agg(F.min("_gk").alias("_grp"))
     )
-    tagged = exact.join(grp, id_col, "left")
+    # persisted AND eagerly materialized: tagged feeds the not-nominated
+    # rep leg plus EVERY verification subtree below (rid, rep_rows,
+    # members — several of which Spark builds as BROADCASTS, launched
+    # concurrently against a cold cache). Without this each consumer
+    # re-runs exact-groupBy + 16-hash portable signatures + the hot
+    # bucket aggregation — measured ~5x the signature chain at sf0.1
+    # (the q_minhash_lsh eager-cache lesson).
+    tagged = exact.join(grp, id_col, "left").persist()
+    tagged.count()
     # VERIFIED star collapse: bucket membership only NOMINATES — each
     # candidate must prove jaccard >= threshold against its group's
     # min-id representative before folding (one member-vs-rep pair per
@@ -402,48 +410,59 @@ def collapse_jaccard_join(
     # dissimilar docs (measured: 40k of 50k uniform sf1 docs shared
     # globally-minimal shingle fingerprints). Failed candidates stay
     # independent representatives.
+    # verification in ONE window pass over the group key (single
+    # shuffle of the nominated rows): the group's elected rep — the
+    # min-(id, shingle-set) struct — rides every member row, each
+    # member verifies in place, and the rep row absorbs the passed
+    # members' multiplicities via a windowed conditional sum. The
+    # broadcast-join spelling of the same logic (rep table -> member
+    # join -> passed agg -> rep join) costs ~8 tiny driver jobs whose
+    # scheduling dominated the data at gate scale (measured 23 s of a
+    # 33 s sf0.1 wall). The window partition carries one nominated
+    # GROUP per task — bounded by nomination, and a low-entropy
+    # mega-group is precisely the case verification rejects row-wise.
+    from pyspark.sql import Window as _W
+
     cand = tagged.filter(F.col("_grp").isNotNull()).withColumn(
         "_sh", F.array_distinct(char_ngrams(F.col(text_col), n))
     )
-    rid = cand.groupBy("_grp").agg(F.min(id_col).alias("_rid"))
-    rep_rows = cand.join(
-        F.broadcast(rid.withColumnRenamed("_rid", id_col)), ["_grp", id_col]
-    )
-    members = cand.join(F.broadcast(rid), "_grp").filter(
-        F.col(id_col) != F.col("_rid")
-    )
-    ver = members.join(
-        F.broadcast(rep_rows.select("_grp", F.col("_sh").alias("_rsh"))), "_grp"
-    )
-    inter = F.size(F.array_intersect("_sh", "_rsh"))
-    jac = F.coalesce(
-        inter / (F.size("_sh") + F.size("_rsh") - inter), F.lit(0.0)
-    )
-    ver = ver.withColumn("_j", jac)
-    passed_add = (
-        ver.filter(F.col("_j") >= threshold)
-        .groupBy("_grp")
-        .agg(F.sum("n_members").alias("_nm_add"))
-    )
-    boiler = (
-        rep_rows.join(F.broadcast(passed_add), "_grp", "left")
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in block_cols],
-            F.col(text_col),
-            (
-                F.col("n_members") + F.coalesce(F.col("_nm_add"), F.lit(0))
-            ).alias("n_members"),
+    w = _W.partitionBy("_grp")
+    elect = F.min(
+        F.struct(F.col(id_col).alias("i"), F.col("_sh").alias("s"))
+    ).over(w)
+    inter = F.size(F.array_intersect(F.col("_sh"), F.col("_e.s")))
+    ver = (
+        cand.withColumn("_e", elect)
+        .withColumn(
+            "_j",
+            F.coalesce(
+                inter / (F.size("_sh") + F.size(F.col("_e.s")) - inter),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_isrep", F.col(id_col) == F.col("_e.i"))
+        .withColumn(
+            "_add",
+            F.sum(
+                F.when(
+                    (~F.col("_isrep")) & (F.col("_j") >= threshold),
+                    F.col("n_members"),
+                ).otherwise(F.lit(0))
+            ).over(w),
         )
     )
-    failed = ver.filter(~(F.col("_j") >= threshold)).select(
-        id_col, *block_cols, text_col, "n_members"
+    verified = ver.filter(F.col("_isrep") | (F.col("_j") < threshold)).select(
+        id_col,
+        *block_cols,
+        text_col,
+        F.when(F.col("_isrep"), F.col("n_members") + F.col("_add"))
+        .otherwise(F.col("n_members"))
+        .alias("n_members"),
     )
     reps = (
         tagged.filter(F.col("_grp").isNull())
         .select(id_col, *block_cols, text_col, "n_members")
-        .unionByName(failed)
-        .unionByName(boiler)
+        .unionByName(verified)
         .persist()
     )
     # eager: the caller consumes reps directly AND through the pair
