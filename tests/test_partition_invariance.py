@@ -47,6 +47,13 @@ GATES = [
     "tree_train",          # distributed training loop
     "doc_fingerprint",     # rolling-hash fingerprints
     "exact_knn_blocked",   # per-batch matmul winners + window reduce
+    "pq_rerank",           # ADC shortlist -> exact re-rank at the
+                           # degenerate-to-exact setting (r11)
+    "jaccard_collapsed",   # hash-ordered training-free collapse:
+                           # hot-bucket nomination + windowed verify +
+                           # min-id election must be layout-free (r11)
+    "ivf_recall",          # hash-ordered bounded sample + bisection
+                           # guard + probe serve (r11)
 ]
 
 
