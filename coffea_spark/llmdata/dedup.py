@@ -346,8 +346,23 @@ def collapse_jaccard_join(
     if n_hashes % band_rows:
         raise ValueError(f"n_hashes {n_hashes} not divisible by band_rows {band_rows}")
     block_cols = block_cols or []
-    exact = df.groupBy(*block_cols, text_col).agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_members")
+    # exact collapse keyed on md5(text), not the text itself: the
+    # shuffle key is 16 bytes instead of the document payload (the
+    # "keys are ids/hashes, never payloads" rule) — semantics identical
+    # since all rows in a group carry byte-identical text (the usual
+    # negligible-md5-collision caveat, same as drop_exact_duplicates);
+    # the oracle groups by the text directly and produces the same
+    # groups.
+    exact = (
+        df.groupBy(
+            *block_cols, F.md5(F.col(text_col).cast("binary")).alias("_fp")
+        )
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_members"),
+            F.first(text_col).alias(text_col),
+        )
+        .drop("_fp")
     )
     sig = minhash_signatures_portable(exact, id_col, text_col, n, n_hashes)
     bands = n_hashes // band_rows
