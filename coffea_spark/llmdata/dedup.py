@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 from coffea_spark.llmdata.text import char_ngrams, fingerprint_md5, tokens
 
+#: ceiling for the hot-bucket BROADCAST hint in collapse_jaccard_join —
+#: past this many hot buckets the hint is dropped (AQE decides); keeps
+#: the module's never-broadcast-corpus-scale posture mechanical
+_HOT_BROADCAST_CAP = 1_000_000
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -342,7 +347,16 @@ def collapse_jaccard_join(
 
     Returns ``(reps, pairs)``: ``reps`` = surviving representatives
     with ``n_members`` (1a x 1b folded); ``pairs`` = the
-    jaccard >= threshold pairs among them (jaccard_join columns)."""
+    jaccard >= threshold pairs among them (jaccard_join columns).
+
+    Cache ownership: every internal persist is RELEASED before return
+    except ``reps`` itself, which the caller owns — call
+    ``reps.unpersist()`` when done (it is the returned handle). The
+    ``pairs`` plan additionally holds :func:`jaccard_join`'s internal
+    persists over the rep table; release those with
+    ``spark.catalog.clearCache()`` per that function's documented
+    contract. Pinned by tests/test_llmdata.py (no persistent RDDs
+    survive reps.unpersist() + clearCache())."""
     if n_hashes % band_rows:
         raise ValueError(f"n_hashes {n_hashes} not divisible by band_rows {band_rows}")
     block_cols = block_cols or []
@@ -400,10 +414,32 @@ def collapse_jaccard_join(
                 "|", F.lpad(F.col("_bsz").cast("string"), 12, "0"), F.col("_bk")
             ).alias("_gk"),
         )
+        .persist()
     )
+    # the broadcast hint is BOUNDED, not assumed: hot-bucket count is
+    # O(n_docs*bands/hot_bucket_size) in the worst case (many
+    # medium-sized buckets — e.g. templated sub-corpora), which would
+    # break the module's never-broadcast-corpus-scale posture. A
+    # bounded probe (limit(cap+1).count(), stops at cap+1) checks the
+    # actual size; past the cap the hint is dropped LOUDLY and AQE
+    # decides from the runtime shuffle size. The persist also feeds the
+    # grp join below from cache instead of re-running the signature
+    # chain; it is released once `tagged` materializes.
+    n_hot = hot.limit(_HOT_BROADCAST_CAP + 1).count()
+    if n_hot > _HOT_BROADCAST_CAP:
+        import warnings
+
+        warnings.warn(
+            f"collapse_jaccard_join: > {_HOT_BROADCAST_CAP} hot buckets — "
+            "dropping the broadcast hint (AQE decides from runtime size)",
+            stacklevel=2,
+        )
+        hot_side = hot
+    else:
+        hot_side = F.broadcast(hot)
     # per doc: its most specific hot bucket (NULL -> not a candidate)
     grp = (
-        memb.join(F.broadcast(hot), "_bk")
+        memb.join(hot_side, "_bk")
         .groupBy(id_col)
         .agg(F.min("_gk").alias("_grp"))
     )
@@ -482,9 +518,14 @@ def collapse_jaccard_join(
     )
     # eager: the caller consumes reps directly AND through the pair
     # join below — without this the signature/nominate/verify chain
-    # re-runs per consumer (same contract as jaccard_join's internal
-    # persists; clearCache()/unpersist when done)
+    # re-runs per consumer. Once reps is materialized the upstream
+    # caches are DEAD WEIGHT (reps' cache answers every downstream
+    # read), and tagged/hot are function-local — the caller could never
+    # release them — so they are unpersisted HERE; reps is the returned
+    # owner handle (caller unpersists when done).
     reps.count()
+    tagged.unpersist()
+    hot.unpersist()
     pairs = jaccard_join(reps, threshold, id_col, text_col, n, block_cols)
     return reps, pairs
 

@@ -43,6 +43,21 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round HALF AWAY FROM ZERO — the pinned rounding mode every exact
+    path in this module shares. ``F.round`` (Spark, RoundingMode.HALF_UP)
+    and DuckDB's ``round`` both round halves away from zero;
+    ``np.round`` rounds half-to-even — three spellings of the same
+    ordering key must not disagree on an exact 0.5·10^-d boundary
+    (measure-zero for float cosines, but the tie-break rank would
+    silently diverge between the numpy paths and the HOF/oracle
+    spellings). scaled+copysign floor is the classic branch-free
+    half-away form; one multiply of float64 headroom is fine at the
+    digits used here (<= 6)."""
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+
+
 #: default ceiling for the "query/seed table is TINY" contract — tables
 #: that ride the driver (collect) or every executor (broadcast closure)
 MAX_SMALL_SIDE_ROWS = 100_000
@@ -137,13 +152,16 @@ def exact_topk_join(
     values can differ by ~1 ULP; at round_digits=6 the two paths agree
     on every fixture corpus (tests/test_similarity_exact.py), the same
     tolerance argument that lets DuckDB's list_cosine_similarity
-    hash-match the HOF path in the driver gate. (Half-mode caveat: see
-    NUMERICS.md — numpy rounds half-to-even here while F.round/DuckDB
-    round half-away; a cosine landing EXACTLY on a 0.5e-6 boundary is
-    measure-zero for float cosines but would diverge.) Contract:
-    integer ids (enforced below — a string-keyed corpus belongs in
-    pq_adc_topk, which follows input id types), non-zero vectors
-    (zero-norm cosine is NaN and its rank is engine-specific)."""
+    hash-match the HOF path in the driver gate. Rounding mode is PINNED
+    half-away-from-zero (:func:`_round_half_up`) — the same mode as
+    F.round and DuckDB — so even an exact 0.5e-6 boundary cannot rank
+    differently across the three spellings. Contract: integer ids
+    (enforced below — a string-keyed corpus belongs in pq_adc_topk,
+    which follows input id types); a ZERO-NORM vector (query or corpus)
+    scores cosine 0.0 via a guarded divide — the same contract as the
+    pq_adc_topk re-rank path, so degenerates-to-exact equivalence holds
+    on zero vectors too (the HOF spelling's 0/0 stays engine-specific,
+    hence the gates' non-zero fixtures)."""
     for frame, col_, what in (
         (queries, qid_col, "query id"),
         (corpus, id_col, "corpus id"),
@@ -170,6 +188,7 @@ def exact_topk_join(
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qm * qm).sum(axis=1))
+    qnorm = np.where(qnorm == 0, 1.0, qnorm)  # zero-norm -> cosine 0.0
     qmt = qm.T.copy()  # (dim, Q), contiguous for the batch matmul
     nq = len(qids)
 
@@ -182,7 +201,8 @@ def exact_topk_join(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             vnorm = np.sqrt((v * v).sum(axis=1))
-            sim = np.round(
+            vnorm = np.where(vnorm == 0, 1.0, vnorm)  # zero-norm -> 0.0
+            sim = _round_half_up(
                 (v @ qmt) / (vnorm[:, None] * qnorm[None, :]), round_digits
             )
             kk = min(k, len(ids))
@@ -614,13 +634,16 @@ def ivf_refine_oversized(
     next round bisects just that cell. An in-cap corpus exits after
     the first size check, so the default rounds cost nothing when
     inert; each firing round costs one assignment scan + the tiny
-    size agg. ``seed``/``max_iter`` are retained for signature
-    stability but unused — the bisection is RNG-free.
+    size agg. ``seed``/``max_iter`` are DEPRECATED no-ops kept only
+    for signature stability — the bisection is RNG-free and
+    non-iterative.
 
     Deterministic: sub-samples are hash-ordered (_bounded_vec_sample),
-    each sub-k-means is seeded per source list, and the refined set is
-    assembled in (surviving centroids in order, then sub-centroids by
-    ascending source list) order — a pure function of corpus content.
+    each sub-split is a pure function of its list's content-sorted
+    sample (median/variance/mean — no RNG anywhere), and the refined
+    set is assembled in (surviving centroids in order, then
+    sub-centroids by ascending source list) order — a pure function of
+    corpus content.
     Pass ``assigned`` (an already-materialized
     :func:`ivf_assign_table` result) to reuse it for the first round's
     size check and sub-samples. Returns the refined (possibly
@@ -1022,10 +1045,11 @@ def pq_adc_topk(
     (pinned by test; driver-gated by the ``pq_rerank`` CORRECTNESS
     entry against the brute-force oracle). Task retries are still
     deterministic — batch splits are a pure function of partition
-    content. Vector contract matches exact_topk_join: NON-ZERO corpus
-    vectors — the rerank scorer maps a zero-norm vector to cosine 0
-    (guarded divide) where exact_topk_join yields NaN, so the
-    degenerates-to-exact equivalence assumes no zero vectors."""
+    content. Zero-norm contract is UNIFIED with exact_topk_join: both
+    map a zero-norm vector to cosine 0.0 through a guarded divide, and
+    both round through the pinned half-away-from-zero helper
+    (:func:`_round_half_up`), so the degenerates-to-exact equivalence
+    holds on zero vectors and on exact rounding boundaries alike."""
     m, nk, sub = codebooks.shape
     _assert_small_side(queries, max_query_rows, "pq_adc_topk query table")
     q_rows = queries.select(qid_col, F.col(qvec_col).cast("array<double>")).collect()
@@ -1076,7 +1100,7 @@ def pq_adc_topk(
                 out = {"qid": [], id_col: [], "cosine": []}
                 for qi in range(len(qids)):
                     cand = np.argpartition(S[:, qi], short - 1)[:short]
-                    cos = np.round(v[cand] @ qn[qi] / vn[cand], 6)
+                    cos = _round_half_up(v[cand] @ qn[qi] / vn[cand], 6)
                     # one matvec per candidate set: the emitted cosines
                     # are the SAME values that ranked the shortlist,
                     # indexed back out rather than recomputed

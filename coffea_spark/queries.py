@@ -2524,7 +2524,13 @@ def q_ivf_recall(spark, sf_dir):
     n = assigned.count()  # materialize the one-time assignment
     cap = math.ceil(2 * n / 16)  # 2x mean: uniform lists untouched
     refined = ivf_refine_oversized(emb, cents, cap, assigned=assigned)
-    if refined.shape[0] != cents.shape[0]:  # guard fired: re-assign
+    # VALUE compare, not count compare: a point-mass oversized list makes
+    # _median_bisect return exactly one replacement mean, so the guard
+    # can fire with value-changed but equal-count centroids — a count
+    # check would silently discard that refinement
+    import numpy as np
+
+    if not np.array_equal(refined, cents):  # guard fired: re-assign
         assigned.unpersist()
         cents = refined
         assigned = ivf_assign_table(emb, cents).persist()
@@ -7592,11 +7598,20 @@ def _warc_fixture(spark, sf_dir) -> str:
                         "payload": payload,
                     }
                 )
-            write_warc(
-                os.path.join(out, f"part-{i:02d}.warc" + (".gz" if i % 2 else "")),
-                recs,
-                compress=bool(i % 2),
+            # temp-file + atomic rename: a task RETRY or speculative
+            # duplicate writing the same part path concurrently would
+            # interleave bytes (fatal inside a .gz). Each attempt writes
+            # its own uniquely-named temp on the same FS and renames
+            # into place — os.rename is atomic on a local filesystem and
+            # last-wins between byte-identical attempts.
+            import uuid as _uuid
+
+            final = os.path.join(
+                out, f"part-{i:02d}.warc" + (".gz" if i % 2 else "")
             )
+            tmp = final + f".tmp-{_uuid.uuid4().hex}"
+            write_warc(tmp, recs, compress=bool(i % 2))
+            os.rename(tmp, final)
             return pd.DataFrame({"_f": [i], "n_records": [len(recs)]})
 
         written = (

@@ -84,6 +84,71 @@ def test_small_side_contract(spark):
         exact_topk_join(queries, corpus, k=1, max_query_rows=3)
 
 
+def test_round_half_up_pins_three_engines(spark):
+    """r11 ADVICE (a): the numpy exact paths round through ONE pinned
+    half-away-from-zero helper, so the three spellings of the ordering
+    key (numpy matmul / Spark F.round / DuckDB round) agree even on
+    EXACT half boundaries — where np.round (half-to-even) diverges."""
+    import duckdb
+    import numpy as np
+
+    from coffea_spark.llmdata.similarity import _round_half_up
+
+    # exactly-representable halves at each digit level; np.round breaks
+    # on every even-landing case (2.5 -> 2, 0.25 -> 0.2)
+    cases = [(0.5, 0), (-0.5, 0), (1.5, 0), (2.5, 0), (-2.5, 0),
+             (0.25, 1), (-0.25, 1), (0.125, 2), (-0.125, 2), (1.0625, 3)]
+    for x, d in cases:
+        ours = float(_round_half_up(np.asarray([x]), d)[0])
+        spark_val = spark.createDataFrame([(x,)], "x double").select(
+            F.round(F.col("x"), d).alias("r")
+        ).head()["r"]
+        duck_val = duckdb.sql(f"select round({x!r}::double, {d})").fetchone()[0]
+        assert ours == spark_val == duck_val, (x, d, ours, spark_val, duck_val)
+    # and the case np.round gets wrong under half-to-even:
+    assert float(_round_half_up(np.asarray([2.5]), 0)[0]) == 3.0
+    assert float(np.round(2.5)) == 2.0
+
+
+def test_zero_norm_unified_contract(spark):
+    """r11 ADVICE (c): exact_topk_join and the pq rerank path share one
+    zero-norm contract — a zero vector (query or corpus) scores cosine
+    0.0 via the guarded divide, so the rerank-degenerates-to-exact
+    equivalence holds on corpora containing zero vectors."""
+    from coffea_spark.llmdata.similarity import (
+        exact_topk_join,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero-norm corpus vector
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.7, 0.7, 0.0, 0.0]),
+    ] + [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(4, 20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])],
+        "qid long, qvec array<double>",
+    )
+    exact = exact_topk_join(queries, corpus, k=3)
+    by_pair = {(r.qid, r.vec_id): r.cosine for r in exact.collect()}
+    # zero corpus vector scores 0.0, never NaN; zero query scores 0.0
+    # against everything and ranks its top-k purely by id
+    assert all(c == c for c in by_pair.values())  # no NaN anywhere
+    zq = exact.filter(F.col("qid") == 101).orderBy("vec_id").collect()
+    assert [r.vec_id for r in zq] == [0, 1, 2] and all(r.cosine == 0.0 for r in zq)
+
+    books = pq_train(corpus, m=2, n_codes=4, seed=1, max_sample=64)
+    enc = pq_encode(corpus, books, keep_cols=("embedding",))
+    rerank_full = pq_adc_topk(queries, enc, books, k=3, rerank=len(rows))
+    assert sorted(tuple(r) for r in rerank_full.collect()) == sorted(
+        tuple(r) for r in exact.collect()
+    )
+
+
 def test_integral_id_contract(spark):
     """r10 ADVICE #4: the integer-id contract fails FAST at the driver
     with a pointed message (string keys -> pq_adc_topk), not as an
