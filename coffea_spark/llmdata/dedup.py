@@ -108,6 +108,197 @@ def jaccard_pairs(
     )
 
 
+def _dense_block_pairs(
+    dense_sets: DataFrame,
+    threshold: float,
+    id_col: str,
+    block_cols: list[str],
+    group_cols: list[str] | None = None,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Exhaustive within-block threshold Jaccard for LOW-ENTROPY blocks
+    (the dense escape hatch of :func:`jaccard_join`): one task per
+    block builds the block's (n_docs x vocab) 0/1 float32 matrix from
+    its shingle sets and scores every pair with a blocked BLAS matmul —
+    |A∩B| is exact (sums of ones stay < 2^24, enforced by the caller's
+    vocab budget), jaccard is the same one-IEEE-divide expression the
+    PPJoin verify computes, so the emitted pair set is bit-identical to
+    the inverted-index path. Only jaccard >= threshold pairs leave the
+    task; the B x n intermediate lives batch-scoped. Block size is
+    budget-capped by the caller before the shuffle ever happens."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    in_schema = dense_sets.schema
+    fields = [T.StructField(c, in_schema[c].dataType) for c in block_cols]
+    fields += [
+        T.StructField("id_a", in_schema[id_col].dataType),
+        T.StructField("id_b", in_schema[id_col].dataType),
+        T.StructField("inter", T.IntegerType()),
+        T.StructField("size_a", T.IntegerType()),
+        T.StructField("size_b", T.IntegerType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+    out_schema = T.StructType(fields)
+    t = float(threshold)
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        nloc = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        vocab: dict = {}
+        idx_rows = []
+        for sh in pdf["_sh"]:
+            arr = np.empty(len(sh), dtype=np.int64)
+            for k, sgl in enumerate(sh):
+                v = vocab.get(sgl)
+                if v is None:
+                    v = vocab[sgl] = len(vocab)
+                arr[k] = v
+            idx_rows.append(arr)
+        V = max(len(vocab), 1)
+        M = np.zeros((nloc, V), dtype=np.float32)
+        for i, arr in enumerate(idx_rows):
+            M[i, arr] = 1.0
+        sz = pdf["_sz"].to_numpy().astype(np.int64)
+        chunks = []
+        for s0 in range(0, nloc, batch_rows):
+            s1 = min(s0 + batch_rows, nloc)
+            inter = np.rint(M[s0:s1] @ M.T).astype(np.int64)
+            union = sz[s0:s1, None] + sz[None, :] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = inter / union  # 0/0 (both empty) -> nan -> masked
+            mask = (jac >= t) & (ids[s0:s1][:, None] < ids[None, :])
+            ii, jj = np.nonzero(mask)
+            if len(ii) == 0:
+                continue
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        **{c: pdf[c].iloc[0] for c in block_cols},
+                        "id_a": ids[s0 + ii],
+                        "id_b": ids[jj],
+                        "inter": inter[ii, jj].astype("int32"),
+                        "size_a": sz[s0 + ii].astype("int32"),
+                        "size_b": sz[jj].astype("int32"),
+                        "jaccard": jac[ii, jj],
+                    }
+                )
+            )
+        if chunks:
+            return pd.concat(chunks, ignore_index=True)
+        empty = {c: pd.Series([], dtype=pdf[c].dtype) for c in block_cols}
+        empty["id_a"] = pd.Series([], dtype=pdf[id_col].dtype)
+        empty["id_b"] = pd.Series([], dtype=pdf[id_col].dtype)
+        empty["inter"] = pd.Series([], dtype="int32")
+        empty["size_a"] = pd.Series([], dtype="int32")
+        empty["size_b"] = pd.Series([], dtype="int32")
+        empty["jaccard"] = pd.Series([], dtype="float64")
+        return pd.DataFrame(empty)
+
+    grouped = dense_sets.groupBy(*(group_cols or block_cols))
+    return grouped.applyInPandas(emit, schema=out_schema)
+
+
+def _dense_block_route(
+    sets: DataFrame,
+    prefix: DataFrame,
+    threshold: float,
+    id_col: str,
+    block_cols: list[str],
+    min_mass: int,
+    mass_per_doc: int,
+    budget_cells: int,
+):
+    """Measure per-block PPJoin candidate mass and route quadratically
+    dense blocks to :func:`_dense_block_pairs`. Returns ``(keys,
+    dense_pairs)`` — ``keys`` is a persisted tiny frame of fired block
+    keys (``None`` when inert; the caller anti-joins it off the prefix
+    self-join), ``dense_pairs`` the exhaustive pairs for those blocks.
+    The trigger is a pure function of exact counts; both the firing and
+    the over-budget fallback warn loudly (no silent caps). All stats
+    aggregations read the caller's cached sets/prefix tables."""
+    import warnings
+
+    gcols = block_cols or ["_dblk"]
+    s = sets if block_cols else sets.withColumn("_dblk", F.lit(0))
+    p = prefix if block_cols else prefix.withColumn("_dblk", F.lit(0))
+    nstats = s.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_nd"))
+    # candidate mass the prefix self-join would enumerate, per block:
+    # sum over shingles of C(prefix_df, 2) — map-side combinable
+    pmass = (
+        p.groupBy(*gcols, "shingle")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*gcols)
+        .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_mass"))
+    )
+    vocab = (
+        s.select(*gcols, F.explode("_sh").alias("_t"))
+        .groupBy(*gcols)
+        .agg(F.count_distinct("_t").alias("_v"))
+    )
+    stats = nstats.join(pmass, gcols).join(vocab, gcols).persist()
+    fire = F.col("_mass") > F.greatest(
+        F.lit(float(min_mass)), F.lit(float(mass_per_doc)) * F.col("_nd")
+    )
+    # the fired block must fit one task's matrix (float32 n x V) and
+    # keep float32 intersection sums exact (< 2^24)
+    fits = (F.col("_nd") * F.col("_v") <= F.lit(int(budget_cells))) & (
+        F.col("_v") <= F.lit(16_000_000)
+    )
+    keys = stats.filter(fire & fits).select(*gcols).persist()
+    n_fired = keys.count()
+    over = (
+        stats.filter(fire & ~fits)
+        .select(*gcols, "_nd", "_mass", "_v")
+        .limit(9)
+        .collect()
+    )
+    if over:
+        warnings.warn(
+            "jaccard_join: %d+ dense block(s) EXCEED dense_budget_cells=%d "
+            "and stay on the PPJoin path (quadratic enumeration): %s — "
+            "raise the budget, pre-collapse with collapse_jaccard_join, "
+            "or split the block with a finer blocking key"
+            % (
+                len(over),
+                budget_cells,
+                "; ".join(
+                    f"{tuple(r[c] for c in gcols)} n={r['_nd']} "
+                    f"mass={int(r['_mass'])} vocab={r['_v']}"
+                    for r in over
+                ),
+            ),
+            stacklevel=3,
+        )
+    if n_fired == 0:
+        stats.unpersist()
+        keys.unpersist()
+        return None, None
+    fired_rows = (
+        stats.filter(fire & fits).orderBy(F.desc("_mass")).limit(8).collect()
+    )
+    stats.unpersist()
+    warnings.warn(
+        "jaccard_join: routing %d dense block(s) to the exhaustive "
+        "bitset-matmul path (identical pairs, no prefix enumeration): %s"
+        % (
+            n_fired,
+            "; ".join(
+                f"{tuple(r[c] for c in gcols)} n={r['_nd']} "
+                f"mass={int(r['_mass'])} vocab={r['_v']}"
+                for r in fired_rows
+            ),
+        ),
+        stacklevel=3,
+    )
+    dense_sets = s.join(F.broadcast(keys), gcols, "left_semi")
+    return keys, _dense_block_pairs(
+        dense_sets, threshold, id_col, block_cols, group_cols=gcols
+    )
+
+
 def jaccard_join(
     df: DataFrame,
     threshold: float,
@@ -115,6 +306,9 @@ def jaccard_join(
     text_col: str = "text",
     n: int = 5,
     block_cols: list[str] | None = None,
+    dense_min_mass: int | None = 8_000_000,
+    dense_mass_per_doc: int = 2_000,
+    dense_budget_cells: int = 128_000_000,
 ) -> DataFrame:
     """Threshold n-gram Jaccard similarity join (PPJoin-style prefix
     filtering): EXACTLY the pairs with ``jaccard >= threshold``, without
@@ -139,11 +333,43 @@ def jaccard_join(
     combinable), df join back, per-doc prefix window, prefix self-join,
     two verify joins. No step is quadratic in document frequency.
 
+    DENSE-BLOCK GUARD (the Zipf-host skew dimension, BENCH_SKEW.md r11
+    attribution): prefix filtering is powerless on a LOW-ENTROPY block —
+    the measured skewed-sf1 hot (lang, source) block holds 11,474 docs
+    over only ~2,000 distinct prefix shingles (median prefix document
+    frequency 623), so EVERY shingle is hot and candidate enumeration is
+    Θ(block²) no matter how prefixes are chosen (banning hot tokens just
+    refills prefixes with equally-hot ones; size-tiering measured a
+    1.1x cut — sizes are too concentrated). The guard MEASURES per-block
+    candidate mass Σ_shingle C(prefix_df, 2) (one map-side-combinable
+    aggregation over the already-cached prefix table) and routes any
+    block past ``max(dense_min_mass, dense_mass_per_doc·n_docs)`` to an
+    EXHAUSTIVE within-block bitset matmul instead: one task per dense
+    block builds the block's (n_docs × vocab) 0/1 matrix and computes
+    every pairwise intersection at BLAS speed (~0.02 us/pair vs ~1 us
+    per enumerated candidate row through the shuffle join — the
+    exact_knn_blocked lesson), emitting only the jaccard >= threshold
+    pairs. EXACTNESS IS PRESERVED: the dense path enumerates all pairs
+    of its block, so the prefix-filter completeness argument above is
+    untouched for the remaining blocks and trivially satisfied inside
+    dense ones — the output pair set is identical (pinned by test and
+    by the unchanged all-pairs oracle). The trigger is LOUD
+    (warnings.warn naming blocks and masses), deterministic (exact
+    counts), and bounded: a fired block must also fit
+    ``n_docs · vocab <= dense_budget_cells`` (the per-task matrix, 512
+    MB at the float32 default) or it stays on the PPJoin path with its
+    own warning (tiling is the documented upgrade path). Real
+    rich-vocabulary corpora never fire (mass per doc is small when
+    vocab >> block size); templated/boilerplate-heavy hosts — exactly
+    the Zipf pathology — fire per block. ``dense_min_mass=None``
+    disables the guard entirely.
+
     The shingle-set table is persisted for the duration of the plan:
     four consumers (df count, prefix ranking, both verify sides) would
     otherwise each re-run the n-gram extraction, the single most
-    expensive per-row step. Call ``spark.catalog.clearCache()`` (or
-    unpersist) when done with the result.
+    expensive per-row step. When the dense guard fires, the fired-keys
+    routing frame is persisted too. Call ``spark.catalog.clearCache()``
+    (or unpersist) when done with the result.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
@@ -203,8 +429,23 @@ def jaccard_join(
     sets.count()
     prefix.count()
 
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    dense_keys = dense_pairs = None
+    if dense_min_mass is not None:
+        dense_keys, dense_pairs = _dense_block_route(
+            sets, prefix, threshold, id_col, block_cols,
+            dense_min_mass, dense_mass_per_doc, dense_budget_cells,
+        )
+    if dense_keys is None:
+        live = prefix
+    elif block_cols:
+        live = prefix.join(F.broadcast(dense_keys), block_cols, "left_anti")
+    else:  # unblocked corpus: the single conceptual block went dense
+        live = prefix.withColumn("_dblk", F.lit(0)).join(
+            F.broadcast(dense_keys), ["_dblk"], "left_anti"
+        ).drop("_dblk")
+
+    a = live.alias("a")
+    b = live.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.shingle") == F.col("b.shingle")
     )
@@ -281,9 +522,12 @@ def jaccard_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select(
+    out = verified.select(
         *block_cols, "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
     )
+    if dense_pairs is not None:
+        out = out.unionByName(dense_pairs)
+    return out
 
 
 def collapse_jaccard_join(

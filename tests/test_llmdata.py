@@ -802,6 +802,121 @@ def test_collapse_jaccard_join_hot_bucket(spark):
     assert sorted(map(tuple, rep_rows)) == sorted(map(tuple, reps2.collect()))
 
 
+def _low_entropy_corpus(spark, n_docs=120, vocab_sz=12, words=40, seed=3,
+                        blocks=(("en", "web"), ("en", "neth"))):
+    """Tiny-vocabulary corpus: every shingle is block-hot, the regime
+    where prefix filtering provably degenerates (the skewed-sf1 Zipf
+    hot block measured ~2,000 distinct prefix shingles over 11,474
+    docs)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(vocab_sz)]
+    rows = []
+    for i in range(n_docs):
+        lang, src = blocks[i % len(blocks)]
+        rows.append(
+            (i, " ".join(vocab[rng.randrange(vocab_sz)] for _ in range(words)),
+             lang, src)
+        )
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_jaccard_dense_block_guard_exact_parity(spark):
+    """r11 VERDICT #1 (Zipf-block skew guard): on a low-entropy block the
+    dense bitset-matmul route must fire LOUDLY and return the EXACT same
+    pair set as the pure PPJoin path — the completeness argument is
+    preserved, not approximated. Also pinned: inert on a rich-vocabulary
+    corpus, deterministic under repartitioning, and the budget fallback
+    keeps PPJoin (with its own warning) when the block doesn't fit."""
+    import warnings
+
+    from coffea_spark.llmdata.dedup import jaccard_join
+
+    df = _low_entropy_corpus(spark)
+    ref = jaccard_join(
+        df, 0.5, "doc_id", "text", 3, block_cols=["lang", "source"],
+        dense_min_mass=None,
+    )
+    ref_rows = sorted(map(tuple, ref.collect()))
+    assert ref_rows  # the corpus genuinely contains qualifying pairs
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fired = jaccard_join(
+            df, 0.5, "doc_id", "text", 3, block_cols=["lang", "source"],
+            dense_min_mass=100, dense_mass_per_doc=1,
+        )
+        got = sorted(map(tuple, fired.collect()))
+    assert got == ref_rows
+    assert any("bitset-matmul" in str(x.message) for x in w)
+
+    # deterministic under layout changes
+    got2 = sorted(
+        map(
+            tuple,
+            jaccard_join(
+                df.repartition(17), 0.5, "doc_id", "text", 3,
+                block_cols=["lang", "source"],
+                dense_min_mass=100, dense_mass_per_doc=1,
+            ).collect(),
+        )
+    )
+    assert got2 == ref_rows
+
+    # budget fallback: block fires by mass but exceeds the cell budget
+    # -> loud warning, PPJoin path, identical pairs
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fb = jaccard_join(
+            df, 0.5, "doc_id", "text", 3, block_cols=["lang", "source"],
+            dense_min_mass=100, dense_mass_per_doc=1, dense_budget_cells=10,
+        )
+        got3 = sorted(map(tuple, fb.collect()))
+    assert got3 == ref_rows
+    assert any("EXCEED dense_budget_cells" in str(x.message) for x in w)
+    spark.catalog.clearCache()
+
+
+def test_jaccard_dense_guard_inert_and_unblocked(spark):
+    """The guard must be a no-op on rich-vocabulary corpora (default
+    thresholds) and must handle the unblocked (block_cols=None) corpus —
+    one conceptual block — when it fires."""
+    import warnings
+
+    from coffea_spark.llmdata.dedup import jaccard_join
+
+    # rich vocabulary: distinct-ish docs, mass far under the floor
+    rows = [
+        (i, f"document number {i} speaks about unique topic alpha{i} beta{i}")
+        for i in range(30)
+    ]
+    rows += [(100, rows[0][1] + " x"), (101, rows[1][1])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        base = sorted(map(tuple, jaccard_join(df, 0.5, "doc_id", "text", 5).collect()))
+    assert not any("dense" in str(x.message) for x in w)
+
+    # unblocked + forced firing: same pairs
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dense = sorted(
+            map(
+                tuple,
+                jaccard_join(
+                    df, 0.5, "doc_id", "text", 5,
+                    dense_min_mass=1, dense_mass_per_doc=0,
+                ).collect(),
+            )
+        )
+    assert dense == base
+    assert any("bitset-matmul" in str(x.message) for x in w)
+    spark.catalog.clearCache()
+
+
 def test_collapse_jaccard_join_cache_release(spark):
     """r11 VERDICT #3 / ADVICE: collapse_jaccard_join's internal
     persists (`tagged`, `hot`) are function-local — the caller can never
