@@ -29,6 +29,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # record the box load at launch: BENCH_r11 launched into load 3.8
+    # and produced a 298 s total that was pure contention (the one-sided
+    # 2-20 s noise documented in BASELINE.md) — the recorded load lets a
+    # reader adjudicate a noisy run without a re-measure
+    try:
+        load_at_launch = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_at_launch = None
     spark = get_spark(app_name="coffea-spark-bench", cpus=cpus)
 
     # warm the JVM/codegen path once (tiny scan, not timed)
@@ -96,6 +104,7 @@ def main() -> None:
         "reps": reps,
         "n_queries": len(times),
         "n_errors": len(errors),
+        "load_at_launch": load_at_launch,
         "full": "BENCH_FULL_LATEST.json",
     }
     full = dict(summary)

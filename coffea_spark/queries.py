@@ -9411,34 +9411,78 @@ class Query:
 # CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
-    # Driver correctness window (first 50): ROUND-11 rotation. Leads
-    # with the 7 gates whose code paths changed in r11 — ivf_recall
-    # (deterministic hash-ordered ivf_train sampling + the NEW
-    # ivf_refine_oversized dominant-cell guard wired into the gate),
-    # pq_recall (deterministic pq_train sampling), the NEW pq_rerank
-    # (two-stage PQ search gated against the brute-force oracle at
-    # rerank >= batch rows) and jaccard_collapsed (composed
-    # boilerplate-collapse -> PPJoin posture), exact_knn_blocked
-    # (driver-side integral-id fail-fast), and warc_scan +
-    # ccnet_pipeline (WARC fixture build distributed via
-    # groupBy().applyInPandas — no driver collect of documents; eager
-    # cache materialization in the ccnet chain). The remaining 43 slots
-    # recycle the gates with the OLDEST driver evidence per the
-    # CORRECTNESS_r0* ledger: the full r6 cohort (boost_cosstar ...
-    # top_revenue_orders, none driver-checked since r6),
-    # paragraph_dedup_norm (r7), then 27 of the 41-strong r8 cohort in
-    # lexical order (adpcm_features ... physlite_real_links; the other
-    # 14 r8 gates are first in line for r12). Recounted after
-    # insertion: exactly 50 entries precede the first non-window gate.
-    # Rows-only gates (oracle=None) stay past slot 50 as always.
+    # Driver correctness window (first 50): ROUND-12 rotation. Leads
+    # with the 8 gates whose code paths changed in r12 —
+    # jaccard_collapsed + jaccard_dupes (the dense-block guard routes
+    # low-entropy blocks to an exhaustive bitset-matmul path inside
+    # jaccard_join; collapse_jaccard_join additionally released its
+    # internal persists and bounded the hot-bucket broadcast),
+    # exact_knn_blocked + pq_rerank + pq_recall (pinned
+    # half-away-from-zero rounding helper and the unified zero-norm
+    # contract in llmdata/similarity.py), ivf_recall (guard firing now
+    # detected by centroid VALUES, not count), and warc_scan +
+    # ccnet_pipeline (atomic temp-file + rename WARC fixture writes).
+    # The remaining 42 slots recycle the gates with the OLDEST driver
+    # evidence per the CORRECTNESS_r0* ledger: the full 15-gate r8
+    # cohort (physlite_triple_nested ... video_frames — the "first in
+    # line for r12" set named in the r11 rotation note), then the r9
+    # cohort in lexical order through jes_uncertainty (27 gates); the
+    # 13 remaining r9 gates (lang_id ... weighted_sample) are first in
+    # line for r13. Recounted after reorder: exactly 50 entries precede
+    # the first non-window gate. Rows-only gates (oracle=None) stay
+    # past slot 50 as always.
     # ------------------------------------------------------------------
-    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
-    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
-    "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
     "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
+    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
     "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
+    "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
+    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
     "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
+    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
+    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
+    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
+    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
+    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
+    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
+    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
+    "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
+    "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
+    "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
+    "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
+    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
+    "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
+    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
+    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
+    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
+    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
+    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
+    "btag_sf": Query(q_btag_sf, _sql_btag()),
+    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
+    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
+    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
+    "cutflow": Query(q_cutflow, SQL_CUTFLOW),
+    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
+    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
+    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "events_json": Query(q_events_json, SQL_EVENTS_JSON),
+    "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),
+    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
+    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
+    "hash_split": Query(q_hash_split, _sql_hash_split()),
+    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
+    "hist3d": Query(q_hist3d, SQL_HIST3D),
+    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
+    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
+    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
+    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
+    # ---- end of driver window (slot 50) -------------------------------
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
@@ -9530,38 +9574,10 @@ REGISTRY: dict[str, Query] = {
     "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
     "topk_per_group": Query(q_topk_per_group, SQL_TOPK_PER_GROUP),
     "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
-    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
-    "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
-    "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
-    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
-    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
-    "domain_filter": Query(q_domain_filter, SQL_DOMAIN_FILTER),
     "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
-    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
-    "cutflow": Query(q_cutflow, SQL_CUTFLOW),
-    "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
-    "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
-    "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
-    "btag_sf": Query(q_btag_sf, _sql_btag()),
-    "corrected_jets_det": Query(q_corrected_jets_det, SQL_CORRECTED_JETS_DET),
-    "corrected_met": Query(q_corrected_met, SQL_CORRECTED_MET),
-    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
-    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
-    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "events_json": Query(q_events_json, SQL_EVENTS_JSON),
-    "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),
-    "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
-    "hash_split": Query(q_hash_split, _sql_hash_split()),
-    "hist3d": Query(q_hist3d, SQL_HIST3D),
-    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
-    "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
-    "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
-    "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
     "lang_id": Query(q_lang_id, _sql_lang_id()),
     "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
     "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
@@ -9570,21 +9586,6 @@ REGISTRY: dict[str, Query] = {
     "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
     "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
     "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
-    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
-    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
-    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
-    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
-    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
-    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
-    "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
-    "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
-    "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
-    "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
-    "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
-    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
-    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
-    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),
