@@ -233,24 +233,35 @@ def _dense_block_route(
         .groupBy(*gcols)
         .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_mass"))
     )
-    vocab = (
-        s.select(*gcols, F.explode("_sh").alias("_t"))
-        .groupBy(*gcols)
-        .agg(F.count_distinct("_t").alias("_v"))
-    )
-    stats = nstats.join(pmass, gcols).join(vocab, gcols).persist()
     fire = F.col("_mass") > F.greatest(
         F.lit(float(min_mass)), F.lit(float(mass_per_doc)) * F.col("_nd")
     )
-    # the fired block must fit one task's matrix (float32 n x V) and
-    # keep float32 intersection sums exact (< 2^24)
+    # PHASE 1 — mass trigger only (two cheap aggs over cached tables +
+    # one bounded count). The vocabulary stat is the expensive one (a
+    # distinct-shingle shuffle), so it is NOT computed on the inert
+    # path: measured +3.7 s on the sf0.1 jaccard_dupes gate when it ran
+    # unconditionally, pure overhead on corpora that can never fire.
+    fired_mass = nstats.join(pmass, gcols).filter(fire).persist()
+    if fired_mass.limit(1).count() == 0:
+        fired_mass.unpersist()
+        return None, None
+    # PHASE 2 (rare) — vocabulary for the mass-fired blocks only:
+    # budget check = fits one task's matrix (float32 n x V) and keeps
+    # float32 intersection sums exact (< 2^24)
+    vocab = (
+        s.join(F.broadcast(fired_mass.select(*gcols)), gcols, "left_semi")
+        .select(*gcols, F.explode("_sh").alias("_t"))
+        .groupBy(*gcols)
+        .agg(F.count_distinct("_t").alias("_v"))
+    )
+    stats = fired_mass.join(vocab, gcols).persist()
     fits = (F.col("_nd") * F.col("_v") <= F.lit(int(budget_cells))) & (
         F.col("_v") <= F.lit(16_000_000)
     )
-    keys = stats.filter(fire & fits).select(*gcols).persist()
+    keys = stats.filter(fits).select(*gcols).persist()
     n_fired = keys.count()
     over = (
-        stats.filter(fire & ~fits)
+        stats.filter(~fits)
         .select(*gcols, "_nd", "_mass", "_v")
         .limit(9)
         .collect()
@@ -273,12 +284,14 @@ def _dense_block_route(
             stacklevel=3,
         )
     if n_fired == 0:
+        fired_mass.unpersist()
         stats.unpersist()
         keys.unpersist()
         return None, None
     fired_rows = (
-        stats.filter(fire & fits).orderBy(F.desc("_mass")).limit(8).collect()
+        stats.filter(fits).orderBy(F.desc("_mass")).limit(8).collect()
     )
+    fired_mass.unpersist()
     stats.unpersist()
     warnings.warn(
         "jaccard_join: routing %d dense block(s) to the exhaustive "
