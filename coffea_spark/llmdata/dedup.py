@@ -30,6 +30,12 @@ from coffea_spark.llmdata.text import char_ngrams, fingerprint_md5, tokens
 #: the module's never-broadcast-corpus-scale posture mechanical
 _HOT_BROADCAST_CAP = 1_000_000
 
+#: vocabulary bound for the dense-block Jaccard paths: float32 0/1
+#: matmul sums must stay exactly representable (< 2^24), so a block
+#: whose distinct-shingle count exceeds this has no exact dense
+#: spelling and stays on PPJoin (loudly)
+_DENSE_MAX_VOCAB = 16_000_000
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -114,7 +120,7 @@ def _dense_block_pairs(
     id_col: str,
     block_cols: list[str],
     group_cols: list[str] | None = None,
-    batch_rows: int = 1024,
+    batch_cells: int = 16_777_216,
 ) -> DataFrame:
     """Exhaustive within-block threshold Jaccard for LOW-ENTROPY blocks
     (the dense escape hatch of :func:`jaccard_join`): one task per
@@ -124,8 +130,14 @@ def _dense_block_pairs(
     vocab budget), jaccard is the same one-IEEE-divide expression the
     PPJoin verify computes, so the emitted pair set is bit-identical to
     the inverted-index path. Only jaccard >= threshold pairs leave the
-    task; the B x n intermediate lives batch-scoped. Block size is
-    budget-capped by the caller before the shuffle ever happens."""
+    task; the B x n score intermediates live batch-scoped with B
+    clamped so B*n <= ``batch_cells`` (~400 MB of float64 at the
+    default) — a fixed batch row count would scale the intermediates
+    linearly with block size and blow task memory exactly on the
+    biggest blocks the budget admits (a 1.28M-doc low-vocab block under
+    the default cell budget would otherwise allocate ~30 GB per batch).
+    Block size itself is budget-capped by the caller before the shuffle
+    ever happens."""
     import numpy as np
     import pandas as pd
 
@@ -162,9 +174,10 @@ def _dense_block_pairs(
         for i, arr in enumerate(idx_rows):
             M[i, arr] = 1.0
         sz = pdf["_sz"].to_numpy().astype(np.int64)
+        step = max(16, min(4096, batch_cells // max(nloc, 1)))
         chunks = []
-        for s0 in range(0, nloc, batch_rows):
-            s1 = min(s0 + batch_rows, nloc)
+        for s0 in range(0, nloc, step):
+            s1 = min(s0 + step, nloc)
             inter = np.rint(M[s0:s1] @ M.T).astype(np.int64)
             union = sz[s0:s1, None] + sz[None, :] - inter
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -198,6 +211,116 @@ def _dense_block_pairs(
         return pd.DataFrame(empty)
 
     grouped = dense_sets.groupBy(*(group_cols or block_cols))
+    return grouped.applyInPandas(emit, schema=out_schema)
+
+
+def _dense_tiled_pairs(
+    tiled_sets: DataFrame,
+    threshold: float,
+    id_col: str,
+    block_cols: list[str],
+    group_cols: list[str],
+    batch_cells: int = 16_777_216,
+) -> DataFrame:
+    """Exhaustive Jaccard for dense blocks TOO BIG for one task: the
+    block's docs are hashed into ``_ntiles`` tiles (the count chosen by the
+    router so a two-tile matrix fits the cell budget) and every tile
+    PAIR (i <= j) becomes its own task — pair (x, y) lands in exactly
+    group (min(tile_x, tile_y), max(...)), so the union over groups is
+    the exact within-block pair set, each task bounded. The price of
+    scale-out is replication: each doc ships to its _ntiles groups (one per
+    partner tile), i.e. shuffle volume _ntiles x the block's sets — linear
+    in the chosen fan-out, never quadratic. Same bit-identical scoring
+    as :func:`_dense_block_pairs` (integer intersections, one IEEE
+    divide)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    in_schema = tiled_sets.schema
+    fields = [T.StructField(c, in_schema[c].dataType) for c in block_cols]
+    fields += [
+        T.StructField("id_a", in_schema[id_col].dataType),
+        T.StructField("id_b", in_schema[id_col].dataType),
+        T.StructField("inter", T.IntegerType()),
+        T.StructField("size_a", T.IntegerType()),
+        T.StructField("size_b", T.IntegerType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+    out_schema = T.StructType(fields)
+    t = float(threshold)
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi = int(pdf["_gi"].iloc[0])
+        gj = int(pdf["_gj"].iloc[0])
+        vocab: dict = {}
+        idx_rows = []
+        for sh in pdf["_sh"]:
+            arr = np.empty(len(sh), dtype=np.int64)
+            for k, sgl in enumerate(sh):
+                v = vocab.get(sgl)
+                if v is None:
+                    v = vocab[sgl] = len(vocab)
+                arr[k] = v
+            idx_rows.append(arr)
+        V = max(len(vocab), 1)
+        M = np.zeros((len(pdf), V), dtype=np.float32)
+        for i, arr in enumerate(idx_rows):
+            M[i, arr] = 1.0
+        ids = pdf[id_col].to_numpy()
+        sz = pdf["_sz"].to_numpy().astype(np.int64)
+        tiles = pdf["_t"].to_numpy()
+        ia = np.nonzero(tiles == gi)[0]
+        ib = np.nonzero(tiles == gj)[0] if gj != gi else ia
+        chunks = []
+        nb = len(ib)
+        step = max(16, min(4096, batch_cells // max(nb, 1)))
+        MbT = M[ib].T.copy()
+        for s0 in range(0, len(ia), step):
+            sel = ia[s0 : s0 + step]
+            inter = np.rint(M[sel] @ MbT).astype(np.int64)
+            union = sz[sel][:, None] + sz[ib][None, :] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = inter / union
+            if gi == gj:  # triangle within one tile
+                mask = (jac >= t) & (ids[sel][:, None] < ids[ib][None, :])
+            else:  # full rectangle across two disjoint tiles
+                mask = jac >= t
+            ii, jj = np.nonzero(mask)
+            if len(ii) == 0:
+                continue
+            ida, idb = ids[sel][ii], ids[ib][jj]
+            sza, szb = sz[sel][ii], sz[ib][jj]
+            if gi != gj:  # normalize (id_a < id_b), sizes follow ids
+                swap = ida > idb
+                ida, idb = np.where(swap, idb, ida), np.where(swap, ida, idb)
+                sza, szb = np.where(swap, szb, sza), np.where(swap, sza, szb)
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        **{c: pdf[c].iloc[0] for c in block_cols},
+                        "id_a": ida,
+                        "id_b": idb,
+                        "inter": inter[ii, jj].astype("int32"),
+                        "size_a": sza.astype("int32"),
+                        "size_b": szb.astype("int32"),
+                        "jaccard": jac[ii, jj],
+                    }
+                )
+            )
+        if chunks:
+            return pd.concat(chunks, ignore_index=True)
+        empty = {c: pd.Series([], dtype=pdf[c].dtype) for c in block_cols}
+        empty["id_a"] = pd.Series([], dtype=pdf[id_col].dtype)
+        empty["id_b"] = pd.Series([], dtype=pdf[id_col].dtype)
+        empty["inter"] = pd.Series([], dtype="int32")
+        empty["size_a"] = pd.Series([], dtype="int32")
+        empty["size_b"] = pd.Series([], dtype="int32")
+        empty["jaccard"] = pd.Series([], dtype="float64")
+        return pd.DataFrame(empty)
+
+    grouped = tiled_sets.groupBy(*group_cols, "_gi", "_gj")
     return grouped.applyInPandas(emit, schema=out_schema)
 
 
@@ -255,61 +378,130 @@ def _dense_block_route(
         .agg(F.count_distinct("_t").alias("_v"))
     )
     stats = fired_mass.join(vocab, gcols).persist()
-    fits = (F.col("_nd") * F.col("_v") <= F.lit(int(budget_cells))) & (
-        F.col("_v") <= F.lit(16_000_000)
-    )
+    # float32 intersection sums must stay exact (< 2^24) — blocks past
+    # that vocabulary stay on PPJoin loudly (no exact dense spelling)
+    exact_ok = F.col("_v") <= F.lit(_DENSE_MAX_VOCAB)
+    fits = (F.col("_nd") * F.col("_v") <= F.lit(int(budget_cells))) & exact_ok
     keys = stats.filter(fits).select(*gcols).persist()
+    # over-budget blocks go to the TILED dense path: _ntiles tiles such that
+    # a two-tile matrix (~2n/T docs x V) fits the cell budget
+    tkeys = (
+        stats.filter((~fits) & exact_ok)
+        .select(
+            *gcols,
+            F.greatest(
+                F.lit(2),
+                F.ceil(
+                    2.0 * F.col("_nd") * F.col("_v") / F.lit(float(budget_cells))
+                ),
+            )
+            .cast("int")
+            .alias("_ntiles"),
+        )
+        .persist()
+    )
     n_fired = keys.count()
-    over = (
-        stats.filter(~fits)
+    n_tiled = tkeys.count()
+    unsplit = (
+        stats.filter(~exact_ok)
         .select(*gcols, "_nd", "_mass", "_v")
         .limit(9)
         .collect()
     )
-    if over:
+    if unsplit:
         warnings.warn(
-            "jaccard_join: %d+ dense block(s) EXCEED dense_budget_cells=%d "
-            "and stay on the PPJoin path (quadratic enumeration): %s — "
-            "raise the budget, pre-collapse with collapse_jaccard_join, "
-            "or split the block with a finer blocking key"
+            "jaccard_join: %d+ dense block(s) have vocab > %d (float32 "
+            "intersection exactness bound) and stay on the PPJoin path "
+            "(quadratic enumeration): %s — pre-collapse with "
+            "collapse_jaccard_join or split the block with a finer "
+            "blocking key"
             % (
-                len(over),
-                budget_cells,
+                len(unsplit),
+                _DENSE_MAX_VOCAB,
                 "; ".join(
                     f"{tuple(r[c] for c in gcols)} n={r['_nd']} "
                     f"mass={int(r['_mass'])} vocab={r['_v']}"
-                    for r in over
+                    for r in unsplit
                 ),
             ),
             stacklevel=3,
         )
-    if n_fired == 0:
+    if n_fired == 0 and n_tiled == 0:
         fired_mass.unpersist()
         stats.unpersist()
         keys.unpersist()
+        tkeys.unpersist()
         return None, None
-    fired_rows = (
-        stats.filter(fits).orderBy(F.desc("_mass")).limit(8).collect()
-    )
+    if n_fired:
+        fired_rows = (
+            stats.filter(fits).orderBy(F.desc("_mass")).limit(8).collect()
+        )
+        warnings.warn(
+            "jaccard_join: routing %d dense block(s) to the exhaustive "
+            "bitset-matmul path (identical pairs, no prefix enumeration): %s"
+            % (
+                n_fired,
+                "; ".join(
+                    f"{tuple(r[c] for c in gcols)} n={r['_nd']} "
+                    f"mass={int(r['_mass'])} vocab={r['_v']}"
+                    for r in fired_rows
+                ),
+            ),
+            stacklevel=3,
+        )
+    if n_tiled:
+        tiled_rows = tkeys.orderBy(F.desc("_ntiles")).limit(8).collect()
+        warnings.warn(
+            "jaccard_join: routing %d over-budget dense block(s) to the "
+            "TILED bitset-matmul path (identical pairs; each tile pair a "
+            "budget-sized task): %s"
+            % (
+                n_tiled,
+                "; ".join(
+                    f"{tuple(r[c] for c in gcols)} T={r['_ntiles']}"
+                    for r in tiled_rows
+                ),
+            ),
+            stacklevel=3,
+        )
     fired_mass.unpersist()
     stats.unpersist()
-    warnings.warn(
-        "jaccard_join: routing %d dense block(s) to the exhaustive "
-        "bitset-matmul path (identical pairs, no prefix enumeration): %s"
-        % (
-            n_fired,
-            "; ".join(
-                f"{tuple(r[c] for c in gcols)} n={r['_nd']} "
-                f"mass={int(r['_mass'])} vocab={r['_v']}"
-                for r in fired_rows
-            ),
-        ),
-        stacklevel=3,
-    )
-    dense_sets = s.join(F.broadcast(keys), gcols, "left_semi")
-    return keys, _dense_block_pairs(
-        dense_sets, threshold, id_col, block_cols, group_cols=gcols
-    )
+    pairs = None
+    if n_fired:
+        dense_sets = s.join(F.broadcast(keys), gcols, "left_semi")
+        pairs = _dense_block_pairs(
+            dense_sets, threshold, id_col, block_cols, group_cols=gcols
+        )
+    if n_tiled:
+        ts = s.join(F.broadcast(tkeys), gcols).withColumn(
+            "_t", F.pmod(F.xxhash64(F.col(id_col)), F.col("_ntiles")).cast("int")
+        )
+        grid = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntiles") - 1),
+                lambda u: F.struct(
+                    F.least(F.col("_t"), u).cast("int").alias("gi"),
+                    F.greatest(F.col("_t"), u).cast("int").alias("gj"),
+                ),
+            )
+        )
+        ts = ts.select(
+            *gcols, id_col, "_sh", "_sz", "_t", grid.alias("_g")
+        ).select(
+            *gcols, id_col, "_sh", "_sz", "_t",
+            F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+        )
+        tpairs = _dense_tiled_pairs(
+            ts, threshold, id_col, block_cols, group_cols=gcols
+        )
+        pairs = tpairs if pairs is None else pairs.unionByName(tpairs)
+    if n_fired and n_tiled:
+        all_keys = keys.unionByName(tkeys.select(*gcols))
+    elif n_tiled:
+        all_keys = tkeys.select(*gcols)
+    else:
+        all_keys = keys
+    return all_keys, pairs
 
 
 def jaccard_join(
@@ -368,10 +560,16 @@ def jaccard_join(
     dense ones — the output pair set is identical (pinned by test and
     by the unchanged all-pairs oracle). The trigger is LOUD
     (warnings.warn naming blocks and masses), deterministic (exact
-    counts), and bounded: a fired block must also fit
+    counts), and bounded: a fired block that fits
     ``n_docs · vocab <= dense_budget_cells`` (the per-task matrix, 512
-    MB at the float32 default) or it stays on the PPJoin path with its
-    own warning (tiling is the documented upgrade path). Real
+    MB at the float32 default) runs as ONE task; a fired block PAST the
+    budget runs TILED — docs hash into ``_ntiles`` tiles sized so a two-tile
+    matrix fits the budget and every tile pair (i <= j) is its own
+    task (pair (x,y) lands in exactly group (min, max) of its tiles, so
+    the union is still the exact pair set; shuffle volume is _ntiles x the
+    block's sets, linear in the fan-out). Only a block whose VOCABULARY
+    exceeds the float32 exactness bound (2^24 distinct shingles) has no
+    exact dense spelling and stays on PPJoin with its own warning. Real
     rich-vocabulary corpora never fire (mass per doc is small when
     vocab >> block size); templated/boilerplate-heavy hosts — exactly
     the Zipf pathology — fire per block. ``dense_min_mass=None``

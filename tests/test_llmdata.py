@@ -866,17 +866,52 @@ def test_jaccard_dense_block_guard_exact_parity(spark):
     )
     assert got2 == ref_rows
 
-    # budget fallback: block fires by mass but exceeds the cell budget
-    # -> loud warning, PPJoin path, identical pairs
+    # over-budget blocks: fired by mass but past the cell budget ->
+    # TILED dense path (tile-pair grid of budget-sized tasks), loud,
+    # identical pairs
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         fb = jaccard_join(
             df, 0.5, "doc_id", "text", 3, block_cols=["lang", "source"],
-            dense_min_mass=100, dense_mass_per_doc=1, dense_budget_cells=10,
+            dense_min_mass=100, dense_mass_per_doc=1, dense_budget_cells=2000,
         )
         got3 = sorted(map(tuple, fb.collect()))
     assert got3 == ref_rows
-    assert any("EXCEED dense_budget_cells" in str(x.message) for x in w)
+    assert any("TILED bitset-matmul" in str(x.message) for x in w)
+    # tiled path must also be layout-deterministic
+    got4 = sorted(
+        map(
+            tuple,
+            jaccard_join(
+                df.repartition(11), 0.5, "doc_id", "text", 3,
+                block_cols=["lang", "source"],
+                dense_min_mass=100, dense_mass_per_doc=1,
+                dense_budget_cells=2000,
+            ).collect(),
+        )
+    )
+    assert got4 == ref_rows
+
+    # vocabulary past the float32 exactness bound: NO exact dense
+    # spelling -> loud warning, PPJoin path, identical pairs
+    from coffea_spark.llmdata import dedup as _dedup
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(_dedup, "_DENSE_MAX_VOCAB", 1)
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fb2 = jaccard_join(
+                df, 0.5, "doc_id", "text", 3, block_cols=["lang", "source"],
+                dense_min_mass=100, dense_mass_per_doc=1,
+            )
+            got5 = sorted(map(tuple, fb2.collect()))
+    finally:
+        mp.undo()
+    assert got5 == ref_rows
+    assert any("no exact dense spelling" not in str(x.message) and
+               "vocab > " in str(x.message) for x in w)
     spark.catalog.clearCache()
 
 
