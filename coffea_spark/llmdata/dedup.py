@@ -333,6 +333,7 @@ def _dense_block_route(
     min_mass: int,
     mass_per_doc: int,
     budget_cells: int,
+    cost_ratio: int = 60_000,
 ):
     """Measure per-block PPJoin candidate mass and route quadratically
     dense blocks to :func:`_dense_block_pairs`. Returns ``(keys,
@@ -381,12 +382,25 @@ def _dense_block_route(
     # float32 intersection sums must stay exact (< 2^24) — blocks past
     # that vocabulary stay on PPJoin loudly (no exact dense spelling)
     exact_ok = F.col("_v") <= F.lit(_DENSE_MAX_VOCAB)
-    fits = (F.col("_nd") * F.col("_v") <= F.lit(int(budget_cells))) & exact_ok
+    # COST MODEL: dense work ~ n²/2 · V flops (~0.016 ns each, measured
+    # ~60 GFLOPS effective); PPJoin work ~ mass candidate rows (~1 µs
+    # each through the shuffle join + groupBy). Dense must actually WIN
+    # — a rich-vocabulary block can clear the mass floor while its
+    # n²·V matmul dwarfs the enumeration (e.g. 2k docs x 500k vocab:
+    # 2e12 flops vs 2.1e6 rows). ratio = half the measured ~125k
+    # break-even, conservative toward PPJoin. Losing blocks keep the
+    # default (PPJoin) plan — nothing is dropped, no warning needed.
+    wins = (
+        F.col("_nd") * F.col("_nd") * F.col("_v")
+        <= F.col("_mass") * F.lit(float(cost_ratio))
+    )
+    eligible = exact_ok & wins
+    fits = (F.col("_nd") * F.col("_v") <= F.lit(int(budget_cells))) & eligible
     keys = stats.filter(fits).select(*gcols).persist()
     # over-budget blocks go to the TILED dense path: _ntiles tiles such that
     # a two-tile matrix (~2n/T docs x V) fits the cell budget
     tkeys = (
-        stats.filter((~fits) & exact_ok)
+        stats.filter((~fits) & eligible)
         .select(
             *gcols,
             F.greatest(
@@ -514,6 +528,7 @@ def jaccard_join(
     dense_min_mass: int | None = 8_000_000,
     dense_mass_per_doc: int = 2_000,
     dense_budget_cells: int = 128_000_000,
+    dense_cost_ratio: int = 60_000,
 ) -> DataFrame:
     """Threshold n-gram Jaccard similarity join (PPJoin-style prefix
     filtering): EXACTLY the pairs with ``jaccard >= threshold``, without
@@ -548,7 +563,12 @@ def jaccard_join(
     1.1x cut — sizes are too concentrated). The guard MEASURES per-block
     candidate mass Σ_shingle C(prefix_df, 2) (one map-side-combinable
     aggregation over the already-cached prefix table) and routes any
-    block past ``max(dense_min_mass, dense_mass_per_doc·n_docs)`` to an
+    block past ``max(dense_min_mass, dense_mass_per_doc·n_docs)`` whose
+    predicted matmul work also BEATS the predicted enumeration
+    (``n² · vocab <= mass · dense_cost_ratio`` — the measured ~1 µs per
+    candidate row vs ~0.016 ns per flop break-even, halved toward
+    PPJoin; a rich-vocabulary block can clear the mass floor while its
+    matmul would dwarf the enumeration) to an
     EXHAUSTIVE within-block bitset matmul instead: one task per dense
     block builds the block's (n_docs × vocab) 0/1 matrix and computes
     every pairwise intersection at BLAS speed (~0.02 us/pair vs ~1 us
@@ -645,6 +665,7 @@ def jaccard_join(
         dense_keys, dense_pairs = _dense_block_route(
             sets, prefix, threshold, id_col, block_cols,
             dense_min_mass, dense_mass_per_doc, dense_budget_cells,
+            dense_cost_ratio,
         )
     if dense_keys is None:
         live = prefix
