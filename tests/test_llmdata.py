@@ -949,6 +949,31 @@ def test_jaccard_dense_guard_inert_and_unblocked(spark):
         )
     assert dense == base
     assert any("bitset-matmul" in str(x.message) for x in w)
+
+    # string doc keys: the dense path follows input id types (object
+    # array comparisons + pandas dtype passthrough), like PPJoin
+    sdf = spark.createDataFrame(
+        [(f"d{i:03d}", r[1]) for i, r in enumerate(rows)],
+        "doc_id string, text string",
+    )
+    sbase = sorted(
+        map(tuple, jaccard_join(sdf, 0.5, "doc_id", "text", 5,
+                                dense_min_mass=None).collect())
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sdense = sorted(
+            map(
+                tuple,
+                jaccard_join(
+                    sdf, 0.5, "doc_id", "text", 5,
+                    dense_min_mass=1, dense_mass_per_doc=0,
+                    dense_cost_ratio=10**9,
+                ).collect(),
+            )
+        )
+    assert any("bitset-matmul" in str(x.message) for x in w)  # really fired
+    assert sdense == sbase and sbase
     spark.catalog.clearCache()
 
 
