@@ -137,7 +137,18 @@ def _dense_block_pairs(
     biggest blocks the budget admits (a 1.28M-doc low-vocab block under
     the default cell budget would otherwise allocate ~30 GB per batch).
     Block size itself is budget-capped by the caller before the shuffle
-    ever happens."""
+    ever happens.
+
+    BOUNDED: intermediates. NOT bounded: the OUTPUT pair set — all
+    qualifying pairs of the block accumulate in one pandas frame before
+    the task returns (applyInPandas has no per-group streaming emit), so
+    a LOW threshold on exactly the low-entropy blocks that fire can
+    qualify a near-quadratic set (11k docs -> up to ~65M rows, ~5 GB)
+    in one task where PPJoin would have streamed the same rows
+    distributed. At thresholds in the gate range (>= 0.5) true pairs
+    are sparse; for exploratory low-threshold scans either lower
+    ``dense_budget_cells`` (smaller blocks per task / tiled fan-out) or
+    disable the guard (``dense_min_mass=None``)."""
     import numpy as np
     import pandas as pd
 
@@ -232,7 +243,10 @@ def _dense_tiled_pairs(
     partner tile), i.e. shuffle volume _ntiles x the block's sets — linear
     in the chosen fan-out, never quadratic. Same bit-identical scoring
     as :func:`_dense_block_pairs` (integer intersections, one IEEE
-    divide)."""
+    divide) — and the same output-side caveat: each tile-pair task
+    accumulates ALL of its qualifying pairs in one frame before
+    returning, bounded only by the threshold's selectivity, not by
+    ``batch_cells``."""
     import numpy as np
     import pandas as pd
 
@@ -390,8 +404,13 @@ def _dense_block_route(
     # 2e12 flops vs 2.1e6 rows). ratio = half the measured ~125k
     # break-even, conservative toward PPJoin. Losing blocks keep the
     # default (PPJoin) plan — nothing is dropped, no warning needed.
+    # double arithmetic: the n²·V product of a huge fired block (n~1e6,
+    # V~1e7 -> 1e19) exceeds Long.MAX and would WRAP silently in
+    # non-ANSI Spark, flipping `wins` true and fanning the block out to
+    # an enormous tiled grid; doubles lose ULPs there but a cost model
+    # only needs magnitude.
     wins = (
-        F.col("_nd") * F.col("_nd") * F.col("_v")
+        F.col("_nd").cast("double") * F.col("_nd") * F.col("_v")
         <= F.col("_mass") * F.lit(float(cost_ratio))
     )
     eligible = exact_ok & wins
@@ -440,11 +459,18 @@ def _dense_block_route(
             ),
             stacklevel=3,
         )
+    # release whichever routing frame the returned plan will NOT
+    # reference (an unused persisted frame would otherwise sit in the
+    # cache until the caller's clearCache) — the live one(s) stay
+    # persisted because the broadcast anti-join and the dense-pairs
+    # semi-join read them lazily from the returned plan.
+    if n_fired == 0:
+        keys.unpersist()
+    if n_tiled == 0:
+        tkeys.unpersist()
     if n_fired == 0 and n_tiled == 0:
         fired_mass.unpersist()
         stats.unpersist()
-        keys.unpersist()
-        tkeys.unpersist()
         return None, None
     if n_fired:
         fired_rows = (
@@ -1684,7 +1710,10 @@ def semdedup(
     spelling up to summation-order ULPs (the gate threshold carries a
     >= 1e-3 margin). Zero-norm vectors score cosine 0.0 (guarded
     divide, the similarity-module contract). ``dense=False`` keeps the
-    pair-join spelling (norms factored out before the join).
+    pair-join spelling (norms factored out before the join, the same
+    guarded divide — the two spellings are flag-set identical, pinned
+    by the parity pytest incl. zero-norm vectors, string ids, and a
+    cluster past the batch clamp).
     """
     from coffea_spark.llmdata.similarity import dot, ivf_assign, ivf_train, norm
 
@@ -1745,11 +1774,19 @@ def semdedup(
             F.col(vec_col).alias("_bv"),
             norm(F.col(vec_col)).alias("_bn"),
         )
+        # guarded divide: a zero-norm vector scores cosine 0.0 (the
+        # similarity-module contract the dense path follows) — the bare
+        # `/` would THROW under ANSI (Spark 4 default) and silently
+        # null-drop under non-ANSI, two different answers for the same
+        # spelling
+        _denom = F.col("_an") * F.col("_bn")
         dup_ids = (
             a.join(b, "cluster")
             .filter(F.col("_aid") < F.col("_bid"))
             .filter(
-                dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+                F.when(
+                    _denom != 0, dot(F.col("_av"), F.col("_bv")) / _denom
+                ).otherwise(F.lit(0.0))
                 >= F.lit(float(threshold))
             )
             .select(F.col("_bid").alias(id_col))

@@ -53,7 +53,14 @@ def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
     silently diverge between the numpy paths and the HOF/oracle
     spellings). scaled+copysign floor is the classic branch-free
     half-away form; one multiply of float64 headroom is fine at the
-    digits used here (<= 6)."""
+    digits used here (<= 6). Exactness caveat: this rounds the BINARY
+    product ``|x|·10^d``, while Spark/DuckDB round the exact decimal
+    expansion of the double — the three spellings agree on
+    exactly-representable halves and everywhere the scaled product does
+    not cross the .5 boundary (a double whose decimal digits run
+    ...4999x can, in principle, cross it after the float multiply); a
+    hard guarantee would need decimal quantization, which nothing at
+    <= 6 digits here has ever required."""
     scale = 10.0 ** digits
     return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
 

@@ -9411,29 +9411,88 @@ class Query:
 # CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
-    # Driver correctness window (first 50): ROUND-12 rotation. Leads
-    # with the 8 gates whose code paths changed in r12 —
-    # jaccard_collapsed + jaccard_dupes (the dense-block guard routes
-    # low-entropy blocks to an exhaustive bitset-matmul path inside
-    # jaccard_join; collapse_jaccard_join additionally released its
-    # internal persists and bounded the hot-bucket broadcast),
-    # exact_knn_blocked + pq_rerank + pq_recall (pinned
-    # half-away-from-zero rounding helper and the unified zero-norm
-    # contract in llmdata/similarity.py), ivf_recall (guard firing now
-    # detected by centroid VALUES, not count), and warc_scan +
-    # ccnet_pipeline (atomic temp-file + rename WARC fixture writes).
-    # The remaining 42 slots recycle the gates with the OLDEST driver
-    # evidence per the CORRECTNESS_r0* ledger: the full 15-gate r8
-    # cohort (physlite_triple_nested ... video_frames — the "first in
-    # line for r12" set named in the r11 rotation note), then the r9
-    # cohort in lexical order through jes_uncertainty (27 gates); the
-    # 13 remaining r9 gates (lang_id ... weighted_sample) are first in
-    # line for r13. Recounted after reorder: exactly 50 entries precede
-    # the first non-window gate. Rows-only gates (oracle=None) stay
-    # past slot 50 as always.
+    # Driver correctness window (first 50): ROUND-13 rotation. Slot 1
+    # is semdedup — its dense per-cluster matmul rewrite landed in the
+    # r12 END-OF-ROUND snapshot commit AFTER the r12 window was cut
+    # (the r12 judge re-ran the oracle at HEAD but the changed-code
+    # rule demands a driver hash slot, so it leads). Slots 2-3 are the
+    # gates whose code changed THIS round: jaccard_dupes +
+    # jaccard_collapsed (dense-guard cost model now computed in double
+    # — the long n²·V product of a huge fired block would wrap — plus
+    # unused routing-frame unpersists; semdedup's pair-join leg also
+    # gained the guarded zero-norm divide, covered by slot 1). Slots
+    # 4-16 are the 13 gates whose newest driver evidence is r9 (the
+    # "first in line for r13" set named in the r12 rotation note),
+    # lexical. The remaining 34 slots recycle the r10-evidence cohort
+    # in lexical order through substring_dupes; the 12 r10 gates left
+    # over (systematics_multi ... xref_roundtrip) are first in line for
+    # r14, then the r11 cohort. Recounted after reorder: exactly 50
+    # entries precede the end-of-window marker. Rows-only gates
+    # (oracle=None) stay past slot 50 as always.
     # ------------------------------------------------------------------
-    "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
+    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
+    "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
+    "lang_id": Query(q_lang_id, _sql_lang_id()),
+    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
+    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
+    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
+    "ml_score": Query(q_ml_score, _sql_ml_score()),
+    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
+    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
+    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
+    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
+    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
+    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
+    "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
+    "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
+    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
+    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
+    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
+    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
+    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
+    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
+    "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
+    "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
+    "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
+    "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
+    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
+    "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
+    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
+    "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
+    "nearest_gap": Query(q_nearest, SQL_NEAREST),
+    "nminusone": Query(q_nminusone, SQL_NMINUSONE),
+    "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
+    "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
+    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
+    "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
+    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
+    "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
+    "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
+    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
+    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
+    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
+    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
+    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
+    # ---- end of driver window (slot 50) -------------------------------
+    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
+    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
+    "text_quality": Query(q_text_quality, _sql_text_quality()),
+    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
+    "topk_per_group": Query(q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
+    "treemaker_subjets": Query(q_treemaker_subjets, SQL_TREEMAKER_SUBJETS),
+    "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
+    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
+    "weight_stats": Query(q_weight_stats, SQL_WEIGHT_STATS),
+    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
+    "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
     "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
     "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
     "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
@@ -9482,7 +9541,6 @@ REGISTRY: dict[str, Query] = {
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
     "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
-    # ---- end of driver window (slot 50) -------------------------------
     "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
     "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
     "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
@@ -9526,66 +9584,6 @@ REGISTRY: dict[str, Query] = {
     "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
     "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
     "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
-    "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
-    "tree_train": Query(q_tree_train, SQL_TREE_TRAIN),
-    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
-    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
-    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
-    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
-    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
-    "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
-    "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
-    "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
-    "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
-    "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
-    "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
-    "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
-    "text_quality": Query(q_text_quality, _sql_text_quality()),
-    "token_stats": Query(q_token_stats, SQL_TOKEN_STATS),
-    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
-    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
-    "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
-    "physlite_links": Query(q_physlite_links, SQL_PHYSLITE_LINKS),
-    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
-    "treemaker_subjets": Query(q_treemaker_subjets, SQL_TREEMAKER_SUBJETS),
-    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
-    "pdune_beam": Query(q_pdune_beam, SQL_PDUNE_BEAM),
-    "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
-    "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
-    "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
-    "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
-    "nminusone": Query(q_nminusone, SQL_NMINUSONE),
-    "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
-    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
-    "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
-    "triples_metric": Query(q_triples_metric, SQL_TRIPLES_METRIC),
-    "nearest_gap": Query(q_nearest, SQL_NEAREST),
-    "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
-    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
-    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
-    "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
-    "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
-    "weight_stats": Query(q_weight_stats, SQL_WEIGHT_STATS),
-    "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
-    "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
-    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
-    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
-    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
-    "topk_per_group": Query(q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
-    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
-    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
-    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
-    "lang_id": Query(q_lang_id, _sql_lang_id()),
-    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
-    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
-    "ml_score": Query(q_ml_score, _sql_ml_score()),
-    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
-    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
-    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
-    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),

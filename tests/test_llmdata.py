@@ -1827,6 +1827,85 @@ def test_semdedup_deterministic_centroids(spark):
     assert got == {i: int(lab[i]) for i in range(40)}
 
 
+def test_semdedup_dense_pairjoin_parity(spark):
+    """dense=True (batched per-cluster matmul) and dense=False (pair
+    join) are two spellings of the same SemDeDup flag set — assert
+    IDENTICAL (id, cluster, is_dup) rows on a fixture that exercises
+    every edge the dense rewrite touched: STRING ids (the np.argsort
+    stable lexicographic order must match Spark's string '<'), a
+    ZERO-NORM vector (dense scores it cosine 0.0, the pair join's
+    null-propagating divide never passes the filter — both spellings
+    must agree it is never flagged and never flags others), and cosines
+    with >= 1e-3 margin from the threshold so summation-order ULPs
+    cannot flip a flag. Centroids are passed explicitly so cluster
+    assignment is identical across both runs."""
+    rng = np.random.default_rng(11)
+    base = np.linalg.qr(rng.normal(size=(8, 8)))[0][:3]  # 3 orthonormal dirs
+    rows = []
+    vid = 0
+    for b in base:
+        # anchor + near-dup (cos ~ 1-1e-7) + in-cluster non-dup (cos ~ .7)
+        rows.append((f"d{vid:02d}", [float(x) for x in b])); vid += 1
+        near = b + rng.normal(scale=1e-4, size=8)
+        rows.append((f"d{vid:02d}", [float(x) for x in near])); vid += 1
+        other = 0.7 * b + 0.714 * np.linalg.qr(
+            np.column_stack([b, rng.normal(size=8)])
+        )[0][:, 1]
+        rows.append((f"d{vid:02d}", [float(x) for x in other])); vid += 1
+    rows.append((f"d{vid:02d}", [0.0] * 8))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = base.astype(np.float64)
+    got = {}
+    for dense in (True, False):
+        out = dedup.semdedup(
+            df, threshold=0.95, centroids=cents, dense=dense
+        ).select("vec_id", "cluster", "is_dup").collect()
+        got[dense] = sorted((r.vec_id, r.cluster, r.is_dup) for r in out)
+    assert got[True] == got[False]
+    flags = {v: f for v, _, f in got[True]}
+    assert flags[f"d{vid:02d}"] == 0  # zero-norm vector never flagged
+    # the near-dup of each direction (second member, higher id) is the
+    # flagged one; anchors and the cos~0.7 members are kept
+    assert {v for v, f in flags.items() if f == 1} == {"d01", "d04", "d07"}
+
+
+def test_semdedup_dense_batch_clamp(spark):
+    """The dense scorer's ~16M-cell batch clamp: one 5000-vector
+    cluster forces step = 16_777_216 // 5000 = 3355 < n, so the scoring
+    matmul runs in MULTIPLE batches and the 'any lower-id hit' flag
+    must compose correctly across the batch seam (a column in batch 2
+    hit only by rows from batch-1's range, etc.). Expected flags come
+    from a straight O(n²) numpy oracle on the same normalized matrix;
+    the fixture asserts every pairwise cosine sits >= 1e-6 away from
+    the threshold so BLAS summation order cannot flip a flag. (The
+    dense=False pair-join leg is deliberately absent here: 12.5M HOF
+    cosine evaluations at ~33 us each is a 7-minute pytest — parity is
+    pinned on the small fixture above, this case pins the clamp.)"""
+    rng = np.random.default_rng(5)
+    n, dim, t = 5000, 16, 0.9
+    base = rng.normal(size=(250, dim))
+    X = np.repeat(base, 20, axis=0) + rng.normal(scale=5e-4, size=(n, dim))
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / nrm
+    C = Xn @ Xn.T
+    off = np.abs(C - t)
+    np.fill_diagonal(off, 1.0)
+    assert off.min() > 1e-6  # margin: ULPs can't flip any flag
+    want = {
+        int(j) for j in range(n)
+        if j and (C[:j, j] >= t).any()
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    out = dedup.semdedup(
+        df, threshold=t, centroids=np.zeros((1, dim)), dense=True
+    ).select("vec_id", "is_dup").collect()
+    assert {r.vec_id for r in out if r.is_dup == 1} == want
+    assert len(out) == n
+
+
 def test_countmin_sketch_invariants(spark):
     """CMS one-sided guarantee (est >= exact for EVERY term, not just
     heavy ones) and exactness when the table fits loosely (few terms in
