@@ -879,6 +879,7 @@ def collapse_jaccard_join(
             F.first(text_col).alias(text_col),
         )
         .drop("_fp")
+        .persist()
     )
     sig = minhash_signatures_portable(exact, id_col, text_col, n, n_hashes)
     bands = n_hashes // band_rows
@@ -898,7 +899,18 @@ def collapse_jaccard_join(
             for b in range(bands)
         ]
     )
-    memb = sig.select(F.col(id_col), F.explode(keys).alias("_bk"))
+    # exact and memb are persisted for the duration of this function:
+    # the r12 bounded-broadcast probe (`hot.limit(cap+1).count()` below)
+    # added a SECOND job over this subtree, and without these two
+    # persists that job re-ran the exact-collapse + 16-hash portable
+    # signature chain from scratch before `tagged.count()` ran it yet
+    # again — measured +3.6 s on the sf0.1 gate (interleaved A/B vs the
+    # r11 probe-less code, BENCH_COLLAPSE_AB_SF01.json). With them the
+    # expensive chain executes once; both are released with the other
+    # internals once `reps` materializes. memb is (id, band-key) rows —
+    # far smaller than the corpus; exact carries the distinct texts,
+    # the same order of cache mass jaccard_join's `sets` already holds.
+    memb = sig.select(F.col(id_col), F.explode(keys).alias("_bk")).persist()
     # hot buckets keyed by (member count, key): a doc groups under its
     # SMALLEST hot bucket — the most SPECIFIC boilerplate family — so a
     # corpus-wide low-entropy mega-bucket (40k uniform-sf1 docs sharing
@@ -1028,6 +1040,8 @@ def collapse_jaccard_join(
     reps.count()
     tagged.unpersist()
     hot.unpersist()
+    exact.unpersist()
+    memb.unpersist()
     pairs = jaccard_join(reps, threshold, id_col, text_col, n, block_cols)
     return reps, pairs
 
