@@ -90,6 +90,44 @@ def hist1d(
     return out
 
 
+def hist1d_edges(
+    df: DataFrame,
+    value: Column | str,
+    edges: list[float],
+    weight: Column | str | None = None,
+    by: list[str] | None = None,
+    flow: bool = True,
+) -> DataFrame:
+    """Weighted 1-D histogram over VARIABLE-width bins (the reference's
+    hist.axis.Variable — SURVEY.md §2.5 "variable-width bins"): same
+    ``(bin, sumw, sumw2, n)`` contract and single-small-shuffle plan as
+    :func:`hist1d`, bucketed by :func:`bucket_edges` (codegen'd literal
+    edges array, no UDF). Bin i covers ``[edges[i], edges[i+1])`` for
+    i in 0..len(edges)-2; underflow -> -1, overflow -> len(edges)-1."""
+    if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError("edges must be strictly increasing with >= 2 entries")
+    value = F.col(value) if isinstance(value, str) else value
+    wcol = (
+        F.lit(1.0)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
+    b = bucket_edges(value, edges).alias("bin")
+    keys = [F.col(k) for k in (by or [])] + [b]
+    out = (
+        df.select(*keys, wcol.alias("_w"))
+        .groupBy(*(by or []), "bin")
+        .agg(
+            F.sum("_w").alias("sumw"),
+            F.sum(F.col("_w") * F.col("_w")).alias("sumw2"),
+            F.count("_w").alias("n"),
+        )
+    )
+    if not flow:
+        out = out.filter((F.col("bin") >= 0) & (F.col("bin") < len(edges) - 1))
+    return out
+
+
 def hist2d(
     df: DataFrame,
     xvalue: Column | str,

@@ -29,8 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from coffea_spark.hist import bucket, hist1d, hist2d
+from coffea_spark.hist import bucket, hist1d, hist1d_edges, hist2d
 from coffea_spark.joins import combinations
+from coffea_spark.schema import pad_none
 from coffea_spark.selection import PackedSelection
 from coffea_spark.weights import Weights
 
@@ -466,6 +467,203 @@ SELECT count(*) AS initial,
        CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS nminusone_returned,
        CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS all_cuts
 FROM lineitem
+"""
+
+
+def q_hist_varwidth(spark, sf_dir):
+    """Variable-width-bin histogram (reference hist.axis.Variable;
+    SURVEY.md §2.5): weighted fill over explicit price edges — the
+    log-ish binning every falling spectrum uses. Same one-small-shuffle
+    plan as the uniform gate; the bucket id is a codegen'd literal-array
+    scan, no UDF. sumw is a sum of integer-valued quantities, exact in
+    double, so round(2) is order-insensitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = [0.0, 1000.0, 5000.0, 20000.0, 50000.0, 100000.0]
+    return hist1d_edges(li, "l_extendedprice", edges, weight="l_quantity").select(
+        "bin", F.round("sumw", 2).alias("sumw"), "n"
+    )
+
+
+SQL_HIST_VARWIDTH = """
+SELECT bin, round(sum(l_quantity), 2) AS sumw, count(*) AS n
+FROM (
+  SELECT CASE WHEN l_extendedprice < 0 THEN -1
+              WHEN l_extendedprice >= 100000 THEN 5
+              WHEN l_extendedprice >= 50000 THEN 4
+              WHEN l_extendedprice >= 20000 THEN 3
+              WHEN l_extendedprice >= 5000 THEN 2
+              WHEN l_extendedprice >= 1000 THEN 1
+              ELSE 0 END AS bin,
+         l_quantity
+  FROM lineitem
+) GROUP BY bin
+"""
+
+
+def q_padded_leading(spark, sf_dir):
+    """pad_none + leading-object access (ak.pad_none -> ak.firsts, the
+    reference's leading/subleading idiom; SURVEY.md §2.2): positional
+    access past a jagged array's end must be TOTAL (null), not an ANSI
+    ARRAY_INDEX_OUT_OF_BOUNDS error — exactly what pad_none exists for.
+    Leading/subleading item of each order (items sorted by linenumber),
+    aggregated so single-item orders exercise the null padding."""
+    orders = _order_items(spark, sf_dir)
+    padded = pad_none(F.col("items"), 2)
+    q1 = F.element_at(padded, 1)["l_quantity"]
+    q2 = F.element_at(padded, 2)["l_quantity"]
+    return orders.select(q1.alias("q1"), q2.alias("q2")).agg(
+        F.count("q1").alias("n_lead"),
+        F.count("q2").alias("n_sub"),
+        F.round(F.sum("q1"), 2).alias("sum_q1"),
+        F.round(F.sum("q2"), 2).alias("sum_q2"),
+    )
+
+
+SQL_PADDED_LEADING = """
+-- positional, not "linenumber = 1": the synthetic lineitem's
+-- l_linenumber is neither dense nor unique per order, so 'leading'
+-- means first by the SAME lexicographic struct order the Spark side's
+-- array_sort uses (linenumber, then the remaining item fields)
+SELECT count(q1) AS n_lead, count(q2) AS n_sub,
+       round(sum(q1), 2) AS sum_q1, round(sum(q2), 2) AS sum_q2
+FROM (
+  SELECT l_orderkey,
+         max(CASE WHEN rn = 1 THEN l_quantity END) AS q1,
+         max(CASE WHEN rn = 2 THEN l_quantity END) AS q2
+  FROM (
+    SELECT l_orderkey, l_quantity,
+           row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                      l_discount, l_suppkey
+           ) AS rn
+    FROM lineitem
+  ) GROUP BY l_orderkey
+)
+"""
+
+
+def q_accumulator_merge(spark, sf_dir):
+    """Driver-side accumulator reduce (reference processor/accumulator
+    add/iadd semantics; SURVEY.md §2.5): three per-"dataset" partial
+    result dicts (numbers add, sets union) folded with accumulate().
+    The distributed part stays in Spark (one bounded one-row agg per
+    dataset); the monoid fold is over 3 SMALL dicts on the driver —
+    the reference's multi-dataset result merge, never a row loop."""
+    from coffea_spark.accumulator import accumulate
+
+    li = _t(spark, sf_dir, "lineitem")
+    partials = []
+    for flag in ("A", "N", "R"):
+        row = (
+            li.filter(F.col("l_returnflag") == flag)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("qty"),
+                F.collect_set("l_linestatus").alias("ls"),
+            )
+            .collect()[0]
+        )
+        partials.append(
+            {"n": row["n"], "qty": float(row["qty"] or 0.0), "ls": set(row["ls"])}
+        )
+    tot = accumulate(partials)
+    return spark.createDataFrame(
+        [(tot["n"], round(tot["qty"], 2), "|".join(sorted(tot["ls"])))],
+        "n bigint, qty double, ls string",
+    )
+
+
+SQL_ACCUMULATOR_MERGE = """
+SELECT count(*) AS n,
+       round(sum(l_quantity), 2) AS qty,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS ls
+FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+"""
+
+
+def q_cutflow_npz(spark, sf_dir):
+    """npz sink round trip (reference CutflowToNpz,
+    analysis_tools.py:768-919; SURVEY.md §2.1 "npz sink"): run the
+    cutflow, export its counts to a .npz file, read the FILE back and
+    return its arrays as rows — the gate passes only if what landed on
+    disk is what the cutflow computed."""
+    import tempfile
+
+    import numpy as np
+
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _lineitem_selection(li)
+    cf = sel.cutflow(li)
+    fd, path = tempfile.mkstemp(suffix=".npz")
+    os.close(fd)
+    try:
+        cf.to_npz(path)
+        data = np.load(path, allow_pickle=False)
+        rows = [
+            (str(lab), int(one), int(cum))
+            for lab, one, cum in zip(
+                data["labels"], data["nevonecut"], data["nevcutflow"]
+            )
+        ]
+    finally:
+        os.unlink(path)
+    return spark.createDataFrame(
+        rows, "label string, onecut bigint, cumulative bigint"
+    )
+
+
+SQL_CUTFLOW_NPZ = """
+SELECT 'initial' AS label, count(*) AS onecut, count(*) AS cumulative FROM lineitem
+UNION ALL
+SELECT 'big_qty',
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'low_disc',
+       CAST(sum(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'returned',
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+"""
+
+
+def q_preloaded_agg(spark, sf_dir):
+    """Preloaded (in-memory) source feeding a broadcast join
+    (reference PreloadedSourceMapping; SURVEY.md §2.1 "Preloaded
+    scan"): the nation dimension is loaded OUTSIDE Spark (pyarrow into
+    driver memory, 25 rows) and handed to the engine as a preloaded
+    source — the legitimate 100-TB shape for side data: driver arrays
+    -> broadcast -> join against the scanned fact table, no shuffle of
+    customer."""
+    import pyarrow.parquet as pq
+
+    from coffea_spark.testing import preloaded_df
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    pre = preloaded_df(
+        spark, {c: nat.column(c).to_pylist() for c in nat.column_names}
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(pre), cust.c_nationkey == pre.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+SQL_PRELOADED_AGG = """
+SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
 """
 
 
@@ -9429,10 +9627,23 @@ REGISTRY: dict[str, Query] = {
     # r14, then the r11 cohort. Recounted after reorder: exactly 50
     # entries precede the end-of-window marker. Rows-only gates
     # (oracle=None) stay past slot 50 as always.
+    #
+    # r13 mid-round amendment: five NEW oracle gates (hist_varwidth,
+    # padded_leading, accumulator_merge, cutflow_npz, preloaded_agg —
+    # upgrading the SURVEY §2 rows previously pytest-only) enter at
+    # slots 4-8 per the new-gate rule; the five gates they displace
+    # (stream_cutflow, stream_enrich, stream_ewma, stream_windowed_hist,
+    # substring_dupes) rejoin the r10-evidence pool first in line for
+    # r14 alongside systematics_multi ... xref_roundtrip.
     # ------------------------------------------------------------------
     "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
     "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
     "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
+    "hist_varwidth": Query(q_hist_varwidth, SQL_HIST_VARWIDTH),
+    "padded_leading": Query(q_padded_leading, SQL_PADDED_LEADING),
+    "accumulator_merge": Query(q_accumulator_merge, SQL_ACCUMULATOR_MERGE),
+    "cutflow_npz": Query(q_cutflow_npz, SQL_CUTFLOW_NPZ),
+    "preloaded_agg": Query(q_preloaded_agg, SQL_PRELOADED_AGG),
     "lang_id": Query(q_lang_id, _sql_lang_id()),
     "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
     "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
@@ -9475,12 +9686,12 @@ REGISTRY: dict[str, Query] = {
     "range_gather": Query(q_range_gather, SQL_RANGE_GATHER),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "schema_variants": Query(q_schema_variants, SQL_SCHEMA_VARIANTS),
+    # ---- end of driver window (slot 50) -------------------------------
     "stream_cutflow": Query(q_stream_cutflow, SQL_STREAM_CUTFLOW),
     "stream_enrich": Query(q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_ewma": Query(q_stream_ewma, SQL_STREAM_EWMA),
     "stream_windowed_hist": Query(q_stream_windowed_hist, SQL_STREAM_HIST),
     "substring_dupes": Query(q_substring_dupes, SQL_SUBSTRING_DUPES),
-    # ---- end of driver window (slot 50) -------------------------------
     "systematics_multi": Query(q_systematics_multi, SQL_SYSTEMATICS_MULTI),
     "systematics_updown": Query(q_systematics, SQL_SYSTEMATICS),
     "text_quality": Query(q_text_quality, _sql_text_quality()),

@@ -19,6 +19,19 @@ from pyspark.sql import types as T
 MUON_MASS = 0.10566
 
 
+def preloaded_df(spark: SparkSession, columns: dict) -> DataFrame:
+    """Preloaded (already-in-memory) source: build a DataFrame from
+    materialized columnar arrays — the reference's PreloadedSourceMapping
+    idiom (uproot trees opened elsewhere handed to the processor without
+    a filesystem scan; nanoevents/mapping/preloaded.py). Spark-first this
+    is only legitimate for SMALL side data (dimension tables, lookup
+    payloads, fixtures): the arrays live on the driver and ship with the
+    plan, so the natural consumer is a broadcast join against a real
+    scanned fact table — never a fact table itself. Accepts any mapping
+    of column name -> numpy array / list; Arrow-backed via pandas."""
+    return spark.createDataFrame(pd.DataFrame(dict(columns)))
+
+
 def _vec_struct(extra: dict[str, T.DataType] | None = None) -> T.StructType:
     fields = [
         T.StructField("pt", T.DoubleType()),

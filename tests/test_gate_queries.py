@@ -41,6 +41,12 @@ NEW_ORACLE_QUERIES = [
     "pairs_routed",
     "tree_train",
     "gbdt_train_boost",
+    # r13: the pytest-only SURVEY rows upgraded to oracle gates
+    "hist_varwidth",
+    "padded_leading",
+    "accumulator_merge",
+    "cutflow_npz",
+    "preloaded_agg",
 ]
 
 
@@ -76,7 +82,8 @@ def _canon(rows, colnames):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
+    for t in ["lineitem", "orders", "events", "documents", "embeddings",
+              "customer", "nation", "region"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )

@@ -152,3 +152,40 @@ def test_project_2d_to_1d(spark):
 
     with pytest.raises(ValueError):
         project(h2, "zbin")
+
+
+def test_hist1d_edges_matches_numpy(spark):
+    """Variable-width histogram vs numpy.histogram on the in-range part
+    (same edges, same weights), plus the flow-bin contract (-1 under,
+    len(edges)-1 over) and totals conservation."""
+    import numpy as np
+
+    from coffea_spark.hist import hist1d_edges
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-2.0, 14.0, size=500)
+    w = rng.uniform(0.5, 1.5, size=500)
+    edges = [0.0, 1.0, 3.0, 7.0, 12.0]
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, w)], "x double, w double"
+    )
+    got = {r.bin: (r.sumw, r.n) for r in hist1d_edges(df, "x", edges, weight="w").collect()}
+    ref_w, _ = np.histogram(x, bins=np.array(edges), weights=w)
+    ref_n, _ = np.histogram(x, bins=np.array(edges))
+    # numpy's last bin is CLOSED [12.0, ...] — no sample sits exactly on
+    # 12.0 here (continuous uniform), so the conventions agree
+    for i in range(len(edges) - 1):
+        assert abs(got.get(i, (0.0, 0))[0] - ref_w[i]) < 1e-9
+        assert got.get(i, (0.0, 0))[1] == ref_n[i]
+    assert got[-1][1] == int((x < 0.0).sum())
+    assert got[len(edges) - 1][1] == int((x >= 12.0).sum())
+    assert sum(n for _, n in got.values()) == 500
+    # flow=False drops exactly the flow bins
+    noflow = hist1d_edges(df, "x", edges, weight="w", flow=False).collect()
+    assert {r.bin for r in noflow} <= set(range(len(edges) - 1))
+    import pytest
+
+    with pytest.raises(ValueError):
+        hist1d_edges(df, "x", [1.0, 1.0, 2.0])
+    with pytest.raises(ValueError):
+        hist1d_edges(df, "x", [3.0])

@@ -98,3 +98,29 @@ def test_pad_none(spark):
         F.element_at(pad_none(F.col("mu"), 2), 1)["pt"].alias("lead_pt")
     ).collect()
     assert [r.lead_pt for r in got] == [30.0, None]
+
+
+def test_preloaded_df_roundtrip(spark):
+    """preloaded_df: in-memory columnar arrays -> DataFrame, value- and
+    schema-faithful, and usable as the small side of a broadcast join."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from coffea_spark.testing import preloaded_df
+
+    pre = preloaded_df(
+        spark,
+        {
+            "k": np.arange(5, dtype=np.int64),
+            "name": ["a", "b", "c", "d", "e"],
+            "scale": np.linspace(0.0, 1.0, 5),
+        },
+    )
+    rows = {r.k: (r.name, r.scale) for r in pre.collect()}
+    assert rows[3] == ("d", 0.75)
+    assert len(rows) == 5
+    fact = spark.createDataFrame([(i % 5, float(i)) for i in range(100)], "k long, v double")
+    joined = fact.join(F.broadcast(pre), "k").agg(F.sum(F.col("v") * F.col("scale")).alias("s"))
+    expect = sum((i % 5) / 4.0 * i for i in range(100))
+    assert abs(joined.collect()[0].s - expect) < 1e-9
