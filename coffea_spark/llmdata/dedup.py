@@ -1695,6 +1695,8 @@ def semdedup(
     seed: int = 42,
     max_sample: int = 65536,
     dense: bool = True,
+    tile_rows: int | None = 8192,
+    max_tiles: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means cluster the
@@ -1728,6 +1730,31 @@ def semdedup(
     guarded divide — the two spellings are flag-set identical, pinned
     by the parity pytest incl. zero-norm vectors, string ids, and a
     cluster past the batch clamp).
+
+    ``tile_rows`` is the hot-cluster straggler guard (the decade
+    rehearsal's attributed bound: scoring parallelism == n_clusters,
+    one applyInPandas task per cluster, so a dominant cluster — which
+    k-means cannot count-split out of a density contrast, the same
+    failure mode as the IVF dominant cell — owns the critical path). A
+    cluster larger than ``tile_rows`` is hash-split into
+    T = ceil(n / tile_rows) tiles (capped at ``max_tiles`` — past the
+    cap tiles grow proportionally instead of multiplying shuffle
+    volume; a documented bound, not a probe, so no extra job re-runs
+    the assignment scan) and scored as T·(T+1)/2 independent
+    TILE-PAIR tasks: each
+    unordered pair of vectors lands in exactly one task (the task of
+    its two tiles), which flags the HIGHER id of any qualifying pair —
+    no global ordering or prefix asymmetry needed, so the tasks are
+    balanced at (n/T)² and the flag-set union is exactly the
+    single-task answer (parity-pinned). Cost: shuffle volume T× the
+    hot cluster's rows (each row joins T tasks); flops unchanged.
+    Clusters at or under ``tile_rows`` keep T=1 — one task, the
+    single-task plan, plus only a tiny per-cluster-size broadcast
+    join. ``tile_rows=None`` disables the guard (the pre-r13 plan).
+    Measured (BENCH_SCALE.md r13): sf10 uniform 32.1 -> 19.7 s at
+    tile_rows=8192 (the default; ~9 s of both legs is the result
+    collect, so the scoring gain is larger), byte-identical flags;
+    inert-path overhead at sf1 ~0.4 s.
     """
     from coffea_spark.llmdata.similarity import dot, ivf_assign, ivf_train, norm
 
@@ -1747,7 +1774,7 @@ def semdedup(
             [T.StructField(id_col, asg.schema[id_col].dataType)]
         )
 
-        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _sorted_norm(pdf: pd.DataFrame):
             ids = pdf[id_col].to_numpy()
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
@@ -1756,6 +1783,9 @@ def semdedup(
             )[order]
             nrm = np.sqrt((X * X).sum(axis=1))
             Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+            return ids, Xn
+
+        def _prefix_flags(ids, Xn):
             n = len(ids)
             dupped = np.zeros(n, dtype=bool)
             step = max(16, min(4096, 16_777_216 // max(n, 1)))
@@ -1767,14 +1797,100 @@ def semdedup(
                 for b, gj in enumerate(range(s0, s1)):
                     if gj and hit[:gj, b].any():
                         dupped[gj] = True
-            return pd.DataFrame({id_col: ids[dupped]})
+            return ids[dupped]
 
-        dup_ids = (
-            asg.select("cluster", id_col, vec_col)
-            .groupBy("cluster")
-            .applyInPandas(emit, schema=out_schema)
-            .withColumn("is_dup", F.lit(1))
-        )
+        if tile_rows is None:
+
+            def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+                ids, Xn = _sorted_norm(pdf)
+                return pd.DataFrame({id_col: _prefix_flags(ids, Xn)})
+
+            dup_ids = (
+                asg.select("cluster", id_col, vec_col)
+                .groupBy("cluster")
+                .applyInPandas(emit, schema=out_schema)
+                .withColumn("is_dup", F.lit(1))
+            )
+        else:
+
+            def emit_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                _, ti, tj = key
+                if ti == tj:
+                    # within-tile pairs: the single-task prefix logic
+                    ids, Xn = _sorted_norm(pdf)
+                    return pd.DataFrame({id_col: _prefix_flags(ids, Xn)})
+                # cross-tile pairs: every (a, b) pair of this task is
+                # scored once; the HIGHER id of a qualifying pair is
+                # flagged. Rows are sorted by id per side, so "partner
+                # with a lower id" is a searchsorted prefix test over a
+                # running any() — no global rank needed.
+                pa = pdf[pdf["_tile"] == ti]
+                pb = pdf[pdf["_tile"] == tj]
+                if len(pa) == 0 or len(pb) == 0:
+                    # a hash tile can be empty when T is near the
+                    # cluster size; the exploded partner rows still
+                    # form a group
+                    return pd.DataFrame({id_col: pdf[id_col][:0]})
+                ida, An = _sorted_norm(pa)
+                idb, Bn = _sorted_norm(pb)
+                na, nb = len(ida), len(idb)
+                flag_a = np.zeros(na, dtype=bool)
+                flag_b = np.zeros(nb, dtype=bool)
+                arange_a = np.arange(na)
+                step = max(16, min(4096, 16_777_216 // max(na, 1)))
+                for s0 in range(0, nb, step):
+                    s1 = min(s0 + step, nb)
+                    hit = (An @ Bn[s0:s1].T) >= t  # (na, B)
+                    # b is dup if some a with id_a < id_b hits: prefix
+                    # of sorted A up to searchsorted(ida, id_b)
+                    ka = np.searchsorted(ida, idb[s0:s1], side="left")
+                    cum_a = np.logical_or.accumulate(hit, axis=0)
+                    ok = ka > 0
+                    flag_b[s0:s1] |= ok & cum_a[
+                        np.maximum(ka - 1, 0), np.arange(s1 - s0)
+                    ]
+                    # a is dup if some b (this chunk) with id_b < id_a
+                    kb = np.searchsorted(idb[s0:s1], ida, side="left")
+                    cum_b = np.logical_or.accumulate(hit, axis=1)
+                    ok = kb > 0
+                    flag_a |= ok & cum_b[arange_a, np.maximum(kb - 1, 0)]
+                return pd.DataFrame(
+                    {id_col: np.concatenate([ida[flag_a], idb[flag_b]])}
+                )
+
+            sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+            ntile = F.least(
+                F.ceil(F.col("_csz") / F.lit(int(tile_rows))).cast("int"),
+                F.lit(int(max_tiles)),
+            )
+            tagged = (
+                asg.select("cluster", id_col, vec_col)
+                .join(F.broadcast(sizes), "cluster")
+                .withColumn("_T", ntile)
+                .withColumn(
+                    "_tile",
+                    F.pmod(F.hash(F.col(id_col)), F.col("_T")).cast("int"),
+                )
+                .withColumn(
+                    "_other", F.explode(F.sequence(F.lit(0), F.col("_T") - 1))
+                )
+                .select(
+                    "cluster",
+                    F.least("_tile", "_other").alias("_ti"),
+                    F.greatest("_tile", "_other").alias("_tj"),
+                    "_tile",
+                    id_col,
+                    vec_col,
+                )
+            )
+            dup_ids = (
+                tagged.groupBy("cluster", "_ti", "_tj")
+                .applyInPandas(emit_tile, schema=out_schema)
+                # an id can qualify in several tile-pair tasks; the
+                # left join below must see it once
+                .dropDuplicates([id_col])
+                .withColumn("is_dup", F.lit(1))
+            )
     else:
         a = asg.select(
             "cluster",

@@ -1869,6 +1869,61 @@ def test_semdedup_dense_pairjoin_parity(spark):
     assert {v for v, f in flags.items() if f == 1} == {"d01", "d04", "d07"}
 
 
+def test_semdedup_tiled_parity(spark):
+    """The hot-cluster tile guard (tile_rows): hash-split tile-pair
+    scoring must produce EXACTLY the single-task flag set — every
+    unordered pair lands in one tile-pair task and the higher id is
+    flagged, so the union equals the prefix answer. Legs: untiled
+    (tile_rows=None), moderate tiling (tile_rows=40 -> multiple tiles
+    per cluster), and degenerate tiling (tile_rows=1, T capped at
+    max_tiles=8 -> empty hash tiles exercise the empty-side guard),
+    all vs a straight O(n²) numpy oracle. Fixture has string ids, a
+    zero-norm vector, and >= 1e-6 threshold margin."""
+    rng = np.random.default_rng(23)
+    n, dim, t = 240, 12, 0.9
+    base = rng.normal(size=(24, dim))
+    X = np.repeat(base, 10, axis=0) + rng.normal(scale=5e-4, size=(n, dim))
+    X[57] = 0.0  # zero-norm vector
+    ids = [f"doc{i:04d}" for i in range(n)]
+    cents = np.zeros((3, dim))
+    cents[0, 0], cents[1, 1], cents[2, 2] = 1.0, 1.0, 1.0
+    # numpy oracle: assignment by argmax cosine to centroid, then
+    # within-cluster lower-id hit
+    nrm = np.linalg.norm(X, axis=1)
+    Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    asg = np.argmax(Xn @ cn.T, axis=1)
+    C = Xn @ Xn.T
+    off = np.abs(C - t)
+    np.fill_diagonal(off, 1.0)
+    assert off.min() > 1e-6
+    want = set()
+    for j in range(n):
+        for i in range(j):
+            if asg[i] == asg[j] and C[i, j] >= t:
+                want.add(ids[j])
+                break
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id string, embedding array<double>",
+    ).repartition(6)
+    got = {}
+    for tag, kw in (
+        ("untiled", {"tile_rows": None}),
+        ("tiled", {"tile_rows": 40}),
+        ("degenerate", {"tile_rows": 1, "max_tiles": 8}),
+    ):
+        out = dedup.semdedup(
+            df, threshold=t, centroids=cents, dense=True, **kw
+        ).select("vec_id", "cluster", "is_dup").collect()
+        assert len(out) == n, tag  # no row duplication from the union
+        got[tag] = sorted((r.vec_id, r.cluster, r.is_dup) for r in out)
+        assert {v for v, _, f in got[tag] if f == 1} == want, tag
+    assert got["untiled"] == got["tiled"] == got["degenerate"]
+    flags = {v: f for v, _, f in got["tiled"]}
+    assert flags["doc0057"] == 0  # zero-norm never flagged
+
+
 def test_semdedup_dense_batch_clamp(spark):
     """The dense scorer's ~16M-cell batch clamp: one 5000-vector
     cluster forces step = 16_777_216 // 5000 = 3355 < n, so the scoring
