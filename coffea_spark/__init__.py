@@ -29,7 +29,7 @@ from coffea_spark.schema import (
     PFNanoAODSchema,
     ScoutingNanoAODSchema,
 )
-from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist2d
+from coffea_spark.hist import Hist1D, Hist2D, hist1d, hist1d_edges, hist2d
 from coffea_spark.nanoevents import Collection, GenealogyView, NanoEvents, Record
 from coffea_spark.rntuple import RNTupleReader
 from coffea_spark.root_reader import (
@@ -63,6 +63,7 @@ __all__ = [
     "Hist1D",
     "Hist2D",
     "hist1d",
+    "hist1d_edges",
     "hist2d",
     "PackedSelection",
     "Weights",

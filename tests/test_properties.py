@@ -351,3 +351,57 @@ def test_genealogy_view_matches_kernels_property(spark, events):
         for i, kids in enumerate(r.kids_v):
             want = [j for j, m in enumerate(ms) if m == i]
             assert sorted(kids or []) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=6, max_value=48),
+    st.integers(min_value=2, max_value=6),
+    st.floats(min_value=0.35, max_value=0.9),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_semdedup_tiled_matches_bruteforce(spark, n, dim, threshold, seed):
+    """Property: the tiled dense scorer (forced tiny tiles, so most
+    pairs cross tile boundaries) equals the brute-force O(n²) 'any
+    lower-id in-cluster hit' on random corpora of any size/dim/
+    threshold. Margins: examples whose pairwise cosine sits within
+    1e-9 of the threshold, or whose cluster assignment is within 1e-9
+    of a tie, are assumed away (ULP territory by construction)."""
+    import numpy as np
+    from hypothesis import assume
+
+    from coffea_spark.llmdata import dedup
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim))
+    # seed near-duplicates so the dup branch is actually exercised
+    X[n // 2] = X[0] + rng.normal(scale=1e-6, size=dim)
+    cents = rng.normal(size=(2, dim))
+    d = (cents * cents).sum(axis=1) - 2.0 * X @ cents.T
+    assume(np.min(np.abs(d[:, 0] - d[:, 1])) > 1e-9)
+    asg = np.argmin(d, axis=1)
+    nrm = np.linalg.norm(X, axis=1)
+    Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+    C = Xn @ Xn.T
+    off = np.abs(C - threshold)
+    np.fill_diagonal(off, 1.0)
+    assume(off.min() > 1e-9)
+    want = {
+        j
+        for j in range(n)
+        if any(asg[i] == asg[j] and C[i, j] >= threshold for i in range(j))
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = dedup.semdedup(
+        df,
+        threshold=threshold,
+        centroids=cents,
+        dense=True,
+        tile_rows=4,
+        max_tiles=5,
+    ).collect()
+    assert len(out) == n
+    assert {r.vec_id for r in out if r.is_dup == 1} == want
