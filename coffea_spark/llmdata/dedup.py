@@ -1704,7 +1704,10 @@ def semdedup(
     cosine similarity to a LOWER-id vector in the same cluster is
     >= threshold (the paper's eps is 1 - threshold; "keep the earliest"
     is its deterministic keeper policy). Returns df + (cluster, is_dup);
-    filter ``is_dup = 0`` to keep.
+    filter ``is_dup = 0`` to keep. ``id_col`` values must be unique —
+    the lower-id ordering is strict, so two rows sharing an id never
+    flag each other (the dedup-module contract; every spelling here
+    agrees on unique ids, which is the only defined input).
 
     Spark shape: bounded-sample k-means on the driver (``ivf_train`` —
     a coarse quantizer needs O(100) points/cluster, not the corpus),
