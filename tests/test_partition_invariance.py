@@ -54,6 +54,8 @@ GATES = [
                            # min-id election must be layout-free (r11)
     "ivf_recall",          # hash-ordered bounded sample + bisection
                            # guard + probe serve (r11)
+    "semdedup",            # tiled dense scorer: hash tiles keyed by id
+                           # (not layout), tile-pair flag union (r13)
 ]
 
 
