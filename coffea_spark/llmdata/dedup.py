@@ -1816,7 +1816,7 @@ def semdedup(
             )
         else:
 
-            def emit_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            def emit_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
                 _, ti, tj = key
                 if ti == tj:
                     # within-tile pairs: the single-task prefix logic
