@@ -1756,7 +1756,9 @@ def semdedup(
     join. ``tile_rows=None`` disables the guard (the pre-r13 plan).
     Measured (BENCH_SCALE.md r13): sf10 uniform 32.1 -> 19.7 s at
     tile_rows=8192 (the default; ~9 s of both legs is the result
-    collect, so the scoring gain is larger), byte-identical flags;
+    collect, so the scoring gain is larger) and sf10 dominant-cluster
+    skew (hot cluster 40% of 200k vectors) 87.8 -> 31.9 s (2.75x,
+    skew/uniform 2.7x -> 1.6x), byte-identical flags in both;
     inert-path overhead at sf1 ~0.4 s.
     """
     from coffea_spark.llmdata.similarity import dot, ivf_assign, ivf_train, norm
