@@ -189,3 +189,14 @@ def test_hist1d_edges_matches_numpy(spark):
         hist1d_edges(df, "x", [1.0, 1.0, 2.0])
     with pytest.raises(ValueError):
         hist1d_edges(df, "x", [3.0])
+    # categorical `by` axis: per-category sub-histograms sum to the
+    # uncategorized one
+    df2 = df.withColumn(
+        "cat", (F.col("x") > 5.0).cast("int").cast("string")
+    )
+    bycat = hist1d_edges(df2, "x", edges, weight="w", by=["cat"]).collect()
+    merged = {}
+    for r in bycat:
+        merged[r.bin] = merged.get(r.bin, 0.0) + r.sumw
+    for b, (sw, _) in got.items():
+        assert abs(merged[b] - sw) < 1e-9
