@@ -1924,6 +1924,55 @@ def test_semdedup_tiled_parity(spark):
     assert flags["doc0057"] == 0  # zero-norm never flagged
 
 
+def test_semdedup_tiled_cross_chunk_seam(spark):
+    """The cross-tile emitter batches its B-side columns under the same
+    ~16M-cell budget; the flag accumulation (per-chunk searchsorted +
+    running any) must compose across that seam. n=12600 with T=3 makes
+    each tile ~4200, so na*nb ~ 17.6M > 16.7M -> step < nb and every
+    cross-tile task runs MULTIPLE chunks (asserted on the step math).
+    Oracle is the O(n²) lower-id rule computed in column batches."""
+    rng = np.random.default_rng(31)
+    n, dim, t = 12600, 8, 0.9
+    base = rng.normal(size=(700, dim))
+    X = np.repeat(base, 18, axis=0) + rng.normal(scale=5e-4, size=(n, dim))
+    tile_rows = 4200
+    ntiles = -(-n // tile_rows)
+    approx_tile = n / ntiles
+    assert 16_777_216 // int(approx_tile) < approx_tile  # multi-chunk
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = set()
+    margin = 1.0
+    bs = 1024
+    for b0 in range(0, n, bs):
+        b1 = min(b0 + bs, n)
+        C = Xn @ Xn[b0:b1].T  # (n, B)
+        off = np.abs(C - t)
+        for j in range(b0, b1):
+            off[j, j - b0] = 1.0
+        margin = min(margin, off.min())
+        hit = C >= t
+        for b, j in enumerate(range(b0, b1)):
+            if j and hit[:j, b].any():
+                want.add(j)
+    # 79M pairs leave some cosine ~1e-8 from t; that is still ~7 orders
+    # above the ~1e-15 reordering error of a dim-8 float64 dot, so the
+    # 1e-9 bar (the hypothesis test's assume threshold) is the right one
+    assert margin > 1e-9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    out = dedup.semdedup(
+        df,
+        threshold=t,
+        centroids=np.zeros((1, dim)),
+        dense=True,
+        tile_rows=tile_rows,
+    ).select("vec_id", "is_dup").collect()
+    assert len(out) == n
+    assert {r.vec_id for r in out if r.is_dup == 1} == want
+
+
 def test_semdedup_dense_batch_clamp(spark):
     """The dense scorer's ~16M-cell batch clamp: one 5000-vector
     cluster forces step = 16_777_216 // 5000 = 3355 < n, so the scoring
