@@ -7061,7 +7061,10 @@ def q_dsir_weights(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en")
-    w = dsir_weights(docs, target, buckets=1009, gram_sizes=(1, 2))
+    # cached: consumed by the top-5 checksum collect AND the final
+    # per-language aggregate — the first (sequential) action fills it,
+    # so the score chain runs once instead of once per consumer
+    w = dsir_weights(docs, target, buckets=1009, gram_sizes=(1, 2)).cache()
     top5 = (
         w.orderBy(F.col("dsir_weight").desc(), "doc_id")
         .limit(5)
@@ -7575,7 +7578,11 @@ def q_cardinality_hll(spark, sf_dir):
     from coffea_spark.llmdata.sketch import hll_add, hll_estimate
     from coffea_spark.llmdata.splits import portable_mix32
 
-    li = _t(spark, sf_dir, "lineitem")
+    # cached: the sketch estimate (broadcast side of the crossJoin,
+    # built first) and the exact distinct count both scan lineitem —
+    # one fill, one cache read; projected to the single key column so
+    # the cache does not defeat parquet column pruning
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").cache()
     sk = hll_add(li, portable_mix32(F.col("l_orderkey")), p=9)
     est = hll_estimate(sk, p=9)
     exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
@@ -8907,7 +8914,10 @@ def q_knn_classify(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") % 5 != 0)
     test = emb.filter(F.col("vec_id") % 5 == 0).filter(F.col("vec_id") % 20 == 0)
-    pred = knn_classify(train, test, k=5, round_digits=6)
+    # cached: the accuracy agg (broadcast side of the crossJoin, built
+    # first) fills it; the sample projection then reads it instead of
+    # re-running the broadcast-kNN + vote window chain
+    pred = knn_classify(train, test, k=5, round_digits=6).cache()
     acc = pred.agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sum(
