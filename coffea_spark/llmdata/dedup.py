@@ -681,11 +681,18 @@ def jaccard_join(
     # broadcast builds that Spark launches CONCURRENTLY — against a cold
     # cache each build re-runs the whole explode -> df-count -> rank
     # pipeline (verified in the physical plan / run timings: 2-4x the
-    # work, 30 s vs 12 s at sf0.1). Two tiny count() jobs up front fill
-    # the caches once; every later branch is a cache read.
-    sets.count()
-    prefix.count()
-
+    # work, 30 s vs 12 s at sf0.1). The caches must be warm before the
+    # main query runs; WHICH job warms them depends on the guard:
+    #
+    # - guard on (default): the dense route's trigger-stat job reads
+    #   nstats from ``sets`` and pmass from ``prefix``, and because both
+    #   stats are full aggregations their map stages consume every
+    #   cached partition before the first output row — the route job IS
+    #   the eager materialization. Two extra count() jobs ahead of it
+    #   were pure overhead (measured ~0.9 s of the sf0.1 gate wall,
+    #   r13 A/B: prefix+route 3.2-3.5 s eager vs 2.4-2.5 s lazy).
+    # - guard off (dense_min_mass=None): no route job runs, so the two
+    #   tiny count() jobs fill the caches as before.
     dense_keys = dense_pairs = None
     if dense_min_mass is not None:
         dense_keys, dense_pairs = _dense_block_route(
@@ -693,6 +700,9 @@ def jaccard_join(
             dense_min_mass, dense_mass_per_doc, dense_budget_cells,
             dense_cost_ratio,
         )
+    else:
+        sets.count()
+        prefix.count()
     if dense_keys is None:
         live = prefix
     elif block_cols:

@@ -33,13 +33,18 @@ def main() -> None:
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--plans", default=None, help="dump plans/r13/<q>_<tag>.txt")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra k=v Spark conf (repeatable) for config A/B runs",
+    )
     args = ap.parse_args()
 
     from coffea_spark.queries import REGISTRY
     from coffea_spark.session import get_spark
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark = get_spark(app_name="profile-query", cpus=cpus)
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="profile-query", cpus=cpus, extra_conf=extra or None)
     spark.read.parquet(os.path.join(args.sf, "region.parquet")).count()
 
     plans_dir = os.path.join(
