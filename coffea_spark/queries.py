@@ -40,6 +40,24 @@ from coffea_spark.weights import Weights
 # un-repartitioned (they broadcast).
 _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
+#: natural (unique or near-unique) key per fact table: the parallelism
+#: floor hash-repartitions on it instead of round-robin, because a
+#: keyless repartition(n) first SORTS each input partition
+#: (spark.sql.execution.sortBeforeRepartition, required for retry
+#: determinism) — on a one-row-group local file that is a full
+#: single-task sort of the table before any spreading happens. Hash
+#: partitioning is deterministic under retries by construction (no
+#: sort), and a downstream groupBy/join on the same key reuses the
+#: exchange outright (measured: the _order_items gates drop one
+#: Exchange). Keys are unique per row, so the hash spreads evenly.
+_FACT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 #: path -> estimated scan split count; file sizes are immutable for a
 #: given testdata generation, so one os.stat per (path, process) suffices
@@ -81,18 +99,33 @@ def _estimated_splits(spark: SparkSession, path: str) -> int:
     return est
 
 
-def _parallelism_floor(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _parallelism_floor(
+    spark: SparkSession, df: DataFrame, path: str, key: str | None = None
+) -> DataFrame:
     """Guard against unsplittable inputs: the test parquet is written as
     ONE row group per small file, so a scan is a single task no matter
     how many cores the session has — every downstream narrow op (shingle
     extraction, collect_list partial agg, HOF math) runs on one core.
-    A one-time round-robin repartition (a few MB of shuffle here) buys
-    full-width execution. At production scale inputs carry thousands of
-    row groups, the split estimate exceeds the floor, and this is a
-    no-op — the guard exists precisely because local one-row-group
-    files are the degenerate case."""
+    A one-time repartition (a few MB of shuffle here) buys full-width
+    execution. At production scale inputs carry thousands of row
+    groups, the split estimate exceeds the floor, and this is a no-op —
+    the guard exists precisely because local one-row-group files are
+    the degenerate case.
+
+    When ``key`` is given (every _FACT_TABLES read), the spread is a
+    HASH repartition on that unique-ish key rather than round-robin:
+    round-robin pays spark.sql.execution.sortBeforeRepartition — a full
+    sort of each input partition, i.e. a single-task sort of the whole
+    table in exactly the one-split case this guard exists for — while
+    hash partitioning is retry-deterministic with no sort, and a
+    downstream groupBy/join on the same key reuses the exchange (r13
+    A/B over 15 gates: floor sum 19.6-20.5 s round-robin vs 12.3-13.2 s
+    with no floor at all; the hash floor recovers most of that gap
+    while keeping scan-side work full-width)."""
     cores = spark.sparkContext.defaultParallelism
     if _estimated_splits(spark, path) < max(2, cores // 4):
+        if key is not None:
+            return df.repartition(cores, F.col(key))
         return df.repartition(cores)
     return df
 
@@ -109,7 +142,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name in _FACT_TABLES:
-        df = _parallelism_floor(spark, df, path)
+        df = _parallelism_floor(spark, df, path, key=_FACT_KEYS.get(name))
     return df
 
 
@@ -150,7 +183,9 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     df = spark.read.parquet(path)
-    return _parallelism_floor(spark, _normalize_event_ts(df), path)
+    return _parallelism_floor(
+        spark, _normalize_event_ts(df), path, key=_FACT_KEYS["events"]
+    )
 
 
 def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
