@@ -130,18 +130,35 @@ def _parallelism_floor(
     return df
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, floor: bool = True
+) -> DataFrame:
     # The driver runs these in ITS session; pin the confs results depend
     # on (all runtime-settable) and ship the package to Python workers.
+    #
+    # ``floor=False`` is the per-query opt-out from the parallelism
+    # floor: a query whose FIRST operation over the fact table is itself
+    # an exchange (groupBy/join/window) with only cheap scalar column
+    # math on the map side gains nothing from pre-spreading the scan —
+    # its own shuffle provides the width for everything downstream, and
+    # the floor's repartition is exactly the "repartition(n) someone
+    # added for parallelism" accidental Exchange of guide §2.4. This is
+    # scale-independent: the floor only ever fires in the few-splits
+    # regime, and in that regime a map side this cheap never needs
+    # width first. Measured fleet-wide (r13 interleaved floor-ON/OFF A/B
+    # over all 162 gates, min-of-2 per leg): the opted-out gates each
+    # save 0.15-1.2 s at sf0.1 while heavy-map gates (shingle
+    # extraction, HOF physics math, Arrow matmuls) keep the floor —
+    # removing it fleet-wide would LOSE a net 66 s.
     from coffea_spark.session import ensure_worker_imports
 
     ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        return _read_events(spark, sf_dir)
+        return _read_events(spark, sf_dir, floor=floor)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name in _FACT_TABLES:
+    if floor and name in _FACT_TABLES:
         df = _parallelism_floor(spark, df, path, key=_FACT_KEYS.get(name))
     return df
 
@@ -178,14 +195,16 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _read_events(
+    spark: SparkSession, sf_dir: str, floor: bool = True
+) -> DataFrame:
     # nanosAsLong only affects TIMESTAMP(NANOS) files; harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    df = spark.read.parquet(path)
-    return _parallelism_floor(
-        spark, _normalize_event_ts(df), path, key=_FACT_KEYS["events"]
-    )
+    df = _normalize_event_ts(spark.read.parquet(path))
+    if not floor:
+        return df
+    return _parallelism_floor(spark, df, path, key=_FACT_KEYS["events"])
 
 
 def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +229,7 @@ def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-side filter + 2-key hash agg (partial+final)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    li = _t(spark, sf_dir, "lineitem", floor=False).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -250,7 +269,7 @@ def q_blamed_suppliers(spark, sf_dir):
     hash-joins keyed on l_orderkey; at scale they sort-merge co-
     partitioned on the same key so the two passes reuse one exchange.
     Top-10 by (count desc, suppkey) keeps the output deterministic."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     is_late = F.col("l_shipdate") >= F.lit("1997-06-01")
     late = li.filter(is_late).select("l_orderkey", "l_suppkey", "l_linenumber")
     others = li.select(
@@ -323,8 +342,8 @@ LIMIT 10
 def q_region_revenue(spark, sf_dir):
     """TPC-H Q5 shape: star join — every dimension side broadcast, fact
     table streams; one final 1-key agg."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
+    orders = _t(spark, sf_dir, "orders", floor=False)
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -394,7 +413,7 @@ FROM (
 def q_weight_stats(spark, sf_dir):
     """Weights.statistics pattern (analysis_tools.py:138-193): one agg
     pass computing sumw/sumw2/min/max/n per group."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     w = 1 + F.col("l_discount")
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum(w), 4).alias("sumw"),
@@ -419,7 +438,7 @@ FROM lineitem GROUP BY l_returnflag
 def q_hist_price(spark, sf_dir):
     """1-D histogram operator: 40 uniform bins over [0, 80000), integer
     counts (+ under/overflow bins)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     return hist1d(li, "l_extendedprice", 40, 0.0, 80000.0).select("bin", "n")
 
 
@@ -435,7 +454,7 @@ FROM lineitem GROUP BY 1
 def q_hist2d_qty_disc(spark, sf_dir):
     """2-D histogram: quantity x discount (scaled to integer-width bins
     so bucket edges are exact in binary)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     return hist2d(
         li, F.col("l_quantity"), F.col("l_discount") * 100, 10, 0.0, 50.0, 11, 0.0, 11.0
     ).select("xbin", "ybin", "n")
@@ -464,7 +483,7 @@ def _lineitem_selection(li) -> PackedSelection:
 def q_cutflow(spark, sf_dir):
     """PackedSelection.cutflow as a single conditional-aggregation pass
     (reference analysis_tools.py:2483-2608): one row out."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     sel = _lineitem_selection(li)
     return li.agg(*sel.cutflow_aggs())
 
@@ -483,7 +502,7 @@ FROM lineitem
 
 def q_nminusone(spark, sf_dir):
     """N-1 counts, one pass (reference analysis_tools.py:2386-2481)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     sel = _lineitem_selection(li)
     c1, c2, c3 = (F.col("l_quantity") > 25), (F.col("l_discount") < 0.05), (F.col("l_returnflag") == "N")
     return li.agg(
@@ -512,7 +531,7 @@ def q_hist_varwidth(spark, sf_dir):
     plan as the uniform gate; the bucket id is a codegen'd literal-array
     scan, no UDF. sumw is a sum of integer-valued quantities, exact in
     double, so round(2) is order-insensitive."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     edges = [0.0, 1000.0, 5000.0, 20000.0, 50000.0, 100000.0]
     return hist1d_edges(li, "l_extendedprice", edges, weight="l_quantity").select(
         "bin", F.round("sumw", 2).alias("sumw"), "n"
@@ -587,7 +606,7 @@ def q_accumulator_merge(spark, sf_dir):
     the reference's multi-dataset result merge, never a row loop."""
     from coffea_spark.accumulator import accumulate
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     partials = []
     for flag in ("A", "N", "R"):
         row = (
@@ -627,7 +646,7 @@ def q_cutflow_npz(spark, sf_dir):
 
     import numpy as np
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     sel = _lineitem_selection(li)
     cf = sel.cutflow(li)
     fd, path = tempfile.mkstemp(suffix=".npz")
@@ -705,7 +724,7 @@ GROUP BY n_name
 def q_bitmask_counts(spark, sf_dir):
     """PackedSelection.bitmask: distribution of the packed cut mask
     (reference pack semantics analysis_tools.py:2219-2251)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     sel = _lineitem_selection(li)
     return li.select(sel.bitmask().alias("mask")).groupBy("mask").agg(
         F.count(F.lit(1)).alias("n")
@@ -901,7 +920,7 @@ FROM (
 
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch form of the streaming op)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", floor=False)
     hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour")
     return ev.groupBy(hour, "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
@@ -920,7 +939,7 @@ def q_sessionize(spark, sf_dir):
     sum of session starts)."""
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", floor=False)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -967,7 +986,7 @@ FROM events GROUP BY event_type
 def q_filtered_agg(spark, sf_dir):
     """TPC-H Q6 shape: tight scan-side filters (all pushed to parquet) +
     scalar aggregation — the pushdown showcase."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1995-01-01"))
@@ -999,8 +1018,8 @@ def q_asof_join(spark, sf_dir):
     on the key; no range-join explosion)."""
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events")
-    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events", floor=False)
+    orders = _t(spark, sf_dir, "orders", floor=False)
     u = orders.select(
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
         F.lit(1).alias("is_order"), F.lit(None).cast("string").alias("event_type"),
@@ -1053,7 +1072,7 @@ FROM w WHERE is_order = 0 GROUP BY event_type
 def q_cube_counts(spark, sf_dir):
     """CUBE grouping sets (free in Spark; absent in the reference —
     SURVEY.md §2.5 'grouping sets')."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
@@ -1104,7 +1123,7 @@ def q_running_window(spark, sf_dir):
     columns so duplicate rows tie safely)."""
     from pyspark.sql import Window as W
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     order_cols = [
         "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice",
         "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
@@ -1491,7 +1510,7 @@ def q_categorical_counts(spark, sf_dir):
     one row per distinct label per partition."""
     from coffea_spark.hist import hist_categorical
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", floor=False)
     labels = F.filter(
         F.array(
             F.when(F.col("n_chars") < 200, F.lit("short")),
@@ -2090,7 +2109,7 @@ def q_dedup_exact(spark, sf_dir):
     fingerprint)."""
     from coffea_spark.llmdata.dedup import exact_dup_stats
 
-    return exact_dup_stats(_t(spark, sf_dir, "documents"), "text", by=["lang"])
+    return exact_dup_stats(_t(spark, sf_dir, "documents", floor=False), "text", by=["lang"])
 
 
 SQL_DEDUP_EXACT = r"""
@@ -4058,7 +4077,7 @@ def q_lumi_sum(spark, sf_dir):
         )
     )
     ev = (
-        _t(spark, sf_dir, "events")
+        _t(spark, sf_dir, "events", floor=False)
         .withColumn("run", F.col("event_id") % 17)
         .withColumn("lumi", F.col("user_id"))
     )
@@ -4170,7 +4189,7 @@ def q_weights_variations(spark, sf_dir):
     d, q = F.col("l_discount"), F.col("l_quantity")
     w.add("disc", 1.0 + d, weightUp=1.0 + 1.5 * d, weightDown=1.0 + 0.5 * d)
     w.add("qty", q / 25.0)
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     return li.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(w.weight()), 2).alias("sumw"),
@@ -4957,7 +4976,7 @@ def q_btag_sf(spark, sf_dir):
     from coffea_spark.corrections import BTagScaleFactor
 
     sf = BTagScaleFactor(BTAG_ROWS)
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     val = sf.eval(
         (F.col("l_linenumber") % 3).cast("int"),
         F.col("l_discount") * 30.0,
@@ -5771,7 +5790,7 @@ def q_systematics(spark, sf_dir):
     agg pass as the nominal."""
     from coffea_spark.systematics import add_systematic, variation
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     li = add_systematic(
         li, "price_scale", "UpDownSystematic", "l_extendedprice",
         lambda c, d: c * (1.0 + 0.02 * d),
@@ -5899,11 +5918,11 @@ def q_asof_operator(spark, sf_dir):
     both engines."""
     from coffea_spark.joins import asof_join
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", floor=False).select(
         F.col("user_id"), F.col("ts"), F.col("event_type")
     )
     orders = (
-        _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "orders", floor=False)
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_totalprice").alias("o_totalprice"))
     )
@@ -6149,7 +6168,7 @@ def q_hist3d(spark, sf_dir):
     rounding so the compared schema stays DOUBLE."""
     from coffea_spark.hist import histnd
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     h = histnd(
         li,
         axes=[
@@ -6198,10 +6217,10 @@ def q_salted_join(spark, sf_dir):
     the shuffle key, scattering any hot o_orderkey across 8 reducers)."""
     from coffea_spark.joins import salted_join
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem", floor=False).select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_quantity"
     )
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _t(spark, sf_dir, "orders", floor=False).select(
         "o_orderkey", "o_orderpriority"
     ).hint("shuffle_hash")
     j = salted_join(li, orders, "o_orderkey", salt=8, how="inner")
@@ -6602,7 +6621,7 @@ def q_plot_vars(spark, sf_dir):
     analysis_tools.py:1267-1459): per-variable histograms at every
     cumulative selection stage, in ONE scan + one bucket-id shuffle
     (the reference refills per stage). Weighted and unweighted fills."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     sel = _lineitem_selection(li)
     out = sel.plot_vars(
         li,
@@ -6749,7 +6768,7 @@ def q_btag_csv(spark, sf_dir):
     from coffea_spark.correction_files import read_btag_csv
 
     table = read_btag_csv(os.path.join(os.path.dirname(__file__), "data", "demo.btag.csv"))
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     flav = (
         F.when(F.col("l_linenumber") % 3 == 0, 5)
         .when(F.col("l_linenumber") % 3 == 1, 4)
@@ -7617,7 +7636,7 @@ def q_cardinality_hll(spark, sf_dir):
     # built first) and the exact distinct count both scan lineitem —
     # one fill, one cache read; projected to the single key column so
     # the cache does not defeat parquet column pruning
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").cache()
+    li = _t(spark, sf_dir, "lineitem", floor=False).select("l_orderkey").cache()
     sk = hll_add(li, portable_mix32(F.col("l_orderkey")), p=9)
     est = hll_estimate(sk, p=9)
     exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
@@ -7990,7 +8009,7 @@ def q_unimax_sample(spark, sf_dir):
     contract, languages-cardinality rows only)."""
     from coffea_spark.llmdata.splits import unimax_rates, unimax_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", floor=False)
     rates = unimax_rates(docs, "lang", budget=300.0, epochs_cap=2.0)
     kept = unimax_sample(docs, "lang", "doc_id", budget=300.0, epochs_cap=2.0)
     return (
@@ -8054,7 +8073,7 @@ def q_alpha_sample(spark, sf_dir):
     aggregation + broadcast rate table, scan-stage filter."""
     from coffea_spark.llmdata.splits import alpha_sample, alpha_sampling_rates
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _t(spark, sf_dir, "documents", floor=False).withColumn(
         "grp",
         F.when(F.col("doc_id") % 10 < 6, F.lit("big"))
         .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
@@ -8276,7 +8295,7 @@ def q_domain_filter(spark, sf_dir):
     join, no UDF."""
     from coffea_spark.llmdata.text import domain_filter, url_host
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", floor=False)
     tld = F.element_at(
         F.array(F.lit("com"), F.lit("org"), F.lit("net")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -8337,7 +8356,7 @@ def q_url_dedup(spark, sf_dir):
     Scan-stage + ONE shuffle keyed on the canonical URL."""
     from coffea_spark.llmdata.text import url_dedup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", floor=False).select("doc_id")
     gid = F.floor(F.col("doc_id") / 4).cast("long")
     v = (F.col("doc_id") % 4).cast("int")
     hn = (gid % 7).cast("string")
@@ -9493,7 +9512,7 @@ def q_profile_hist(spark, sf_dir):
     binary; sums rounded, mean to 6dp."""
     from coffea_spark.hist import profile1d
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", floor=False)
     prof = profile1d(
         li, "l_quantity", "l_extendedprice", nbins=10, lo=0.0, hi=50.0,
         weight=(F.lit(1.0) + F.col("l_discount")),

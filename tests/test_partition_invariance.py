@@ -40,7 +40,12 @@ GATES = [
     "minhash_portable",    # minhash signatures + banding
     "dedup_exact",         # min-id keeper election
     "dimuon_mass",         # combinatorics + agg
-    "cutflow",             # packed selection one-pass agg
+    "cutflow",             # packed selection one-pass agg (floor opt-out
+                           # r13: scan partitioning now layout-driven)
+    "pricing_summary",     # rounded double sums, floor opt-out r13 —
+                           # partial-agg tree shape must not leak into
+                           # the rounded values
+    "asof_operator",       # asof merge on unfloored events+orders (r13)
     "xref_roundtrip",      # FK gather join
     "topk_per_group",      # window ranking (tie-break must be keyed)
     "quantiles",           # exact percentiles
