@@ -7722,12 +7722,34 @@ def q_bloom_decontam(spark, sf_dir):
     a = docs.filter(F.col("doc_id") % 7 != 0).agg(
         F.count(F.lit(1)).alias("n_train")
     )
-    b = flagged.agg(F.count(F.lit(1)).alias("n_flagged_bloom"))
-    c = exact.agg(F.count(F.lit(1)).alias("n_flagged_exact"))
-    d = exact.join(flagged, "doc_id", "left_anti").agg(
-        F.count(F.lit(1)).alias("n_missed")
+    # One outer join over the two (unique-id, tiny) result sets computes
+    # all three counts in a single pass. The previous spelling (separate
+    # count aggregates for flagged, exact, and exact-anti-flagged,
+    # crossJoined) re-ran the expensive gram+rolling-hash pipelines
+    # TWICE each: the anti-join leg rebuilt both subtrees because a
+    # count aggregate and a broadcast-join build share no reusable
+    # exchange. Counts are identical: bloom_probe groups by id and
+    # contaminated_ids is distinct, so both sides are unique-id sets —
+    # presence flags sum to exactly the old cardinalities (r13).
+    stats = (
+        exact.withColumn("_e", F.lit(1))
+        .join(flagged.withColumn("_f", F.lit(1)), "doc_id", "full_outer")
+        .agg(
+            F.coalesce(F.sum("_f"), F.lit(0)).alias("n_flagged_bloom"),
+            F.coalesce(F.sum("_e"), F.lit(0)).alias("n_flagged_exact"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_e").isNotNull() & F.col("_f").isNull(), 1
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_missed"),
+        )
     )
-    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+    return a.crossJoin(stats).select(
+        "n_train", "n_flagged_bloom", "n_flagged_exact", "n_missed"
+    )
 
 
 def _sql_bloom_decontam() -> str:
