@@ -362,9 +362,20 @@ def stream_countmin(
     def on_batch(bdf: DataFrame, epoch_id: int) -> None:
         if epoch_id in seen_epochs:
             return
-        rows = countmin_build(
-            bdf, term_col, count_col, depth=depth, width=width
-        ).collect()
+        if count_col is None:
+            # Occurrence stream: reduce the batch to (term, n) before the
+            # sketch build so the depth rolling-hash folds run once per
+            # DISTINCT term, not once per occurrence. CMS is linear, so
+            # the weighted sketch equals the per-occurrence one exactly;
+            # the added term-keyed shuffle is map-side combined.
+            src = bdf.groupBy(term_col).agg(F.count(F.lit(1)).alias("_cms_n"))
+            rows = countmin_build(
+                src, term_col, "_cms_n", depth=depth, width=width
+            ).collect()
+        else:
+            rows = countmin_build(
+                bdf, term_col, count_col, depth=depth, width=width
+            ).collect()
         seen_epochs.add(epoch_id)  # only after the batch fully collected
         for r in rows:
             key = (r.d, r.bucket)

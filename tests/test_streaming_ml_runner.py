@@ -528,6 +528,33 @@ def test_stream_countmin_equals_batch(spark, tmp_path):
     assert acc == batch and len(acc) > 0
 
 
+def test_stream_countmin_occurrence_prereduce(spark, tmp_path):
+    """count_col=None path: stream_countmin pre-reduces each batch to
+    (term, n) before the sketch build (one hash fold per DISTINCT term).
+    CMS linearity says the result must equal the per-occurrence batch
+    sketch exactly — pinned on a stream with heavy term duplication."""
+    from coffea_spark.llmdata.sketch import countmin_build
+    from coffea_spark.streaming import stream_countmin
+
+    rows = [(f"tok{i % 7}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "term string")
+    src = str(tmp_path / "occ")
+    df.repartition(3).write.parquet(src)
+
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    acc = stream_countmin(stream, "term", None, depth=3, width=64)
+
+    batch = {
+        (r.d, r.bucket): r.c
+        for r in countmin_build(df, "term", None, depth=3, width=64).collect()
+    }
+    assert acc == batch and len(acc) > 0
+    assert sum(acc.values()) == 500 * 3  # every occurrence counted, all depths
+
+
 def test_root_stream_source_incremental(spark, tmp_path):
     """spark.readStream.format('root'): files are the offset unit —
     batch 1 ingests the first file, a restart from the same checkpoint
