@@ -7817,12 +7817,16 @@ def _warc_fixture(spark, sf_dir) -> str:
     gzip-per-record; even doc_ids are text/plain, odd ones html-wrapped
     text/html. Written once per sf_dir.
 
-    File count scales with the corpus — max(4, n_docs // 2500) — the
-    production shape (one task per CC segment file): at the shipped
-    gate SFs (≤5000 docs) this stays the historical 4 files, so gate
-    inputs and oracles are byte-identical; at scale-rehearsal SFs the
-    parse parallelism grows with the corpus instead of bottlenecking
-    the whole ccnet pipeline on 4 tasks (BENCH_SCALE.md)."""
+    File count scales with the corpus — max(4, min(64, n_docs // 312))
+    — the production shape (one task per CC segment file): the
+    correctness SFs (≤500 docs) keep the historical 4 files, so oracle
+    gate inputs are byte-identical; from the bench SF up the parse
+    parallelism grows with the corpus instead of bottlenecking the
+    whole ccnet pipeline on 4 tasks (r11 audit: the regex
+    extract+langid+gopher chain was fixture-file-bound at 4 tasks —
+    every consumer aggregates on ids/content_type, so results are
+    provably file-count independent; oracle parity re-verified at
+    sf0.1 AND sf0.01 on the widened layout)."""
     import tempfile
 
     import pandas as pd
@@ -7852,7 +7856,7 @@ def _warc_fixture(spark, sf_dir) -> str:
         # production fixture/export would use. Byte-identical output to
         # the historical single-process writer: same round-robin
         # membership (doc_id % n_files), same within-file doc_id order.
-        n_files = max(4, docs.count() // 2500)
+        n_files = max(4, min(64, docs.count() // 312))
 
         def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
             i = int(pdf["_f"].iloc[0])
