@@ -1118,12 +1118,38 @@ def minhash_signatures_portable(
     64-way min aggregation with map-side combine); xxhash64 stays the
     production default (better mixing, one JVM intrinsic per hash) —
     this family exists so the correctness gate can hash-compare MinHash
-    END-TO-END against an independent engine, not just count rows."""
-    from coffea_spark.llmdata.text import rolling_hash
+    END-TO-END against an independent engine, not just count rows.
 
-    sh = df.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("_sh")
-    ).select(F.col(id_col), rolling_hash(F.col("_sh")).alias("_fp"))
+    Fingerprint spelling: each document is split into codepoints ONCE
+    and every n-char window's Rabin-Karp fold is computed positionally
+    from that array — bit-identical to ``rolling_hash(substr(i, n))``
+    over ``char_ngrams`` (same per-step mod arithmetic, and min() is
+    insensitive to the duplicate window values array_distinct used to
+    remove), but without a regex ``split`` per shingle: the per-shingle
+    spelling paid ~n_shingles interpreted Pattern.split calls per doc
+    (the bloom_decontam thread-dump lesson). ``plans.barrier`` keeps
+    CollapseProject from re-inlining the codes array into every window
+    (the boost_cosstar lesson); equality with the per-shingle spelling
+    incl. non-ASCII text is pinned in pytest."""
+    from coffea_spark.plans import barrier
+
+    base, mod = 257, _MERSENNE31
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
+    )
+    d = barrier(df, F.col(id_col), codes.alias("_codes"))
+
+    def _window_fp(i):
+        h = F.element_at(F.col("_codes"), i)
+        for k in range(1, n):
+            h = (h * base + F.element_at(F.col("_codes"), i + k)) % mod
+        return h
+
+    last = F.size(F.col("_codes")) - (n - 1)
+    fps = F.when(
+        last >= 1, F.transform(F.sequence(F.lit(1), last), _window_fp)
+    ).otherwise(F.array().cast("array<long>"))
+    sh = d.select(F.col(id_col), F.explode(fps).alias("_fp"))
     aggs = [
         F.min((F.lit(a) * F.col("_fp") + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"_h{i}")
         for i, (a, b) in enumerate(minhash_params(n_hashes))

@@ -424,6 +424,50 @@ def test_minhash_portable_estimates_jaccard(spark):
     assert all(0 <= h < 2147483647 for h in sigs[1])
 
 
+def test_minhash_portable_positional_fp_parity(spark):
+    """The positional window-fingerprint spelling must be bit-identical
+    to rolling_hash over char_ngrams (the per-shingle spelling the
+    DuckDB oracles replay) — pinned on edge shapes: non-ASCII and
+    non-BMP codepoints, text shorter than n (no shingles -> no row),
+    exactly one shingle, and all-duplicate windows (min() insensitive
+    to the duplicates array_distinct used to remove)."""
+    from coffea_spark.llmdata.dedup import (
+        _MERSENNE31,
+        minhash_params,
+        minhash_signatures_portable,
+    )
+    from coffea_spark.llmdata.text import char_ngrams, rolling_hash
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world hello world"),
+            (2, "abcd"),
+            (3, "abcde"),
+            (4, "café naïve résumé 你好世界"),
+            (5, "emoji \U0001F600\U0001F680 mixed ascii"),
+            (6, "aaaaaaaaaaaaaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = df.select(
+        F.col("doc_id"), F.explode(char_ngrams(F.col("text"), 5)).alias("_sh")
+    ).select(F.col("doc_id"), rolling_hash(F.col("_sh")).alias("_fp"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_fp") + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"_h{i}")
+        for i, (a, b) in enumerate(minhash_params(8))
+    ]
+    ref = {
+        r["doc_id"]: [r[f"_h{i}"] for i in range(8)]
+        for r in sh.groupBy("doc_id").agg(*aggs).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures_portable(df, "doc_id", "text", 5, 8).collect()
+    }
+    assert got == ref
+    assert 2 not in got  # shorter than n: no shingles, no signature row
+
+
 def test_simhash_portable_similarity(spark):
     """Portable SimHash: near-dup texts land at small Hamming distance,
     unrelated texts far apart."""
