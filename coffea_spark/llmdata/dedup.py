@@ -36,6 +36,12 @@ _HOT_BROADCAST_CAP = 1_000_000
 #: spelling and stays on PPJoin (loudly)
 _DENSE_MAX_VOCAB = 16_000_000
 
+#: PPJoin document-frequency spelling: window count over the shingle key
+#: (one token-table exchange) vs groupBy + join-back (two). Module-level
+#: so the r13 A/B could toggle it in-process; the shipped value is the
+#: measured winner.
+_PPJOIN_DF_VIA_WINDOW = True
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -644,14 +650,29 @@ def jaccard_join(
     )
 
     tok = sets.select(*block_cols, id_col, "_sz", F.explode("_sh").alias("shingle"))
-    dfreq = tok.groupBy(*block_cols, "shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if _PPJOIN_DF_VIA_WINDOW:
+        from pyspark.sql.window import Window
+
+        # document frequency as an unordered window count over the
+        # shingle key: ONE exchange of the token table (partitionBy)
+        # instead of the groupBy-then-join-back spelling's two (the df
+        # aggregation shuffle plus the join shuffle of the same rows)
+        tok_df = tok.withColumn(
+            "_df",
+            F.count(F.lit(1)).over(Window.partitionBy(*block_cols, "shingle")),
+        )
+    else:
+        dfreq = tok.groupBy(*block_cols, "shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        tok_df = tok.join(dfreq, [*block_cols, "shingle"])
     # re-assemble each doc's shingles sorted by (df, shingle) and keep
     # the prefix of length |s| - ceil(t*|s|) + 1, with each prefix
     # token's 1-based POSITION in the doc's full sorted order (feeds the
     # positional filter). A hash aggregate + per-group array_sort beats
     # a sort-based row_number window over the full token table.
     prefix = (
-        tok.join(dfreq, [*block_cols, "shingle"])
+        tok_df
         .groupBy(*block_cols, id_col)
         .agg(
             F.collect_list(F.struct("_df", "shingle")).alias("_lst"),
