@@ -643,7 +643,10 @@ def jaccard_join(
         df.select(
             *bcols,
             F.col(id_col),
-            F.array_distinct(char_ngrams(F.col(text_col), n)).alias("_sh"),
+            # char_ngrams already returns DISTINCT shingles — a second
+            # array_distinct re-hashed every ~L-element array per doc
+            # for nothing (removed in r13, value-identical)
+            char_ngrams(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
         .persist()
@@ -1020,7 +1023,7 @@ def collapse_jaccard_join(
     from pyspark.sql import Window as _W
 
     cand = tagged.filter(F.col("_grp").isNotNull()).withColumn(
-        "_sh", F.array_distinct(char_ngrams(F.col(text_col), n))
+        "_sh", char_ngrams(F.col(text_col), n)  # already distinct
     )
     w = _W.partitionBy("_grp")
     elect = F.min(

@@ -112,6 +112,18 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     """Distinct character n-gram shingles (1-based substring, matching SQL
     substr semantics so oracles can reproduce it).
 
+    The substr-per-window spelling is KEPT deliberately (r13 negative
+    A/B, BENCH_NGRAMS_AB.json): a split-once positional respelling
+    (codepoint array bound as a lambda variable, windows via
+    ``array_join(slice(chars, i, n), '')``) was value-identical on the
+    full corpus incl. non-BMP text but measured consistently SLOWER on
+    every consumer gate (jaccard_dupes 5.27 -> 5.76 s min,
+    jaccard_collapsed 11.21 -> 12.25, minhash_lsh 4.68 -> 5.43) — at
+    gate document lengths the two extra interpreted lambda evaluations
+    and the per-window array slice cost more than substr's O(offset)
+    byte scan saves. Unlike minhash_signatures_portable's win, nothing
+    here amortizes a per-window Pattern.split.
+
     NB: Spark's sequence(1, stop) auto-steps DOWNWARD when stop < 1, so
     short texts must short-circuit to an empty array explicitly."""
     last = F.length(col) - (n - 1)

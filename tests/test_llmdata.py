@@ -468,6 +468,35 @@ def test_minhash_portable_positional_fp_parity(spark):
     assert 2 not in got  # shorter than n: no shingles, no signature row
 
 
+def test_jaccard_sets_already_distinct(spark):
+    """jaccard_join / collapse verify rely on char_ngrams returning
+    DISTINCT shingles (the r13 removal of their redundant outer
+    array_distinct): pin that contract on repeat-heavy and edge texts,
+    including ordering (first occurrence)."""
+    from coffea_spark.llmdata.text import char_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaa"),
+            (2, "abcabcabcabc"),
+            (3, "café café café"),
+            (4, "abcde"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", char_ngrams(F.col("text"), 5).alias("g")
+        ).collect()
+    }
+    for i, g in rows.items():
+        assert len(g) == len(set(g)), (i, g)  # already distinct
+    assert rows[1] == ["aaaaa"]
+    assert rows[2][0] == "abcab"  # first-occurrence order preserved
+    assert rows[4] == ["abcde"]
+
+
 def test_simhash_portable_similarity(spark):
     """Portable SimHash: near-dup texts land at small Hamming distance,
     unrelated texts far apart."""
