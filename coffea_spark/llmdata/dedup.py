@@ -39,8 +39,28 @@ _DENSE_MAX_VOCAB = 16_000_000
 #: PPJoin document-frequency spelling: window count over the shingle key
 #: (one token-table exchange) vs groupBy + join-back (two). Module-level
 #: so the r13 A/B could toggle it in-process; the shipped value is the
-#: measured winner.
+#: measured winner. Only reached when the broadcast-df probe below does
+#: not fire (or is disabled).
 _PPJOIN_DF_VIA_WINDOW = True
+
+#: adaptive BROADCAST spelling for the PPJoin document frequency: when
+#: the distinct (block, shingle) vocabulary measures at or below this
+#: many rows, the df table is broadcast-joined back onto the token
+#: table instead of window-counted — removing BOTH full token-table
+#: exchanges from the prefix build (the window's shingle-keyed exchange,
+#: and — whenever the input is already hash-partitioned on the id, as
+#: every floored fact-table read is — the doc-keyed groupBy exchange,
+#: which then reuses the input partitioning). DISABLED by default: the
+#: r13 session-5 interleaved A/B (BENCH_DFBC_AB.json, sf0.1, rows
+#: identical every rep) measured the spelling a consistent LOSS in
+#: local mode — jaccard_dupes wall min 6.89->7.39 s / JVM CPU med
+#: 116.6->131.9 s, jaccard_collapsed 13.73->15.94 / 197.8->209.1 —
+#: because the vocab hash-aggregate probe plus per-token broadcast
+#: hash lookups cost more CPU than the two process-local exchanges
+#: save. On a real cluster those exchanges cross a network; the
+#: spelling is kept reproducible behind this flag for a cluster-scale
+#: A/B in optimization round 2 (set e.g. 2_000_000 to re-enable).
+_PPJOIN_DF_BROADCAST_MAX: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -581,9 +601,13 @@ def jaccard_join(
     candidates join back to the full per-doc shingle arrays and
     ``array_intersect`` computes the true intersection.
 
-    Shuffle profile (all linear in corpus size): df count (map-side
-    combinable), df join back, per-doc prefix window, prefix self-join,
+    Shuffle profile (all linear in corpus size): one window-count
+    exchange of the token table for the document frequency, the
+    doc-keyed prefix groupBy exchange, then the prefix self-join and
     two verify joins. No step is quadratic in document frequency.
+    (An adaptive broadcast-df spelling that removes both token-table
+    exchanges exists behind ``_PPJOIN_DF_BROADCAST_MAX`` — measured a
+    consistent CPU loss in local mode, see the flag's comment.)
 
     DENSE-BLOCK GUARD (the Zipf-host skew dimension, BENCH_SKEW.md r11
     attribution): prefix filtering is powerless on a LOW-ENTROPY block —
@@ -631,7 +655,8 @@ def jaccard_join(
     four consumers (df count, prefix ranking, both verify sides) would
     otherwise each re-run the n-gram extraction, the single most
     expensive per-row step. When the dense guard fires, the fired-keys
-    routing frame is persisted too. Call ``spark.catalog.clearCache()``
+    routing frame is persisted too (and on the non-default broadcast-df
+    path, the tiny df table). Call ``spark.catalog.clearCache()``
     (or unpersist) when done with the result.
     """
     if not 0.0 < threshold <= 1.0:
@@ -653,7 +678,37 @@ def jaccard_join(
     )
 
     tok = sets.select(*block_cols, id_col, "_sz", F.explode("_sh").alias("shingle"))
-    if _PPJOIN_DF_VIA_WINDOW:
+    key_cols = [*block_cols, "shingle"]
+    tok_df = None
+    if _PPJOIN_DF_BROADCAST_MAX is not None:
+        # adaptive broadcast-df: measure the vocabulary (one map-side
+        # combinable agg over the cached sets — this job also warms the
+        # sets cache), and when it fits the bound, broadcast the df
+        # table back onto tok. The token table is then NEVER exchanged
+        # before the prefix groupBy, which in turn reuses the input's
+        # hash(doc_id) partitioning when present (floored fact reads).
+        # Null-safe key equality keeps the join value-identical to the
+        # window spelling for corpora with NULL block values (a plain
+        # equi-join would silently drop those docs from the prefix).
+        dfreq = (
+            tok.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .persist()
+        )
+        if dfreq.count() <= _PPJOIN_DF_BROADCAST_MAX:
+            d = dfreq.select(
+                *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+                "_df",
+            )
+            cond = tok[key_cols[0]].eqNullSafe(d["_k0"])
+            for i, c in enumerate(key_cols[1:], start=1):
+                cond = cond & tok[c].eqNullSafe(d[f"_k{i}"])
+            tok_df = tok.join(F.broadcast(d), cond).drop(
+                *[f"_k{i}" for i in range(len(key_cols))]
+            )
+        else:
+            dfreq.unpersist()
+    if tok_df is None and _PPJOIN_DF_VIA_WINDOW:
         from pyspark.sql.window import Window
 
         # document frequency as an unordered window count over the
@@ -664,7 +719,7 @@ def jaccard_join(
             "_df",
             F.count(F.lit(1)).over(Window.partitionBy(*block_cols, "shingle")),
         )
-    else:
+    elif tok_df is None:
         dfreq = tok.groupBy(*block_cols, "shingle").agg(
             F.count(F.lit(1)).alias("_df")
         )
