@@ -687,9 +687,12 @@ def jaccard_join(
         # table back onto tok. The token table is then NEVER exchanged
         # before the prefix groupBy, which in turn reuses the input's
         # hash(doc_id) partitioning when present (floored fact reads).
-        # Null-safe key equality keeps the join value-identical to the
-        # window spelling for corpora with NULL block values (a plain
-        # equi-join would silently drop those docs from the prefix).
+        # Null-safe key equality keeps the intermediate prefix table
+        # row-identical to the window spelling for corpora with NULL
+        # block values (the final PAIR set is unaffected either way:
+        # the prefix self-join's plain block equality never pairs
+        # NULL-block docs — the operator contract, pinned by
+        # test_jaccard_df_broadcast_parity).
         dfreq = (
             tok.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_df"))

@@ -468,6 +468,72 @@ def test_minhash_portable_positional_fp_parity(spark):
     assert 2 not in got  # shorter than n: no shingles, no signature row
 
 
+def test_jaccard_df_broadcast_parity(spark):
+    """The flag-gated adaptive broadcast-df spelling
+    (`_PPJOIN_DF_BROADCAST_MAX`, default None — measured a local-mode
+    CPU loss in BENCH_DFBC_AB.json, kept for a cluster-scale A/B in
+    optimization round 2) must return EXACTLY the shipped window
+    spelling's pairs. The corpus exercises the equivalence argument's
+    edges: NULL block values (the broadcast join uses null-safe key
+    equality so the intermediate prefix TABLE matches the window
+    spelling's row-for-row; the operator's CONTRACT — pinned here on
+    both spellings — is that NULL-block docs never PAIR, because the
+    prefix self-join's block equality is SQL equi-join semantics),
+    string ids, a short-text doc, and exact duplicates. Also pins
+    cache hygiene: the off-path leaves no extra persist."""
+    rows = [
+        ("a0", "en", "s0", "the quick brown fox jumps over the lazy dog"),
+        ("a1", "en", "s0", "the quick brown fox jumps over the lazy cat"),
+        ("a2", "en", "s0", "completely different words here nothing shared"),
+        ("a3", "en", "s0", "the quick brown fox jumps over the lazy dog"),
+        ("b0", None, "s1", "null language block near duplicate text body"),
+        ("b1", None, "s1", "null language block near duplicate text body!"),
+        ("b2", None, None, "both block keys null on this document body"),
+        ("b3", None, None, "both block keys null on this document body!"),
+        ("c0", "de", "s1", "ab"),  # shorter than one shingle
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, source string, text string"
+    )
+
+    def pairs():
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_join(
+                df, 0.5, block_cols=["lang", "source"]
+            ).collect()
+        }
+
+    spark.catalog.clearCache()
+    old = dedup._PPJOIN_DF_BROADCAST_MAX
+    try:
+        dedup._PPJOIN_DF_BROADCAST_MAX = None
+        base = pairs()
+        spark.catalog.clearCache()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        dedup._PPJOIN_DF_BROADCAST_MAX = 2_000_000
+        bc = pairs()
+        spark.catalog.clearCache()
+    finally:
+        dedup._PPJOIN_DF_BROADCAST_MAX = old
+    # operator contract: NULL-block docs never pair (equi-join
+    # semantics in the prefix self-join) — on EVERY spelling — while
+    # the non-NULL blocks produce the expected near-dup pairs
+    assert ("a0", "a3") in base and ("a0", "a1") in base
+    assert not any(k[0].startswith("b") for k in base)
+    assert bc == base
+    # vocab above the bound: probe runs, broadcast declines, window path
+    spark.catalog.clearCache()
+    try:
+        dedup._PPJOIN_DF_BROADCAST_MAX = 3  # vocabulary far exceeds 3
+        declined = pairs()
+        spark.catalog.clearCache()
+    finally:
+        dedup._PPJOIN_DF_BROADCAST_MAX = old
+    assert declined == base
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_jaccard_sets_already_distinct(spark):
     """jaccard_join / collapse verify rely on char_ngrams returning
     DISTINCT shingles (the r13 removal of their redundant outer
