@@ -680,6 +680,7 @@ def jaccard_join(
     tok = sets.select(*block_cols, id_col, "_sz", F.explode("_sh").alias("shingle"))
     key_cols = [*block_cols, "shingle"]
     tok_df = None
+    declined_dfreq = None
     if _PPJOIN_DF_BROADCAST_MAX is not None:
         # adaptive broadcast-df: measure the vocabulary (one map-side
         # combinable agg over the cached sets — this job also warms the
@@ -709,8 +710,15 @@ def jaccard_join(
             tok_df = tok.join(F.broadcast(d), cond).drop(
                 *[f"_k{i}" for i in range(len(key_cols))]
             )
-        else:
+        elif _PPJOIN_DF_VIA_WINDOW:
             dfreq.unpersist()
+        else:
+            # declined probe + join-back spelling: the identical groupBy
+            # aggregation is already computed and persisted — reuse it
+            # instead of unpersisting and rebuilding from scratch (the
+            # cache is released with the rest via clearCache, per the
+            # docstring's ownership contract)
+            declined_dfreq = dfreq
     if tok_df is None and _PPJOIN_DF_VIA_WINDOW:
         from pyspark.sql.window import Window
 
@@ -723,9 +731,11 @@ def jaccard_join(
             F.count(F.lit(1)).over(Window.partitionBy(*block_cols, "shingle")),
         )
     elif tok_df is None:
-        dfreq = tok.groupBy(*block_cols, "shingle").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
+        dfreq = declined_dfreq
+        if dfreq is None:
+            dfreq = tok.groupBy(*block_cols, "shingle").agg(
+                F.count(F.lit(1)).alias("_df")
+            )
         tok_df = tok.join(dfreq, [*block_cols, "shingle"])
     # re-assemble each doc's shingles sorted by (df, shingle) and keep
     # the prefix of length |s| - ceil(t*|s|) + 1, with each prefix

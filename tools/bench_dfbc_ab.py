@@ -93,7 +93,7 @@ def main() -> None:
                     f"rep{rep} {names[leg]:3s} {g:18s} {dt:6.2f} s  cpu {dc:6.1f} s",
                     flush=True,
                 )
-    set_leg(1)  # the tree's shipped binding
+    set_leg(0)  # restore the shipped binding (_PPJOIN_DF_BROADCAST_MAX = None)
     summary = {
         g: {
             leg: {
