@@ -45,6 +45,20 @@ def _chars(col: Column) -> Column:
     return F.filter(F.split(col, ""), lambda c: c != "")
 
 
+def word_syms_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(freq, syms) initial BPE state table — the shared input of
+    :func:`train_bpe` and :func:`encode_corpus_counts`. A caller that
+    runs BOTH (train then whole-corpus encode) should build this once,
+    materialize it (``localCheckpoint(eager=True)``), and pass it to
+    each via their ``words=`` parameter, so the corpus word-frequency
+    shuffle runs once instead of twice."""
+    return (
+        word_freq_table(df, text_col)
+        .withColumn("syms", _chars(F.col("word")))
+        .select("freq", "syms")
+    )
+
+
 def _merge_fold(syms: Column, p1: str, p2: str) -> Column:
     """Greedy left-to-right application of one merge to a symbol array,
     as a pure Catalyst fold: append each symbol; when the accumulator's
@@ -178,6 +192,7 @@ def train_bpe(
     max_batch: int = 8,
     snapshot_rows: int = 8192,
     stats: dict | None = None,
+    words: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(p1, p2, count), ...]
     in merge order. Deterministic: argmax ties break on (p1, p2)
@@ -194,16 +209,18 @@ def train_bpe(
     rounds; the snapshot cap is sound because pairs outside the
     collected prefix count at most the prefix minimum, which the batch
     threshold already respects."""
-    words = word_freq_table(df, text_col).withColumn(
-        "syms", _chars(F.col("word"))
-    ).select("freq", "syms")
-    # each round's word table is read twice (snapshot + next fold), and
-    # round N's plan would otherwise chain through every previous
-    # round's fold: localCheckpoint materializes the table AND truncates
-    # the lineage to a LogicalRDD, so plans (and the driver-side
-    # execution metadata retaining them) stay O(1) per round instead of
-    # O(rounds) — a 32k-merge run must not accumulate 32k nested plans
-    words = words.localCheckpoint(eager=True)
+    if words is None:
+        words = word_syms_table(df, text_col)
+        # each round's word table is read twice (snapshot + next fold),
+        # and round N's plan would otherwise chain through every previous
+        # round's fold: localCheckpoint materializes the table AND
+        # truncates the lineage to a LogicalRDD, so plans (and the
+        # driver-side execution metadata retaining them) stay O(1) per
+        # round instead of O(rounds) — a 32k-merge run must not
+        # accumulate 32k nested plans
+        words = words.localCheckpoint(eager=True)
+    # a caller-supplied ``words`` must already be materialized
+    # (checkpointed/cached (freq, syms)) — see word_syms_table
     rounds = 0
     merges: list[tuple[str, str, int]] = []
     while len(merges) < num_merges:
@@ -285,6 +302,7 @@ def encode_corpus_counts(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Whole-corpus token counts under a trained merge table: ONE
     corpus shuffle builds the distinct (word, freq) table, rank-order
@@ -292,10 +310,11 @@ def encode_corpus_counts(
     and counts come back freq-weighted — nothing token-level ever
     shuffles. This is the scale path for 'tokenize 100 TB and count':
     the per-document spelling is never materialized. Returns
-    (token, cnt)."""
-    words = word_freq_table(df, text_col).withColumn(
-        "syms", _chars(F.col("word"))
-    )
+    (token, cnt). ``words`` lets a caller that already built the
+    (freq, syms) state (e.g. for training) reuse it — the corpus
+    word-frequency shuffle then runs once for train + encode."""
+    if words is None:
+        words = word_syms_table(df, text_col)
     enc = apply_merges(words, merges)
     return (
         enc.select("freq", F.explode("syms").alias("token"))

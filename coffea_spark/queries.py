@@ -5966,12 +5966,21 @@ def q_quantiles(spark, sf_dir):
     q_quantiles_approx below (sketch-based, mergeable, bounded
     memory)."""
     li = _t(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate evaluating all four fractions from a
+    # single per-group buffer: four separate F.percentile() aggregates
+    # each built (and sorted) their own copy of the group's full value
+    # list — 4x the agg-buffer memory and sort work for byte-identical
+    # values (same interpolation definition, same sorted array).
+    pct = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)),
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.round(F.element_at(pct, 4), 6).alias("p99"),
     )
 
 
@@ -5995,12 +6004,20 @@ def q_quantiles_approx(spark, sf_dir):
     exercised by the self-consistency bounds in the test suite."""
     li = _t(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
+    # one GK sketch per group serving all four fractions (was four
+    # independent sketches over the same column — 4x the sketch build;
+    # same estimator, so each fraction's value is unchanged)
+    pct = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)),
+        acc,
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.25), acc), 6).alias("p25"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), acc), 6).alias("p50"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.75), acc), 6).alias("p75"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.99), acc), 6).alias("p99"),
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.round(F.element_at(pct, 4), 6).alias("p99"),
     )
 
 
@@ -7364,11 +7381,20 @@ def q_bpe_encode(spark, sf_dir):
     divergence in merge order, fold greediness, or weighting goes
     hash-red. The lowest-rank-first per-word encoder (encode_bpe) is
     parity-tested against this fold in pytest."""
-    from coffea_spark.llmdata.bpe import encode_corpus_counts, train_bpe
+    from coffea_spark.llmdata.bpe import (
+        encode_corpus_counts,
+        train_bpe,
+        word_syms_table,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("text")
-    merges = train_bpe(docs, "text", num_merges=6)
-    counts = encode_corpus_counts(docs, merges, "text")
+    # the (freq, syms) initial state feeds BOTH training and the corpus
+    # encode — build its corpus shuffle once (train_bpe alone used to
+    # checkpoint it internally, then encode_corpus_counts re-ran the
+    # whole word_freq_table aggregation from the parquet scan)
+    words = word_syms_table(docs, "text").localCheckpoint(eager=True)
+    merges = train_bpe(docs, "text", num_merges=6, words=words)
+    counts = encode_corpus_counts(docs, merges, "text", words=words)
     return counts.orderBy(F.col("cnt").desc(), "token").limit(20)
 
 

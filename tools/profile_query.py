@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--noop", action="store_true")
-    ap.add_argument("--plans", default=None, help="dump plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--plans", default=None, help="dump plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r14", help="plans subdirectory (round tag)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument(
         "--conf", action="append", default=[],
@@ -48,7 +49,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(args.sf, "region.parquet")).count()
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round
     )
     out: dict[str, dict] = {}
     for name in args.queries:
