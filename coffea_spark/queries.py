@@ -9725,102 +9725,30 @@ class Query:
 # CORRECTNESS_LOCAL.json).
 REGISTRY: dict[str, Query] = {
     # ------------------------------------------------------------------
-    # Driver correctness window (first 50): ROUND-13 rotation. Slot 1
-    # is semdedup — its dense per-cluster matmul rewrite landed in the
-    # r12 END-OF-ROUND snapshot commit AFTER the r12 window was cut
-    # (the r12 judge re-ran the oracle at HEAD but the changed-code
-    # rule demands a driver hash slot, so it leads). Slots 2-3 are the
-    # gates whose code changed THIS round: jaccard_dupes +
-    # jaccard_collapsed (dense-guard cost model now computed in double
-    # — the long n²·V product of a huge fired block would wrap — plus
-    # unused routing-frame unpersists; semdedup's pair-join leg also
-    # gained the guarded zero-norm divide, covered by slot 1). Slots
-    # 4-16 are the 13 gates whose newest driver evidence is r9 (the
-    # "first in line for r13" set named in the r12 rotation note),
-    # lexical. The remaining 34 slots recycle the r10-evidence cohort
-    # in lexical order through substring_dupes; the 12 r10 gates left
-    # over (systematics_multi ... xref_roundtrip) are first in line for
-    # r14, then the r11 cohort. Recounted after reorder: exactly 50
-    # entries precede the end-of-window marker. Rows-only gates
-    # (oracle=None) stay past slot 50 as always.
-    #
-    # r13 mid-round amendment: five NEW oracle gates (hist_varwidth,
-    # padded_leading, accumulator_merge, cutflow_npz, preloaded_agg —
-    # upgrading the SURVEY §2 rows previously pytest-only) enter at
-    # slots 4-8 per the new-gate rule; the five gates they displace
-    # (stream_cutflow, stream_enrich, stream_ewma, stream_windowed_hist,
-    # substring_dupes) rejoin the r10-evidence pool first in line for
-    # r14 alongside systematics_multi ... xref_roundtrip.
-    #
-    # r13 optimization-session amendment (changed-code rule): the seven
-    # oracle gates whose OPERATOR code changed during the optimization
-    # sessions take slots 4-10 — dup_clusters + stream_heavy_hitters
-    # (jaccard_join window-df spelling / stream_countmin pre-reduce),
-    # bloom_decontam (one outer-join flag pass), warc_scan +
-    # ccnet_pipeline (WARC fixture layout, rows proven bit-identical),
-    # dsir_weights + cardinality_hll (cross-action pruned-projection
-    # caches). minhash_portable (positional fingerprints) and
-    # knn_classify (cache) already hold window slots. The seven
-    # displaced gates (lumi_mask, masked_filter, nearest_gap,
-    # pdune_beam, physlite_links, range_gather, schema_variants — all
-    # unchanged r10-cohort recycles) sit just past the marker, first in
-    # line for r14. Recounted after reorder: exactly 50 entries precede
-    # the end-of-window marker.
+    # Driver correctness window (first 50): ROUND-14 rotation.
+    # Slots 1-3 (changed-code rule): quantiles (single percentile-array
+    # aggregate buffer replaces four independent percentile aggregates,
+    # values byte-identical) and bpe_encode + bpe_train (shared
+    # word_syms_table / words= parameter on train_bpe and
+    # encode_corpus_counts — the corpus word-frequency shuffle builds
+    # once for train + encode). The jaccard family also saw a dedup.py
+    # edit this round (declined-probe dfreq reuse) but ONLY on the
+    # flag-gated-off broadcast spelling — the default plan is
+    # byte-identical, and jaccard_dupes/jaccard_collapsed/dup_clusters
+    # all carry fresh r13 driver evidence.
+    # Slots 4-27: the 24 gates whose newest driver evidence is r10
+    # (lexical) — the oldest-evidence cohort, first in line since the
+    # r13 rotation note. Slots 28-50: the lexically-first 23 of the 39
+    # remaining r11-evidence gates. Displaced: the whole r13 window
+    # (freshest evidence, 50 gates) plus the 16 lexically-later
+    # r11-evidence gates — those 16 are first in line for r15, then the
+    # r12 cohort. Rows-only gates (oracle=None) stay past slot 50 as
+    # always. Recounted after reorder: exactly 50 oracle entries precede
+    # the end-of-window marker; 162 total, none removed or renamed.
     # ------------------------------------------------------------------
-    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
-    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
-    "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
-    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
-    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
-    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
-    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
-    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
-    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
-    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
-    "hist_varwidth": Query(q_hist_varwidth, SQL_HIST_VARWIDTH),
-    "padded_leading": Query(q_padded_leading, SQL_PADDED_LEADING),
-    "accumulator_merge": Query(q_accumulator_merge, SQL_ACCUMULATOR_MERGE),
-    "cutflow_npz": Query(q_cutflow_npz, SQL_CUTFLOW_NPZ),
-    "preloaded_agg": Query(q_preloaded_agg, SQL_PRELOADED_AGG),
-    "lang_id": Query(q_lang_id, _sql_lang_id()),
-    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
-    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
-    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
-    "ml_score": Query(q_ml_score, _sql_ml_score()),
-    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
-    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
-    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
-    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
-    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
-    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
-    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
-    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
-    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
-    "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
-    "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
-    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
-    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
-    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
-    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
-    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
-    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
-    "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
-    "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
-    "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
-    "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
-    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
-    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
-    "nminusone": Query(q_nminusone, SQL_NMINUSONE),
-    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
-    "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
-    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
-    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
-    # ---- end of driver window (slot 50) -------------------------------
-    # r13 session-3 displacements (unchanged r10-cohort recycles bumped
-    # by the seven optimization-changed gates above; first in line for
-    # the r14 rotation pool alongside the mid-round amendment's five):
+    "quantiles": Query(q_quantiles, SQL_QUANTILES),
+    "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
+    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
     "lumi_mask": Query(q_lumi_mask, SQL_LUMI_MASK),
     "masked_filter": Query(q_masked_filter, SQL_MASKED_FILTER),
     "nearest_gap": Query(q_nearest, SQL_NEAREST),
@@ -9845,24 +9773,46 @@ REGISTRY: dict[str, Query] = {
     "weight_stats": Query(q_weight_stats, SQL_WEIGHT_STATS),
     "weights_variations": Query(q_weights_variations, SQL_WEIGHTS_VARIATIONS),
     "xref_roundtrip": Query(q_xref_roundtrip, SQL_XREF),
-    "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
-    "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
-    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
-    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
-    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
-    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
-    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
-    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
-    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
-    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
-    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
-    "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
-    "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
-    "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
-    "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
-    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
-    "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
-    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
+    "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
+    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
+    "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
+    "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
+    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
+    "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
+    "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
+    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
+    "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
+    "cube_counts": Query(q_cube_counts, SQL_CUBE),
+    "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
+    "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
+    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
+    "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
+    "events_hourly": Query(q_events_hourly, SQL_EVENTS_HOURLY),
+    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
+    "flac_features": Query(q_flac_features, SQL_AUDIO_FEATURES),
+    "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
+    "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
+    "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
+    "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
+    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
+    "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
+    # ---- end of driver window (slot 50) -------------------------------
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
+    "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
+    "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
+    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
+    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
+    "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
+    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
+    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
+    "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
+    "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
+    "set_ops": Query(q_set_ops, SQL_SET_OPS),
+    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
+    "top_revenue_orders": Query(q_top_revenue_orders, SQL_TOP_REVENUE),
     "alpha_sample": Query(q_alpha_sample, SQL_ALPHA_SAMPLE),
     "bm25_search": Query(q_bm25_search, SQL_BM25_SEARCH),
     "btag_csv_sf": Query(q_btag_csv, SQL_BTAG_CSV),
@@ -9877,6 +9827,7 @@ REGISTRY: dict[str, Query] = {
     "embedding_label_pairs": Query(q_embedding_label_pairs, SQL_EMBEDDING_LABEL_PAIRS),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "events_json": Query(q_events_json, SQL_EVENTS_JSON),
+    "exact_knn_blocked": Query(q_exact_knn_blocked, SQL_EXACT_KNN),
     "fileset_preprocess": Query(q_fileset_preprocess, SQL_FILESET_PREPROCESS),
     "formula_jec": Query(q_formula_jec, SQL_FORMULA_JEC),
     "genealogy_walk": Query(q_genealogy_walk, SQL_GENEALOGY),
@@ -9884,51 +9835,76 @@ REGISTRY: dict[str, Query] = {
     "heavy_hitters": Query(q_heavy_hitters, _sql_heavy_hitters()),
     "hist3d": Query(q_hist3d, SQL_HIST3D),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
+    "ivf_recall": Query(q_ivf_recall, SQL_RECALL_GATE),
     "jec_3d": Query(q_jec_3d, SQL_JEC_3D),
     "jer_smear_portable": Query(q_jer_smear_portable, _sql_jer_smear_portable()),
     "jes_uncertainty": Query(q_jes_uncertainty, SQL_JES_UNCERTAINTY),
-    "boost_cosstar": Query(q_boost_cosstar, SQL_BOOST_COSSTAR),
-    "categorical_counts": Query(q_categorical_counts, SQL_CATEGORICAL_COUNTS),
-    "correctionlib_sf": Query(q_correctionlib_sf, _sql_correctionlib_sf()),
-    "cube_counts": Query(q_cube_counts, SQL_CUBE),
-    "dense_lookup": Query(q_dense_lookup, SQL_DENSE_LOOKUP),
-    "events_hourly": Query(q_events_hourly, SQL_EVENTS_HOURLY),
-    "filtered_agg": Query(q_filtered_agg, SQL_FILTERED_AGG),
-    "histo_sf": Query(q_histo_sf, SQL_HISTO_SF),
-    "quantiles": Query(q_quantiles, SQL_QUANTILES),
-    "region_revenue": Query(q_region_revenue, SQL_REGION_REVENUE),
-    "running_window": Query(q_running_window, SQL_RUNNING_WINDOW),
-    "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
-    "set_ops": Query(q_set_ops, SQL_SET_OPS),
-    "stream_sessions": Query(q_stream_sessions, SQL_STREAM_SESSIONS),
-    "top_revenue_orders": Query(q_top_revenue_orders, SQL_TOP_REVENUE),
-    "paragraph_dedup_norm": Query(q_paragraph_dedup_norm, SQL_PARAGRAPH_DEDUP_NORM),
-    "adpcm_features": Query(q_adpcm_features, _sql_adpcm_features()),
-    "audio_features": Query(q_audio_features, SQL_AUDIO_FEATURES),
-    "audio_resample": Query(q_audio_resample, SQL_AUDIO_RESAMPLE),
-    "audio_tones": Query(q_audio_tones, SQL_AUDIO_TONES),
-    "blamed_suppliers": Query(q_blamed_suppliers, SQL_BLAMED_SUPPLIERS),
-    "bpe_encode": Query(q_bpe_encode, _sql_bpe_encode()),
-    "bpe_train": Query(q_bpe_train, _sql_bpe_train()),
-    "c4_gopher_filters": Query(q_c4_gopher_filters, SQL_C4_GOPHER),
-    "doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING),
-    "edm4hep_real_links": Query(q_edm4hep_real_links, SQL_EDM4HEP_REAL_LINKS),
-    "effarea_l5flavor": Query(q_effarea_l5flavor, _sql_effarea_l5flavor()),
-    "flac_features": Query(q_flac_features, SQL_AUDIO_FEATURES),
-    "image_patches": Query(q_image_patches, SQL_IMAGE_PATCHES),
-    "jpeg_color_features": Query(q_jpeg_color_features, SQL_JPEG_COLOR_FEATURES),
-    "jpeg_features": Query(q_jpeg_features, SQL_JPEG_FEATURES),
-    "jpeg_progressive": Query(q_jpeg_progressive_features, SQL_JPEG_COLOR_FEATURES),
-    "lm_kneser_ney": Query(q_lm_kneser_ney, SQL_LM_KNESER_NEY),
-    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL),
-    "pagerank_hosts": Query(q_pagerank_hosts, _sql_pagerank_hosts()),
-    "pairs_routed": Query(q_pairs_routed, SQL_COMBINATIONS),
-    "paragraph_dedup": Query(q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "perplexity_buckets": Query(q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
-    "pfnano_objects": Query(q_pfnano_objects, SQL_PFNANO_OBJECTS),
-    "pfnano_real_xref": Query(q_pfnano_real_xref, SQL_PFNANO_REAL_XREF),
-    "physlite_map_strings": Query(q_physlite_map_strings, SQL_PHYSLITE_MAP_STRINGS),
-    "physlite_real_links": Query(q_physlite_real_links, SQL_PHYSLITE_REAL_LINKS),
+    "physlite_triple_nested": Query(q_physlite_triple_nested, SQL_PHYSLITE_TRIPLE_NESTED),
+    "pq_recall": Query(q_pq_recall, SQL_RECALL_GATE),
+    "pq_rerank": Query(q_pq_rerank, SQL_EXACT_KNN),
+    "quads_metric": Query(q_quads_metric, SQL_QUADS_METRIC),
+    "quality_classifier": Query(q_quality_classifier, _sql_quality_classifier()),
+    "root_scan": Query(q_root_scan, SQL_ROOT_SCAN),
+    "root_sink_scan": Query(q_root_sink_scan, SQL_ROOT_SINK_SCAN),
+    "root_source_scan": Query(q_root_source_scan, SQL_ROOT_SOURCE_SCAN),
+    "root_stream_scan": Query(q_root_stream_scan, SQL_ROOT_STREAM_SCAN),
+    "scouting_objects": Query(q_scouting_objects, SQL_SCOUTING_OBJECTS),
+    "scouting_real_scan": Query(q_scouting_real_scan, SQL_SCOUTING_REAL_SCAN),
+    "stream_dedup": Query(q_stream_dedup, SQL_STREAM_DEDUP),
+    "substring_removal": Query(q_substring_removal, SQL_SUBSTRING_REMOVAL),
+    "treemaker_real_nesting": Query(q_treemaker_real_nesting, SQL_TREEMAKER_REAL_NESTING),
+    "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
+    "video_frames": Query(q_video_frames, SQL_VIDEO_FRAMES),
+    "accumulator_merge": Query(q_accumulator_merge, SQL_ACCUMULATOR_MERGE),
+    "ann_recall": Query(q_ann_recall, SQL_RECALL_GATE),
+    "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
+    "asof_operator": Query(q_asof_operator, SQL_ASOF_OPERATOR),
+    "bitmask_counts": Query(q_bitmask_counts, SQL_BITMASK),
+    "bloom_decontam": Query(q_bloom_decontam, _sql_bloom_decontam()),
+    "cardinality_hll": Query(q_cardinality_hll, _sql_cardinality_hll()),
+    "ccnet_pipeline": Query(q_ccnet_pipeline, _sql_ccnet_pipeline()),
+    "combinations_pairs": Query(q_combinations, SQL_COMBINATIONS),
+    "cutflow_npz": Query(q_cutflow_npz, SQL_CUTFLOW_NPZ),
+    "deep_children": Query(q_deep_children, SQL_DEEP_CHILDREN),
+    "delphes_met": Query(q_delphes_met, SQL_DELPHES_MET),
+    "dimuon_mass": Query(q_dimuon_mass, SQL_DIMUON),
+    "dsir_weights": Query(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "dup_clusters": Query(q_dup_clusters, SQL_DUP_CLUSTERS),
+    "fcc_constituents": Query(q_fcc_constituents, SQL_FCC_CONSTITUENTS),
+    "gbdt_score": Query(q_gbdt_score, _sql_gbdt_score()),
+    "gbdt_train_boost": Query(q_gbdt_train, _sql_gbdt_train()),
+    "hist2d_qty_disc": Query(q_hist2d_qty_disc, SQL_HIST2D),
+    "hist_price": Query(q_hist_price, SQL_HIST_PRICE),
+    "hist_varwidth": Query(q_hist_varwidth, SQL_HIST_VARWIDTH),
+    "jaccard_collapsed": Query(q_jaccard_collapsed, _sql_jaccard_collapsed()),
+    "jaccard_dupes": Query(q_jaccard_dupes, SQL_JACCARD_DUPES),
+    "jagged_filter": Query(q_jagged_filter, SQL_JAGGED_FILTER),
+    "jagged_reduce": Query(q_jagged_reduce, SQL_JAGGED_REDUCE),
+    "knn_classify": Query(q_knn_classify, SQL_KNN_CLASSIFY),
+    "lang_id": Query(q_lang_id, _sql_lang_id()),
+    "lm_bigram": Query(q_lm_bigram, SQL_LM_BIGRAM),
+    "lm_quality": Query(q_lm_quality, SQL_LM_QUALITY),
+    "lumi_sum": Query(q_lumi_sum, SQL_LUMI_SUM),
+    "minhash_portable": Query(q_minhash_portable, _sql_minhash_portable()),
+    "ml_score": Query(q_ml_score, _sql_ml_score()),
+    "nminusone": Query(q_nminusone, SQL_NMINUSONE),
+    "pack_sequences": Query(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "padded_leading": Query(q_padded_leading, SQL_PADDED_LEADING),
+    "pii_scrub": Query(q_pii_scrub, SQL_PII_SCRUB),
+    "plot_vars": Query(q_plot_vars, SQL_PLOT_VARS),
+    "preloaded_agg": Query(q_preloaded_agg, SQL_PRELOADED_AGG),
+    "pricing_summary": Query(q_pricing_summary, SQL_PRICING),
+    "profile_hist": Query(q_profile_hist, SQL_PROFILE_HIST),
+    "repetition_signals": Query(q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "rochester_pileup": Query(q_rochester_pileup, SQL_ROCHESTER_PILEUP),
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
+    "semdedup": Query(q_semdedup, SQL_SEMDEDUP),
+    "simhash_portable": Query(q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "stream_heavy_hitters": Query(q_stream_heavy_hitters, _sql_heavy_hitters()),
+    "stream_interval_join": Query(q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "unimax_sample": Query(q_unimax_sample, SQL_UNIMAX_SAMPLE),
+    "warc_scan": Query(q_warc_scan, SQL_WARC_SCAN),
+    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "quantiles_approx": Query(q_quantiles_approx, None),
     "jer_smear": Query(q_jer_smear, None),
     "minhash_lsh": Query(q_minhash_lsh, None),
